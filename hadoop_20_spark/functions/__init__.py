@@ -1,0 +1,64 @@
+"""Scalar function surface (SURVEY §2.9).
+
+The reference has no expression library — scalar work is Java inside
+mappers, with utility classes for strings (core/util/StringUtils.java),
+hashing (core/io/MD5Hash.java, core/util/hash/MurmurHash.java,
+core/util/PureJavaCrc32.java) and bloom filters (core/util/bloom/).  Our
+engine exposes Spark's built-in surface; this module adds the few
+deterministic, engine-portable helpers the operator library shares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_long",
+    "md5_bucket",
+    "ngrams",
+    "shingles",
+    "tokens",
+]
+
+
+def md5_long(col: Column | str, offset: int = 0) -> Column:
+    """Deterministic 60-bit integer hash of a string: parse 15 hex chars
+    of md5 starting at ``offset`` (1-based within the 32-char digest).
+
+    Engine-portable analog of core/io/MD5Hash.java#halfDigest: the same
+    value is computable in any SQL engine with md5() (DuckDB oracle:
+    ``('0x' || substr(md5(x), o, 15))::BIGINT``), unlike Spark's
+    murmur3 ``hash``/``xxhash64`` whose seeds/algorithms differ per
+    engine.  Used for dedup fingerprints and deterministic sampling.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1 + offset, 15), 16, 10).cast("bigint")
+
+
+def md5_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Hash-partition a string key into n deterministic buckets."""
+    return md5_long(col) % n_buckets
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (TokenCountMapper contract), empty tokens
+    removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def ngrams(col: Column | str, n: int) -> Column:
+    """Word n-grams over whitespace tokens as ' '-joined strings.
+    Pure higher-order-function implementation (codegen, no UDF):
+    transform over token indexes → slice → array_join."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def shingles(col: Column | str, n: int) -> Column:
+    """Distinct word n-grams (the MinHash shingle set)."""
+    return F.array_distinct(ngrams(col, n))

@@ -1,0 +1,130 @@
+"""Aggregation (SURVEY §2.5) — the reference's aggregate framework as a
+descriptor DSL over Spark aggregates.
+
+Reference: ``mapred/lib/aggregate/`` — users pass descriptor strings
+``"<AggType>:<id>"`` (ValueAggregatorBaseDescriptor.java turns them into
+aggregator instances); ValueAggregatorMapper/Combiner/Reducer run them
+with map-side partial aggregation (the Combiner).  Spark's
+HashAggregateExec does partial/final automatically, so each descriptor
+maps to a Column expression and the whole job becomes one ``groupBy.agg``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum_double(col: str | Column, scale: int = 6) -> Column:
+    """Order-independent double sum: aggregate in DECIMAL(28, scale), cast
+    back to double.  Floating-point addition is not associative, so a
+    plain double sum differs run-to-run with partitioning (and engine-to-
+    engine vs the DuckDB oracle); decimal aggregation is exact and
+    deterministic at any parallelism — the property the reference got for
+    free from single-threaded reducers and we must engineer at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def exact_avg_double(col: str | Column, scale: int = 6) -> Column:
+    """Deterministic average: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c)
+    )
+
+
+# --- descriptor DSL ---------------------------------------------------------
+
+def _descriptor_to_column(desc: str) -> Column:
+    """``"LongValueSum:qty"`` → ``F.sum(qty).cast(long)`` etc.
+
+    One entry per aggregator class under mapred/lib/aggregate/ (see
+    SURVEY §2.5 table).  UniqValueCount honors the reference's cap
+    parameter (aggregate.max.num.unique.values) in spirit via
+    ``approx_count_distinct`` when passed ``~`` (approx marker).
+    """
+    kind, _, field = desc.partition(":")
+    approx = field.startswith("~")
+    if approx:
+        field = field[1:]
+    alias = f"{kind}_{field}".lower()
+    c = F.col(field)
+    if kind == "LongValueSum":  # mapred/lib/aggregate/LongValueSum.java
+        return F.sum(c.cast("long")).alias(alias)
+    if kind == "DoubleValueSum":  # DoubleValueSum.java
+        return exact_sum_double(c).alias(alias)
+    if kind == "LongValueMax":  # LongValueMax.java
+        return F.max(c.cast("long")).alias(alias)
+    if kind == "LongValueMin":  # LongValueMin.java
+        return F.min(c.cast("long")).alias(alias)
+    if kind == "DoubleValueMax":
+        return F.max(c.cast("double")).alias(alias)
+    if kind == "DoubleValueMin":
+        return F.min(c.cast("double")).alias(alias)
+    if kind == "StringValueMax":  # StringValueMax.java (lexicographic)
+        return F.max(c.cast("string")).alias(alias)
+    if kind == "StringValueMin":  # StringValueMin.java
+        return F.min(c.cast("string")).alias(alias)
+    if kind == "UniqValueCount":  # UniqValueCount.java
+        if approx:
+            return F.approx_count_distinct(c).alias(alias)
+        return F.countDistinct(c).alias(alias)
+    if kind == "Count":
+        return F.count(c).alias(alias)
+    raise ValueError(f"unknown aggregator descriptor {desc!r}")
+
+
+def aggregate(
+    df: DataFrame, group_by: Sequence[str], descriptors: Sequence[str]
+) -> DataFrame:
+    """Run an aggregate-framework job: ``aggregate(df, ['k'],
+    ['LongValueSum:qty', 'UniqValueCount:user'])``.
+
+    Equivalent of ValueAggregatorJob.java with the given descriptor list;
+    the Combiner stage is Spark's automatic partial aggregation.
+    """
+    exprs = [_descriptor_to_column(d) for d in descriptors]
+    return df.groupBy(*group_by).agg(*exprs)
+
+
+def value_histogram(df: DataFrame, key: str, value: str) -> DataFrame:
+    """mapred/lib/aggregate/ValueHistogram.java — per key, build the
+    value→frequency histogram and report statistics OF THE FREQUENCIES:
+    distinct-value count, min/median/max/avg/stddev of per-value counts.
+
+    Two-level aggregation: groupBy(key, value).count() then groupBy(key).
+    Both levels get map-side partials; no single reducer bottleneck (the
+    reference buffered the whole histogram in one reducer's memory —
+    at 100 TB this two-phase shape is the scalable rewrite).
+
+    Output deviates from the reference's textual tab-joined format by
+    design (documented): one column per statistic.
+    """
+    freq = df.groupBy(F.col(key), F.col(value)).agg(F.count(F.lit(1)).alias("freq"))
+    return freq.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_distinct_values"),
+        F.min("freq").alias("min_freq"),
+        F.percentile_approx("freq", 0.5).alias("median_freq"),
+        F.max("freq").alias("max_freq"),
+        F.avg("freq").alias("avg_freq"),
+        F.stddev_pop("freq").alias("stddev_freq"),
+    )
+
+
+def with_counters(df: DataFrame, **counters: Column):
+    """mapred/Counters.java / Reporter.java#incrCounter — global named
+    side-channel aggregates.  Spark-native: ``df.observe`` attaches metric
+    expressions evaluated during the action, collected on the driver —
+    exactly the JobTracker counter-aggregation role, without a second job.
+
+    Returns (observed_df, observation) — read ``observation.get`` after an
+    action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *[v.alias(k) for k, v in counters.items()]), obs

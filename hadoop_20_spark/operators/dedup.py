@@ -1,0 +1,261 @@
+"""Deduplication for training-data pipelines (north-star extension).
+
+Reference analogs: the distinct idiom (SURVEY §2.5), MD5Hash
+(core/io/MD5Hash.java) for content fingerprints, bloom filters
+(core/util/bloom/) for approximate membership.  The near-dup family
+(MinHash-LSH, SimHash, n-gram Jaccard) is new surface, built
+Spark-first:
+
+- signatures are pure Column expressions (codegen; no UDFs, no shuffle);
+- candidate generation is a band-bucket shuffle (groupBy band signature),
+  the standard LSH trick that avoids the O(n²) all-pairs join;
+- verification joins only candidate pairs.
+
+Scale posture at 100 TB: signature computation is embarrassingly
+parallel; the only shuffles are (a) the band-bucket groupBy, whose skew
+(a band shared by millions of docs) is handled by capping bucket size,
+and (b) the verify join, which is tiny relative to the corpus.
+All hashing is engine-portable md5 (see functions.md5_long) so every
+deterministic stage is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.functions import md5_long, tokens
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content, keeping
+    the minimum id (deterministic keeper) and the duplicate count.
+
+    Hash-groupBy with map-side partial agg — the combiner-backed distinct
+    idiom.  Hashing the content (md5) instead of grouping raw text keeps
+    shuffle rows small at 100 TB (32-byte keys, not document bodies)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- minhash ----------------------------------------------------------------
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 16, shingle: int = 3
+) -> list[Column]:
+    """MinHash signature columns ``mh0..mh{k-1}`` over word-shingle sets.
+
+    Hash family: md5 over a per-function prefix (``"{i}_" + shingle``) —
+    independent, deterministic, engine-portable.  Shingles are distinct
+    word n-grams.  Pure higher-order expressions: transform + array_min.
+    """
+    t = tokens(col)
+    n_sh = F.greatest(F.size(t) - shingle + 1, F.lit(1))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(t, i, shingle), " "),
+        )
+    )
+
+    # NB: the lambda must take exactly ONE parameter — pyspark dispatches
+    # two-parameter lambdas as (element, index), so closing over the hash
+    # id via a default arg would silently rebind it to the array index.
+    def hasher(prefix: str):
+        return lambda s: md5_long(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(sh, hasher(f"{i}_"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature table (deterministic; oracle-checkable)."""
+    return df.select(F.col(id_col), *minhash_signature(text_col, num_hashes, shingle))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` bands of
+    k/bands rows; docs agreeing on any whole band become candidate pairs.
+
+    Plan shape: signatures (narrow) → explode bands (k/bands-tuple key) →
+    groupBy band-key collect ids → emit intra-bucket pairs.  ``max_bucket``
+    caps degenerate buckets (boilerplate/empty docs) — the LSH analog of
+    skew-salting; dropped buckets are reported upstream rather than
+    silently exploding into O(b²) pairs at 100 TB.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows_per_band + r}").alias(f"h{r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    buckets = exploded.groupBy("band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = (
+        buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# --- n-gram / token Jaccard (exact verify) ----------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle: int = 1,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct token/shingle sets for all
+    pairs sharing ≥1 shingle: explode → self-join on shingle → count
+    common → |A∪B| via per-doc sizes.  Output: id_a < id_b, jaccard.
+
+    This is the brute-force verifier for LSH candidates (call on a
+    candidate-restricted df) and the standalone small-corpus dedup.  At
+    100 TB: run it only on LSH candidates; hot shingles (stopword
+    n-grams) are the skew risk — filter shingles by document frequency
+    first (standard "common shingle" pruning) or raise ``shingle``.
+    """
+    t = tokens(text_col)
+    if shingle > 1:
+        n_sh = F.greatest(F.size(t) - shingle + 1, F.lit(1))
+        t = F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(t, i, shingle), " "),
+        )
+    base = df.select(F.col(id_col).alias("did"), F.explode(F.array_distinct(t)).alias("sh"))
+    sizes = base.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    a = base.select(F.col("did").alias("id_a"), "sh")
+    b = base.select(F.col("did").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("did").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("did").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- simhash ----------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash fingerprint (``bits`` wide) over whitespace tokens,
+    frequency-weighted: bit b is set iff more token-hashes have bit b set
+    than clear.  Pure expressions: one hash array + ``bits`` filtered
+    counts — no explode, no shuffle, engine-portable (md5 bit tests).
+    """
+    t = tokens(col)
+    hashes = F.transform(t, lambda x: md5_long(x))
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+
+    # Single-parameter lambda factory (two-parameter lambdas become
+    # (element, index) in pyspark); bit test via AND-mask — shiftright on a
+    # lambda variable does not survive the py4j bridge.
+    def bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    for b in range(bits):
+        n_set = F.size(F.filter(hashes, bit_set(1 << b)))
+        out = out + F.when(n_set * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    return df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+    Candidate generation via the Charikar trick: split the fingerprint
+    into ``max_hamming+1`` chunks — any pair within distance shares one
+    exact chunk — then verify with bit_count on XOR.  Same
+    bucket-then-verify shape as MinHash-LSH (scales identically)."""
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    sig = simhash_table(df, id_col, text_col, bits)
+    keys = [
+        F.struct(
+            F.lit(cid).alias("chunk"),
+            (F.col("simhash") / F.lit(1 << (cid * chunk_bits)))
+            .cast("long")
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("v"),
+        )
+        for cid in range(chunks)
+    ]
+    exploded = sig.select(id_col, "simhash", F.explode(F.array(*keys)).alias("ck"))
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ck"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ck"
+    )
+    return (
+        a.join(b, "ck")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,153 @@
+"""Joins (SURVEY §2.4).
+
+The reference ships three join families:
+
+1. map-side merge join over sorted, identically-partitioned inputs
+   (``mapred/join/CompositeRecordReader.java`` k-way merge +
+   ``InnerJoinRecordReader``/``OuterJoinRecordReader``) — in Spark this is
+   SortMergeJoinExec, and the zero-shuffle precondition is reproduced by
+   bucketed+sorted tables;
+2. reduce-side tagged join (contrib/data_join ``DataJoinReducerBase``)
+   — Spark's default shuffle join;
+3. replicated (broadcast) hash join via the DistributedCache idiom
+   — BroadcastHashJoinExec via ``F.broadcast``.
+
+Catalyst chooses among them by stats; the builders here only add the
+semantics Spark lacks as named ops (override join) plus compat sugar for
+the ``mapred.join.expr`` composition DSL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {
+    "inner",
+    "left",
+    "right",
+    "full",
+    "left_semi",
+    "left_anti",
+    "cross",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Thin builder over ``df.join``.
+
+    ``broadcast_right=True`` reproduces the DistributedCache replicated
+    join (core/filecache/DistributedCache.java): the small side ships to
+    every task, no shuffle of the big side.  At 100 TB the fact table
+    never moves; only dimension tables broadcast.
+    """
+    if how not in JOIN_TYPES:
+        raise ValueError(f"unknown join type {how!r}")
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on) if not isinstance(on, str) else [on], how=how)
+
+
+def override_join(
+    sources: Sequence[DataFrame], on: str | Sequence[str]
+) -> DataFrame:
+    """mapred/join/OverrideRecordReader.java#emit — "override" join:
+    for each key, the RIGHTMOST source containing the key wins; its whole
+    record is emitted (a priority coalesce across tables).
+
+    Spark-first realization: tag each source with its priority, unionByName,
+    then one hash aggregation keeping ``max_by(record, priority)``.  This
+    is a SINGLE shuffle with map-side partial aggregation — strictly
+    cheaper at scale than the N-1 full-outer-join chain or a window sort
+    (row_number) which would shuffle AND sort.  All sources must share a
+    schema (the reference requires identical value class per source).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = sources[0].columns
+    for s in sources[1:]:
+        if s.columns != cols:
+            raise ValueError("override_join requires identical schemas")
+    payload = [c for c in cols if c not in keys]
+    tagged = None
+    for i, s in enumerate(sources):
+        t = s.withColumn("_priority", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    winner = tagged.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.col("_priority")).alias("_rec")
+    )
+    return winner.select(*keys, *[F.col(f"_rec.{c}").alias(c) for c in payload])
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — reduce-side tagged-join idiom (keep keys present in both,
+    emit left payload only): contrib/utils/join/DataJoinReducerBase.java."""
+    return join(left, right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — tagged-join idiom, keys only in left."""
+    return join(left, right, on, "left_anti")
+
+
+def theta_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
+    """Cartesian/theta join — the reference's single-reducer idiom.
+    ``crossJoin`` + filter; Catalyst turns an equi-component into a real
+    join condition where possible (BroadcastNestedLoopJoin otherwise)."""
+    return left.crossJoin(right).filter(condition) if condition is not None else left.crossJoin(right)
+
+
+# --- mapred.join.expr compat DSL -------------------------------------------
+# The reference composes map-side joins with a string plan, e.g.
+#   inner(tbl(SequenceFileInputFormat.class,"p1"), tbl(...,"p2"))
+# parsed by mapred/join/Parser.java into a tree of RecordReaders.  Here the
+# same composition is expressed as a tiny recursive structure over already-
+# loaded DataFrames; Catalyst then plans the whole tree at once (join
+# reordering included — something the reference's fixed tree cannot do).
+
+def compose(expr: str, tables: dict[str, DataFrame], on: str | Sequence[str]) -> DataFrame:
+    """Evaluate a join-expression string: ``inner(a, outer(b, c))`` or
+    ``override(a, b)`` where names resolve via ``tables``.
+
+    Mirrors mapred/join/CompositeInputFormat.java#compose.
+    """
+    expr = expr.strip()
+    op, _, rest = expr.partition("(")
+    if not rest:  # bare table name
+        return tables[expr]
+    args_src = rest.rsplit(")", 1)[0]
+    # split top-level commas
+    args, depth, cur = [], 0, []
+    for ch in args_src:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur))
+    parts = [compose(a, tables, on) for a in args]
+    op = op.strip()
+    if op == "inner":
+        out = parts[0]
+        for p in parts[1:]:
+            out = join(out, p, on, "inner")
+        return out
+    if op == "outer":
+        out = parts[0]
+        for p in parts[1:]:
+            out = join(out, p, on, "full")
+        return out
+    if op == "override":
+        return override_join(parts, on)
+    raise ValueError(f"unknown join op {op!r}")

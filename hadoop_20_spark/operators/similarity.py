@@ -1,0 +1,188 @@
+"""Embedding similarity search (north-star extension).
+
+No reference analog (hadoop-20 predates vector workloads); the closest
+architectural ancestor is the replicated-join idiom (DistributedCache) —
+which is exactly how the brute-force path ships the query set to every
+partition of the corpus.
+
+Two tiers, mirroring ANN practice:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  score every corpus vector, per-query top-k.  The 100 TB plan: corpus
+  never shuffles; scoring is map-side; top-k is TakeOrdered-per-group
+  (partial per-partition heaps via the window-over-candidates pattern).
+- ``lsh_topk`` — random-hyperplane LSH (SRP): bucket corpus and queries
+  by sign-pattern of projections onto deterministic pseudo-random
+  hyperplanes; score only same-bucket pairs (with multiple tables to
+  bound recall loss).  Trades recall for a corpus-sized scan with tiny
+  joins — the scale path when the query set is large.
+
+Dot products are pure ``zip_with``/``aggregate`` expressions over
+``array<float>`` cast to double — deterministic element order, hence
+engine-comparable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.functions import md5_long
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in doubles with deterministic (sequential) addition order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Physical plan: BroadcastNestedLoopJoin (queries broadcast — the
+    DistributedCache pattern), map-side scoring, then per-query top-k via
+    row_number window.  Excludes self-matches.  Ties broken by neighbor
+    id (SURVEY §7.4 determinism rule)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _srp_bucket(vec: Column, dim: int, n_planes: int, table_id: int) -> Column:
+    """Signed-random-projection bucket id: sign pattern of ``n_planes``
+    deterministic hyperplanes.  Plane coefficients are ±1 derived from
+    md5 of (table, plane, coordinate) — reproducible everywhere, no
+    stored model."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(
+                    *[
+                        F.when(
+                            md5_long(F.lit(f"srp_{table_id}_{p}_{i}")) % 2 == 0,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0))
+                        for i in range(dim)
+                    ]
+                ),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an SRP bucket in any of
+    ``n_tables`` hash tables.  Recall grows with tables; cost per table is
+    one narrow projection + an equi-join on (table, bucket) — a real join
+    Catalyst can shuffle-hash, vs. the brute-force cross product."""
+
+    def with_buckets(df: DataFrame, role: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _srp_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(tables).alias("tb"),
+        ).select(f"{role}_id", f"{role}_vec", "tb.tbl", "tb.bkt")
+
+    c = with_buckets(corpus, "neighbor")
+    q = with_buckets(queries, "query")
+    cand = (
+        c.join(q, ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
+    Brute-force form for oracle checking; at scale route through
+    ``lsh_topk`` buckets first."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Sorts, secondary sort, top-k, sampling (SURVEY §2.6-2.7).
+
+Reference machinery re-expressed:
+- global total-order sort: ``mapred/lib/TotalOrderPartitioner.java`` +
+  ``InputSampler.java`` (sample → partition keyfile → trie) — Spark's
+  ``orderBy`` does exactly this internally (RangePartitioner reservoir-
+  samples the keys), so ``total_order_sort`` is declarative.
+- secondary sort: composite-key sort comparator + grouping comparator
+  (``mapred/JobConf.java#setOutputKeyComparatorClass`` /
+  ``#setOutputValueGroupingComparator``, worked example
+  ``ex/SecondarySort.java``) — the Window.partitionBy(p).orderBy(s)
+  input contract.
+- POSIX sort key specs (``-k2,3nr``): ``mapred/lib/KeyFieldBasedComparator
+  .java`` — parsed into Column sort expressions.
+- sampling: ``mapred/lib/InputSampler.java`` + ``mapred/
+  SequenceFileInputFilter.java`` Percent/MD5 filters.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """ex/Sort.java + ex/terasort/TeraSort.java — globally ordered output.
+    Spark's RangePartitioner replaces InputSampler+TotalOrderPartitioner;
+    partition boundaries adapt to the key distribution automatically, so
+    the 100 TB failure mode of a stale keyfile (hot partitions) is gone.
+    """
+    return df.orderBy(*cols)
+
+
+def secondary_sort(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order_keys: Sequence[str | Column],
+) -> DataFrame:
+    """ex/SecondarySort.java — repartition by the key prefix and sort each
+    partition by the full composite key, giving downstream per-partition
+    logic an ordered stream per group (the reduce() iterator contract).
+
+    For window-function consumers prefer :func:`ranked`; use this when a
+    custom ``mapPartitions``/``applyInPandas`` needs physically ordered
+    groups.
+    """
+    return df.repartition(*[F.col(k) for k in partition_keys]).sortWithinPartitions(
+        *[F.col(k) for k in partition_keys], *order_keys
+    )
+
+
+def ranked(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order_keys: Sequence[str | Column],
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Window realization of secondary sort: row_number per group in the
+    composite-key order — what the reference hand-rolled in reducers."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order_keys)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def top_k(
+    df: DataFrame, order_keys: Sequence[Column], k: int
+) -> DataFrame:
+    """Global top-k: ``orderBy().limit(k)`` → TakeOrderedAndProjectExec —
+    per-partition heaps + driver merge, the scalable version of the
+    reference's single-reducer idiom.  Callers must include a
+    deterministic tie-breaker key (SURVEY §7.4 determinism rule)."""
+    return df.orderBy(*order_keys).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order_keys: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k within each group via row_number window."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order_keys)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+# --- POSIX sort key spec (-k2,3nr) -----------------------------------------
+
+_KEYSPEC = re.compile(r"-k(\d+)(?:,(\d+))?([nr]*)")
+
+
+def parse_key_field_spec(spec: str) -> list[tuple[int, int, bool, bool]]:
+    """``"-k2,3nr -k1"`` → [(2,3,numeric=True,reverse=True), (1,1,F,F)].
+    Fields are 1-based as in sort(1)/KeyFieldHelper.java."""
+    out = []
+    for m in _KEYSPEC.finditer(spec):
+        start = int(m.group(1))
+        end = int(m.group(2)) if m.group(2) else start
+        flags = m.group(3) or ""
+        out.append((start, end, "n" in flags, "r" in flags))
+    if not out:
+        raise ValueError(f"no -k specs in {spec!r}")
+    return out
+
+
+def key_field_sort(
+    df: DataFrame, column: str, spec: str, separator: str = "\t"
+) -> DataFrame:
+    """mapred/lib/KeyFieldBasedComparator.java — sort lines by field
+    ranges with numeric/reverse flags.  Each (start,end) range becomes one
+    sort expression over split fields."""
+    fields = F.split(F.col(column), F.lit(separator))
+    sort_cols: list[Column] = []
+    for start, end, numeric, reverse in parse_key_field_spec(spec):
+        piece = F.array_join(F.slice(fields, start, end - start + 1), separator)
+        c = piece.cast("double") if numeric else piece
+        sort_cols.append(c.desc() if reverse else c.asc())
+    return df.orderBy(*sort_cols)
+
+
+# --- sampling ---------------------------------------------------------------
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """InputSampler.RandomSampler — Bernoulli sample."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def sample_percent_deterministic(
+    df: DataFrame, key: str | Column, frequency: int
+) -> DataFrame:
+    """SequenceFileInputFilter.MD5Filter — keep records whose key's MD5
+    falls in 1/frequency of the hash space.  Deterministic, engine-
+    independent (same rows in Spark and any oracle), unlike seeded random
+    sampling.  Uses the low 60 bits of md5 hex via base-16 conv."""
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return df.filter(bucket % frequency == 0)

@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines (north-star extension;
+nearest reference analogs: TokenCountMapper, RegexMapper, the streaming
+text protocol).
+
+All operators are pure Column expressions (whole-stage codegen, no UDFs)
+and deterministic across engines, so every one is DuckDB-oracle-checkable.
+Designed to run over a 100 TB ``documents`` table: every function is
+row-local (no shuffle); only downstream aggregations shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.functions import md5_long, tokens
+
+# A small English stopword list for the ratio heuristics (public-domain
+# common-words list; the synthetic fixture text is built from similar
+# high-frequency tokens).
+STOPWORDS = (
+    "the a an of to in and or is are was were for on with as by at from".split()
+)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count — the BPE-ish budget proxy."""
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length (0 for empty docs)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| (1.0 for empty)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0, F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    ).otherwise(F.lit(1.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -> Column:
+    """Fraction of tokens that are stopwords — the core quality signal."""
+    t = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0, n_stop.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards reasonable length,
+    lexical diversity, and presence (not excess) of stopwords.  A
+    deterministic stand-in for model-based quality filters; thresholds
+    follow common heuristic-filter practice (e.g., Gopher rules)."""
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.25))
+    div = distinct_token_ratio(col)
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok * 0.4 + div * 0.3 + sw_ok * 0.3), 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: stopword-profile scoring (n-gram heuristic
+    family).  With the synthetic fixture corpus (English-like tokens for
+    every row) this degenerates to en/unknown — the *operator shape*
+    (score per language profile, argmax) is what matters; real profiles
+    drop in as data."""
+    sw = stopword_ratio(col)
+    return F.when(sw >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column | str, ngram: int = 8) -> Column:
+    """Document fingerprint: minimum md5-hash over word ``ngram``-shingles
+    (winnowing-style rolling fingerprint, deterministic across engines).
+    Docs shorter than ``ngram`` tokens hash the whole text."""
+    t = tokens(col)
+    n_sh = F.greatest(F.size(t) - ngram + 1, F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: md5_long(F.array_join(F.slice(t, i, ngram), " ")),
+    )
+    return F.array_min(sh)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document stats table (all codegen'd, zero shuffle)."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_measured"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

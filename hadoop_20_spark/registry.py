@@ -1,0 +1,1007 @@
+"""Query registry — the driver-facing inventory (SURVEY §2 coverage).
+
+Each entry pairs a Spark implementation (built from the operator library)
+with the equivalent DuckDB oracle SQL.  Column names are aliased
+identically on both sides (the driver's compare sorts columns by name and
+hashes values).  Determinism rules (SURVEY §7.4):
+
+- double SUMs aggregate in DECIMAL and cast back (order-independent);
+- top-k / ranked queries always carry an id tie-breaker;
+- all hashing is md5-based (engine-portable), never murmur3/xxhash;
+- floats that are *outputs of float arithmetic* are rounded in-query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.catalog import load_table
+from hadoop_20_spark.operators import (
+    aggregate as agg_ops,
+    dedup,
+    joins,
+    rowops,
+    setops,
+    similarity,
+    sort as sort_ops,
+    text as text_ops,
+)
+from hadoop_20_spark.operators.aggregate import exact_avg_double, exact_sum_double
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => rows-only check
+    note: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# SQL fragment: engine-portable 60-bit md5 hash (functions.md5_long analog)
+def _sql_md5_long(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_TOKENS = r"list_filter(regexp_split_to_array({col}, '\s+'), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    note="flagship: TPC-H Q1 shape = the reference's canonical scan→filter→combine→reduce→sort (WordCount/Aggregate-framework pipeline)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum_double("l_quantity").alias("sum_qty"),
+            exact_sum_double("l_extendedprice").alias("sum_base_price"),
+            exact_sum_double(disc_price).alias("sum_disc_price"),
+            exact_sum_double(charge).alias("sum_charge"),
+            exact_avg_double("l_quantity").alias("avg_qty"),
+            exact_avg_double("l_extendedprice").alias("avg_price"),
+            exact_avg_double("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_descriptors",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS longvaluesum_l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS doublevaluesum_l_extendedprice,
+           CAST(MAX(l_orderkey) AS BIGINT) AS longvaluemax_l_orderkey,
+           CAST(MIN(l_orderkey) AS BIGINT) AS longvaluemin_l_orderkey,
+           MAX(l_linestatus) AS stringvaluemax_l_linestatus,
+           MIN(l_linestatus) AS stringvaluemin_l_linestatus,
+           COUNT(DISTINCT l_suppkey) AS uniqvaluecount_l_suppkey,
+           COUNT(l_orderkey) AS count_l_orderkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="mapred/lib/aggregate descriptor DSL: ValueAggregatorJob with 8 descriptors",
+)
+def agg_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [
+            "LongValueSum:l_linenumber",
+            "DoubleValueSum:l_extendedprice",
+            "LongValueMax:l_orderkey",
+            "LongValueMin:l_orderkey",
+            "StringValueMax:l_linestatus",
+            "StringValueMin:l_linestatus",
+            "UniqValueCount:l_suppkey",
+            "Count:l_orderkey",
+        ],
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    WITH freq AS (
+      SELECT o_orderpriority, o_custkey, COUNT(*) AS freq
+      FROM orders GROUP BY o_orderpriority, o_custkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_distinct_values,
+           CAST(MIN(freq) AS BIGINT) AS min_freq,
+           quantile_cont(freq, 0.5) AS median_freq,
+           CAST(MAX(freq) AS BIGINT) AS max_freq,
+           AVG(freq) AS avg_freq,
+           stddev_pop(freq) AS stddev_freq
+    FROM freq GROUP BY o_orderpriority
+    """,
+    note="mapred/lib/aggregate/ValueHistogram.java as scalable two-level agg",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg_ops.value_histogram(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+    return out.withColumn("median_freq", F.col("median_freq").cast("double"))
+
+
+@register(
+    "uniq_value_count",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS uniq_custkeys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    note="UniqValueCount.java exact mode",
+)
+def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_custkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    note="grouping-sets extension (absent in reference; free via Catalyst)",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum_double("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS O,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="pivot (extension; reference encodes this as per-key demux + per-file aggs)",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(exact_sum_double("l_quantity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 row transforms
+# ---------------------------------------------------------------------------
+
+@register(
+    "wordcount",
+    f"""
+    SELECT token, COUNT(*) AS token_count
+    FROM (SELECT unnest({_TOKENS.format(col='text')}) AS token FROM documents)
+    GROUP BY token
+    """,
+    note="ex/WordCount.java — canonical hash-agg query (TokenCountMapper + LongSumReducer combiner)",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rowops.token_counts(_t(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "grep",
+    """
+    SELECT match, COUNT(*) AS match_count
+    FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+er')) AS match FROM documents)
+    GROUP BY match
+    ORDER BY match_count DESC, match
+    """,
+    note="ex/Grep.java — two chained MR jobs collapsed to one declarative plan",
+)
+def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rowops.grep(_t(spark, sf_dir, "documents"), "text", "[a-z]+er")
+
+
+@register(
+    "field_selection",
+    """
+    WITH lines AS (
+      SELECT concat_ws(chr(9), l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity) AS line
+      FROM lineitem
+    ), fields AS (SELECT string_split(line, chr(9)) AS f FROM lines)
+    SELECT array_to_string(f[1:2], chr(9)) AS key,
+           array_to_string(f[3:len(f)], chr(9)) AS value
+    FROM fields
+    """,
+    note="mapred/lib/FieldSelectionMapReduce.java cut-style spec '0-1' : '2-'",
+)
+def field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "\t",
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+        ).alias("line")
+    )
+    return rowops.field_selection(li, "line", "0-1", "2-")
+
+
+@register(
+    "inverse_map",
+    "SELECT r_name AS key, r_regionkey AS value FROM region",
+    note="mapred/lib/InverseMapper.java",
+)
+def inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rowops.inverse(
+        _t(spark, sf_dir, "region"), key="r_regionkey", value="r_name"
+    ).select(F.col("r_name").alias("key"), F.col("r_regionkey").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_star",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    note="star join: fact never moves for dim joins (broadcast = DistributedCache idiom); shuffle only lineitem⋈orders",
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    note="OuterJoinRecordReader semantics: customers without orders kept with empty slots",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+    note="tagged-join keep-both idiom → left_semi (contrib/data_join)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        joins.semi_join(c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    note="tagged-join only-left idiom → left_anti",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return joins.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_override",
+    """
+    WITH a AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 2 = 0),
+         b AS (SELECT s_suppkey, 'patched_' || s_name AS s_name, s_acctbal + 1000 AS s_acctbal
+               FROM supplier WHERE s_suppkey % 3 = 0)
+    SELECT COALESCE(b.s_suppkey, a.s_suppkey) AS s_suppkey,
+           COALESCE(b.s_name, a.s_name) AS s_name,
+           COALESCE(b.s_acctbal, a.s_acctbal) AS s_acctbal
+    FROM a FULL OUTER JOIN b ON a.s_suppkey = b.s_suppkey
+    """,
+    note="mapred/join/OverrideRecordReader.java — rightmost source wins per key",
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    a = s.filter(F.col("s_suppkey") % 2 == 0)
+    b = s.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey",
+        F.concat(F.lit("patched_"), F.col("s_name")).alias("s_name"),
+        (F.col("s_acctbal") + 1000).alias("s_acctbal"),
+    )
+    return joins.override_join([a, b], "s_suppkey")
+
+
+@register(
+    "join_theta",
+    """
+    SELECT n.n_name, r.r_name FROM nation n, region r
+    WHERE n.n_regionkey <> r.r_regionkey
+    """,
+    note="cartesian/theta idiom (single-reducer in reference) → BroadcastNestedLoopJoin",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return joins.theta_join(
+        n, r, F.col("n_regionkey") != F.col("r_regionkey")
+    ).select("n_name", "r_name")
+
+
+@register(
+    "join_compose_dsl",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    note="mapred.join.expr composition DSL: inner(nation, region)",
+)
+def join_compose_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    out = joins.compose("inner(nation, region)", {"nation": n, "region": r}, "n_regionkey")
+    return out.select("n_nationkey", "n_name", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.6-2.7 sort / window / top-k / sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "total_order_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    note="ex/Sort.java + TotalOrderPartitioner/InputSampler → RangePartitioner orderBy; order itself asserted by validator tests",
+)
+def total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sort_ops.total_order_sort(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@register(
+    "top_k",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    note="top-k idiom → TakeOrderedAndProject (per-partition heaps, no global sort)",
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sort_ops.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@register(
+    "secondary_sort",
+    """
+    SELECT * FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+    note="ex/SecondarySort.java — partition by prefix, order by composite key, first-3 per group",
+)
+def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sort_ops.top_k_per_group(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        3,
+    ).select("user_id", "event_id", "event_type", "rn")
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events
+    """,
+    note="window frames (absent in reference; hand-rolled in reducers over secondary sort)",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0), 6) AS delta_prev,
+           LEAD(event_type) OVER w AS next_type
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    note="lag/lead (absent in reference)",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0)), 6).alias(
+            "delta_prev"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "key_field_sort",
+    """
+    WITH lines AS (
+      SELECT concat_ws(chr(9), s_name, s_nationkey, s_acctbal) AS line FROM supplier
+    ), f AS (SELECT line, string_split(line, chr(9)) AS fields FROM lines)
+    SELECT line FROM f ORDER BY CAST(fields[3] AS DOUBLE) DESC, fields[1]
+    """,
+    note="KeyFieldBasedComparator -k3nr -k1 POSIX sort spec",
+)
+def key_field_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat_ws("\t", "s_name", "s_nationkey", "s_acctbal").alias("line")
+    )
+    return sort_ops.key_field_sort(s, "line", "-k3nr -k1")
+
+
+@register(
+    "md5_sample",
+    f"""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE { _sql_md5_long("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)") } % 10 = 0
+    """,
+    note="SequenceFileInputFilter.MD5Filter — deterministic 1/f sampling (engine-portable, unlike seeded random)",
+)
+def md5_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    return sort_ops.sample_percent_deterministic(li, key, 10)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    note="reduce-side keep-both idiom → intersect",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return setops.intersect(o, c)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+    note="reduce-side only-left idiom → except/subtract",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return setops.except_(c, o)
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    )
+    """,
+    note="MultipleInputs union + distinct idiom",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return setops.distinct_rows(setops.union_all(o, c))
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    note="distinct idiom (key=record, emit once)",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.distinct_rows(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar surface: json / datetime
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    note="events.props JSON: from_json in Spark (Record I/O structured payloads analog)",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.col("k").cast("long")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "datetime_trunc_agg",
+    """
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS month_revenue
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+    note="date/time surface (reference keeps raw longs; ds= partition convention)",
+)
+def datetime_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum_double("o_totalprice").alias("month_revenue"),
+        )
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+    note="sessionization via gap detection (batch analog of session_window)",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    with_flag = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_flag.select(
+        "user_id", F.sum("new_session").over(w2).cast("long").alias("session_seq")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    note="F.window tumbling 1h (batch semantics identical to the streaming agg; streaming path in streaming/ + tests)",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum_double("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    note="exact dedup via content hash-groupBy (32-byte shuffle keys at 100 TB, not bodies)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "minhash_signatures",
+    None,  # oracle added programmatically below (16 generated columns)
+    note="MinHash signatures (16 hashes, 3-shingles) — deterministic md5 family",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, shingle=3
+    )
+
+
+def _minhash_oracle() -> str:
+    shingle_arr = (
+        "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' ')))"
+    )
+    cols = ",\n           ".join(
+        "list_aggregate(list_transform(sh, s -> "
+        + _sql_md5_long(f"'{i}_' || s")
+        + f"), 'min') AS mh{i}"
+        for i in range(16)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
+         s AS (SELECT doc_id, {shingle_arr} AS sh FROM t)
+    SELECT doc_id, {cols} FROM s
+    """
+
+
+REGISTRY["minhash_signatures"] = Query(
+    fn=minhash_signatures_q, oracle=_minhash_oracle(), note=REGISTRY["minhash_signatures"].note
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    None,
+    note="LSH band-bucket candidate pairs (16 hashes / 4 bands); rows-only check — bucket-join shape is the non-SQL part",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=4
+    )
+
+
+@register(
+    "jaccard_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS did, unnest(list_distinct({_TOKENS.format(col='text')})) AS sh
+      FROM documents
+    ), sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.did = id_a
+    JOIN sizes sb ON sb.did = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    note="exact token-set Jaccard ≥0.5 via explode+self-join (the LSH verifier)",
+)
+def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5, shingle=1
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    None,  # generated below
+    note="16-bit frequency-weighted SimHash, pure expressions",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+def _simhash_oracle() -> str:
+    h = _sql_md5_long("x")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
+         hh AS (SELECT doc_id, list_transform(toks, x -> {h}) AS hs FROM t)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hh
+    """
+
+
+REGISTRY["simhash_fingerprints"] = Query(
+    fn=simhash_fingerprints, oracle=_simhash_oracle(), note=REGISTRY["simhash_fingerprints"].note
+)
+
+
+@register(
+    "text_stats",
+    None,  # generated below
+    note="per-doc text analysis: tokens/chars/diversity/stopwords/quality/lang/fingerprint",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _text_stats_oracle() -> str:
+    sw_list = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS)
+    fp_hash = _sql_md5_long("array_to_string(toks[i:i+7], ' ')")
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS.format(col='text')} AS toks FROM documents),
+         m AS (
+      SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{sw_list}], x))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS total_len
+      FROM t)
+    SELECT doc_id,
+           n_tokens,
+           length(text) AS n_chars_measured,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END, 6) AS distinct_ratio,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+                 + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END) * 0.3
+                 + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                         BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+           CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           list_aggregate(list_transform(range(1, greatest(n_tokens - 7, 1) + 1),
+                          i -> {fp_hash}), 'min') AS fingerprint
+    FROM m
+    """
+
+
+REGISTRY["text_stats"] = Query(
+    fn=text_stats_q, oracle=_text_stats_oracle(), note=REGISTRY["text_stats"].note
+)
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))), 4) AS cosine_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    note="brute-force cosine top-k (queries broadcast = DistributedCache pattern); LSH variant = embedding_topk_lsh",
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_topk_lsh",
+    None,
+    note="SRP-LSH bucketed ANN (4 planes × 3 tables) — approximate; rows-only check by design",
+)
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
