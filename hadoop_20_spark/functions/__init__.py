@@ -14,12 +14,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "MERSENNE31",
+    "hash_coeffs",
     "md5_long",
     "md5_bucket",
     "ngrams",
     "shingles",
     "tokens",
 ]
+
+# Modulus for the universal hash family (a*h + b) mod p used by MinHash:
+# Mersenne prime 2^31-1 keeps every product under 2^62, so the arithmetic
+# is exact in int64 on any engine (Spark long, DuckDB BIGINT).
+MERSENNE31 = (1 << 31) - 1
+
+
+def hash_coeffs(k: int, salt: str = "minhash") -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficient pairs for a universal hash family,
+    derived from md5 of a salted counter — reproducible in plain Python
+    (hashlib), Spark, and the DuckDB oracle alike, with no stored model.
+    ``a`` is forced nonzero mod p."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"{salt}_a{i}".encode()).hexdigest()[:15], 16) % MERSENNE31
+        b = int(hashlib.md5(f"{salt}_b{i}".encode()).hexdigest()[:15], 16) % MERSENNE31
+        out.append((a or 1, b))
+    return out
 
 
 def md5_long(col: Column | str, offset: int = 0) -> Column:

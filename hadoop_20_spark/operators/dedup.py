@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import md5_long, tokens
+from hadoop_20_spark.functions import MERSENNE31, hash_coeffs, md5_long, tokens
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -48,41 +48,41 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 # --- minhash ----------------------------------------------------------------
 
-def minhash_signature(
-    col: Column | str, num_hashes: int = 16, shingle: int = 3
-) -> list[Column]:
-    """MinHash signature columns ``mh0..mh{k-1}`` over word-shingle sets.
-
-    Hash family: md5 over a per-function prefix (``"{i}_" + shingle``) —
-    independent, deterministic, engine-portable.  Shingles are distinct
-    word n-grams.  Pure higher-order expressions: transform + array_min.
-    """
+def shingle_hashes(col: Column | str, shingle: int = 3) -> Column:
+    """Base hash array: md5_long(shingle) mod 2^31-1 per word-shingle.
+    The ONE expensive (md5) pass; all k minhash functions derive from it
+    with two multiplications — the universal-hashing construction of
+    Broder's minwise permutations (one hash per element, k cheap
+    (a·h+b) mod p rehashes), which cuts signature cost k-fold."""
     t = tokens(col)
     n_sh = F.greatest(F.size(t) - shingle + 1, F.lit(1))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(t, i, shingle), " "),
-        )
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(t, i, shingle), " "),
     )
-
-    # NB: the lambda must take exactly ONE parameter — pyspark dispatches
-    # two-parameter lambdas as (element, index), so closing over the hash
-    # id via a default arg would silently rebind it to the array index.
-    def hasher(prefix: str):
-        return lambda s: md5_long(F.concat(F.lit(prefix), s))
-
-    return [
-        F.array_min(F.transform(sh, hasher(f"{i}_"))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    # NB: single-parameter lambdas only — pyspark dispatches two-parameter
+    # lambdas as (element, index), silently rebinding default-arg closures.
+    return F.transform(sh, lambda s: md5_long(s) % MERSENNE31)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature table (deterministic; oracle-checkable)."""
-    return df.select(F.col(id_col), *minhash_signature(text_col, num_hashes, shingle))
+    """Per-doc MinHash signature table ``(id, mh0..mh{k-1})`` —
+    deterministic and oracle-checkable (hash_coeffs reproduces the family
+    in any engine).  Two-phase select so the md5 pass runs once, not k×."""
+    hs = df.select(F.col(id_col), shingle_hashes(text_col, shingle).alias("_hs"))
+
+    def rehash(a: int, b: int):
+        return lambda h: (h * a + F.lit(b)) % MERSENNE31
+
+    return hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_hs"), rehash(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+        ],
+    )
 
 
 def minhash_lsh_candidates(

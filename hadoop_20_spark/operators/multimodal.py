@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Media are opaque ``binary`` columns plus typed metadata structs; all
+heavy per-item work (decode, resize, feature-extract, frame-sample) runs
+in Arrow-batched ``mapInPandas`` so bytes never round-trip through
+driver-side Python row objects.
+
+The actual codec step is STUBBED: the image/audio libraries are not in
+this container, so ``decode_image`` raises unless ``fake=True``, which
+substitutes a deterministic md5-derived fake decode.  The Spark-side
+contract — schema, batch iteration, partitioning — is real and tested;
+a real decoder drops into ``_decode_bytes`` untouched.
+
+Closest reference analog: BytesWritable payloads processed by custom
+mappers; C++ pipes (``mapred/pipes/``) for native codecs — superseded by
+Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, media_type string, "
+    "meta struct<filename:string, declared_w:int, declared_h:int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, content_md5 string, "
+    "width int, height int, feat array<float>"
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media-shaped table from any fixture: payload = utf-8 bytes
+    of a text column (a stand-in corpus with real binary plumbing)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(
+            F.concat(F.col(id_col).cast("string"), F.lit(".img")).alias("filename"),
+            F.lit(None).cast("int").alias("declared_w"),
+            F.lit(None).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytes(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
+    """Decode one media payload → (width, height, feature vector).
+
+    REAL DECODER GOES HERE (PIL/torchvision/ffmpeg).  Not available in
+    this container, so:
+    - fake=False → NotImplementedError (clearly-marked stub);
+    - fake=True → deterministic pseudo-decode from md5(payload): width/
+      height in [64, 1983], 8-dim feature of bytes/255.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
+    digest = hashlib.md5(payload).digest()
+    width = 64 + int.from_bytes(digest[0:2], "big") % 1920
+    height = 64 + int.from_bytes(digest[2:4], "big") % 1920
+    feat = [b / 255.0 for b in digest[4:12]]
+    return width, height, feat
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode/feature pass over the media table.
+
+    mapInPandas: each worker receives pandas batches of (media_id,
+    payload, ...); per-batch Python loop, zero driver involvement.  At
+    100 TB the input should be repartitioned by size (not count) so each
+    task holds a bounded byte volume — media rows are wide."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "content_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+            }
+            decoded = pdf["payload"].map(lambda b: _decode_bytes(bytes(b), fake))
+            out["width"] = decoded.map(lambda d: d[0]).astype("int32")
+            out["height"] = decoded.map(lambda d: d[1]).astype("int32")
+            out["feat"] = decoded.map(lambda d: d[2])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, max_side: int = 512, fake: bool = True) -> DataFrame:
+    """Resize plumbing: same mapInPandas shape, emits payload unchanged
+    with new declared dims (a real resizer would transform bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(lambda b: _decode_bytes(bytes(b), fake))
+            scale = decoded.map(lambda d: min(1.0, max_side / max(d[0], d[1])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "width": [int(d[0] * s) for d, s in zip(decoded, scale)],
+                    "height": [int(d[1] * s) for d, s in zip(decoded, scale)],
+                }
+            )
+
+    return media.mapInPandas(run, "media_id long, payload binary, width int, height int")

@@ -83,25 +83,36 @@ def cosine_topk(
     )
 
 
+def _srp_signs(dim: int, n_planes: int, table_id: int) -> list[list[float]]:
+    """±1 hyperplane coefficients from md5 of (table, plane, coordinate) —
+    computed once in Python (hashlib) and embedded as literals, so the
+    per-row work is just the dot products; reproducible everywhere, no
+    stored model."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"srp_{table_id}_{p}_{i}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def _srp_bucket(vec: Column, dim: int, n_planes: int, table_id: int) -> Column:
     """Signed-random-projection bucket id: sign pattern of ``n_planes``
-    deterministic hyperplanes.  Plane coefficients are ±1 derived from
-    md5 of (table, plane, coordinate) — reproducible everywhere, no
-    stored model."""
+    deterministic hyperplanes."""
+    signs = _srp_signs(dim, n_planes, table_id)
     bucket = F.lit(0)
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(
-                    *[
-                        F.when(
-                            md5_long(F.lit(f"srp_{table_id}_{p}_{i}")) % 2 == 0,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0))
-                        for i in range(dim)
-                    ]
-                ),
+                F.array(*[F.lit(s) for s in signs[p]]),
                 lambda x, s: x.cast("double") * s,
             ),
             F.lit(0.0),

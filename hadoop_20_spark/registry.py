@@ -829,20 +829,23 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from hadoop_20_spark.functions import MERSENNE31, hash_coeffs
+
     shingle_arr = (
-        "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
-        "i -> array_to_string(toks[i:i+2], ' ')))"
+        "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' '))"
     )
+    base = _sql_md5_long("s") + f" % {MERSENNE31}"
     cols = ",\n           ".join(
-        "list_aggregate(list_transform(sh, s -> "
-        + _sql_md5_long(f"'{i}_' || s")
-        + f"), 'min') AS mh{i}"
-        for i in range(16)
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE31}),"
+        f" 'min') AS mh{i}"
+        for i, (a, b) in enumerate(hash_coeffs(16))
     )
     return f"""
     WITH t AS (SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
-         s AS (SELECT doc_id, {shingle_arr} AS sh FROM t)
-    SELECT doc_id, {cols} FROM s
+         s AS (SELECT doc_id, {shingle_arr} AS sh FROM t),
+         hh AS (SELECT doc_id, list_transform(sh, s -> {base}) AS hs FROM s)
+    SELECT doc_id, {cols} FROM hh
     """
 
 
@@ -997,6 +1000,80 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 pipe protocol / multimodal / streaming
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_wordcount",
+    f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS token_count
+    FROM (SELECT unnest({_TOKENS.format(col='text')}) AS token FROM documents)
+    GROUP BY token
+    """,
+    note="hadoop-streaming pipe protocol (st/PipeMapRed.java): python child process as mapper, engine as combiner+reducer",
+)
+def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import pipe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pipe.script_wordcount(spark, docs).withColumn(
+        "token_count", F.col("token_count").cast("long")
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(64 + ('0x' || substr(md5(text), 1, 4))::INT % 1920 AS INT) AS width,
+           CAST(64 + ('0x' || substr(md5(text), 5, 4))::INT % 1920 AS INT) AS height
+    FROM documents
+    """,
+    note="multimodal binary-column plumbing: mapInPandas Arrow-batched decode (deterministic fake codec; real decoder drops into _decode_bytes)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import multimodal
+
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.extract_features(media, fake=True).select(
+        "media_id", "media_type", "n_bytes", "content_md5", "width", "height"
+    )
+
+
+@register(
+    "streaming_tumbling",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    note="REAL Structured Streaming run (file source, 1-file microbatches, watermark, memory sink) — oracle is the batch equivalence",
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    spark.catalog.dropTempView("q_streaming_tumbling") if "q_streaming_tumbling" in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    return stream_ops.run_to_memory(agg, "q_streaming_tumbling")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

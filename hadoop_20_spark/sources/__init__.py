@@ -1,0 +1,132 @@
+"""Sources & sinks (SURVEY §2.1-2.2).
+
+Spark's reader/writer covers nearly all reference formats natively; this
+module adds the reference-shaped conveniences:
+
+- k/v tab-separated text (KeyValueTextInputFormat / TextOutputFormat's
+  ``key \\t value`` contract)
+- demux writes (MultipleOutputFormat → ``partitionBy``)
+- sorted table writes (MapFileOutputFormat → sortWithinPartitions +
+  parquet row-group stats as the index)
+- small-file compaction (HadoopArchives / CombineFileInputFormat role)
+- NLine-style fixed-rows-per-partition repartitioning
+- JDBC passthrough (DBInputFormat/DBOutputFormat)
+
+Commit protocol, file packing, split computation are Spark built-ins
+(FileOutputCommitter is literally the same class lineage — SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """TextInputFormat: one row per line, column ``value``.  (The byte
+    offset key is dropped — Spark's equivalent of the ``(offset, line)``
+    contract is ``monotonically_increasing_id`` if a key is needed.)"""
+    return spark.read.text(path)
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, separator: str = "\t"
+) -> DataFrame:
+    """mapred/KeyValueTextInputFormat.java — split each line at the FIRST
+    separator; no separator → whole line is key, value empty (the
+    documented edge case, KeyValueLineRecordReader.java)."""
+    lines = spark.read.text(path)
+    sep_lit = F.lit(separator)
+    idx = F.instr(F.col("value"), separator)
+    return lines.select(
+        F.when(idx > 0, F.substring_index(F.col("value"), separator, 1))
+        .otherwise(F.col("value"))
+        .alias("key"),
+        F.when(
+            idx > 0,
+            F.expr(f"substring(value, instr(value, '{separator}') + {len(separator)})"),
+        )
+        .otherwise(F.lit(""))
+        .alias("value"),
+    )
+
+
+def write_kv_text(
+    df: DataFrame, path: str, key: str, value: str, separator: str = "\t"
+) -> None:
+    """mapred/TextOutputFormat.java — ``key \\t value`` lines."""
+    df.select(
+        F.concat_ws(separator, F.col(key).cast("string"), F.col(value).cast("string")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+
+
+def write_demux(df: DataFrame, path: str, *route_cols: str, fmt: str = "parquet") -> None:
+    """mapred/lib/MultipleOutputFormat.java — route each record to a file
+    derived from its key.  ``partitionBy`` gives the same layout with
+    dynamic partition discovery on read; at 100 TB this is also the
+    partition-pruning layout (the reference's ``/logs/ds=.../`` idiom)."""
+    df.write.mode("overwrite").partitionBy(*route_cols).format(fmt).save(path)
+
+
+def write_sorted(
+    df: DataFrame, path: str, *sort_cols: str, fmt: str = "parquet"
+) -> None:
+    """mapred/MapFileOutputFormat.java — sorted k/v + index.  Sorted
+    parquet row groups carry min/max stats, which IS the MapFile index:
+    point lookups prune to one row group (binary search equivalent)."""
+    df.sortWithinPartitions(*sort_cols).write.mode("overwrite").format(fmt).save(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """HadoopArchives / CombineFileInputFormat role: rewrite a directory
+    of small files into ~target-sized ones.  Returns the file count
+    chosen.  Sizes output from the source byte size, then ``coalesce`` —
+    a narrow (shuffle-free) rewrite."""
+    import glob
+    import os
+
+    df = spark.read.format(fmt).load(in_path)
+    total_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(in_path, "**"), recursive=True)
+        if os.path.isfile(p)
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(out_path)
+    return n_files
+
+
+def repartition_n_rows(df: DataFrame, rows_per_partition: int, order_col: str) -> DataFrame:
+    """mapred/lib/NLineInputFormat.java — N records per task, for
+    parameter sweeps: assign a partition id by row rank.  (Global
+    row_number is a single-partition sort — fine for the sweep-input use
+    case this exists for, wrong for bulk data; use repartition(n) there.)
+    """
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(Window.orderBy(order_col)) - 1
+    return df.repartition(F.floor(rank / rows_per_partition).cast("int"))
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """mapred/lib/db/DBInputFormat.java — paged JDBC source; Spark's
+    partitionColumn/lowerBound/upperBound replicate the per-split paging."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_noop(df: DataFrame) -> None:
+    """mapred/lib/NullOutputFormat.java — run the plan, discard output."""
+    df.write.mode("overwrite").format("noop").save()

@@ -1,0 +1,165 @@
+"""Structured Streaming operators (SURVEY §2.10).
+
+The reference is a batch engine; Facebook's "realtime" was storage-level
+(HDFS append/hflush, ``hdfs/DFSClient.java#sync``) feeding periodic batch
+jobs over continuously-appended directories (the Scribe→HDFS pattern).
+This module supplies the modern equivalents over the ``events`` table:
+file-source readStream, tumbling/sliding/session windows, watermarked
+late-data handling, streaming dedup, and idempotent ``foreachBatch``
+sinks (the same partition-overwrite semantics the reference relied on
+for reprocessing, made incremental).
+
+At scale: state stores are keyed by the groupBy columns — watermarks
+bound state size; ``dropDuplicatesWithinWatermark`` bounds dedup state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns in the parquet; converted below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events parquet (the appended-
+    directory tailing pattern).  One file per microbatch to exercise
+    incremental processing in tests.
+
+    FileStreamSource monitors a DIRECTORY (new files appear = new data,
+    exactly the Scribe→HDFS append pattern); the fixture is a single
+    file, so it is staged into a temp dir via symlink."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        src = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark: the
+    streaming form of the reference's key=floor(ts/3600) bucketing idiom,
+    with late-data semantics the reference solved by re-running the
+    partition."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows (gap-based), the streaming analog of the batch
+    ``sessionize`` query in the registry."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark on the event id."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming query to completion over the available input
+    (processAllAvailable) into an in-memory sink; returns the result
+    table.  Test/driver harness — production sinks use foreachBatch."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def foreach_batch_idempotent_sink(stream_df: DataFrame, out_path: str, partition_col: str):
+    """Exactly-once-by-idempotence sink: each microbatch overwrites only
+    the partitions it touches (dynamic partition overwrite) — the
+    reference's overwrite-partition-dirs reprocessing contract, applied
+    per-batch."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+
+    return stream_df.writeStream.foreachBatch(write_batch)

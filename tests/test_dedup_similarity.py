@@ -1,0 +1,99 @@
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.operators import dedup, similarity
+
+
+def test_exact_dedup_planted(spark, tables):
+    docs = tables["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = dedup.exact_dedup(docs.union(planted), "doc_id", "text")
+    dups = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_copies"] == 2
+    assert dups[0]["keeper_id"] == 0  # min id kept
+
+
+def test_minhash_identical_signature(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(20)
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    sig = dedup.minhash_signatures(docs.union(planted), "doc_id", "text")
+    s0 = sig.filter(F.col("doc_id") == 0).drop("doc_id").collect()[0]
+    s1 = sig.filter(F.col("doc_id") == 100000).drop("doc_id").collect()[0]
+    assert s0 == s1  # identical text -> identical signature
+
+
+def test_minhash_lsh_finds_planted_dup(spark, tables):
+    docs = tables["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pairs = dedup.minhash_lsh_candidates(docs.union(planted), "doc_id", "text")
+    found = pairs.filter(
+        (F.col("id_a") == 0) & (F.col("id_b") == 100000)
+    ).count()
+    assert found == 1
+
+
+def test_jaccard_pairs_identical_is_one(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(10)
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = dedup.jaccard_pairs(docs.union(planted), "doc_id", "text", threshold=0.99)
+    hits = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert hits.get((0, 100000)) == 1.0
+
+
+def test_simhash_near_dups(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = dedup.simhash_near_dups(docs.union(planted), "doc_id", "text")
+    match = out.filter((F.col("id_a") == 0) & (F.col("id_b") == 100000)).collect()
+    assert len(match) == 1 and match[0]["hamming"] == 0
+
+
+def test_cosine_topk_planted_identical(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    clone = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(clone)
+    out = similarity.cosine_topk(corpus, emb.filter(F.col("vec_id") == 3), k=1)
+    top = out.collect()[0]
+    assert top["neighbor_id"] == 100003
+    assert top["cosine_sim"] == 1.0
+    assert top["rank"] == 1
+
+
+def test_cosine_topk_shape(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    out = similarity.cosine_topk(emb, emb.limit(4), k=5)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert out.groupBy("query_id").count().filter(F.col("count") != 5).count() == 0
+
+
+def test_lsh_topk_includes_identical_vector(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    clone = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb.union(clone), emb.filter(F.col("vec_id") == 3), k=3)
+    # identical vector always lands in the same SRP bucket -> must be found
+    assert out.filter(F.col("neighbor_id") == 100003).count() == 1
+
+
+def test_embedding_near_dups(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(50)
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.embedding_near_dups(emb.union(clone), threshold=0.999)
+    assert out.filter(
+        (F.col("id_a") == 1) & (F.col("id_b") == 100001)
+    ).count() == 1

@@ -1,0 +1,68 @@
+"""Registry smoke + scale-posture plan assertions (.explain checks)."""
+
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.plans import assert_broadcast_join, physical_plan
+from hadoop_20_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+# Plan assertions use a different sf dir than the cached fixtures —
+# cached tables substitute InMemoryRelation for the parquet scan, hiding
+# PushedFilters/ReadSchema.
+PLAN_SF = "/root/testdata/sf0.01"
+
+FAST_SUBSET = [
+    "q1_pricing_summary",
+    "join_star",
+    "join_override",
+    "secondary_sort",
+    "dedup_exact",
+    "text_stats",
+    "embedding_topk",
+]
+
+
+def test_registry_complete():
+    # every oracle has a query; every query runs at least rows-only
+    for name, q in REGISTRY.items():
+        assert callable(q.fn), name
+
+
+def test_fast_subset_runs(spark):
+    for name in FAST_SUBSET:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = physical_plan(REGISTRY["q1_pricing_summary"].fn(spark, PLAN_SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:500]
+
+
+def test_q1_column_pruning(spark):
+    plan = physical_plan(REGISTRY["q1_pricing_summary"].fn(spark, PLAN_SF))
+    # scan must not read unused columns like l_partkey / l_suppkey
+    scan_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_partkey" not in scan_schema
+    assert "l_comment" not in scan_schema
+
+
+def test_join_star_broadcasts_dims(spark):
+    df = REGISTRY["join_star"].fn(spark, PLAN_SF)
+    assert_broadcast_join(df, n=2)  # nation + region at minimum
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = physical_plan(REGISTRY["top_k"].fn(spark, PLAN_SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wholestage_codegen_on_agg(spark):
+    # AQE prints codegen markers ('*(n)') only in the final plan, so
+    # execute first, then inspect.
+    df = REGISTRY["wordcount"].fn(spark, PLAN_SF)
+    df.collect()  # count() would plan a different query; collect finalizes THIS one
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan

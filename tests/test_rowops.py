@@ -1,0 +1,60 @@
+import re
+
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.operators import rowops
+
+
+def test_parse_field_spec():
+    assert rowops.parse_field_spec("0-2,4,6-") == [(0, 2), (4, 4), (6, None)]
+    assert rowops.parse_field_spec("3") == [(3, 3)]
+    assert rowops.parse_field_spec("-2") == [(0, 2)]
+
+
+def test_field_selection(spark):
+    df = spark.createDataFrame([("a\tb\tc\td",)], ["line"])
+    out = rowops.field_selection(df, "line", "0-1", "2-").collect()[0]
+    assert out["key"] == "a\tb"
+    assert out["value"] == "c\td"
+
+
+def test_field_selection_open_ended_key(spark):
+    df = spark.createDataFrame([("x\ty\tz",)], ["line"])
+    out = rowops.field_selection(df, "line", "1-", "0").collect()[0]
+    assert out["key"] == "y\tz"
+    assert out["value"] == "x"
+
+
+def test_grep_matches_python(spark, tables):
+    pattern = "[a-z]+er"
+    rows = tables["documents"].select("text").collect()
+    expected: dict[str, int] = {}
+    for r in rows:
+        for m in re.findall(pattern, r["text"]):
+            expected[m] = expected.get(m, 0) + 1
+    got = {
+        r["match"]: r["match_count"]
+        for r in rowops.grep(tables["documents"], "text", pattern).collect()
+    }
+    assert got == expected
+
+
+def test_token_counts_total(spark, tables):
+    total_tokens = tables["documents"].select(
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n")
+    ).collect()[0]["n"]
+    counted = rowops.token_counts(tables["documents"], "text").agg(
+        F.sum("token_count").alias("n")
+    ).collect()[0]["n"]
+    assert counted == total_tokens  # no empty tokens in fixture text
+
+
+def test_inverse_and_chain(spark):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert rowops.inverse(df, "k", "v").columns == ["v", "k"]
+    out = rowops.chain(
+        df,
+        lambda d: d.withColumn("k2", F.col("k") * 2),
+        lambda d: d.filter(F.col("k2") == 2),
+    )
+    assert out.count() == 1

@@ -1,0 +1,75 @@
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.operators import sort as sort_ops
+from hadoop_20_spark.plans import (
+    validate_conservation,
+    validate_global_order,
+)
+
+
+def test_parse_key_field_spec():
+    assert sort_ops.parse_key_field_spec("-k2,3nr -k1") == [
+        (2, 3, True, True),
+        (1, 1, False, False),
+    ]
+
+
+def test_total_order_sort_validates(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+    out = sort_ops.total_order_sort(li, "l_orderkey", "l_linenumber")
+    # TeraValidate-style global order + SortValidator conservation
+    assert validate_global_order(out, "l_orderkey", "l_linenumber")
+    assert validate_conservation(li, out, "l_quantity")
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 5.0)], ["id", "score"]
+    )
+    out = sort_ops.top_k(df, [F.col("score").desc(), F.col("id")], 2).collect()
+    assert [r["id"] for r in out] == [1, 2]
+
+
+def test_top_k_per_group(spark, tables):
+    out = sort_ops.top_k_per_group(
+        tables["events"], ["user_id"], [F.col("ts"), F.col("event_id")], 3
+    )
+    per_user = out.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_user <= 3
+    assert out.filter(F.col("rn") > 3).count() == 0
+
+
+def test_secondary_sort_partition_order(spark, tables):
+    ev = tables["events"].select("user_id", "ts", "event_id")
+    out = sort_ops.secondary_sort(ev, ["user_id"], ["ts", "event_id"])
+
+    def check(it):
+        prev = {}
+        for row in it:
+            key = row["user_id"]
+            cur = (row["ts"], row["event_id"])
+            if key in prev and cur < prev[key]:
+                yield 1
+            prev[key] = cur
+
+    violations = out.rdd.mapPartitions(check).sum()
+    assert violations == 0
+
+
+def test_md5_sample_deterministic(spark, tables):
+    li = tables["lineitem"]
+    key = F.concat_ws("_", "l_orderkey", "l_linenumber")
+    a = sort_ops.sample_percent_deterministic(li, key, 10)
+    b = sort_ops.sample_percent_deterministic(li.repartition(13), key, 10)
+    assert a.count() == b.count() > 0
+    assert a.select("l_orderkey", "l_linenumber").subtract(
+        b.select("l_orderkey", "l_linenumber")
+    ).count() == 0
+
+
+def test_key_field_sort(spark):
+    df = spark.createDataFrame(
+        [("b\t2",), ("a\t10",), ("c\t2",)], ["line"]
+    )
+    out = [r["line"] for r in sort_ops.key_field_sort(df, "line", "-k2nr -k1").collect()]
+    assert out == ["a\t10", "b\t2", "c\t2"]

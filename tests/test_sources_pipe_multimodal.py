@@ -1,0 +1,102 @@
+import glob
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_20_spark import sources
+from hadoop_20_spark.operators import multimodal, pipe, rowops
+
+
+def test_kv_text_roundtrip(spark, tables, tmp_path):
+    path = str(tmp_path / "kv")
+    nation = tables["nation"].select("n_nationkey", "n_name")
+    sources.write_kv_text(nation, path, "n_nationkey", "n_name")
+    back = sources.read_kv_text(spark, path)
+    got = {r["key"]: r["value"] for r in back.collect()}
+    exp = {str(r["n_nationkey"]): r["n_name"] for r in nation.collect()}
+    assert got == exp
+
+
+def test_kv_text_no_separator_edge(spark, tmp_path):
+    # KeyValueLineRecordReader: no tab -> whole line is key, empty value
+    p = tmp_path / "lines"
+    p.mkdir()
+    (p / "part-0.txt").write_text("justakey\nk\tv\n")
+    got = {r["key"]: r["value"] for r in sources.read_kv_text(spark, str(p)).collect()}
+    assert got == {"justakey": "", "k": "v"}
+
+
+def test_demux_write_layout(spark, tables, tmp_path):
+    out = str(tmp_path / "demux")
+    sources.write_demux(tables["events"], out, "event_type")
+    dirs = {os.path.basename(d) for d in glob.glob(out + "/event_type=*")}
+    types = {r["event_type"] for r in tables["events"].select("event_type").distinct().collect()}
+    assert dirs == {f"event_type={t}" for t in types}
+    back = spark.read.parquet(out)
+    assert back.count() == tables["events"].count()
+
+
+def test_write_sorted_rowgroup_stats(spark, tables, tmp_path):
+    out = str(tmp_path / "sorted")
+    li = tables["lineitem"].select("l_orderkey", "l_extendedprice")
+    sources.write_sorted(li.coalesce(1), out, "l_orderkey")
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
+def test_compact_small_files(spark, tables, tmp_path):
+    frag = str(tmp_path / "frag")
+    tables["orders"].repartition(20).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*")) == 20
+    out = str(tmp_path / "compact")
+    sources.compact_small_files(spark, frag, out, target_file_mb=128)
+    assert len(glob.glob(out + "/part-*")) < 20
+    assert spark.read.parquet(out).count() == tables["orders"].count()
+
+
+def test_pipe_wordcount_matches_native(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    via_pipe = {
+        r["token"]: r["token_count"]
+        for r in pipe.script_wordcount(spark, docs).collect()
+    }
+    native = {
+        r["token"]: r["token_count"]
+        for r in rowops.token_counts(docs, "text").collect()
+    }
+    assert via_pipe == native
+
+
+def test_split_kv_multifield_keys(spark):
+    df = spark.createDataFrame([("a\tb\tc",), ("nokey",)], ["line"])
+    got = {r["key"]: r["value"] for r in pipe.split_kv(df, num_key_fields=2).collect()}
+    assert got == {"a\tb": "c", "nokey": ""}
+
+
+def test_multimodal_features_deterministic(spark, tables):
+    media = multimodal.to_media_table(tables["documents"].limit(20), "doc_id", "text")
+    feats = multimodal.extract_features(media, fake=True)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    texts = {r["doc_id"]: r["text"] for r in tables["documents"].limit(20).collect()}
+    for mid, r in rows.items():
+        payload = texts[mid].encode()
+        assert r["n_bytes"] == len(payload)
+        assert r["content_md5"] == hashlib.md5(payload).hexdigest()
+        w, h, feat = multimodal._decode_bytes(payload, fake=True)
+        assert (r["width"], r["height"]) == (w, h)
+        assert len(r["feat"]) == 8
+
+
+def test_multimodal_real_decode_is_stubbed():
+    try:
+        multimodal._decode_bytes(b"xx", fake=False)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_resize_stub_bounds(spark, tables):
+    media = multimodal.to_media_table(tables["documents"].limit(10), "doc_id", "text")
+    out = multimodal.resize_stub(media, max_side=128).collect()
+    assert all(max(r["width"], r["height"]) <= 128 for r in out)
