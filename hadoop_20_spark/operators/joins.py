@@ -103,6 +103,83 @@ def theta_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
     return left.crossJoin(right).filter(condition) if condition is not None else left.crossJoin(right)
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join (absent in the reference — SURVEY §2.4 extension): for
+    each left row, attach the LATEST right row with the same key and
+    ``right_ts <= left_ts`` (right columns null when none exists).
+
+    Scale-first realization — the union/sort trick, NOT a per-key
+    inequality join: tag both sides, union, then a single
+    partitionBy(key).orderBy(ts) window where ``last(right_payload,
+    ignorenulls)`` carries the most recent right row forward onto each
+    left row.  One shuffle + one sort, linear in |L|+|R|; the naive
+    ``L join R on key and r.ts <= l.ts`` + max-window is quadratic in
+    per-key group size.  Ties (equal ts) count as matches: the right row
+    sorts before the left row at the same timestamp.
+
+    Right payload column names are suffixed ``_r`` on collision.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_payload = [c for c in left.columns if c not in keys]
+    r_payload = [c for c in right.columns if c not in keys]
+    rename = {
+        c: (f"{c}_r" if c in left.columns else c) for c in r_payload
+    }
+    r_struct = F.struct(
+        *[F.col(c).alias(rename[c]) for c in r_payload]
+    )
+    l_struct = F.struct(*[F.col(c) for c in l_payload])
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts after right on ts ties
+        l_struct.alias("_l"),
+        F.lit(None).cast(right.select(r_struct).schema[0].dataType).alias("_r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(l_struct).schema[0].dataType).alias("_l"),
+        r_struct.alias("_r"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "_rlast", F.last("_r", ignorenulls=True).over(w)
+    )
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col(f"_l.{c}").alias(c) for c in l_payload]
+        + [F.col(f"_rlast.{rename[c]}").alias(rename[c]) for c in r_payload]
+    )
+    return filled.filter(F.col("_l").isNotNull()).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    condition,
+) -> DataFrame:
+    """Equi-key + range-predicate join (absent in reference).  Expressed
+    declaratively so Catalyst plans the equi part as a real join and the
+    range predicate as a post-join filter; AQE handles per-key skew."""
+    return join(left, right, on, "inner").filter(condition)
+
+
 # --- mapred.join.expr compat DSL -------------------------------------------
 # The reference composes map-side joins with a string plan, e.g.
 #   inner(tbl(SequenceFileInputFormat.class,"p1"), tbl(...,"p2"))

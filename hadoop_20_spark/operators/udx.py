@@ -1,0 +1,72 @@
+"""UDF/UDAF/UDTF surface (SURVEY §2.11).
+
+The reference's extension points, Spark-first:
+
+- ``Mapper.map`` (0..n outputs)      → expressions / explode / mapInPandas
+- ``Reducer.reduce(K, Iterator<V>)`` → :func:`grouped_reduce` —
+  applyInPandas over groups delivered SORTED by the secondary key, which
+  is exactly the reduce() iterator contract produced by the grouping
+  comparator (mapred/ReduceTask.java#ValuesIterator).
+- Combiner                            → automatic partial aggregation.
+- streaming scripts                   → operators.pipe
+- C++ pipes                           → Arrow pandas_udf (superseded).
+
+``grouped_reduce`` is the escape hatch for aggregation logic that real
+SQL aggregates cannot express (order-dependent state machines); use
+built-ins first — this path serializes groups through Arrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_reduce(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+) -> DataFrame:
+    """Run ``fn`` once per key group, with the group's rows sorted by
+    ``order_by`` — the secondary-sort + reduce() contract.
+
+    The sort happens inside the pandas batch (cheap: groups are small
+    relative to partitions); the shuffle is the groupBy's hash partition,
+    same as the reference's partitioner.  At 100 TB the constraint is the
+    largest single group must fit in one task's memory — identical to the
+    reference's reducer-memory constraint for buffered values."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values(list(order_by), kind="mergesort"))
+
+    return df.groupBy(*keys).applyInPandas(run, out_schema)
+
+
+def longest_gap_per_user(events: DataFrame) -> DataFrame:
+    """Demo reducer: per user, the longest gap (seconds) between
+    consecutive events and the event count — order-dependent state that
+    the reference would hand-roll in a reducer over a secondary-sorted
+    stream."""
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"]
+        gaps = ts.diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "max_gap_s": [round(float(gaps.max()), 6) if len(gaps) else 0.0],
+            }
+        )
+
+    return grouped_reduce(
+        events.select("user_id", "ts", "event_id"),
+        ["user_id"],
+        ["ts", "event_id"],
+        reduce_group,
+        "user_id long, n_events long, max_gap_s double",
+    )

@@ -1003,6 +1003,254 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# join extensions: as-of / range (absent in reference; SURVEY §2.4 flags)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         signups   AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+    note="as-of join via the scalable union+window trick (one shuffle+sort, linear); oracle = DuckDB native ASOF JOIN",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    out = joins.as_of_join(purchases, signups, "user_id", "ts", "ts")
+    return out.select(
+        "event_id", "user_id", F.col("event_id_r").alias("signup_event_id")
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    note="equi+range join: Catalyst plans the equi part, range predicate filters post-join",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    out = joins.range_join(
+        li,
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"),
+        "l_orderkey",
+        F.expr("l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAYS"),
+    )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum_double("l_extendedprice").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window analytics / quantiles / cube
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS top_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    note="full ranking-function surface (reference hand-rolled these in reducers over secondary sort)",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+    )
+
+
+@register(
+    "quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS q25,
+           quantile_cont(l_extendedprice, 0.5) AS q50,
+           quantile_cont(l_extendedprice, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="exact interpolated percentiles (InputSampler spirit; approx variant = percentile_approx for 100 TB)",
+)
+def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q25"),
+        F.percentile("l_extendedprice", 0.5).alias("q50"),
+        F.percentile("l_extendedprice", 0.75).alias("q75"),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    note="cube grouping sets (free via Catalyst; absent in reference)",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "grouped_reduce_gap",
+    """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(COALESCE(MAX(gap_s), 0.0), 6) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+    note="Reducer.reduce over sorted groups via applyInPandas (grouped_reduce): order-dependent state in pandas",
+)
+def grouped_reduce_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import udx
+
+    return udx.longest_gap_per_user(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "union_hetero",
+    """
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+           'customer' AS kind, c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal,
+           'supplier' AS kind, NULL AS segment
+    FROM supplier
+    """,
+    note="MultipleInputs/DelegatingMapper: heterogeneous sources unioned by name with missing columns",
+)
+def union_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return setops.union_all(c, s, allow_missing=True)
+
+
+# ---------------------------------------------------------------------------
+# more LLM-pipeline entries
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_near_dups",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))), 4) AS cosine_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.5
+    """,
+    note="embedding-cosine near-dup pairs (brute force oracle form; scale path routes through SRP-LSH buckets)",
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+@register(
+    "minhash_near_dups",
+    None,
+    note="end-to-end near-dup pipeline: LSH candidates → exact-jaccard verify (bucket-then-verify; candidates ⊆ exact pairs so rows-only by design)",
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+    ids = cand.select(F.col("id_a").alias("doc_id")).union(
+        cand.select(F.col("id_b"))
+    ).distinct()
+    restricted = docs.join(ids, "doc_id", "left_semi")
+    verified = dedup.jaccard_pairs(restricted, "doc_id", "text", threshold=0.5)
+    return cand.join(verified, ["id_a", "id_b"], "inner")
+
+
+@register(
+    "quality_filter",
+    None,  # generated below from the text_stats oracle
+    note="quality-threshold document filter (the Gopher-style heuristic gate)",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_ops.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return stats.filter(
+        (F.col("quality") >= 0.8) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "quality", "n_tokens")
+
+
+REGISTRY["quality_filter"] = Query(
+    fn=quality_filter,
+    oracle=f"""
+    WITH stats AS ({_text_stats_oracle()})
+    SELECT doc_id, quality, n_tokens FROM stats
+    WHERE quality >= 0.8 AND lang_pred = 'en'
+    """,
+    note=REGISTRY["quality_filter"].note,
+)
+
+
+# ---------------------------------------------------------------------------
 # §2.11 pipe protocol / multimodal / streaming
 # ---------------------------------------------------------------------------
 

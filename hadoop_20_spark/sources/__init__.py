@@ -107,15 +107,29 @@ def compact_small_files(
 
 
 def repartition_n_rows(df: DataFrame, rows_per_partition: int, order_col: str) -> DataFrame:
-    """mapred/lib/NLineInputFormat.java — N records per task, for
-    parameter sweeps: assign a partition id by row rank.  (Global
-    row_number is a single-partition sort — fine for the sweep-input use
-    case this exists for, wrong for bulk data; use repartition(n) there.)
-    """
+    """mapred/lib/NLineInputFormat.java — exactly N records per task, for
+    parameter sweeps.  Row-rank → partition id → identity partitioner
+    (hash repartition would collide several ids into one task).  The
+    global row_number is a single-partition sort — fine for the sweep-
+    input use case this exists for, wrong for bulk data; use
+    repartition(n) there."""
+    import math
+
     from pyspark.sql import Window
 
+    n = df.count()
+    num_parts = max(1, math.ceil(n / rows_per_partition))
     rank = F.row_number().over(Window.orderBy(order_col)) - 1
-    return df.repartition(F.floor(rank / rows_per_partition).cast("int"))
+    with_pid = df.withColumn(
+        "_pid", F.floor(rank / rows_per_partition).cast("int")
+    )
+    schema = with_pid.schema
+    rdd = (
+        with_pid.rdd.map(lambda r: (r["_pid"], r))
+        .partitionBy(num_parts, lambda k: k)
+        .values()
+    )
+    return df.sparkSession.createDataFrame(rdd, schema).drop("_pid")
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:

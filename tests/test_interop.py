@@ -1,0 +1,51 @@
+"""Format interop: SequenceFile roundtrip, compression codec matrix,
+NLine-style repartitioning (SURVEY §1.3, §2.1)."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from hadoop_20_spark import sources
+
+
+def test_sequencefile_roundtrip(spark, tables, tmp_path):
+    """io/SequenceFile.java interop: write (k,v) pairs via the Hadoop
+    SequenceFile OutputFormat, read them back."""
+    path = str(tmp_path / "seq")
+    pairs = tables["nation"].select("n_nationkey", "n_name").rdd.map(
+        lambda r: (int(r["n_nationkey"]), r["n_name"])
+    )
+    pairs.saveAsSequenceFile(path)
+    back = dict(spark.sparkContext.sequenceFile(path).collect())
+    exp = {r["n_nationkey"]: r["n_name"] for r in tables["nation"].collect()}
+    assert back == exp
+
+
+def test_codec_matrix_text(spark, tables, tmp_path):
+    """io/compress codecs: gzip & bzip2 compat (reference's DefaultCodec/
+    GzipCodec/BZip2Codec), plus modern defaults."""
+    nation = tables["nation"].select(F.col("n_name").alias("value"))
+    exp = sorted(r["value"] for r in nation.collect())
+    for codec in ["gzip", "bzip2"]:
+        p = str(tmp_path / f"text_{codec}")
+        nation.write.option("compression", codec).mode("overwrite").text(p)
+        got = sorted(r["value"] for r in spark.read.text(p).collect())
+        assert got == exp, codec
+
+
+def test_codec_matrix_parquet(spark, tables, tmp_path):
+    for codec in ["snappy", "gzip", "zstd"]:
+        p = str(tmp_path / f"pq_{codec}")
+        tables["region"].write.option("compression", codec).mode("overwrite").parquet(p)
+        assert spark.read.parquet(p).count() == tables["region"].count(), codec
+
+
+def test_nline_repartition(spark, tables):
+    out = sources.repartition_n_rows(tables["nation"], 5, "n_nationkey")
+    sizes = out.rdd.glom().map(len).collect()
+    assert sum(sizes) == 25
+    assert max(sizes) <= 5
+
+
+def test_write_noop_runs(spark, tables):
+    sources.write_noop(tables["region"])

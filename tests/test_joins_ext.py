@@ -1,0 +1,85 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.operators import joins, udx
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "l1"),
+         (1, _ts("2024-01-01T12:00"), "l2"),
+         (2, _ts("2024-01-01T09:00"), "l3")],
+        ["k", "ts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30"), "r1"),
+         (1, _ts("2024-01-01T11:00"), "r2"),
+         (2, _ts("2024-01-01T09:30"), "r3")],  # after l3 -> no match
+        ["k", "ts", "rval"],
+    )
+    out = {r["lval"]: r for r in joins.as_of_join(left, right, "k", "ts", "ts").collect()}
+    assert out["l1"]["rval"] == "r1"   # latest right <= 10:00
+    assert out["l2"]["rval"] == "r2"   # latest right <= 12:00
+    assert out["l3"]["rval"] is None   # no right row at or before 09:00
+
+
+def test_as_of_join_tie_inclusive(spark):
+    t = _ts("2024-01-01T10:00")
+    left = spark.createDataFrame([(1, t, "l")], ["k", "ts", "lval"])
+    right = spark.createDataFrame([(1, t, "r")], ["k", "ts", "rval"])
+    out = joins.as_of_join(left, right, "k", "ts", "ts").collect()[0]
+    assert out["rval"] == "r"  # equal timestamps match (<= semantics)
+
+
+def test_as_of_join_column_suffixing(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00"), 5)], ["k", "ts", "x"])
+    right = spark.createDataFrame([(1, _ts("2024-01-01T09:00"), 7)], ["k", "ts", "x"])
+    out = joins.as_of_join(left, right, "k", "ts", "ts")
+    assert "x" in out.columns and "x_r" in out.columns
+    row = out.collect()[0]
+    assert (row["x"], row["x_r"]) == (5, 7)
+
+
+def test_range_join(spark, tables):
+    li = tables["lineitem"]
+    o = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    out = joins.range_join(
+        li, o, "l_orderkey",
+        F.expr("l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAYS"),
+    )
+    bad = out.filter(
+        ~F.expr("l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAYS")
+    ).count()
+    assert bad == 0
+    assert out.count() <= li.count()
+
+
+def test_grouped_reduce_matches_window(spark, tables):
+    from pyspark.sql import Window
+
+    got = {
+        r["user_id"]: r for r in udx.longest_gap_per_user(tables["events"]).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = (
+        tables["events"]
+        .withColumn(
+            "gap",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6,
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.max("gap"), F.lit(0.0)), 6).alias("mx"),
+        )
+    )
+    for r in exp.collect():
+        assert got[r["user_id"]]["n_events"] == r["n"]
+        assert abs(got[r["user_id"]]["max_gap_s"] - r["mx"]) < 1e-6
