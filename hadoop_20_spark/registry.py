@@ -1003,6 +1003,212 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# classic query shapes (TPC-H Q3/Q6 analogs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    note="TPC-H Q3 shape: selective dim filter -> star join -> agg -> top-k (TakeOrdered)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    note="TPC-H Q6 shape: pure scan-filter-agg; all four predicates push to the parquet scan",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum_double(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# generators / sampling / scalar surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "teragen_sorted",
+    """
+    WITH g AS (
+      SELECT i AS id,
+             substr(md5('tera_' || CAST(i AS VARCHAR)), 1, 10) AS key
+      FROM range(10000) t(i)
+    )
+    SELECT id, key FROM g ORDER BY key, id
+    """,
+    note="TeraGen + TeraSort: md5-deterministic 100-byte records (identical at any parallelism), globally sorted",
+)
+def teragen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark import sources
+
+    return (
+        sources.teragen(spark, 10000)
+        .select("id", "key")
+        .orderBy("key", "id")
+    )
+
+
+@register(
+    "interval_sample",
+    """
+    SELECT l_orderkey, l_linenumber FROM (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn % 100 = 1
+    """,
+    note="InputSampler.IntervalSampler: every k-th record in key order",
+)
+def interval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 100 == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "scalar_functions",
+    """
+    SELECT n_nationkey,
+           upper(n_name) AS uname,
+           substr(n_name, 1, 3) AS prefix,
+           concat_ws('-', n_name, CAST(n_regionkey AS VARCHAR)) AS tagged,
+           length(n_name) AS name_len,
+           strpos(n_name, 'A') AS a_pos,
+           replace(n_name, '_', ' ') AS spaced,
+           translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+           md5(n_name) AS name_md5,
+           CAST(pow(n_regionkey + 1, 2) AS DOUBLE) AS region_sq
+    FROM nation
+    """,
+    note="§2.9 scalar surface showcase (StringUtils/Text/MD5Hash analogs)",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("uname"),
+        F.substring("n_name", 1, 3).alias("prefix"),
+        F.concat_ws("-", "n_name", F.col("n_regionkey").cast("string")).alias("tagged"),
+        F.length("n_name").alias("name_len"),
+        F.instr(F.col("n_name"), "A").alias("a_pos"),
+        F.regexp_replace("n_name", "_", " ").alias("spaced"),
+        F.translate(F.col("n_name"), "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.md5(F.col("n_name")).alias("name_md5"),
+        F.pow(F.col("n_regionkey") + 1, 2).alias("region_sq"),
+    )
+
+
+@register(
+    "nested_higher_order",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(toks, x -> length(x) >= 6)) AS n_long,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
+           array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ') AS head_upper
+    FROM t
+    """,
+    note="§2.9 array/higher-order surface: transform/filter/aggregate over arrays (ArrayWritable analog, upgraded)",
+)
+def nested_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.functions import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) >= 6)).alias("n_long"),
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("long")
+        .alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("head_upper"),
+    )
+
+
+@register(
+    "approx_distinct",
+    None,
+    note="UniqValueCount capped mode -> approx_count_distinct (HLL); engines' sketches differ so rows-only by design (exact twin: uniq_value_count)",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # join extensions: as-of / range (absent in reference; SURVEY §2.4 flags)
 # ---------------------------------------------------------------------------
 

@@ -144,3 +144,70 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 def write_noop(df: DataFrame) -> None:
     """mapred/lib/NullOutputFormat.java — run the plan, discard output."""
     df.write.mode("overwrite").format("noop").save()
+
+
+# --- synthetic generators (§2.1) -------------------------------------------
+
+def _md5_long_expr(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def generate_kv(spark: SparkSession, n_rows: int, seed: str = "gen") -> DataFrame:
+    """ex/RandomWriter.java — deterministic synthetic k/v: instead of a
+    seeded RNG (whose stream depends on partitioning), keys/values derive
+    from md5 of the row index — identical output at any parallelism and
+    reproducible in any engine.  Columns: ``id, key (bigint), value
+    (string)``."""
+    base = spark.range(n_rows)
+    h = _md5_long_expr(F.concat(F.lit(f"{seed}_k_"), F.col("id")))
+    v = F.md5(F.concat(F.lit(f"{seed}_v_"), F.col("id").cast("string")))
+    return base.select(F.col("id"), h.alias("key"), v.alias("value"))
+
+
+def generate_text(spark: SparkSession, n_rows: int, words_per_row: int = 10,
+                  vocab: int = 1000, seed: str = "gentext") -> DataFrame:
+    """ex/RandomTextWriter.java — synthetic text: ``words_per_row`` tokens
+    drawn deterministically (md5 of (row, position) mod vocab)."""
+    base = spark.range(n_rows)
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_row - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                _md5_long_expr(
+                    F.concat(F.lit(f"{seed}_"), F.col("id"), F.lit("_"), i)
+                )
+                % vocab
+            ).cast("string"),
+        ),
+    )
+    return base.select(F.col("id"), F.array_join(words, " ").alias("text"))
+
+
+def teragen(spark: SparkSession, n_rows: int) -> DataFrame:
+    """ex/terasort/TeraGen.java — 100-byte records: 10-byte binary-ish key
+    + 90-byte payload, md5-derived (deterministic at any parallelism).
+    Sorting this table by ``key`` is the TeraSort benchmark; binary order
+    == lexicographic on the hex key."""
+    base = spark.range(n_rows)
+    key = F.substring(F.md5(F.concat(F.lit("tera_"), F.col("id").cast("string"))), 1, 10)
+    payload = F.rpad(
+        F.concat_ws(
+            "",
+            F.md5(F.concat(F.lit("pa_"), F.col("id").cast("string"))),
+            F.md5(F.concat(F.lit("pb_"), F.col("id").cast("string"))),
+        ),
+        90,
+        "X",
+    )
+    return base.select(F.col("id"), key.alias("key"), payload.alias("payload"))
+
+
+def distcp(spark: SparkSession, src: str, dst: str, fmt: str = "parquet") -> int:
+    """src/tools/.../DistCp.java — bulk copy as a parallel job.  Returns
+    row count copied.  (Layout-preserving copies of raw files are a
+    filesystem concern; this is the table-level copy the reference's MR
+    job performed.)"""
+    df = spark.read.format(fmt).load(src)
+    df.write.mode("overwrite").format(fmt).save(dst)
+    return spark.read.format(fmt).load(dst).count()

@@ -148,6 +148,36 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    the arbitrary-state API the reference had no analog for (its reducers
+    were stateless across jobs; cross-job state lived in HDFS files).
+
+    Per user, maintains (n_events, total_value) across microbatches and
+    emits the updated running totals each batch.  State is a 2-tuple per
+    key — bounded, watermark-free (demo); production operators pair this
+    with timeouts to expire idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def foreach_batch_idempotent_sink(stream_df: DataFrame, out_path: str, partition_col: str):
     """Exactly-once-by-idempotence sink: each microbatch overwrites only
     the partitions it touches (dynamic partition overwrite) — the
