@@ -115,6 +115,32 @@ def value_histogram(df: DataFrame, key: str, value: str) -> DataFrame:
     )
 
 
+def two_phase_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    sum_cols: Sequence[str],
+    salt: int = 64,
+) -> DataFrame:
+    """Skew-proof aggregation for pathological single-key hotspots: salt
+    the key, partial-aggregate per (key, salt), then final-aggregate per
+    key.  Spark already does map-side partial aggregation (the Combiner),
+    which handles most skew; the explicit two-phase form bounds the FINAL
+    stage's per-task input too — one row per (key, salt) — for keys so
+    hot their combined partials still swamp one reducer.  Decimal sums
+    keep the result bit-identical to the direct aggregation."""
+    # salt from the row id: partition-dependent is fine — decimal partials
+    # make the final result identical regardless of how rows scatter
+    salted = df.withColumn("_salt", F.monotonically_increasing_id() % salt)
+    partial = salted.groupBy(*group_by, F.col("_salt").alias("_s")).agg(
+        *[F.sum(F.col(c).cast("decimal(28,6)")).alias(f"_p_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("_p_n"),
+    )
+    return partial.groupBy(*group_by).agg(
+        *[F.sum(f"_p_{c}").cast("double").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("_p_n").alias("n_rows"),
+    )
+
+
 def with_counters(df: DataFrame, **counters: Column):
     """mapred/Counters.java / Reporter.java#incrCounter — global named
     side-channel aggregates.  Spark-native: ``df.observe`` attaches metric

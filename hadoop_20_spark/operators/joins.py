@@ -103,6 +103,40 @@ def theta_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
     return left.crossJoin(right).filter(condition) if condition is not None else left.crossJoin(right)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join: replicate the (small-ish) right side
+    ``salt`` ways and scatter the left side's hot keys across the
+    replicas — the reference's manual hot-key idiom, as an operator.
+
+    Use when one join key dominates (power-law keys at 100 TB) and the
+    right side is too big to broadcast but small enough to replicate
+    ``salt``×.  AQE's skew-join split handles *partition*-level skew
+    automatically; salting handles single-key skew that no partition
+    split can fix.  Left rows get a random-but-deterministic salt from
+    their row content hash (md5 of all columns) so results are stable.
+    """
+    from hadoop_20_spark.functions import md5_long
+
+    l_salt = (
+        md5_long(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in left.columns]))
+        % salt
+    )
+    l = left.withColumn("_salt", l_salt)
+    r = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("bigint").alias("_salt"))
+        )
+    )
+    out = l.join(r, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
