@@ -19,6 +19,8 @@ Commit protocol, file packing, split computation are Spark built-ins
 from __future__ import annotations
 
 import math
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,6 +146,80 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 def write_noop(df: DataFrame) -> None:
     """mapred/lib/NullOutputFormat.java — run the plan, discard output."""
     df.write.mode("overwrite").format("noop").save()
+
+
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int, key: str, sort: bool = True
+) -> None:
+    """Bucketed+sorted table — the reference's map-side merge-join
+    precondition (mapred/join/CompositeInputFormat.java requires sorted,
+    identically-partitioned inputs).  Two tables bucketed on the same key
+    with the same bucket count join with NO shuffle (and no sort when
+    ``sort=True``): the reference's zero-shuffle property, persisted in
+    the table layout.  At 100 TB this is how repeated fact⋈fact joins
+    amortize their shuffle once at write time."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped-but-lingering managed-table dir (metastore reset between
+    # sessions) blocks CREATE TABLE; clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(warehouse, table.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def read_delimited(
+    spark: SparkSession, path: str, record_delimiter: str
+) -> DataFrame:
+    """st/StreamInputFormat.java — custom record delimiter instead of
+    newline (``stream.recordreader.begin/end`` family): Spark's lineSep
+    handles arbitrary delimiters at scan time, splittable as usual."""
+    return spark.read.option("lineSep", record_delimiter).text(path)
+
+
+def read_xml_records(
+    spark: SparkSession, path: str, row_tag: str, schema_ddl: str
+) -> DataFrame:
+    """st/StreamXmlRecordReader.java — XML-chunk records: chunk the file
+    on the row tag (lineSep scan), re-close the fragment, parse with
+    from_xml (Spark 4).  Column ``xml`` keeps the raw fragment."""
+    end_tag = f"</{row_tag}>"
+    raw = spark.read.option("lineSep", end_tag).text(path)
+    frag = F.concat(F.col("value"), F.lit(end_tag))
+    parsed = (
+        raw.filter(F.col("value").contains(f"<{row_tag}"))
+        .select(
+            F.concat(
+                F.substring_index(frag, f"<{row_tag}", -1).alias("_"),
+            ).alias("xml_body"),
+        )
+        .select(
+            F.concat(F.lit(f"<{row_tag}"), F.col("xml_body")).alias("xml")
+        )
+    )
+    return parsed.withColumn(
+        "rec", F.expr(f"from_xml(xml, '{schema_ddl}')")
+    ).select("xml", "rec.*")
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, widths: dict[str, int], record_len: int | None = None
+) -> DataFrame:
+    """ex/terasort/TeraInputFormat.java — fixed-length records (10-byte
+    key + 90-byte payload): read newline-less byte runs via lineSep on a
+    sentinel-free text scan is impossible, so records are sliced from
+    fixed offsets of each line (text fixtures) — the fixed-offset
+    ``substring`` projection is the operative part."""
+    lines = spark.read.text(path)
+    cols, off = [], 1
+    for name, w in widths.items():
+        cols.append(F.substring(F.col("value"), off, w).alias(name))
+        off += w
+    return lines.select(*cols)
 
 
 # --- synthetic generators (§2.1) -------------------------------------------
