@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MERSENNE31",
+    "ensure_parallelism",
     "hash_coeffs",
     "md5_long",
     "md5_bucket",
@@ -22,6 +23,25 @@ __all__ = [
     "shingles",
     "tokens",
 ]
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition ``df`` round-robin ONLY if it has fewer partitions than
+    the cluster has cores — decoupling CPU-heavy expression stages
+    (MinHash/SimHash signatures, shingle explodes) from the input file
+    layout.
+
+    At 100 TB inputs arrive with thousands of parquet splits and this is
+    a no-op (no shuffle added); on small/local inputs (one small file →
+    one split → one task) it costs a tiny shuffle and unlocks every core.
+    Reference analog: mapred.min.split.size / NLineInputFormat — the
+    knob hadoop-20 users turned when a CPU-bound job had too few maps
+    (mapred/FileInputFormat.java#getSplits).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 # Modulus for the universal hash family (a*h + b) mod p used by MinHash:
 # Mersenne prime 2^31-1 keeps every product under 2^62, so the arithmetic

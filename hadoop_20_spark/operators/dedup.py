@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import MERSENNE31, hash_coeffs, md5_long, tokens
+from hadoop_20_spark.functions import (
+    MERSENNE31,
+    ensure_parallelism,
+    hash_coeffs,
+    md5_long,
+    tokens,
+)
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -70,8 +76,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature table ``(id, mh0..mh{k-1})`` —
     deterministic and oracle-checkable (hash_coeffs reproduces the family
-    in any engine).  Two-phase select so the md5 pass runs once, not k×."""
-    hs = df.select(F.col(id_col), shingle_hashes(text_col, shingle).alias("_hs"))
+    in any engine).  Two-phase select so the md5 pass runs once, not k×.
+
+    The signature pass is CPU-bound (md5 per shingle) with lambda
+    subtrees Spark's subexpression elimination skips, so parallelism
+    must not be hostage to the input split count — ``ensure_parallelism``
+    round-robins small inputs across all cores (no-op at scale)."""
+    hs = ensure_parallelism(df).select(
+        F.col(id_col), shingle_hashes(text_col, shingle).alias("_hs")
+    )
 
     def rehash(a: int, b: int):
         return lambda h: (h * a + F.lit(b)) % MERSENNE31
@@ -165,7 +178,9 @@ def jaccard_pairs(
             F.sequence(F.lit(1), n_sh),
             lambda i: F.array_join(F.slice(t, i, shingle), " "),
         )
-    base = df.select(F.col(id_col).alias("did"), F.explode(F.array_distinct(t)).alias("sh"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("did"), F.explode(F.array_distinct(t)).alias("sh")
+    )
     sizes = base.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a = base.select(F.col("did").alias("id_a"), "sh")
     b = base.select(F.col("did").alias("id_b"), "sh")
@@ -221,7 +236,9 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    return df.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col), simhash(text_col, bits).alias("simhash")
+    )
 
 
 def simhash_near_dups(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import md5_long, tokens
+from hadoop_20_spark.functions import ensure_parallelism, md5_long, tokens
 
 # A small English stopword list for the ratio heuristics (public-domain
 # common-words list; the synthetic fixture text is built from similar
@@ -93,8 +93,11 @@ def fingerprint(col: Column | str, ngram: int = 8) -> Column:
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass per-document stats table (all codegen'd, zero shuffle)."""
-    return df.select(
+    """One-pass per-document stats table (all codegen'd, zero shuffle).
+    ``ensure_parallelism`` spreads the CPU-heavy token passes across all
+    cores when the input arrives as a single small split (no-op at scale).
+    """
+    return ensure_parallelism(df).select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
         char_count(text_col).alias("n_chars_measured"),
