@@ -1530,6 +1530,241 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.run_to_memory(agg, "q_streaming_tumbling")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational widening (SURVEY §2.4/§2.5 composition patterns)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    note="TPC-H Q5 shape: 6-way snowflake join (local-supplier condition) + agg; dims broadcast, fact never shuffles twice",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join with the Q5 'local supplier' twist (supplier in the
+    customer's nation).  Scale plan: region/nation/customer/supplier are
+    broadcast (DistributedCache idiom, core/filecache/DistributedCache.java);
+    the only shuffle is lineitem⋈orders on orderkey, then a partial-agg'd
+    groupBy on the tiny (r_name, n_name) key space."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(
+            supplier,
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    note="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim join",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue ratio: CASE-gated sum / total sum in one pass — the
+    reference's conditional-Combiner idiom (one reducer computing two sums,
+    mapred/lib/aggregate/DoubleValueSum.java) as a single aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * exact_sum_double(promo) / exact_sum_double(disc), 6
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 300)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    note="TPC-H Q18 shape: groupBy-HAVING semi-join (left_semi on an aggregated subquery) + re-aggregation",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantity orders: the HAVING subquery runs as an aggregation
+    whose (small) result semi-joins the fact — the reference's two-job
+    chain (aggregate job feeding a filter job via DistributedCache)
+    collapsed into one plan with a broadcast left-semi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum_double("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 5 AND 40)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 10 AND 60)
+    """,
+    note="TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicates spanning both join sides",
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across both sides of an equi-join — Catalyst
+    keeps the equi-key join and evaluates the residual disjunction post-
+    probe; per-side conjunct members (brand/size lists) are still pushed
+    to the scans as derived filters."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(5, 40))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 50) & q.between(10, 60))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp_id
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY grp_id, o_orderstatus, o_orderpriority
+    """,
+    note="GROUPING SETS (reference gap — SURVEY §2.5 lists rollup/cube/sets absent; free in Spark, exposed as first-class)",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL on a temp view (the DataFrame API
+    exposes only rollup/cube; GROUPING SETS is the general form).  One
+    shuffle; Spark expands sets with a single Expand node (each input row
+    emitted once per set, partial-agg'd map-side)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY grp_id, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "lang_id_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+         m AS (
+      SELECT lang, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'are', 'was', 'were', 'for', 'on', 'with', 'as', 'by', 'at', 'from'], x))) AS n_stop
+      FROM t)
+    SELECT lang,
+           CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM m
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    note="language-ID confusion matrix: predicted (stopword-profile heuristic) vs labeled lang",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the labeled
+    ``lang`` column — the eval loop a corpus pipeline runs after any
+    classifier change.  Row-local scoring then a tiny groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text_ops.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -66,3 +66,32 @@ def test_wholestage_codegen_on_agg(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
+
+
+def test_new_tpch_shapes_run(spark):
+    for name in [
+        "q5_local_supplier",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_join",
+        "grouping_sets_agg",
+        "lang_id_confusion",
+    ]:
+        assert REGISTRY[name].fn(spark, SF_DIR).count() >= 0, name
+
+
+def test_q5_broadcasts_all_dims(spark):
+    # region/nation/customer/supplier broadcast; lineitem⋈orders is the
+    # only shuffle join in the plan
+    df = REGISTRY["q5_local_supplier"].fn(spark, PLAN_SF)
+    assert_broadcast_join(df, n=4)
+
+
+def test_q18_having_is_broadcast_semi_join(spark):
+    plan = physical_plan(REGISTRY["q18_large_orders"].fn(spark, PLAN_SF))
+    assert "LeftSemi" in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    plan = physical_plan(REGISTRY["grouping_sets_agg"].fn(spark, PLAN_SF))
+    assert plan.count("Expand") >= 1
