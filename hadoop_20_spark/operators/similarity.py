@@ -176,6 +176,83 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into
+    ``n_centroids`` Voronoi cells (coarse quantizer), probe the
+    ``nprobe`` nearest cells per query, score exactly within them.
+
+    Deterministic "training": centroids are the corpus vectors with the
+    ``n_centroids`` smallest ids (a fixed seed sample) — no stored model,
+    so the DuckDB oracle reproduces the index bit-for-bit.  Real k-means
+    centroids drop in as a table without changing the plan.
+
+    Scale plan (100 TB corpus): centroids broadcast; cell assignment is
+    map-side (BroadcastNestedLoopJoin + per-vector argmax window over
+    ``n_centroids`` rows); the inverted file is the corpus hash-
+    partitioned by ``cell`` — the probe join is an equi-join on cell, so
+    only ``nprobe/n_centroids`` of the corpus is scored per query.  All
+    similarities are rounded before ranking (engine-stable ties, broken
+    by id)."""
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    w_asg = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), "cent_id")
+    cells = (
+        c.crossJoin(cent)
+        .select(
+            "neighbor_id",
+            "n_vec",
+            "cent_id",
+            F.round(cosine(F.col("n_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_asg))
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "n_vec", F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cent_id")
+    qcells = (
+        q.crossJoin(cent)
+        .select(
+            "query_id",
+            "q_vec",
+            "cent_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        cells.join(qcells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1765,6 +1765,149 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine-similarity fragment matching similarity.cosine
+    (sequential-order double sums, rounded to 4dp)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, 65), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')"
+        )
+
+    return f"ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 4)"
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT neighbor_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT neighbor_id, n_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         qa AS (SELECT query_id, q_vec, cent_id, {_sql_cos('q_vec', 'c_vec')} AS sim FROM q, cent),
+         qcells AS (SELECT query_id, q_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cent_id) AS rk FROM qa)
+            WHERE rk <= 4),
+         scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim
+            FROM qcells JOIN cells USING (cell) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    note="IVF-style ANN: deterministic coarse quantizer (16 cells), nprobe=4 probe join — the scale path beside SRP-LSH",
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    )
+
+
+@register(
+    "sliding_window_agg",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 30 MINUTES, ts) - k * INTERVAL 30 MINUTES AS window_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY window_start, event_type
+    """,
+    note="sliding window (1h window / 30m slide): each event lands in 2 overlapping windows via Expand",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation with F.window(size, slide) — Spark
+    expands each row into size/slide window copies map-side (one Expand,
+    one shuffle), the standard overlap strategy.  Reference analog: the
+    time-bucketed-key convention (key = floor(ts/bucket)) emitted twice
+    per record by the mapper."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+    note="native F.session_window (30m gap) in batch groupBy; oracle = gap-detection cumsum equivalence",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (dynamic gap-merged intervals) — the
+    operator Structured Streaming shares; batch mode makes it exactly
+    oracle-checkable against the lag/cumsum formulation (session end =
+    last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    note="REAL streaming stateful dedup (dropDuplicatesWithinWatermark, file microbatches); oracle is batch DISTINCT",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark keeps one
+    row per (user_id, event_type) with bounded state (keys expire past
+    the watermark — the unbounded-state fix for plain dropDuplicates on
+    streams).  Projecting the key columns afterwards makes the emitted
+    set deterministic (= batch DISTINCT), whichever arrival won."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return stream_ops.run_append_to_memory(deduped, "q_streaming_dedup")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

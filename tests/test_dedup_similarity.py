@@ -97,3 +97,30 @@ def test_embedding_near_dups(spark, tables):
     assert out.filter(
         (F.col("id_a") == 1) & (F.col("id_b") == 100001)
     ).count() == 1
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from hadoop_20_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["embedding_topk"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ivf_topk"].fn(spark, SF_DIR).collect()
+    }
+    # nprobe=4/16 cells: expect meaningful overlap with the exact top-k
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_session_window_agg_conserves_events(spark):
+    from hadoop_20_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    sw = REGISTRY["session_window_agg"].fn(spark, SF_DIR)
+    n = sw.agg(F.sum("n_events")).collect()[0][0]
+    total = REGISTRY["sessionize"].fn(spark, SF_DIR).agg(F.sum("n_events")).collect()[0][0]
+    assert n == total
