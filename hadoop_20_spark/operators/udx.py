@@ -70,3 +70,28 @@ def longest_gap_per_user(events: DataFrame) -> DataFrame:
         reduce_group,
         "user_id long, n_events long, max_gap_s double",
     )
+
+
+def term_counts_udtf():
+    """Python UDTF (Spark 3.5+/4.x) — the modern form of the reference's
+    Mapper-as-UDTF contract (mapred/Mapper.java#map emits 0..n records
+    per input).  Returns the decorated class, ready for
+    ``spark.udtf.register``.
+
+    This is deliberately the *slow path* (row-at-a-time Python) kept for
+    API-surface parity; the production-equivalent plan is
+    ``explode(tokens) → groupBy → count`` (see the matching oracle),
+    which stays JVM-side.  Use a UDTF only when per-row logic genuinely
+    cannot be expressed as Column expressions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, n: bigint")
+    class TermCounts:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for t, n in Counter((text or "").split()).items():
+                if n >= 2:
+                    yield t, n
+
+    return TermCounts

@@ -1908,6 +1908,114 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.run_append_to_memory(deduped, "q_streaming_dedup")
 
 
+@register(
+    "udtf_term_counts",
+    r"""
+    SELECT doc_id, term, n FROM (
+      SELECT doc_id, sh AS term, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS sh
+            FROM documents)
+      GROUP BY doc_id, sh)
+    WHERE n >= 2
+    """,
+    note="Python UDTF (LATERAL) — Mapper-as-UDTF surface; oracle is the JVM-side explode/groupBy equivalent",
+)
+def udtf_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-term counts per document via a registered Python UDTF in
+    a LATERAL join — the reference's Mapper contract (0..n records out
+    per record in, st/PipeMapper.java being the scripted form).  The
+    oracle proves the UDTF's semantics equal the vectorized
+    explode→groupBy plan a production pipeline should prefer."""
+    from hadoop_20_spark.operators.udx import term_counts_udtf
+
+    spark.udtf.register("term_counts", term_counts_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT doc_id, tc.term, tc.n FROM udtf_docs_v, LATERAL term_counts(text) AS tc"
+    )
+
+
+_CURATION_QUALITY_CTE = """
+    WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+         m AS (
+      SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'are', 'was', 'were', 'for', 'on', 'with', 'as', 'by', 'at', 'from'], x))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t),
+         scored AS (
+      SELECT doc_id, text, toks, n_tokens,
+             ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+                   + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END) * 0.3
+                   + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                           BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+             CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM m),
+         qpass AS (SELECT doc_id, text, toks, n_tokens, quality FROM scored
+                   WHERE quality >= 0.8 AND lang_pred = 'en'),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM qpass GROUP BY md5(text)),
+         kept AS (SELECT q.doc_id, q.toks, q.n_tokens, q.quality FROM qpass q JOIN keepers USING (doc_id)),
+         sh AS (SELECT doc_id AS did,
+                       unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))) AS s
+                FROM kept),
+         sizes AS (SELECT did, COUNT(*) AS sz FROM sh GROUP BY did),
+         pairs AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+      GROUP BY a.did, b.did),
+         neardup AS (
+      SELECT DISTINCT id_b FROM pairs
+      JOIN sizes sa ON sa.did = id_a
+      JOIN sizes sb ON sb.did = id_b
+      WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5)
+    SELECT doc_id, quality, n_tokens FROM kept
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_curation",
+    _CURATION_QUALITY_CTE,
+    note="end-to-end training-corpus keep-list: quality gate → exact dedup → 3-gram Jaccard near-dup prune",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data pipeline, as one declarative plan:
+
+    1. quality gate (Gopher-style heuristics, row-local codegen);
+    2. exact dedup (md5 hash-groupBy, keep min doc_id);
+    3. near-dup prune: 3-gram Jaccard ≥ 0.5 pairs, drop the higher id.
+
+    At sf this verifies all-pairs; at 100 TB stage 3's candidate
+    generation routes through ``dedup.minhash_lsh_candidates`` (band
+    buckets) before the same Jaccard verify — identical keep-list,
+    shuffle bounded by bucket size instead of shared-shingle fan-out."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.text_stats(docs, "doc_id", "text")
+    qpass = (
+        docs.join(
+            stats.filter(
+                (F.col("quality") >= 0.8) & (F.col("lang_pred") == "en")
+            ).select("doc_id", "quality", "n_tokens"),
+            "doc_id",
+        )
+    )
+    keepers = (
+        qpass.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = qpass.join(F.broadcast(keepers), "doc_id", "left_semi")
+    near = dedup.jaccard_pairs(kept, "doc_id", "text", threshold=0.5, shingle=3)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        kept.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
