@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import md5_long
+from hadoop_20_spark.functions import ensure_parallelism, md5_long
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -63,7 +63,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -153,7 +155,7 @@ def lsh_topk(
             F.explode(tables).alias("tb"),
         ).select(f"{role}_id", f"{role}_vec", "tb.tbl", "tb.bkt")
 
-    c = with_buckets(corpus, "neighbor")
+    c = with_buckets(ensure_parallelism(corpus), "neighbor")
     q = with_buckets(queries, "query")
     cand = (
         c.join(q, ["tbl", "bkt"])
@@ -206,7 +208,9 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
     w_asg = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), "cent_id")
     cells = (
         c.crossJoin(cent)
@@ -262,7 +266,7 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
     Brute-force form for oracle checking; at scale route through
     ``lsh_topk`` buckets first."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = ensure_parallelism(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
