@@ -99,7 +99,12 @@ def field_selection(
     Implemented with ``split`` + ``slice``/``element_at`` — all codegen'd;
     open-ended ranges use ``slice(arr, pos, size(arr))``.
     """
-    fields = F.split(F.col(column), F.lit(separator))
+    # F.split takes a REGEX; the reference's separator is a literal string
+    # (st/StreamKeyValUtil.java splits on raw bytes), so escape it —
+    # otherwise e.g. "|" (regex alternation) splits between every char.
+    import re
+
+    fields = F.split(F.col(column), re.escape(separator))
 
     def pick(spec: str) -> Column:
         parts: list[Column] = []

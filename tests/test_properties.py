@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — the reference's randomized-testing
+discipline (SURVEY §5: TestSequenceFile random k/v, RandomWriter feeding
+sort/wordcount validators) applied to our operator algebra.
+
+Data is generated driver-side (small frames), pushed through real Spark
+plans, and checked against an independent Python model.  Examples are
+capped so the whole module stays a few seconds per property."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.operators import joins, rowops
+from hadoop_20_spark.operators.dedup import exact_dedup
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=9)
+vals = st.integers(min_value=-100, max_value=100)
+kv_rows = st.lists(st.tuples(keys, vals), min_size=0, max_size=30)
+
+
+@given(left=kv_rows, right=kv_rows)
+@settings(**SETTINGS)
+def test_inner_join_subset_of_full_outer(spark, left, right):
+    ldf = spark.createDataFrame(left or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    rdf = spark.createDataFrame(right or [(None, None)], "k int, w int").filter(
+        F.col("k").isNotNull()
+    )
+    inner = {tuple(r) for r in ldf.join(rdf, "k", "inner").collect()}
+    outer = {tuple(r) for r in ldf.join(rdf, "k", "full").collect()}
+    assert inner <= outer
+
+
+@given(a=kv_rows, b=kv_rows, c=kv_rows)
+@settings(**SETTINGS)
+def test_override_join_is_rightmost_coalesce(spark, a, b, c):
+    """override_join(t1..tn) == per key, the value from the RIGHTMOST
+    table containing the key (OverrideRecordReader#emit semantics) —
+    modeled independently with dict.update order."""
+    frames, model = [], {}
+    for rows in (a, b, c):
+        dedup_rows = {}
+        for k, v in rows:  # one row per key per source (reference contract)
+            dedup_rows[k] = v
+        frames.append(
+            spark.createDataFrame(
+                list(dedup_rows.items()) or [(None, None)], "k int, v int"
+            ).filter(F.col("k").isNotNull())
+        )
+        model.update(dedup_rows)
+    got = {
+        (r.k, r.v)
+        for r in joins.override_join(frames, on="k").collect()
+    }
+    assert got == set(model.items())
+
+
+@given(rows=st.lists(st.text(alphabet="ab ", min_size=0, max_size=20), max_size=20))
+@settings(**SETTINGS)
+def test_exact_dedup_conserves_rows(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)] or [(0, "x")], "id long, txt string"
+    )
+    out = exact_dedup(df, "id", "txt").collect()
+    # conservation: copies sum to input rows; keepers are distinct contents
+    assert sum(r.n_copies for r in out) == df.count()
+    assert len(out) == df.select("txt").distinct().count()
+    # keeper is the MIN id of its content group
+    by_content = {}
+    for i, t in enumerate(rows or ["x"]):
+        by_content.setdefault(t, []).append(i)
+    assert {r.keeper_id for r in out} == {min(v) for v in by_content.values()}
+
+
+@given(
+    line=st.text(alphabet="abc-|", min_size=0, max_size=24),
+    nfields=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_field_selection_matches_cut_model(spark, line, nfields):
+    """field_selection("0-<n>") == Python split-and-slice (the cut(1)
+    contract of FieldSelectionMapReduce)."""
+    df = spark.createDataFrame([(line,)], "line string")
+    out = rowops.field_selection(df, "line", f"0-{nfields}", separator="|").collect()[0][0]
+    expected = "|".join(line.split("|")[0 : nfields + 1])
+    assert out == expected
+
+
+@given(rows=st.lists(st.integers(min_value=-1000, max_value=1000), max_size=40))
+@settings(**SETTINGS)
+def test_global_sort_is_ordered_and_conserving(spark, rows):
+    """SortValidator's two invariants (order + count/checksum
+    conservation through the shuffle) on random inputs."""
+    df = spark.createDataFrame([(v,) for v in rows] or [(0,)], "v int")
+    out = [r.v for r in df.orderBy("v").collect()]
+    assert out == sorted([r[0] for r in (rows and [(v,) for v in rows] or [(0,)])])
+    assert sum(out) == sum(v for v, in (rows and [(v,) for v in rows] or [(0,)]))
