@@ -99,6 +99,40 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def frame_sample(media: DataFrame, stride: int = 2, fake: bool = True) -> DataFrame:
+    """Video frame-sampling plumbing: treat each payload as a clip whose
+    frame count derives deterministically from its content (fake codec),
+    emit one row per sampled frame (every ``stride``-th) — a
+    row-EXPANDING mapInPandas, the UDTF shape for media.
+
+    Frame identity is md5(payload + b"#" + index), so the whole operator
+    is engine-reproducible and oracle-checkable despite the stubbed
+    decoder; a real ffmpeg frame extractor replaces ``_n_frames``/the
+    digest line and nothing else changes.  At 100 TB the note from
+    ``extract_features`` applies doubly: output is ~n_frames× the input
+    row count, so budget shuffle partitions on the EXPANDED size."""
+
+    def _n_frames(payload: bytes) -> int:
+        return 1 + int(hashlib.md5(payload).hexdigest()[:15], 16) % 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(0, _n_frames(raw), stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(raw + b"#" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return media.mapInPandas(run, "media_id long, frame_idx int, frame_md5 string")
+
+
 def resize_stub(media: DataFrame, max_side: int = 512, fake: bool = True) -> DataFrame:
     """Resize plumbing: same mapInPandas shape, emits payload unchanged
     with new declared dims (a real resizer would transform bytes)."""

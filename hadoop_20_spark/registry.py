@@ -2016,6 +2016,58 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      1 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 8) AS n_frames
+               FROM documents)
+    SELECT media_id, CAST(u AS INT) AS frame_idx,
+           md5(text || '#' || CAST(u AS VARCHAR)) AS frame_md5
+    FROM m, UNNEST(range(0, n_frames, 2)) AS t(u)
+    """,
+    note="video frame-sampling plumbing: row-expanding mapInPandas with deterministic fake codec (every 2nd frame)",
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import multimodal
+
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.frame_sample(media, stride=2, fake=True)
+
+
+@register(
+    "streaming_sliding",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) - k * INTERVAL 30 MINUTES AS window_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY window_start, event_type
+    """,
+    note="REAL streaming sliding windows (1h/30m, file microbatches, watermark); oracle is the batch expansion",
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    return stream_ops.run_to_memory(agg, "q_streaming_sliding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -100,3 +100,19 @@ def test_resize_stub_bounds(spark, tables):
     media = multimodal.to_media_table(tables["documents"].limit(10), "doc_id", "text")
     out = multimodal.resize_stub(media, max_side=128).collect()
     assert all(max(r["width"], r["height"]) <= 128 for r in out)
+
+
+def test_frame_sample_expansion_bounds(spark, tables):
+    from hadoop_20_spark.operators import multimodal
+
+    media = multimodal.to_media_table(tables["documents"].limit(100), "doc_id", "text")
+    frames = multimodal.frame_sample(media, stride=2, fake=True)
+    rows = frames.collect()
+    # 1..8 frames per clip, stride 2 => 1..4 rows per media item
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(per_media) == {r.media_id for r in media.select("media_id").collect()}
+    for idxs in per_media.values():
+        assert 1 <= len(idxs) <= 4
+        assert sorted(idxs) == list(range(0, 2 * len(idxs), 2))
