@@ -2068,6 +2068,45 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.run_to_memory(agg, "q_streaming_sliding")
 
 
+@register(
+    "record_io_render",
+    """
+    WITH r AS (SELECT n_nationkey, n_name, n_regionkey,
+                      n_nationkey || ',' || n_name || ',' || n_regionkey AS csv_line
+               FROM nation)
+    SELECT n_nationkey, csv_line,
+           CAST(string_split(csv_line, ',')[2] AS VARCHAR) AS parsed_name,
+           CAST(string_split(csv_line, ',')[3] AS BIGINT) AS parsed_regionkey
+    FROM r ORDER BY n_nationkey
+    """,
+    note="Record I/O CSV rendering round-trip (core/record/CsvRecordOutput.java): struct -> csv line -> parsed fields",
+)
+def record_io_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Record I/O renders fixed-schema records to CSV/XML
+    streams (core/record/{CsvRecordOutput,CsvRecordInput}.java, rcc DDL).
+    Spark-first: render with concat_ws, parse back with from_csv against
+    a DDL schema string — the same fixed-schema island, declaratively."""
+    n = _t(spark, sf_dir, "nation")
+    rendered = n.select(
+        "n_nationkey",
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("csv_line"),
+    )
+    parsed = F.from_csv(
+        F.col("csv_line"), "k bigint, name string, regionkey bigint"
+    )
+    return rendered.select(
+        "n_nationkey",
+        "csv_line",
+        parsed.getField("name").alias("parsed_name"),
+        parsed.getField("regionkey").alias("parsed_regionkey"),
+    ).orderBy("n_nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
