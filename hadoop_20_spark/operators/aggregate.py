@@ -105,13 +105,23 @@ def value_histogram(df: DataFrame, key: str, value: str) -> DataFrame:
     design (documented): one column per statistic.
     """
     freq = df.groupBy(F.col(key), F.col(value)).agg(F.count(F.lit(1)).alias("freq"))
+    # Statistics are computed from EXACT integer moments (sum, sum of
+    # squares) — not stddev_pop/percentile_approx, whose merge order
+    # (Welford combine / sketch merge) varies with partitioning and
+    # breaks the any-parallelism determinism contract
+    # (tests/test_determinism.py caught both).
+    n = F.count(F.lit(1))
+    s1 = F.sum("freq")
+    s2 = F.sum(F.col("freq") * F.col("freq"))
     return freq.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_distinct_values"),
+        n.alias("n_distinct_values"),
         F.min("freq").alias("min_freq"),
-        F.percentile_approx("freq", 0.5).alias("median_freq"),
+        F.round(F.median("freq"), 6).alias("median_freq"),
         F.max("freq").alias("max_freq"),
-        F.avg("freq").alias("avg_freq"),
-        F.stddev_pop("freq").alias("stddev_freq"),
+        F.round(s1.cast("double") / n, 6).alias("avg_freq"),
+        F.round(
+            F.sqrt((s2.cast("double") - s1.cast("double") * s1 / n) / n), 6
+        ).alias("stddev_freq"),
     )
 
 

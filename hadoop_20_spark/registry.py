@@ -150,10 +150,10 @@ def agg_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS n_distinct_values,
            CAST(MIN(freq) AS BIGINT) AS min_freq,
-           quantile_cont(freq, 0.5) AS median_freq,
+           ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
            CAST(MAX(freq) AS BIGINT) AS max_freq,
-           AVG(freq) AS avg_freq,
-           stddev_pop(freq) AS stddev_freq
+           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
+           ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) AS stddev_freq
     FROM freq GROUP BY o_orderpriority
     """,
     note="mapred/lib/aggregate/ValueHistogram.java as scalable two-level agg",

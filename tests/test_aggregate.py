@@ -49,8 +49,9 @@ def test_value_histogram_vs_pandas(spark, tables):
         assert r["n_distinct_values"] == len(freqs)
         assert r["min_freq"] == freqs.min()
         assert r["max_freq"] == freqs.max()
-        assert math.isclose(r["avg_freq"], freqs.mean(), rel_tol=1e-9)
-        assert math.isclose(r["stddev_freq"], freqs.std(ddof=0), rel_tol=1e-9)
+        # operator rounds to 6dp (determinism convention)
+        assert math.isclose(r["avg_freq"], freqs.mean(), abs_tol=1e-6)
+        assert math.isclose(r["stddev_freq"], freqs.std(ddof=0), abs_tol=1e-6)
 
 
 def test_exact_sum_double_deterministic(spark, tables):
