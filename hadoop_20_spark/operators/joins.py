@@ -186,9 +186,13 @@ def as_of_join(
     )
     from pyspark.sql import Window
 
+    # `_r` as the final sort key breaks ties among right rows sharing
+    # (key, ts) — lexicographically-greatest payload wins, the same under
+    # any partitioning (SURVEY §7.4 determinism rule; without it the
+    # winner depends on shuffle arrival order).
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).withColumn(

@@ -18,7 +18,9 @@ QUERIES = [
     "join_override",       # max_by tie discipline
     "minhash_signatures",  # hash family, parallel map
     "top_k",               # tie-breaker keys
-    "value_histogram",     # two-level agg
+    "value_histogram",
+    "join_asof",
+    "quantiles",     # two-level agg
 ]
 
 
