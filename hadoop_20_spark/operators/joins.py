@@ -79,8 +79,16 @@ def override_join(
     for i, s in enumerate(sources):
         t = s.withColumn("_priority", F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t)
+    # Ordering key extends priority with the payload itself: the
+    # reference contract is one row per key per source, but if a source
+    # DOES carry duplicates, the winner is still deterministic under any
+    # partitioning (greatest payload within the winning source) instead
+    # of shuffle-arrival order.
     winner = tagged.groupBy(*keys).agg(
-        F.max_by(F.struct(*payload), F.col("_priority")).alias("_rec")
+        F.max_by(
+            F.struct(*payload),
+            F.struct(F.col("_priority"), *[F.col(c) for c in payload]),
+        ).alias("_rec")
     )
     return winner.select(*keys, *[F.col(f"_rec.{c}").alias(c) for c in payload])
 
