@@ -95,3 +95,17 @@ def test_q18_having_is_broadcast_semi_join(spark):
 def test_grouping_sets_single_expand(spark):
     plan = physical_plan(REGISTRY["grouping_sets_agg"].fn(spark, PLAN_SF))
     assert plan.count("Expand") >= 1
+
+
+def test_dynamic_partition_pruning(spark, tables, tmp_path_factory):
+    # partitionBy layout (the reference's ds= convention) + a selective
+    # dim filter => fact scan must carry a dynamicpruning subquery
+    out = str(tmp_path_factory.mktemp("dpp") / "events_by_type")
+    tables["events"].write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, w int"
+    ).filter(F.col("w") == 1)
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower()
