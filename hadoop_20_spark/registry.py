@@ -2107,6 +2107,61 @@ def record_io_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+@register(
+    "job_chain",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    hot AS (SELECT term FROM counts WHERE n >= 500),
+    usage AS (
+      SELECT t.lang, t.doc_id
+      FROM tok t JOIN hot USING (term)
+      GROUP BY t.lang, t.doc_id
+    )
+    SELECT lang, COUNT(*) AS docs_with_hot_terms
+    FROM usage GROUP BY lang ORDER BY docs_with_hot_terms DESC, lang
+    """,
+    note="JobControl DAG / gridmix 'monster chain': wordcount job -> threshold filter job -> join+agg job, one lazy plan",
+)
+def job_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference chains dependent MR jobs via
+    mapred/jobcontrol/{Job,JobControl}.java (each stage materialized to
+    HDFS between jobs); gridmix2's 'monster query' is the canonical
+    3-stage chain.  Spark-first: the whole DAG is ONE lazy plan — no
+    intermediate materialization, and the hot-term set (stage 2 output)
+    comes back as a broadcast semi-join instead of a DistributedCache
+    file."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(rowops_tokens("text")).alias("term"))
+    )
+    hot = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 500)
+        .select("term")
+    )
+    usage = (
+        tok.join(F.broadcast(hot), "term", "left_semi")
+        .select("lang", "doc_id")
+        .distinct()
+    )
+    return (
+        usage.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs_with_hot_terms"))
+        .orderBy(F.col("docs_with_hot_terms").desc(), "lang")
+    )
+
+
+def rowops_tokens(col: str):
+    from hadoop_20_spark.functions import tokens
+
+    return tokens(col)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
