@@ -2162,6 +2162,119 @@ def rowops_tokens(col: str):
     return tokens(col)
 
 
+# ---------------------------------------------------------------------------
+# Generated oracles for the LSH family (deterministic algorithms — the
+# SQL is verbose, so it is built programmatically from the same
+# parameters the Spark operators use; previously rows-only).
+# ---------------------------------------------------------------------------
+
+def _lsh_bands_cte() -> str:
+    """CTE chain sig→bands→buckets→pairs for 16 hashes / 4 bands,
+    mirroring dedup.minhash_lsh_candidates (max_bucket=1000)."""
+    return f"""
+    WITH sig AS ({_minhash_oracle()}),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS h0, mh1 AS h1, mh2 AS h2, mh3 AS h3 FROM sig
+      UNION ALL SELECT doc_id, 1, mh4, mh5, mh6, mh7 FROM sig
+      UNION ALL SELECT doc_id, 2, mh8, mh9, mh10, mh11 FROM sig
+      UNION ALL SELECT doc_id, 3, mh12, mh13, mh14, mh15 FROM sig
+    ),
+    buckets AS (
+      SELECT band, h0, h1, h2, h3, list_sort(list(doc_id)) AS ids
+      FROM bands GROUP BY band, h0, h1, h2, h3
+      HAVING COUNT(*) BETWEEN 2 AND 1000
+    ),
+    rawpairs AS (
+      SELECT p[1] AS id_a, p[2] AS id_b
+      FROM buckets,
+           UNNEST(flatten(list_transform(ids, a -> list_transform(list_filter(ids, b -> b > a), b -> [a, b])))) AS t(p)
+    ),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM rawpairs)"""
+
+
+def _lsh_pairs_oracle() -> str:
+    return _lsh_bands_cte() + "\n    SELECT id_a, id_b FROM pairs"
+
+
+def _minhash_near_dups_oracle() -> str:
+    """LSH candidates → exact token-set Jaccard (threshold 0.5) verify,
+    mirroring minhash_near_dups: jaccard computed over the docs that
+    appear in any candidate pair, then inner-joined to the pairs."""
+    return _lsh_bands_cte() + r""",
+    pids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
+    base AS (
+      SELECT d.doc_id AS did,
+             unnest(list_distinct(list_filter(regexp_split_to_array(d.text, '\s+'), t -> t <> ''))) AS sh
+      FROM documents d JOIN pids USING (doc_id)
+    ),
+    sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    JOIN sizes sa ON sa.did = p.id_a
+    JOIN sizes sb ON sb.did = p.id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5"""
+
+
+def _srp_topk_oracle() -> str:
+    """SRP-LSH top-k mirroring similarity.lsh_topk (4 planes × 3 tables,
+    k=5, queries vec_id < 10) with the hyperplane ±1 coefficients
+    embedded as literals from the same _srp_signs family."""
+    from hadoop_20_spark.operators.similarity import _srp_signs
+
+    def bkt_expr(t: int) -> str:
+        terms = []
+        for p in range(4):
+            lits = "[" + ", ".join(str(x) for x in _srp_signs(64, 4, t)[p]) + "]"
+            proj = (
+                f"list_aggregate(list_transform(range(1, 65), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lits}[i])), 'sum')"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, 0 AS tbl, {bkt_expr(0)} AS bkt FROM embeddings
+      UNION ALL SELECT vec_id, embedding, 1, {bkt_expr(1)} FROM embeddings
+      UNION ALL SELECT vec_id, embedding, 2, {bkt_expr(2)} FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, tbl, bkt FROM bk WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec, tbl, bkt FROM bk),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, q_vec, n_vec
+      FROM c JOIN q USING (tbl, bkt) WHERE neighbor_id <> query_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim FROM cand)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
+
+REGISTRY["minhash_lsh_pairs"] = Query(
+    fn=REGISTRY["minhash_lsh_pairs"].fn,
+    oracle=_lsh_pairs_oracle(),
+    note="LSH band-bucket candidate pairs (16 hashes / 4 bands) — deterministic, full oracle",
+)
+REGISTRY["minhash_near_dups"] = Query(
+    fn=REGISTRY["minhash_near_dups"].fn,
+    oracle=_minhash_near_dups_oracle(),
+    note="end-to-end near-dup pipeline: LSH candidates → exact-jaccard verify — deterministic, full oracle",
+)
+REGISTRY["embedding_topk_lsh"] = Query(
+    fn=REGISTRY["embedding_topk_lsh"].fn,
+    oracle=_srp_topk_oracle(),
+    note="SRP-LSH bucketed ANN (4 planes × 3 tables) — deterministic given the literal hyperplane family, full oracle",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
