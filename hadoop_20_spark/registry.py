@@ -30,6 +30,7 @@ from hadoop_20_spark.operators import (
     sort as sort_ops,
     text as text_ops,
 )
+from hadoop_20_spark.functions import tokens as _fn_tokens
 from hadoop_20_spark.operators.aggregate import exact_avg_double, exact_sum_double
 
 
@@ -2136,7 +2137,7 @@ def job_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     file."""
     tok = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.explode(rowops_tokens("text")).alias("term"))
+        .select("doc_id", "lang", F.explode(_fn_tokens("text")).alias("term"))
     )
     hot = (
         tok.groupBy("term")
@@ -2154,12 +2155,6 @@ def job_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("docs_with_hot_terms"))
         .orderBy(F.col("docs_with_hot_terms").desc(), "lang")
     )
-
-
-def rowops_tokens(col: str):
-    from hadoop_20_spark.functions import tokens
-
-    return tokens(col)
 
 
 # ---------------------------------------------------------------------------
