@@ -39,23 +39,46 @@ def assert_broadcast_join(df: DataFrame, n: int = 1) -> str:
 
 
 def validate_global_order(df: DataFrame, *cols: str) -> bool:
-    """TeraValidate: the dataset is globally ordered on ``cols`` —
-    checked distributedly: per-partition monotonicity + partition
-    boundary keys non-overlapping.  Implemented via a single lag window
-    over the output order (test-scale) — at production scale switch to
-    mapPartitions boundary sampling (same invariant, no global window).
+    """TeraValidate, the scalable way (ex/terasort/TeraValidate.java):
+    per-partition monotonicity checked in PARALLEL, plus the partition
+    boundary keys (per-partition min/max) merged driver-side — never a
+    global single-task window.
+
+    spark_partition_id + monotonically_increasing_id capture the stored
+    order of the sorted output; the lag window partitions by pid, so
+    every check runs at full parallelism, all JVM-side.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(*[F.col(c) for c in cols])
     key = F.struct(*[F.col(c) for c in cols])
-    violations = (
-        df.select(*cols, key.alias("k"))
-        .withColumn("prev", F.lag("k").over(w))
-        .filter(F.col("prev").isNotNull() & (F.col("prev") > F.col("k")))
-        .count()
+    base = df.select(
+        key.alias("k"),
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
     )
-    return violations == 0
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    checked = base.withColumn("prev", F.lag("k").over(w))
+    agg = (
+        checked.groupBy("_pid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("prev") > F.col("k")), 1
+                ).otherwise(0)
+            ).alias("violations"),
+            F.min("k").alias("lo"),
+            F.max("k").alias("hi"),
+        )
+        .orderBy("_pid")
+        .collect()
+    )
+    if any(r.violations > 0 for r in agg):
+        return False
+    # boundary keys must be non-overlapping in partition order
+    for prev, cur in zip(agg, agg[1:]):
+        if prev.hi > cur.lo:
+            return False
+    return True
 
 
 def conservation_stats(df: DataFrame, numeric_col: str) -> tuple[int, float]:
