@@ -104,3 +104,66 @@ def test_global_sort_is_ordered_and_conserving(spark, rows):
     out = [r.v for r in df.orderBy("v").collect()]
     assert out == sorted([r[0] for r in (rows and [(v,) for v in rows] or [(0,)])])
     assert sum(out) == sum(v for v, in (rows and [(v,) for v in rows] or [(0,)]))
+
+
+ts_vals = st.integers(min_value=0, max_value=20)
+
+
+@given(
+    left=st.lists(st.tuples(keys, ts_vals), max_size=15),
+    right=st.lists(st.tuples(keys, ts_vals, vals), max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive_model(spark, left, right):
+    """as_of_join (union+window linear form) == the naive model: for each
+    left row, the right row with the same key, max ts <= left ts; ties on
+    ts broken by greatest payload (the operator's documented rule)."""
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in left] or [(None, None)], "k int, lts int"
+    ).filter(F.col("k").isNotNull())
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right] or [(None, None, None)],
+        "k int, rts int, payload int",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        (r.k, r.lts, r.payload)
+        for r in joins.as_of_join(ldf, rdf, "k", "lts", "rts").collect()
+    }
+    expected = set()
+    for k, lt in left:
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= lt]
+        if cands:
+            best_ts = max(rt for rt, _ in cands)
+            best = max(v for rt, v in cands if rt == best_ts)
+            expected.add((k, lt, best))
+        else:
+            expected.add((k, lt, None))
+    assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(keys, vals), max_size=15),
+    right=st.lists(st.tuples(keys, vals, vals), max_size=15),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_cross_filter_model(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, p) for k, p in left] or [(None, None)], "k int, p int"
+    ).filter(F.col("k").isNotNull())
+    rdf = spark.createDataFrame(
+        [(k, lo, hi) for k, lo, hi in right] or [(None, None, None)],
+        "k int, lo int, hi int",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        (r.k, r.p, r.lo, r.hi)
+        for r in joins.range_join(
+            ldf, rdf, "k", (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+        ).collect()
+    }
+    expected = {
+        (k, p, lo, hi)
+        for k, p in left
+        for rk, lo, hi in right
+        if rk == k and lo <= p < hi
+    }
+    assert got == expected
