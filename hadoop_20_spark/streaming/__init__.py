@@ -75,7 +75,9 @@ def tumbling_agg(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # DECIMAL partials: sums identical under any microbatching
+            # (the determinism convention — see registry docstring)
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
