@@ -2270,6 +2270,96 @@ REGISTRY["embedding_topk_lsh"] = Query(
 )
 
 
+@register(
+    "pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com tel 555-' || doc_id AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                          '\b555-[0-9]+', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+             + len(regexp_extract_all(raw, '\b555-[0-9]+')) AS n_redactions
+    FROM aug ORDER BY doc_id
+    """,
+    note="PII redaction pass (email/phone patterns -> placeholder tokens) with per-doc redaction counts",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-redaction pass a training pipeline runs before release:
+    regexp_replace chains, all codegen.  The fixture corpus carries no
+    PII, so a deterministic contact suffix is synthesized per doc and
+    then scrubbed — the count column proves each pattern fired.
+    Reference analog: RegexMapper (mapred/lib/RegexMapper.java) used as
+    a scrubber."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.col("doc_id").cast("string"),
+    )
+    email = r"[a-z0-9.]+@[a-z0-9.]+"
+    phone = r"\b555-[0-9]+"
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+            ).alias("clean"),
+            (
+                F.size(F.regexp_extract_all(raw, F.lit(email), 0))
+                + F.size(F.regexp_extract_all(raw, F.lit(phone), 0))
+            ).cast("long").alias("n_redactions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS ng
+          FROM tok),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 20)
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM g JOIN bench USING (ng)
+    WHERE g.doc_id >= 20
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    note="benchmark decontamination: corpus docs sharing any 5-gram with the benchmark set (docs 0-19), hit counts",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the overlap check every training corpus
+    needs: distinct 5-grams of the benchmark set (here docs 0-19) are
+    broadcast and joined against the corpus's 5-grams; output is each
+    contaminated doc with its hit count (downstream: drop or trim).
+
+    At 100 TB the benchmark side stays small (benchmarks are), so this
+    remains one broadcast hash join against a narrow exploded n-gram
+    stream — no corpus shuffle; hash n-grams (md5_long) to 8-byte keys
+    if the broadcast grows."""
+    docs = _t(spark, sf_dir, "documents")
+    from hadoop_20_spark.functions import ngrams
+
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams("text", 5))).alias("ng")
+    )
+    bench = F.broadcast(g.filter(F.col("doc_id") < 20).select("ng").distinct())
+    return (
+        g.filter(F.col("doc_id") >= 20)
+        .join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
