@@ -2360,6 +2360,99 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH b AS (SELECT c_custkey, c_name, substr(c_name, 1, len(c_name) - 1) AS blk FROM customer)
+    SELECT a.c_custkey AS key_a, c.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, c.c_name) AS INT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= 1
+    """,
+    note="record-linkage fuzzy match: blocking key (name prefix) -> within-block levenshtein <= 1",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching with BLOCKING — the record-linkage discipline:
+    never all-pairs levenshtein (quadratic in the table); an equi-join on
+    a cheap blocking key (here the name prefix) bounds candidates to
+    within-block pairs, then the edit-distance verify runs on those only.
+    Same bucket-then-verify shape as MinHash-LSH; at 100 TB pick blocking
+    keys so the largest block fits a task (or salt hot blocks)."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("blk"),
+    )
+    a = b.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    d = b.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    return (
+        a.join(d, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 1)
+    )
+
+
+@register(
+    "integrity_checks",
+    """
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+    UNION ALL
+    SELECT 'orphan_orders',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'null_order_keys', (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'dup_order_keys',
+           (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'negative_prices', (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+    ORDER BY check_name
+    """,
+    note="data-quality audit: referential integrity (anti-joins), null/duplicate keys, domain constraints",
+)
+def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit a warehouse load runs after ingest: referential
+    integrity via broadcast anti-joins, key nullability/uniqueness,
+    domain checks — each check one small aggregate, unioned into a
+    (check_name, violations) report.  The reference idiom is a counter
+    per validation job (SortValidator's RecordStatsChecker); here
+    counters are rows, so the report is itself queryable."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def one(name: str, df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    checks = [
+        one("orphan_lineitems", li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one("orphan_orders", orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")),
+        one("null_order_keys", orders.filter(F.col("o_orderkey").isNull())),
+        one(
+            "dup_order_keys",
+            orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1),
+        ),
+        one("negative_prices", li.filter(F.col("l_extendedprice") < 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
