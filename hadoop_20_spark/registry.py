@@ -2453,6 +2453,226 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("check_name")
 
 
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey = c_custkey) AS last_order_date,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    note="correlated scalar subqueries (TPC-H Q2/Q17 shape) — Catalyst decorrelates to aggregate + join",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries, run through Spark SQL so Catalyst's
+    DecorrelateInnerQuery rewrites them into one aggregate joined back —
+    the plan the reference would hand-build as an aggregate job + a
+    map-side join (DistributedCache)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_q2")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_q2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_orderdate) FROM ord_q2 WHERE o_custkey = c_custkey) AS last_order_date,
+               (SELECT COUNT(*) FROM ord_q2 WHERE o_custkey = c_custkey) AS n_orders
+        FROM cust_q2
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q11_value_concentration",
+    """
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           > (SELECT 1.05 * SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                     / COUNT(DISTINCT l_suppkey) FROM lineitem)
+    ORDER BY revenue DESC, l_suppkey
+    """,
+    note="TPC-H Q11 shape: HAVING against a global scalar subquery (above-average revenue share)",
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q11")
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM li_q11
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+               > (SELECT 1.05 * SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                         / COUNT(DISTINCT l_suppkey) FROM li_q11)
+        ORDER BY revenue DESC, l_suppkey
+        """
+    )
+
+
+@register(
+    "q21_sole_blame",
+    """
+    SELECT l1.l_suppkey, COUNT(*) AS n_orders
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    ORDER BY n_orders DESC, l_suppkey
+    LIMIT 20
+    """,
+    note="TPC-H Q21 shape: EXISTS + NOT EXISTS correlated subqueries (semi + anti join after decorrelation)",
+)
+def q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q21 pattern: multi-supplier orders where exactly one supplier
+    has returned ('R') lines — EXISTS decorrelates to a left-semi join,
+    NOT EXISTS to a left-anti join, both on l_orderkey."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q21")
+    return spark.sql(
+        """
+        SELECT l1.l_suppkey, COUNT(*) AS n_orders
+        FROM li_q21 l1
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM li_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey
+        ORDER BY n_orders DESC, l_suppkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM changes WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM starts
+    """,
+    note="SCD-type-2 interval build: state-change detection + lead() closes each validity interval",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from an event log:
+    keep state-change rows (event_type differs from the previous row per
+    user), then lead() supplies each interval's end — open intervals end
+    NULL.  The warehouse-maintenance op the reference ran as chained
+    sort+reduce jobs; here two windows over one shuffle."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    base AS ({_lsh_pairs_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM base UNION SELECT id_b, id_a FROM base),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
+
+
+@register(
+    "dedup_clusters",
+    None,  # oracle attached below (generated: recursive CTE over the LSH pairs)
+    note="connected components over near-dup pairs (iterative min-label propagation); oracle = recursive CTE",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph via iterative min-label propagation (each node adopts the
+    smallest label among itself and its neighbors until fixpoint) —
+    cluster id = smallest doc_id in the component, the canonical keeper.
+
+    This is the iterative-algorithm pattern (reference analog: chained
+    MR jobs reading the previous round's output): a driver loop over
+    DataFrames with localCheckpoint() to cut lineage each round.
+    Rounds = graph diameter (near-dup clusters are shallow); each round
+    is one join + one aggregation, all distributed — and the DuckDB
+    recursive-CTE oracle certifies the fixpoint exactly."""
+    pairs = dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=4
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+REGISTRY["dedup_clusters"] = Query(
+    fn=REGISTRY["dedup_clusters"].fn,
+    oracle=_dedup_clusters_oracle(),
+    note=REGISTRY["dedup_clusters"].note,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
