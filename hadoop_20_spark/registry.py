@@ -2756,6 +2756,56 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
+    FROM events GROUP BY user_id
+    """,
+    note="REAL custom stateful streaming op (applyInPandasWithState): per-user running totals across microbatches; oracle = batch groupBy",
+)
+def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming (applyInPandasWithState): per-user
+    (count, total) state carried across microbatches, final state equal
+    to the batch aggregation.  Values accumulate as integer micro-units
+    (floor(value·1e6)) so the running sums are exact and engine-identical
+    — the streaming analog of the DECIMAL-sum determinism rule.
+
+    The update-mode memory sink keeps one row per (user, batch); the
+    final state per user is the max (totals are monotone).  Reference
+    analog: none — cross-job state in hadoop-20 lived in HDFS files
+    between chained jobs (SURVEY §2.10)."""
+    import pandas as pd
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, n_events long, total_micros long"
+    state_schema = "n long, total long"
+
+    def update(key, pdfs, state):
+        import math
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(sum(math.floor(v * 1_000_000) for v in pdf["value"]))
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [total]}
+        )
+
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+    table = stream_ops.run_update_to_memory(updates, "q_stateful_totals")
+    return table.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_micros").alias("total_micros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

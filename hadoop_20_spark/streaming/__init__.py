@@ -138,6 +138,20 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
+def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Update-mode memory sink (stateful operators emit per-batch state
+    updates; the table accumulates one row per key per batch)."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
 def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     q = (
         stream_df.writeStream.outputMode("append")
