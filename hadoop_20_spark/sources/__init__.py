@@ -287,3 +287,26 @@ def distcp(spark: SparkSession, src: str, dst: str, fmt: str = "parquet") -> int
     df = spark.read.format(fmt).load(src)
     df.write.mode("overwrite").format(fmt).save(dst)
     return spark.read.format(fmt).load(dst).count()
+
+
+def write_named_outputs(df, base_path: str, outputs: dict) -> dict:
+    """mapred/lib/MultipleOutputs.java — named side outputs with
+    independent schemas/formats from ONE upstream pass.
+
+    ``outputs`` maps name -> (transform, format); the upstream is
+    cached once, each named output applies its transform and writes to
+    ``base_path/name`` in its own format.  The reference ran one job
+    whose reducer wrote to N collectors; here the cache substitutes for
+    the single pass, and each write is an independent action (at 100 TB
+    prefer a persisted upstream table over memory cache).  Returns
+    {name: path}."""
+    cached = df.persist()
+    paths = {}
+    try:
+        for name, (transform, fmt) in outputs.items():
+            out = f"{base_path.rstrip('/')}/{name}"
+            transform(cached).write.mode("overwrite").format(fmt).save(out)
+            paths[name] = out
+    finally:
+        cached.unpersist()
+    return paths

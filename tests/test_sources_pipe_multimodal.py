@@ -116,3 +116,30 @@ def test_frame_sample_expansion_bounds(spark, tables):
     for idxs in per_media.values():
         assert 1 <= len(idxs) <= 4
         assert sorted(idxs) == list(range(0, 2 * len(idxs), 2))
+
+
+def test_write_named_outputs(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+    from hadoop_20_spark import sources
+
+    li = tables["lineitem"].limit(1000)
+    paths = sources.write_named_outputs(
+        li,
+        str(tmp_path / "named"),
+        {
+            "by_flag": (
+                lambda df: df.groupBy("l_returnflag").count(),
+                "parquet",
+            ),
+            "high_value": (
+                lambda df: df.filter(F.col("l_extendedprice") > 40000).select(
+                    "l_orderkey", "l_extendedprice"
+                ),
+                "json",
+            ),
+        },
+    )
+    flags = spark.read.parquet(paths["by_flag"])
+    assert flags.count() == li.select("l_returnflag").distinct().count()
+    hv = spark.read.json(paths["high_value"])
+    assert hv.count() == li.filter(F.col("l_extendedprice") > 40000).count()
