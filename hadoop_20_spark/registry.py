@@ -2806,6 +2806,79 @@ def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS INT) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    note="BPE-ish regex tokenizer count (word/number/punct classes) beside the whitespace count — the token-budget estimator",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with a BPE-ish regex (letter runs, digit runs,
+    punctuation singletons — the GPT-2 pre-tokenizer shape, minus the
+    merges): pure regexp_extract_all, codegen, no UDF.  The whitespace
+    count rides along for calibration."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+            F.size(_fn_tokens("text")).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens - FLOOR((cum - n_tokens) / 2048) * 2048 AS BIGINT) AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+    note="sequence packing: contiguous token-budget bins (2048/ctx) via prefix sums — the pretraining batch-prep op",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget context windows (2048) the
+    deterministic way: order by doc_id, prefix-sum token counts, bin =
+    floor(preceding_tokens / budget) — contiguous packing, reproducible
+    under any partitioning (vs. greedy first-fit whose output depends on
+    arrival order).  One global window; at 100 TB, run per shard
+    (partitionBy on a shard key) so the prefix sum never serializes —
+    bins are per-shard anyway when each trainer rank reads a shard."""
+    budget = 2048
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_fn_tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    preceding = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(preceding / budget).cast("long").alias("bin_id"),
+        (preceding - F.floor(preceding / budget) * budget).cast("long").alias("bin_offset"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
