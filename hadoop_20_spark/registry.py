@@ -2879,6 +2879,66 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _halton_sql(var: str, base: int, digits: int) -> str:
+    """Radical-inverse (Halton) SQL expression — identical term order in
+    both engines so the double arithmetic matches bit-for-bit."""
+    terms = [
+        f"(({var} // {base**j}) % {base}) * {1.0 / base ** (j + 1)!r}"
+        for j in range(digits)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "pi_estimate",
+    f"""
+    WITH pts AS (
+      SELECT i, {_halton_sql('i', 2, 20)} AS x, {_halton_sql('i', 3, 13)} AS y
+      FROM range(100000) t(i)
+    )
+    SELECT COUNT(*) AS n_points,
+           CAST(SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           ROUND(4.0 * SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                                THEN 1 ELSE 0 END) / COUNT(*), 6) AS pi_estimate
+    FROM pts
+    """,
+    note="PiEstimator (ex/PiEstimator.java): Halton low-discrepancy points — deterministic Monte Carlo, exact oracle",
+)
+def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical Monte Carlo example, reproduced exactly:
+    PiEstimator's Halton sequence (radical inverse base 2/3) is
+    deterministic, so even the 'random' workload is oracle-checkable —
+    the same fixed-order term sums run in both engines.  Embarrassingly
+    parallel map over the index range; one aggregation."""
+    n = 100_000
+    base = spark.range(n).withColumnRenamed("id", "i")
+
+    def halton(col: str, b: int, digits: int):
+        expr = F.lit(0.0)
+        for j in range(digits):
+            # `div` = exact integer division (float-divide-then-cast can
+            # round up across an integer boundary and disagree with the
+            # oracle's `//`)
+            expr = expr + (F.expr(f"{col} div {b ** j}") % b) * (1.0 / b ** (j + 1))
+        return expr
+
+    pts = base.select(
+        halton("i", 2, 20).alias("x"), halton("i", 3, 13).alias("y")
+    )
+    inside = F.when(
+        (F.col("x") - 0.5) * (F.col("x") - 0.5)
+        + (F.col("y") - 0.5) * (F.col("y") - 0.5)
+        <= 0.25,
+        1,
+    ).otherwise(0)
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(inside).cast("long").alias("n_inside"),
+        F.round(4.0 * F.sum(inside) / F.count(F.lit(1)), 6).alias("pi_estimate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
