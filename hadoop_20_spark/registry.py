@@ -2939,6 +2939,37 @@ def pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "word_histogram",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w)
+    SELECT 'WORD_HISTOGRAM' AS histogram,
+           COUNT(*) AS n_distinct_values,
+           CAST(MIN(freq) AS BIGINT) AS min_freq,
+           ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
+           CAST(MAX(freq) AS BIGINT) AS max_freq,
+           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
+           ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) AS stddev_freq
+    FROM freq
+    """,
+    note="AggregateWordHistogram (ex/AggregateWordHistogram.java): ValueHistogram over the corpus token stream",
+)
+def word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second aggregate-framework demo: the corpus-wide
+    word-frequency histogram (distinct words; min/median/max/avg/stddev
+    of the frequencies) — aggregate.value_histogram over exploded tokens
+    under a single constant key, exact-moment statistics throughout."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.lit("WORD_HISTOGRAM").alias("histogram"),
+        F.explode(_fn_tokens("text")).alias("w"),
+    )
+    return agg_ops.value_histogram(tok, "histogram", "w")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
