@@ -2970,6 +2970,115 @@ def word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.value_histogram(tok, "histogram", "w")
 
 
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    ORDER BY volume DESC, cust_nation, supp_nation
+    LIMIT 30
+    """,
+    note="TPC-H Q7 shape: cross-nation trade volume — the same dim joined twice under two aliases",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation joined TWICE under different roles (customer side and
+    supplier side) — the alias-disambiguation pattern the reference
+    expressed as two tagged map inputs (MultipleInputs) feeding one
+    reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(n1, F.col("c_nationkey") == F.col("nk1"))
+        .join(n2, F.col("s_nationkey") == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")
+        .limit(30)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT SUBSTR(c_name, 10, 2) AS cntry_code, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY SUBSTR(c_name, 10, 2)
+    ORDER BY cntry_code
+    """,
+    note="TPC-H Q22 shape: above-average balance + NOT IN (anti join) — high-balance customers with no orders since 2000",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no recent orders: a global scalar
+    aggregate feeds the filter, NOT IN decorrelates to a broadcast
+    left-anti join (orders' key set is the small side after
+    projection)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_q22")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_q22")
+    return spark.sql(
+        """
+        SELECT SUBSTR(c_name, 10, 2) AS cntry_code, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+        FROM cust_q22
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust_q22 WHERE c_acctbal > 0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM ord_q22 WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY SUBSTR(c_name, 10, 2)
+        ORDER BY cntry_code
+        """
+    )
+
+
+@register(
+    "array_agg_priorities",
+    """
+    SELECT o_custkey,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    note="array aggregation: sorted distinct collect per key (deterministic collect_set form)",
+)
+def array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation done deterministically: collect_set's
+    order is shuffle-dependent, so the engine rule is ALWAYS
+    sort_array(collect_set(...)) — then the array value is comparable
+    across engines and partitionings (ArrayWritable carrier analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
