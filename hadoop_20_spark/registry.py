@@ -3173,6 +3173,111 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "numeric_histogram",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem GROUP BY bucket ORDER BY bucket
+    """,
+    note="fixed-width numeric histogram (10k-wide price buckets) — one hash agg, the profiling primitive",
+)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning by integer division — deterministic (unlike
+    percentile-sketch histograms) and one map-side-combined hash agg.
+    At 100 TB this is THE data-profiling primitive: the bucket key space
+    is bounded by the value range, never the row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "mode_per_group",
+    """
+    WITH f AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                     ORDER BY n DESC, o_orderpriority) AS rk FROM f)
+    WHERE rk = 1 ORDER BY c_mktsegment
+    """,
+    note="deterministic per-group mode: count, rank by (count desc, value) — never the built-in mode() (tie order undefined)",
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group, deterministically: two-level count
+    then rank with a value tie-breaker.  The built-in mode() leaves ties
+    engine/partition-dependent — the same class of bug the determinism
+    suite caught in value_histogram."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    f = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        f.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n")
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS d FROM events GROUP BY user_id
+    ),
+    per_day AS (SELECT d, COUNT(*) AS n_new FROM first_day GROUP BY d)
+    SELECT d, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day ORDER BY d
+    """,
+    note="cumulative distinct users per day via first-seen reduction — incremental-friendly (no growing distinct state)",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct count done the scalable way: reduce each user
+    to a first-seen day (one shuffle on user_id), then a prefix sum over
+    the tiny per-day series — never a per-day COUNT(DISTINCT) rescan of
+    growing windows.  The streaming twin keeps first-seen as keyed
+    state."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d")
+    )
+    per_day = first_day.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("d")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
