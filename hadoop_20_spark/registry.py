@@ -3278,6 +3278,58 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d")
 
 
+@register(
+    "streaming_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    note="REAL stream-stream inner join (click->purchase within 1h, watermark-bounded state); oracle = batch time-range self-join",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks matched to purchases by the same
+    user within one hour.  Watermarks on BOTH sides + the time-range
+    join condition bound each side's buffered state (rows older than the
+    range fall out) — the stateful-join discipline at 100 TB.  Inner
+    joins emit eagerly on match, so processing all input yields exactly
+    the batch join (the oracle)."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    ev1 = stream_ops.read_events_stream(spark, sf_dir)
+    ev2 = stream_ops.read_events_stream(spark, sf_dir)
+    clicks = (
+        ev1.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+    return stream_ops.run_append_to_memory(joined, "q_stream_join")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
