@@ -152,6 +152,42 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Observability for the ``max_bucket`` cap: per-band bucket-size
+    distribution plus how many buckets (and ids) the candidate pass will
+    DROP as degenerate.  SCALE.md's contract is that capped drops are
+    observable, not silent — run this beside ``minhash_lsh_candidates``
+    with the same parameters and alert on ``n_dropped_buckets``."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows_per_band + r}").alias(f"h{r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    sizes = exploded.groupBy("band_key").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0)).cast("long").alias("n_candidate_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket, 1).otherwise(0)).cast("long").alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket, F.col("sz")).otherwise(0)).cast("long").alias("n_dropped_ids"),
+        F.max("sz").alias("max_bucket_size"),
+    )
+
+
 # --- n-gram / token Jaccard (exact verify) ----------------------------------
 
 def jaccard_pairs(

@@ -124,3 +124,17 @@ def test_session_window_agg_conserves_events(spark):
     n = sw.agg(F.sum("n_events")).collect()[0][0]
     total = REGISTRY["sessionize"].fn(spark, SF_DIR).agg(F.sum("n_events")).collect()[0][0]
     assert n == total
+
+
+def test_lsh_bucket_stats_observability(spark, tables):
+    from hadoop_20_spark.operators.dedup import lsh_bucket_stats
+
+    row = lsh_bucket_stats(tables["documents"], "doc_id", "text").collect()[0]
+    assert row.n_buckets > 0
+    assert row.n_dropped_buckets == 0  # fixture has no degenerate buckets
+    assert row.max_bucket_size <= 1000
+    # with an absurdly low cap, drops become visible, not silent
+    row2 = lsh_bucket_stats(
+        tables["documents"], "doc_id", "text", max_bucket=1
+    ).collect()[0]
+    assert row2.n_dropped_buckets == row2.n_candidate_buckets

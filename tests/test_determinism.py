@@ -21,6 +21,9 @@ QUERIES = [
     "value_histogram",
     "join_asof",
     "quantiles",     # two-level agg
+    "sequence_packing",  # global-window prefix sums
+    "mode_per_group",    # rank tie-break
+    "dedup_clusters",    # iterative fixpoint
 ]
 
 
