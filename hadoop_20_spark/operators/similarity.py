@@ -257,6 +257,98 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> None:
+    """Persist the IVF inverted file: corpus rows with their cell
+    assignment, written ``partitionBy("cell")`` — the on-disk layout IS
+    the index (one directory per Voronoi cell; MapFileOutputFormat's
+    sorted-index idea, directory-granular).  Build once, query many:
+    at 100 TB the assignment pass runs once instead of per query batch,
+    and queries read only ``nprobe`` of ``n_centroids`` directories via
+    partition pruning."""
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    w_asg = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), "cent_id")
+    cells = (
+        c.crossJoin(cent)
+        .select(
+            "neighbor_id",
+            "n_vec",
+            "cent_id",
+            F.round(cosine(F.col("n_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_asg))
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "n_vec", F.col("cent_id").alias("cell"))
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF index: probe cells are computed from
+    the (broadcast) centroids, then the index scan filters
+    ``cell IN (probes)`` — a partition-column filter, so Spark lists and
+    reads ONLY the probed directories (static partition pruning; check
+    PartitionFilters in the scan).  Scoring and ranking match
+    ``ivf_topk`` exactly."""
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cent_id")
+    qcells = (
+        q.crossJoin(cent)
+        .select(
+            "query_id",
+            "q_vec",
+            "cent_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    index = spark.read.parquet(path)
+    scored = (
+        index.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -138,3 +138,24 @@ def test_lsh_bucket_stats_observability(spark, tables):
         tables["documents"], "doc_id", "text", max_bucket=1
     ).collect()[0]
     assert row2.n_dropped_buckets == row2.n_candidate_buckets
+
+
+def test_persisted_ivf_index_matches_direct(spark, tables, tmp_path):
+    from hadoop_20_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, path)
+    via_index = {
+        tuple(r)
+        for r in similarity.query_ivf_index(spark, path, queries, emb).collect()
+    }
+    direct = {tuple(r) for r in similarity.ivf_topk(emb, queries).collect()}
+    assert via_index == direct
+    # probe filter must reach the partition column (pruned scan)
+    from hadoop_20_spark.plans import physical_plan
+
+    plan = physical_plan(similarity.query_ivf_index(spark, path, queries, emb))
+    assert "PartitionFilters" in plan
