@@ -3330,6 +3330,40 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.run_append_to_memory(joined, "q_stream_join")
 
 
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS n_custs
+    FROM per_cust GROUP BY c_count
+    ORDER BY n_custs DESC, c_count DESC
+    """,
+    note="TPC-H Q13 shape: customer order-count distribution — LEFT join keeps zero-order customers, COUNT(col) skips their nulls",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer: the left outer join keeps
+    customers with no orders and COUNT(o_orderkey) counts them as 0
+    (COUNT(col) null semantics), then the second aggregation histograms
+    the counts — the double-aggregation shape the reference chained as
+    two jobs."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.col("n_custs").desc(), F.col("c_count").desc())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
