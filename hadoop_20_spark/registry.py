@@ -3364,6 +3364,50 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM tok
+    ),
+    counts AS (SELECT doc_id, bg, COUNT(*) AS n FROM g GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_count,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+    note="Gopher-style repetition metrics: top-bigram fraction per doc (repetitious docs filtered before training)",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher repetition-filter family): the
+    fraction of a document's 2-grams taken by its single most frequent
+    2-gram — boilerplate and degenerate generations score high.  Explode
+    → two-level count (both partial-agg'd); pairs with
+    ``distinct_token_ratio`` in text_stats for the full filter set."""
+    docs = _t(spark, sf_dir, "documents")
+    from hadoop_20_spark.functions import ngrams
+
+    g = docs.select("doc_id", F.explode(ngrams("text", 2)).alias("bg"))
+    counts = g.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.max("n").cast("long").alias("top_bigram_count"),
+            F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
