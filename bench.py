@@ -8,8 +8,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 
 Each query runs 3 times (after one warm-up of the flagship to absorb JVM
 startup); the median per-query wall-clock is reported, and ``value`` is
-the sum of medians.  Results are materialized via count() on a
-write-shaped plan (no driver collect of big outputs).
+the sum of medians.  Results are materialized via a ``noop``-format
+write: unlike ``count()`` (which lets Catalyst prune all columns and —
+for sort queries — drop the sort entirely via EliminateSorts), a write
+sink consumes every output row with all columns, so the measured plan is
+the plan a real consumer would pay for.  Nothing ships to the driver.
 """
 
 from __future__ import annotations
@@ -60,9 +63,10 @@ def run_once(spark, name: str) -> float:
         )
     else:
         df = REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR)
-        # count() forces full evaluation of every operator without
-        # shipping result rows to the driver.
-        df.count()
+        # noop write forces full evaluation — every row, every column,
+        # sorts retained (count() would let EliminateSorts drop an
+        # orderBy and prune all columns) — without driver collect.
+        df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 

@@ -128,8 +128,20 @@ def salted_join(
     automatically; salting handles single-key skew that no partition
     split can fix.  Left rows get a random-but-deterministic salt from
     their row content hash (md5 of all columns) so results are stable.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported:
+    the right side is replicated ``salt``×, so a right/full outer join
+    would emit every unmatched right row once per salt replica.  Salt
+    the other side (swap operands) for right-skewed outer joins.
     """
     from hadoop_20_spark.functions import md5_long
+
+    if how not in {"inner", "left", "left_semi", "left_anti"}:
+        raise ValueError(
+            "salted_join supports inner/left/left_semi/left_anti only: "
+            f"{how!r} would duplicate unmatched right rows across the "
+            f"{salt} right-side replicas"
+        )
 
     l_salt = (
         md5_long(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in left.columns]))

@@ -16,6 +16,8 @@ that shape.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,7 +39,9 @@ def split_kv(
     """Parse protocol lines back to (key, value) — splitting at the
     ``num_key_fields``-th separator; no separator → (line, "")."""
     line = F.col("line")
-    parts = F.split(line, separator)
+    # F.split takes a REGEX — escape so literal separators like '|' or
+    # '.' round-trip with frame_kv (which writes them literally).
+    parts = F.split(line, re.escape(separator))
     key = F.array_join(F.slice(parts, 1, num_key_fields), separator)
     val = F.when(
         F.size(parts) > num_key_fields,

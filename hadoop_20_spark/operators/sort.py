@@ -114,7 +114,8 @@ def key_field_sort(
     """mapred/lib/KeyFieldBasedComparator.java — sort lines by field
     ranges with numeric/reverse flags.  Each (start,end) range becomes one
     sort expression over split fields."""
-    fields = F.split(F.col(column), F.lit(separator))
+    # F.split takes a regex — escape the literal separator.
+    fields = F.split(F.col(column), re.escape(separator))
     sort_cols: list[Column] = []
     for start, end, numeric, reverse in parse_key_field_spec(spec):
         piece = F.array_join(F.slice(fields, start, end - start + 1), separator)

@@ -2515,7 +2515,7 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q21_sole_blame",
     """
-    SELECT l1.l_suppkey, COUNT(*) AS n_orders
+    SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS n_orders
     FROM lineitem l1
     WHERE l1.l_returnflag = 'R'
       AND EXISTS (SELECT 1 FROM lineitem l2
@@ -2536,7 +2536,7 @@ def q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q21")
     return spark.sql(
         """
-        SELECT l1.l_suppkey, COUNT(*) AS n_orders
+        SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS n_orders
         FROM li_q21 l1
         WHERE l1.l_returnflag = 'R'
           AND EXISTS (SELECT 1 FROM li_q21 l2

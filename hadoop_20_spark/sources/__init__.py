@@ -40,7 +40,9 @@ def read_kv_text(
     separator; no separator → whole line is key, value empty (the
     documented edge case, KeyValueLineRecordReader.java)."""
     lines = spark.read.text(path)
-    sep_lit = F.lit(separator)
+    # Column-API expressions only — the separator is never interpolated
+    # into SQL text (quotes/backslashes in it would break an F.expr) and
+    # never treated as a regex.
     idx = F.instr(F.col("value"), separator)
     return lines.select(
         F.when(idx > 0, F.substring_index(F.col("value"), separator, 1))
@@ -48,7 +50,9 @@ def read_kv_text(
         .alias("key"),
         F.when(
             idx > 0,
-            F.expr(f"substring(value, instr(value, '{separator}') + {len(separator)})"),
+            F.col("value").substr(
+                idx + len(separator), F.length(F.col("value"))
+            ),
         )
         .otherwise(F.lit(""))
         .alias("value"),

@@ -123,12 +123,20 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming query to completion over the available input
     (processAllAvailable) into an in-memory sink; returns the result
-    table.  Test/driver harness — production sinks use foreachBatch."""
+    table.  Test/driver harness — production sinks use foreachBatch.
+
+    ``output_mode`` defaults to ``complete`` (right for the aggregate
+    queries this is used with); pass ``append`` for non-aggregate
+    streams, or use :func:`run_append_to_memory` /
+    :func:`run_update_to_memory`.
+    """
     q = (
-        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -43,3 +43,15 @@ def test_two_phase_agg_matches_direct(spark, tables):
     for k, d in direct.items():
         assert two[k]["sum_l_quantity"] == d["s"]  # bit-identical via decimal
         assert two[k]["n_rows"] == d["n"]
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    from hadoop_20_spark.operators import joins
+
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(2, "x")], ["k", "w"])
+    for how in ("right", "full"):
+        with pytest.raises(ValueError):
+            joins.salted_join(left, right, "k", how=how, salt=4)

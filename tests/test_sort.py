@@ -73,3 +73,18 @@ def test_key_field_sort(spark):
     )
     out = [r["line"] for r in sort_ops.key_field_sort(df, "line", "-k2nr -k1").collect()]
     assert out == ["a\t10", "b\t2", "c\t2"]
+
+
+def test_key_field_sort_regex_separator(spark):
+    # '|' is a regex metachar; as a literal separator the fields must
+    # still split correctly (F.split takes a regex — operator escapes).
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    df = spark.createDataFrame(
+        [("b|2",), ("a|10",), ("c|1",)], ["line"]
+    )
+    out = [
+        r["line"]
+        for r in sort_ops.key_field_sort(df, "line", "-k2nr", separator="|").collect()
+    ]
+    assert out == ["a|10", "b|2", "c|1"]

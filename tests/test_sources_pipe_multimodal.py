@@ -143,3 +143,30 @@ def test_write_named_outputs(spark, tables, tmp_path):
     assert flags.count() == li.select("l_returnflag").distinct().count()
     hv = spark.read.json(paths["high_value"])
     assert hv.count() == li.filter(F.col("l_extendedprice") > 40000).count()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("sep", ["|", ".", "'", "::", "\\"])
+def test_kv_text_regex_and_quote_separators(spark, tmp_path, sep):
+    # Separators are LITERALS: regex metachars ('|', '.'), SQL quotes
+    # ("'"), backslash, and multi-char separators must all round-trip.
+    p = tmp_path / "sep"
+    p.mkdir()
+    (p / "part-0.txt").write_text(f"k1{sep}v1\nk2{sep}v2{sep}tail\nplain\n")
+    got = {
+        r["key"]: r["value"]
+        for r in sources.read_kv_text(spark, str(p), separator=sep).collect()
+    }
+    assert got == {"k1": "v1", "k2": f"v2{sep}tail", "plain": ""}
+
+
+@pytest.mark.parametrize("sep", ["|", ".", "::"])
+def test_split_kv_literal_separator(spark, sep):
+    df = spark.createDataFrame([(f"a{sep}b{sep}c",), ("nokey",)], ["line"])
+    got = {
+        r["key"]: r["value"]
+        for r in pipe.split_kv(df, separator=sep, num_key_fields=2).collect()
+    }
+    assert got == {f"a{sep}b": "c", "nokey": ""}

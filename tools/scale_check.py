@@ -40,10 +40,17 @@ def main() -> None:
     before = conservation_stats(data, "id")
     gen_s = time.time() - t0
 
+    # Time the sort itself with a noop write: an aggregation over an
+    # orderBy would let Catalyst's EliminateSorts drop the sort, so the
+    # checksum pass below is timed (and labeled) separately.
     t0 = time.time()
     ordered = data.orderBy("key")
-    after = conservation_stats(ordered, "id")
+    ordered.write.format("noop").mode("overwrite").save()
     sort_s = time.time() - t0
+
+    t0 = time.time()
+    after = conservation_stats(ordered, "id")
+    checksum_s = time.time() - t0
 
     t0 = time.time()
     order_ok = validate_global_order(ordered, "key")
@@ -55,7 +62,8 @@ def main() -> None:
                 "metric": "terasort_validate",
                 "n_rows": n_rows,
                 "gen_sec": round(gen_s, 2),
-                "sort_and_checksum_sec": round(sort_s, 2),
+                "sort_sec": round(sort_s, 2),
+                "checksum_sec": round(checksum_s, 2),
                 "validate_sec": round(validate_s, 2),
                 "globally_ordered": bool(order_ok),
                 "conserved": before == after,
