@@ -190,23 +190,7 @@ def lsh_bucket_stats(
 
 # --- n-gram / token Jaccard (exact verify) ----------------------------------
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float,
-    shingle: int = 1,
-) -> DataFrame:
-    """Exact Jaccard similarity over distinct token/shingle sets for all
-    pairs sharing ≥1 shingle: explode → self-join on shingle → count
-    common → |A∪B| via per-doc sizes.  Output: id_a < id_b, jaccard.
-
-    This is the brute-force verifier for LSH candidates (call on a
-    candidate-restricted df) and the standalone small-corpus dedup.  At
-    100 TB: run it only on LSH candidates; hot shingles (stopword
-    n-grams) are the skew risk — filter shingles by document frequency
-    first (standard "common shingle" pruning) or raise ``shingle``.
-    """
+def _shingle_col(text_col: str, shingle: int) -> Column:
     t = tokens(text_col)
     if shingle > 1:
         n_sh = F.greatest(F.size(t) - shingle + 1, F.lit(1))
@@ -214,9 +198,104 @@ def jaccard_pairs(
             F.sequence(F.lit(1), n_sh),
             lambda i: F.array_join(F.slice(t, i, shingle), " "),
         )
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("did"), F.explode(F.array_distinct(t)).alias("sh")
+    return t
+
+
+def _shingle_postings(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
+    """Exploded (did, sh) postings, one row per distinct shingle per doc."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(_shingle_col(text_col, shingle))).alias("sh"),
     )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    threshold: float,
+    shingle: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard for the given candidate ``pairs`` (columns ``id_a``,
+    ``id_b``): join each side to its distinct-shingle SET and intersect
+    arrays — |pairs| rows through two hash joins on doc id, no shingle
+    self-join at all.  This is the verifier stage of every
+    bucket-then-verify pipeline (MinHash-LSH / SimHash / DF-pruned
+    candidates); cost is linear in the candidate count regardless of how
+    hot any shingle is."""
+    sets = (
+        _shingle_postings(df, id_col, text_col, shingle)
+        .groupBy("did")
+        .agg(F.sort_array(F.collect_set("sh")).alias("shs"))
+    )
+    a = sets.select(F.col("did").alias("id_a"), F.col("shs").alias("_shs_a"))
+    b = sets.select(F.col("did").alias("id_b"), F.col("shs").alias("_shs_b"))
+    inter = F.size(F.array_intersect(F.col("_shs_a"), F.col("_shs_b")))
+    union = F.size("_shs_a") + F.size("_shs_b") - inter
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle: int = 1,
+    allow_full_self_join: bool = False,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs (``id_a < id_b``, similarity ≥
+    ``threshold``) over distinct token/shingle sets.
+
+    Default path is **prefix filtering** (the PPJoin-family similarity
+    join): shingles are totally ordered by (document frequency, value) —
+    rarest first — and each doc indexes only its first
+    ``s - ceil(t*s) + 1`` shingles in that order.  Any pair with
+    J ≥ t shares ≥ ``ceil(t*max(|A|,|B|))`` shingles, which provably
+    forces a shared *prefix* shingle, so joining prefix postings yields
+    every qualifying pair while keeping stopword n-grams (which sort
+    last) out of the join — the hot-shingle quadratic blowup of the
+    naive self-join never happens.  Candidates are then verified over
+    FULL shingle sets via :func:`jaccard_verify`; the result is
+    bit-identical to brute force on ANY corpus, by construction.
+
+    ``allow_full_self_join=True`` selects the naive all-pairs self-join
+    instead — comparison/debug only; it is quadratic in the hottest
+    shingle's document frequency and must never be the 100 TB path.
+    """
+    base = _shingle_postings(df, id_col, text_col, shingle)
+    if not allow_full_self_join:
+        from pyspark.sql import Window
+
+        freq = base.groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
+        w = Window.partitionBy("did").orderBy("_fr", "sh")
+        ranked = base.join(freq, "sh").select(
+            "did",
+            "sh",
+            F.row_number().over(w).alias("_pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("did")).alias("_sz"),
+        )
+        prefix = ranked.filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+        a = prefix.select(F.col("did").alias("id_a"), "sh")
+        b = prefix.select(F.col("did").alias("id_b"), "sh")
+        cand = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return jaccard_verify(df, id_col, text_col, cand, threshold, shingle)
+
     sizes = base.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a = base.select(F.col("did").alias("id_a"), "sh")
     b = base.select(F.col("did").alias("id_b"), "sh")

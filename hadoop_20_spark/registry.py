@@ -885,11 +885,55 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.did = id_b
     WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
     """,
-    note="exact token-set Jaccard ≥0.5 via explode+self-join (the LSH verifier)",
+    note="exact token-set Jaccard ≥0.5 via explode+self-join (small-corpus escape hatch — the operator refuses this form without an explicit flag)",
 )
 def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5, shingle=1
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle=1,
+        allow_full_self_join=True,
+    )
+
+
+@register(
+    "jaccard_pairs_pruned",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS did, unnest(list_distinct({_TOKENS.format(col='text')})) AS sh
+      FROM documents
+    ), sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.did = id_a
+    JOIN sizes sb ON sb.did = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    note="prefix-filtered Jaccard join (PPJoin-style frequency-ordered pruning) + exact set-intersect verify — oracle is the UNPRUNED brute force; hash-match proves the pruned plan is lossless",
+)
+def jaccard_pairs_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default form of ``jaccard_pairs``: prefix filtering orders
+    shingles rarest-first by document frequency and joins only each
+    doc's ``s - ceil(t*s) + 1`` rarest shingles — a pair with J ≥ t
+    provably shares a prefix shingle, so no qualifying pair is lost,
+    while stopword shingles (the quadratic fan-out) never enter the
+    join.  Candidates are verified over FULL shingle sets.  The oracle
+    is the unpruned all-pairs SQL: green means the pruned plan
+    reproduces the brute-force result exactly."""
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle=1,
     )
 
 
@@ -1426,12 +1470,9 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
-    ids = cand.select(F.col("id_a").alias("doc_id")).union(
-        cand.select(F.col("id_b"))
-    ).distinct()
-    restricted = docs.join(ids, "doc_id", "left_semi")
-    verified = dedup.jaccard_pairs(restricted, "doc_id", "text", threshold=0.5)
-    return cand.join(verified, ["id_a", "id_b"], "inner")
+    # verify exactly the candidate PAIRS (linear in |cand|) — not
+    # all-pairs among candidate docs.
+    return dedup.jaccard_verify(docs, "doc_id", "text", cand, threshold=0.5)
 
 
 @register(
@@ -1988,10 +2029,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. exact dedup (md5 hash-groupBy, keep min doc_id);
     3. near-dup prune: 3-gram Jaccard ≥ 0.5 pairs, drop the higher id.
 
-    At sf this verifies all-pairs; at 100 TB stage 3's candidate
-    generation routes through ``dedup.minhash_lsh_candidates`` (band
-    buckets) before the same Jaccard verify — identical keep-list,
-    shuffle bounded by bucket size instead of shared-shingle fan-out."""
+    Stage 3 runs the prefix-filtered exact Jaccard join (rarest-first
+    frequency ordering keeps hot shingles out of the candidate join;
+    candidates verified over full sets — lossless); at 100 TB it can
+    equally route through ``dedup.minhash_lsh_candidates`` (band
+    buckets) into the same ``jaccard_verify`` — either way the shuffle
+    is bounded, never the raw shared-shingle fan-out."""
     docs = _t(spark, sf_dir, "documents")
     stats = text_ops.text_stats(docs, "doc_id", "text")
     qpass = (

@@ -43,9 +43,30 @@ def test_jaccard_pairs_identical_is_one(spark, tables):
     planted = docs.filter(F.col("doc_id") == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    out = dedup.jaccard_pairs(docs.union(planted), "doc_id", "text", threshold=0.99)
+    out = dedup.jaccard_pairs(
+        docs.union(planted),
+        "doc_id",
+        "text",
+        threshold=0.99,
+        allow_full_self_join=True,
+    )
     hits = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
     assert hits.get((0, 100000)) == 1.0
+
+
+def test_jaccard_prefix_filter_matches_brute_force(spark, tables):
+    # Prefix filtering is an EXACT algorithm: frequency-ordered prefix
+    # candidates + full-set verify must reproduce brute force for any
+    # corpus and threshold.
+    docs = tables["documents"].select("doc_id", "text")
+    for t in (0.3, 0.5, 0.9):
+        full = dedup.jaccard_pairs(
+            docs, "doc_id", "text", threshold=t, allow_full_self_join=True
+        )
+        pruned = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=t)
+        f = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+        p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pruned.collect()}
+        assert f == p
 
 
 def test_simhash_near_dups(spark, tables):
