@@ -349,15 +349,108 @@ def query_ivf_index(
     )
 
 
+def srp_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Candidate pairs (``id_a < id_b``) sharing an SRP bucket in ANY of
+    ``n_tables`` hash tables — the bucketed candidate generator for
+    embedding near-dup detection.  Cost: ``n_tables`` narrow projection
+    passes + one equi-join on (table, bucket); never an all-pairs cross
+    product.  Collision probability per table for a pair at angle θ is
+    ``(1-θ/π)^n_planes`` — raise ``n_tables`` for recall, raise
+    ``n_planes`` for smaller buckets (finer partitioning) at scale."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _srp_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    e = ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"), F.explode(tables).alias("tb")
+    ).select("vid", "tb.tbl", "tb.bkt")
+    a = e.select(F.col("vid").alias("id_a"), "tbl", "bkt")
+    b = e.select(F.col("vid").alias("id_b"), "tbl", "bkt")
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def embedding_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine for the given candidate ``pairs`` (columns ``id_a``,
+    ``id_b``): two hash joins on vector id — linear in |pairs|."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+#: brute-force guard: refuse the O(n²) cross join beyond this many rows.
+BRUTE_FORCE_MAX_ROWS = 100_000
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    brute_force: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
-    Brute-force form for oracle checking; at scale route through
-    ``lsh_topk`` buckets first."""
+    """Embedding-cosine near-duplicate pairs (``id_a < id_b``, sim ≥ t).
+
+    Default path is bucket-then-verify: SRP candidates
+    (:func:`srp_candidate_pairs`) → exact cosine verify
+    (:func:`embedding_verify`).  Emitted similarities are exact; recall
+    is approximate — a qualifying pair is found iff it shares a bucket
+    in ≥1 of ``n_tables`` deterministic tables, probability
+    ``1-(1-(1-θ/π)^n_planes)^n_tables`` (≈99.8% at sim 0.95 with the
+    defaults; lower near the threshold boundary).  The planes are
+    md5-seeded constants, so recall on a given corpus is deterministic
+    and testable, not a per-run coin flip.
+
+    ``brute_force=True`` selects the exact all-pairs cross join — guarded
+    by :data:`BRUTE_FORCE_MAX_ROWS` (the count is one cheap action) so
+    the O(n²) path can never silently run on a 100 TB corpus.
+    """
+    if not brute_force:
+        cand = srp_candidate_pairs(df, id_col, vec_col, dim, n_planes, n_tables)
+        return embedding_verify(df, cand, id_col, vec_col, threshold)
+
+    n = df.count()
+    if n > BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dups(brute_force=True) on {n} rows would cross-join "
+            f"{n*(n-1)//2} pairs; limit is {BRUTE_FORCE_MAX_ROWS} rows — use the "
+            "default SRP bucket-then-verify path at scale"
+        )
     a = ensure_parallelism(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

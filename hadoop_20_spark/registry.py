@@ -1454,9 +1454,13 @@ def union_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.5
     """,
-    note="embedding-cosine near-dup pairs (brute force oracle form; scale path routes through SRP-LSH buckets)",
+    note="embedding-cosine near-dup pairs via SRP bucket-then-verify (12 deterministic hash tables -> exact cosine); oracle is the brute-force cross join, so green proves the bucketed path loses no pair on this corpus",
 )
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default scale path: SRP candidates → exact verify — no cross
+    join.  The oracle is brute-force all-pairs SQL; hash-match means the
+    deterministic bucket tables recovered every qualifying pair here
+    (recall semantics documented on the operator)."""
     return similarity.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), threshold=0.5
     )

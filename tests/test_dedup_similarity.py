@@ -180,3 +180,41 @@ def test_persisted_ivf_index_matches_direct(spark, tables, tmp_path):
 
     plan = physical_plan(similarity.query_ivf_index(spark, path, queries, emb))
     assert "PartitionFilters" in plan
+
+
+def test_embedding_near_dups_srp_matches_brute_force(spark, tables):
+    # The SRP bucket-then-verify default must recover every qualifying
+    # pair the brute-force cross join finds on this corpus (planes are
+    # deterministic, so this is a stable fact, not a flaky sample).
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    clone = emb.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(clone)
+    bf = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.embedding_near_dups(
+            corpus, threshold=0.5, brute_force=True
+        ).collect()
+    }
+    srp = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.embedding_near_dups(corpus, threshold=0.5).collect()
+    }
+    assert bf == srp
+    assert (1, 100001) in srp
+
+
+def test_embedding_brute_force_guard(spark, tables):
+    import pytest
+
+    from hadoop_20_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    old = sim.BRUTE_FORCE_MAX_ROWS
+    sim.BRUTE_FORCE_MAX_ROWS = 5
+    try:
+        with pytest.raises(ValueError):
+            sim.embedding_near_dups(emb, threshold=0.9, brute_force=True)
+    finally:
+        sim.BRUTE_FORCE_MAX_ROWS = old
