@@ -178,6 +178,79 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means for IVF coarse quantization, fully deterministic:
+
+    - init: the ``k`` corpus vectors with smallest ids (the seed sample
+      ``ivf_topk`` used as centroids directly);
+    - fixed ``iterations`` (no data-dependent convergence test), each =
+      one assignment pass (broadcast centroids, argmax cosine with
+      4dp rounding + cent_id tie-break) and one mean pass;
+    - means are computed per (cell, coordinate) with DECIMAL(30,10)
+      sums (exact, partial-agg friendly, order-independent) divided as
+      doubles and rounded to 8dp — so the centroid table is
+      bit-identical in any engine and under any partitioning;
+    - a cell that loses all members keeps its previous centroid.
+
+    Driver loop is iterations-only (the ``dedup_clusters`` pattern):
+    data stays distributed; ``localCheckpoint`` truncates lineage per
+    round so the plan doesn't grow exponentially.  Returns
+    ``(cent_id, c_vec)`` — drop-in for ``ivf_topk(centroids=...)``.
+    """
+    cent = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cent_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    )
+    w_asg = Window.partitionBy("_vid").orderBy(F.col("sim").desc(), "cent_id")
+    for _ in range(iterations):
+        asg = (
+            c.crossJoin(F.broadcast(cent))
+            .select(
+                "_vid",
+                "cent_id",
+                F.round(cosine(F.col("_vec"), F.col("c_vec")), 4).alias("sim"),
+            )
+            .withColumn("rk", F.row_number().over(w_asg))
+            .filter(F.col("rk") == 1)
+            .select("_vid", F.col("cent_id").alias("cell"))
+        )
+        coords = c.join(asg, "_vid").select(
+            "cell", F.posexplode("_vec").alias("pos", "val")
+        )
+        means = coords.groupBy("cell", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                8,
+            ).alias("m")
+        )
+        new_cent = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("c_vec")
+        ).select(F.col("cell").alias("cent_id"), "c_vec")
+        cent = (
+            cent.select("cent_id", F.col("c_vec").alias("_old"))
+            .join(new_cent, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce(F.col("c_vec"), F.col("_old")).alias("c_vec")
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,15 +259,17 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into
     ``n_centroids`` Voronoi cells (coarse quantizer), probe the
     ``nprobe`` nearest cells per query, score exactly within them.
 
-    Deterministic "training": centroids are the corpus vectors with the
-    ``n_centroids`` smallest ids (a fixed seed sample) — no stored model,
-    so the DuckDB oracle reproduces the index bit-for-bit.  Real k-means
-    centroids drop in as a table without changing the plan.
+    Deterministic "training": by default centroids are the corpus
+    vectors with the ``n_centroids`` smallest ids (a fixed seed sample)
+    — no stored model, so the DuckDB oracle reproduces the index
+    bit-for-bit.  Pass ``centroids=kmeans_centroids(corpus)`` for real
+    Lloyd's centroids (also deterministic) — same plan, better recall.
 
     Scale plan (100 TB corpus): centroids broadcast; cell assignment is
     map-side (BroadcastNestedLoopJoin + per-vector argmax window over
@@ -203,11 +278,11 @@ def ivf_topk(
     only ``nprobe/n_centroids`` of the corpus is scored per query.  All
     similarities are rounded before ranking (engine-stable ties, broken
     by id)."""
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
         )
-    )
+    cent = F.broadcast(centroids.select("cent_id", "c_vec"))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )

@@ -108,3 +108,44 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Pack documents into fixed token-budget context windows: order by
+    ``id_col``, prefix-sum ``tokens_col``, ``bin_id = floor(preceding /
+    budget)`` — contiguous packing, reproducible under any partitioning
+    (vs. greedy first-fit whose output depends on arrival order).
+
+    ``shard_col`` partitions the packing: each shard prefix-sums and
+    bins independently — REQUIRED at scale, because a global prefix sum
+    is one task (`Window.orderBy` with no partition key plans an
+    Exchange SinglePartition).  Sharding matches how trainers consume
+    the data anyway: one rank reads one shard, bins are rank-local.
+    ``shard_col=None`` keeps the single global window for small inputs.
+
+    Output: input columns + ``bin_id`` (within shard) + ``bin_offset``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col).orderBy(id_col)
+        if shard_col is not None
+        else Window.orderBy(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = df.withColumn("_cum", F.sum(tokens_col).over(w))
+    preceding = F.col("_cum") - F.col(tokens_col)
+    return (
+        c.select(
+            *df.columns,
+            F.floor(preceding / budget).cast("long").alias("bin_id"),
+            (preceding - F.floor(preceding / budget) * budget)
+            .cast("long")
+            .alias("bin_offset"),
+        )
+    )

@@ -1853,6 +1853,82 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ctes(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's-iteration CTE chain mirroring
+    ``similarity.kmeans_centroids`` (fixed iteration count makes the
+    'training' expressible as plain SQL): assignment by 4dp-rounded
+    cosine argmax (cent_id tie-break), per-coordinate means as exact
+    DECIMAL(30,10) sums / COUNT rounded to 8dp, empty cells keep their
+    previous centroid.  Final centroids are ``c{iterations}``."""
+    parts = [
+        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cent_id, "
+        f"CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings WHERE vec_id < {k})",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_sql_cos('v.embedding', 'c.c_vec')} DESC, c.cent_id) AS rk
+        FROM v, c{i} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT cell, pos,
+             ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 8) AS m
+      FROM (SELECT a{i}.cell, generate_subscripts(v.embedding, 1) AS pos,
+                   unnest(v.embedding) AS val
+            FROM a{i} JOIN v USING (vec_id))
+      GROUP BY cell, pos)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+      SELECT old.cent_id, COALESCE(new.c_vec, old.c_vec) AS c_vec
+      FROM c{i} old LEFT JOIN
+           (SELECT cell AS cent_id, list(m ORDER BY pos) AS c_vec
+            FROM m{i} GROUP BY cell) new USING (cent_id))"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ivf_topk_kmeans",
+    f"""
+    WITH {_kmeans_ctes(16, 3)},
+         cent AS (SELECT cent_id, c_vec FROM c3),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT neighbor_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT neighbor_id, n_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         qa AS (SELECT query_id, q_vec, cent_id, {_sql_cos('q_vec', 'c_vec')} AS sim FROM q, cent),
+         qcells AS (SELECT query_id, q_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cent_id) AS rk FROM qa)
+            WHERE rk <= 4),
+         scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim
+            FROM qcells JOIN cells USING (cell) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    note="IVF ANN over REAL k-means centroids (3 deterministic Lloyd's iterations, decimal-exact means) — the oracle unrolls the training loop as CTEs, so even the quantizer is hash-checked",
+)
+def ivf_topk_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivf_topk` with centroids from ``similarity.kmeans_centroids``:
+    deterministic init (k smallest ids), 3 fixed Lloyd's iterations,
+    decimal-exact per-coordinate means — the whole pipeline (training
+    included) hash-matches the unrolled-SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=16, iterations=3)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4, centroids=cents
+    )
+
+
 @register(
     "sliding_window_agg",
     """
@@ -2884,46 +2960,39 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     r"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, doc_id % 8 AS shard,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
       FROM documents
     ),
     c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM t
     )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin_id,
            CAST(cum - n_tokens - FLOOR((cum - n_tokens) / 2048) * 2048 AS BIGINT) AS bin_offset
-    FROM c ORDER BY doc_id
+    FROM c ORDER BY shard, doc_id
     """,
-    note="sequence packing: contiguous token-budget bins (2048/ctx) via prefix sums — the pretraining batch-prep op",
+    note="sequence packing: per-shard contiguous token-budget bins (2048/ctx) via partitioned prefix sums — the pretraining batch-prep op; no global single-task window",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into fixed token-budget context windows (2048) the
-    deterministic way: order by doc_id, prefix-sum token counts, bin =
-    floor(preceding_tokens / budget) — contiguous packing, reproducible
-    under any partitioning (vs. greedy first-fit whose output depends on
-    arrival order).  One global window; at 100 TB, run per shard
-    (partitionBy on a shard key) so the prefix sum never serializes —
-    bins are per-shard anyway when each trainer rank reads a shard."""
-    budget = 2048
-    from pyspark.sql import Window
-
+    """Pack documents into fixed token-budget context windows (2048) via
+    ``text_ops.pack_sequences``, SHARDED: each of 8 deterministic shards
+    (doc_id mod 8 — in production, the trainer-rank key) prefix-sums and
+    bins independently, so the window partitions by shard and the plan
+    has no Exchange SinglePartition (asserted in test_registry_plans).
+    Bins are (shard, bin_id) pairs — exactly the layout a per-rank data
+    loader consumes."""
     t = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(_fn_tokens("text")).cast("long").alias("n_tokens")
-    )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    preceding = F.col("cum") - F.col("n_tokens")
-    return c.select(
         "doc_id",
-        "n_tokens",
-        F.floor(preceding / budget).cast("long").alias("bin_id"),
-        (preceding - F.floor(preceding / budget) * budget).cast("long").alias("bin_offset"),
-    ).orderBy("doc_id")
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        F.size(_fn_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return text_ops.pack_sequences(
+        t, "doc_id", "n_tokens", budget=2048, shard_col="shard"
+    ).orderBy("shard", "doc_id")
 
 
 def _halton_sql(var: str, base: int, digits: int) -> str:

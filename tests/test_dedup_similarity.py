@@ -218,3 +218,29 @@ def test_embedding_brute_force_guard(spark, tables):
             sim.embedding_near_dups(emb, threshold=0.9, brute_force=True)
     finally:
         sim.BRUTE_FORCE_MAX_ROWS = old
+
+
+def test_kmeans_centroids_deterministic_under_repartition(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    a = similarity.kmeans_centroids(emb, k=8, iterations=2)
+    b = similarity.kmeans_centroids(emb.repartition(13), k=8, iterations=2)
+    ra = {r["cent_id"]: r["c_vec"] for r in a.collect()}
+    rb = {r["cent_id"]: r["c_vec"] for r in b.collect()}
+    assert ra == rb  # decimal-exact means: partitioning-independent
+    assert len(ra) == 8
+    assert all(len(v) == 64 for v in ra.values())
+
+
+def test_ivf_topk_kmeans_recall(spark):
+    from hadoop_20_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["embedding_topk"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ivf_topk_kmeans"].fn(spark, SF_DIR).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.3

@@ -109,3 +109,11 @@ def test_dynamic_partition_pruning(spark, tables, tmp_path_factory):
     joined = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = physical_plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_sequence_packing_no_global_window(spark):
+    # The packing window must partition by shard — a global prefix sum
+    # would plan Exchange SinglePartition and serialize onto one task.
+    plan = physical_plan(REGISTRY["sequence_packing"].fn(spark, PLAN_SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
