@@ -87,6 +87,33 @@ def write_sorted(
     df.sortWithinPartitions(*sort_cols).write.mode("overwrite").format(fmt).save(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any scheme — file://, hdfs://, s3a://.
+    The scheme's filesystem is resolved from the path itself via the
+    Hadoop FileSystem API (core/fs/FileSystem.java), so callers never
+    assume a local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def fs_du_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive byte size of a directory tree (hadoop fs -du -s)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return fs.getContentSummary(jpath).getLength()
+
+
+def fs_list_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive file listing (hadoop fs -ls -R), any scheme."""
+    fs, jpath = _hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    out = []
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return out
+
+
 def compact_small_files(
     spark: SparkSession,
     in_path: str,
@@ -96,17 +123,11 @@ def compact_small_files(
 ) -> int:
     """HadoopArchives / CombineFileInputFormat role: rewrite a directory
     of small files into ~target-sized ones.  Returns the file count
-    chosen.  Sizes output from the source byte size, then ``coalesce`` —
-    a narrow (shuffle-free) rewrite."""
-    import glob
-    import os
-
+    chosen.  Sizes output from the source byte size (Hadoop FS API — so
+    hdfs://-resident trees size correctly, not just local paths), then
+    ``coalesce`` — a narrow (shuffle-free) rewrite."""
     df = spark.read.format(fmt).load(in_path)
-    total_bytes = sum(
-        os.path.getsize(p)
-        for p in glob.glob(os.path.join(in_path, "**"), recursive=True)
-        if os.path.isfile(p)
-    )
+    total_bytes = fs_du_bytes(spark, in_path)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df.coalesce(n_files).write.mode("overwrite").format(fmt).save(out_path)
     return n_files
@@ -140,11 +161,26 @@ def repartition_n_rows(df: DataFrame, rows_per_partition: int, order_col: str) -
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """mapred/lib/db/DBInputFormat.java — paged JDBC source; Spark's
-    partitionColumn/lowerBound/upperBound replicate the per-split paging."""
+    partitionColumn/lowerBound/upperBound replicate the per-split paging
+    (each executor issues its own bounded SELECT — the reference's
+    LIMIT/OFFSET splits, minus the OFFSET scan cost).  Exercised against
+    embedded Derby (on Spark's classpath) in test_interop."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
-        reader = reader.option(k, v)
+        reader = reader.option(k, str(v))
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "overwrite", **options
+) -> None:
+    """mapred/lib/db/DBOutputFormat.java — batched INSERTs per partition
+    (Spark's JDBC sink batches ``batchsize`` rows per round trip, one
+    connection per task — same commit discipline as DBRecordWriter)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.mode(mode).save()
 
 
 def write_noop(df: DataFrame) -> None:
@@ -285,12 +321,32 @@ def teragen(spark: SparkSession, n_rows: int) -> DataFrame:
 
 def distcp(spark: SparkSession, src: str, dst: str, fmt: str = "parquet") -> int:
     """src/tools/.../DistCp.java — bulk copy as a parallel job.  Returns
-    row count copied.  (Layout-preserving copies of raw files are a
-    filesystem concern; this is the table-level copy the reference's MR
-    job performed.)"""
+    row count copied.  This is the table-level copy (re-encode through
+    the format — the common dataset-migration case; tasks copy in
+    parallel).  For byte-identical layout preservation use
+    :func:`distcp_files`."""
     df = spark.read.format(fmt).load(src)
     df.write.mode("overwrite").format(fmt).save(dst)
     return spark.read.format(fmt).load(dst).count()
+
+
+def distcp_files(spark: SparkSession, src: str, dst: str) -> int:
+    """Layout-preserving tree copy via the Hadoop FS API
+    (FileUtil.copy) — byte-identical files, any src/dst scheme
+    combination (file://, hdfs://, s3a://).  Returns the file count
+    copied.  Driver-orchestrated (streams go FS-to-FS, not through
+    Python); for petabyte trees prefer the format-level :func:`distcp`,
+    which distributes the copy across executors."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_fs, src_path = _hadoop_fs(spark, src)
+    dst_fs, dst_path = _hadoop_fs(spark, dst)
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+        src_fs, src_path, dst_fs, dst_path, False, True, conf
+    )
+    if not ok:
+        raise IOError(f"distcp_files {src} -> {dst} failed")
+    return len(fs_list_files(spark, dst))
 
 
 def write_named_outputs(df, base_path: str, outputs: dict) -> dict:

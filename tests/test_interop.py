@@ -49,3 +49,31 @@ def test_nline_repartition(spark, tables):
 
 def test_write_noop_runs(spark, tables):
     sources.write_noop(tables["region"])
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tables, tmp_path):
+    # DBInputFormat/DBOutputFormat analog, executed for real: embedded
+    # Derby ships on Spark's classpath, so write + partitioned read run
+    # without any external service.
+    from hadoop_20_spark import sources
+
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    nation = tables["nation"].select("n_nationkey", "n_name")
+    sources.write_jdbc(nation, url, "nation", driver=driver)
+    back = sources.read_jdbc(
+        spark,
+        url,
+        "nation",
+        driver=driver,
+        partitionColumn="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+    )
+    # paged read: 4 real splits, content identical
+    assert back.rdd.getNumPartitions() == 4
+    got = {(r["n_nationkey"], r["n_name"]) for r in back.collect()}
+    exp = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    assert got == exp

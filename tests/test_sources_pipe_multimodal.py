@@ -170,3 +170,28 @@ def test_split_kv_literal_separator(spark, sep):
         for r in pipe.split_kv(df, separator=sep, num_key_fields=2).collect()
     }
     assert got == {f"a{sep}b": "c", "nokey": ""}
+
+
+def test_fs_api_scheme_agnostic(spark, tables, tmp_path):
+    # compact/du/list must go through the Hadoop FS API: exercise with
+    # explicit file:// URIs (the scheme-resolution path hdfs:// takes).
+    frag = f"file://{tmp_path}/frag"
+    tables["orders"].repartition(10).write.parquet(frag)
+    assert sources.fs_du_bytes(spark, frag) > 0
+    listed = sources.fs_list_files(spark, frag)
+    assert len([p for p in listed if "part-" in p]) == 10
+    assert all(p.startswith("file:") for p in listed)
+    out = f"file://{tmp_path}/compact"
+    n = sources.compact_small_files(spark, frag, out, target_file_mb=128)
+    assert n < 10
+    assert spark.read.parquet(out).count() == tables["orders"].count()
+
+
+def test_distcp_files_preserves_bytes(spark, tables, tmp_path):
+    src = f"file://{tmp_path}/src"
+    tables["nation"].write.parquet(src)
+    dst = f"file://{tmp_path}/dst"
+    n = sources.distcp_files(spark, src, dst)
+    assert n == len(sources.fs_list_files(spark, src))
+    assert sources.fs_du_bytes(spark, dst) == sources.fs_du_bytes(spark, src)
+    assert spark.read.parquet(dst).count() == tables["nation"].count()
