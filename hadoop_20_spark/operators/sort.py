@@ -89,36 +89,64 @@ def top_k_per_group(
     )
 
 
-# --- POSIX sort key spec (-k2,3nr) -----------------------------------------
+# --- POSIX sort key spec (-k2.4,3nr) ---------------------------------------
 
-_KEYSPEC = re.compile(r"-k(\d+)(?:,(\d+))?([nr]*)")
+_KEYSPEC = re.compile(r"-k(\d+)(?:\.(\d+))?([nr]*)(?:,(\d+)(?:\.(\d+))?([nr]*))?")
 
 
-def parse_key_field_spec(spec: str) -> list[tuple[int, int, bool, bool]]:
-    """``"-k2,3nr -k1"`` → [(2,3,numeric=True,reverse=True), (1,1,F,F)].
-    Fields are 1-based as in sort(1)/KeyFieldHelper.java."""
+def parse_key_field_spec(
+    spec: str,
+) -> list[tuple[int, int, int, int, bool, bool]]:
+    """``"-k2.4,3nr -k1"`` → [(2,4,3,0,numeric=True,reverse=True),
+    (1,1,1,0,F,F)] as (start_field, start_char, end_field, end_char,
+    numeric, reverse).  Fields and chars are 1-based as in
+    sort(1)/KeyFieldHelper.java#parseKey; ``end_char == 0`` means "to
+    the end of the end field" (the KeyDescription default); flags may be
+    attached to either endpoint, as in sort(1)."""
     out = []
     for m in _KEYSPEC.finditer(spec):
-        start = int(m.group(1))
-        end = int(m.group(2)) if m.group(2) else start
-        flags = m.group(3) or ""
-        out.append((start, end, "n" in flags, "r" in flags))
+        start_f = int(m.group(1))
+        start_c = int(m.group(2)) if m.group(2) else 1
+        end_f = int(m.group(4)) if m.group(4) else start_f
+        end_c = int(m.group(5)) if m.group(5) else 0
+        flags = (m.group(3) or "") + (m.group(6) or "")
+        out.append((start_f, start_c, end_f, end_c, "n" in flags, "r" in flags))
     if not out:
         raise ValueError(f"no -k specs in {spec!r}")
     return out
+
+
+def _key_piece(fields: Column, sf: int, sc: int, ef: int, ec: int, sep: str) -> Column:
+    """Extract the key text for one (field.char, field.char) range from a
+    split-fields array — char offsets trim only the endpoint fields,
+    exactly KeyFieldHelper#getStartOffset/getEndOffset."""
+    if sf == ef:
+        f0 = F.element_at(fields, sf)
+        if ec > 0:
+            return f0.substr(F.lit(sc), F.lit(max(ec - sc + 1, 0)))
+        return f0.substr(F.lit(sc), F.length(f0))
+    head = F.element_at(fields, sf)
+    head = head.substr(F.lit(sc), F.length(head))
+    tail = F.element_at(fields, ef)
+    tail = tail.substr(F.lit(1), F.lit(ec)) if ec > 0 else tail
+    mid = F.slice(fields, sf + 1, ef - sf - 1)
+    return F.array_join(
+        F.concat(F.array(head), mid, F.array(tail)), sep
+    )
 
 
 def key_field_sort(
     df: DataFrame, column: str, spec: str, separator: str = "\t"
 ) -> DataFrame:
     """mapred/lib/KeyFieldBasedComparator.java — sort lines by field
-    ranges with numeric/reverse flags.  Each (start,end) range becomes one
-    sort expression over split fields."""
+    ranges with numeric/reverse flags and optional ``field.char``
+    offsets (``-k2.4,3`` = from char 4 of field 2 through field 3).
+    Each range becomes one sort expression over split fields."""
     # F.split takes a regex — escape the literal separator.
     fields = F.split(F.col(column), re.escape(separator))
     sort_cols: list[Column] = []
-    for start, end, numeric, reverse in parse_key_field_spec(spec):
-        piece = F.array_join(F.slice(fields, start, end - start + 1), separator)
+    for sf, sc, ef, ec, numeric, reverse in parse_key_field_spec(spec):
+        piece = _key_piece(fields, sf, sc, ef, ec, separator)
         c = piece.cast("double") if numeric else piece
         sort_cols.append(c.desc() if reverse else c.asc())
     return df.orderBy(*sort_cols)

@@ -9,9 +9,13 @@ from hadoop_20_spark.plans import (
 
 def test_parse_key_field_spec():
     assert sort_ops.parse_key_field_spec("-k2,3nr -k1") == [
-        (2, 3, True, True),
-        (1, 1, False, False),
+        (2, 1, 3, 0, True, True),
+        (1, 1, 1, 0, False, False),
     ]
+    # KeyFieldHelper char offsets: -k2.4,3.2n = from char 4 of field 2
+    # through char 2 of field 3, numeric; flags attach to either end.
+    assert sort_ops.parse_key_field_spec("-k2.4,3.2n") == [(2, 4, 3, 2, True, False)]
+    assert sort_ops.parse_key_field_spec("-k1.2,1.3r") == [(1, 2, 1, 3, False, True)]
 
 
 def test_total_order_sort_validates(spark, tables):
@@ -88,3 +92,31 @@ def test_key_field_sort_regex_separator(spark):
         for r in sort_ops.key_field_sort(df, "line", "-k2nr", separator="|").collect()
     ]
     assert out == ["a|10", "b|2", "c|1"]
+
+
+def test_key_field_sort_char_offsets(spark):
+    # -k1.2,1.3n sorts by chars 2-3 of field 1, numeric: "a934" keys 93,
+    # "a125" keys 12, "b401" keys 40.
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    df = spark.createDataFrame([("a934 x",), ("a125 y",), ("b401 z",)], ["line"])
+    out = [
+        r["line"]
+        for r in sort_ops.key_field_sort(df, "line", "-k1.2,1.3n", separator=" ").collect()
+    ]
+    assert out == ["a125 y", "b401 z", "a934 x"]
+
+
+def test_key_field_sort_char_offset_spans_fields(spark):
+    # -k1.3,2: from char 3 of field 1 through all of field 2.
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    df = spark.createDataFrame(
+        [("xxb zz 1",), ("zza yy 2",), ("yyc aa 3",)], ["line"]
+    )
+    out = [
+        r["line"]
+        for r in sort_ops.key_field_sort(df, "line", "-k1.3,2", separator=" ").collect()
+    ]
+    # keys: "b zz", "a yy", "c aa" -> a yy, b zz, c aa
+    assert out == ["zza yy 2", "xxb zz 1", "yyc aa 3"]
