@@ -431,32 +431,50 @@ def srp_candidate_pairs(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 12,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Candidate pairs (``id_a < id_b``) sharing an SRP bucket in ANY of
     ``n_tables`` hash tables — the bucketed candidate generator for
     embedding near-dup detection.  Cost: ``n_tables`` narrow projection
     passes + one equi-join on (table, bucket); never an all-pairs cross
-    product.  Collision probability per table for a pair at angle θ is
-    ``(1-θ/π)^n_planes`` — raise ``n_tables`` for recall, raise
-    ``n_planes`` for smaller buckets (finer partitioning) at scale."""
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _srp_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    e = ensure_parallelism(df).select(
-        F.col(id_col).alias("vid"), F.explode(tables).alias("tb")
-    ).select("vid", "tb.tbl", "tb.bkt")
-    a = e.select(F.col("vid").alias("id_a"), "tbl", "bkt")
-    b = e.select(F.col("vid").alias("id_b"), "tbl", "bkt")
+    product.
+
+    ``multiprobe=1`` (default) also probes the ``n_planes`` buckets at
+    Hamming distance 1 on ONE side of the join — a pair disagreeing on
+    at most one plane in a table still collides, lifting per-table
+    recall from ``p^k`` to ``p^k + k·p^(k-1)(1-p)`` (p = 1-θ/π, k =
+    n_planes) for ~``n_planes``× more join input on one side — the
+    classic multiprobe-LSH trade: recall from probes instead of from
+    more tables.  ``multiprobe=0`` probes exact buckets only.  Raise
+    ``n_planes`` for finer buckets at corpus scale; recall knobs are
+    tables × probes."""
+    def exploded(role: str, probe: bool) -> DataFrame:
+        per_table = []
+        for t in range(n_tables):
+            bkt = _srp_bucket(F.col(vec_col), dim, n_planes, t)
+            probes = [bkt]
+            if probe and multiprobe >= 1:
+                probes += [bkt.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+            per_table += [
+                F.struct(F.lit(t).alias("tbl"), pb.alias("bkt")) for pb in probes
+            ]
+        return (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias(f"id_{role}"), F.explode(F.array(*per_table)).alias("tb"))
+            .select(f"id_{role}", "tb.tbl", "tb.bkt")
+        )
+
+    a = exploded("a", probe=True)
+    b = exploded("b", probe=False)
+    # one-sided probing covers both orientations (Hamming-1 is
+    # symmetric), so normalize the pair order after the join.
     return (
         a.join(b, ["tbl", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -497,26 +515,30 @@ def embedding_near_dups(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 12,
+    multiprobe: int = 1,
     brute_force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (``id_a < id_b``, sim ≥ t).
 
-    Default path is bucket-then-verify: SRP candidates
-    (:func:`srp_candidate_pairs`) → exact cosine verify
+    Default path is bucket-then-verify: SRP candidates with Hamming-1
+    multiprobe (:func:`srp_candidate_pairs`) → exact cosine verify
     (:func:`embedding_verify`).  Emitted similarities are exact; recall
-    is approximate — a qualifying pair is found iff it shares a bucket
-    in ≥1 of ``n_tables`` deterministic tables, probability
-    ``1-(1-(1-θ/π)^n_planes)^n_tables`` (≈99.8% at sim 0.95 with the
-    defaults; lower near the threshold boundary).  The planes are
-    md5-seeded constants, so recall on a given corpus is deterministic
-    and testable, not a per-run coin flip.
+    is approximate — a qualifying pair is found iff it lands within one
+    plane-flip of a shared bucket in ≥1 of ``n_tables`` deterministic
+    tables: per-table probability ``p^k + k·p^(k-1)(1-p)`` with
+    ``p = 1-θ/π``, ``k = n_planes`` (≈0.59/table at sim 0.5, >0.999
+    overall with the defaults).  The planes are md5-seeded constants, so
+    recall on a given corpus is deterministic and testable, not a
+    per-run coin flip.
 
     ``brute_force=True`` selects the exact all-pairs cross join — guarded
     by :data:`BRUTE_FORCE_MAX_ROWS` (the count is one cheap action) so
     the O(n²) path can never silently run on a 100 TB corpus.
     """
     if not brute_force:
-        cand = srp_candidate_pairs(df, id_col, vec_col, dim, n_planes, n_tables)
+        cand = srp_candidate_pairs(
+            df, id_col, vec_col, dim, n_planes, n_tables, multiprobe
+        )
         return embedding_verify(df, cand, id_col, vec_col, threshold)
 
     n = df.count()
