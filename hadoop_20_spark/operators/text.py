@@ -69,14 +69,55 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_ok * 0.4 + div * 0.3 + sw_ok * 0.3), 6)
 
 
-def lang_id(col: Column | str) -> Column:
-    """Heuristic language ID: stopword-profile scoring (n-gram heuristic
-    family).  With the synthetic fixture corpus (English-like tokens for
-    every row) this degenerates to en/unknown — the *operator shape*
-    (score per language profile, argmax) is what matters; real profiles
-    drop in as data."""
-    sw = stopword_ratio(col)
-    return F.when(sw >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+# Function-word profiles for multi-class ID — tiny public-domain
+# closed-class word lists (the signal real stopword/n-gram LID models
+# use; swap in fuller profiles as data without code changes).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": tuple(STOPWORDS),
+    "fr": tuple("le la les un une des et ou est sont dans pour sur avec de du au".split()),
+    "de": tuple("der die das ein eine und oder ist sind in mit von zu auf für den".split()),
+    "es": tuple("el la los las un una y o es son en con de del para por al".split()),
+}
+
+
+def lang_scores(
+    col: Column | str,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> list[tuple[str, Column]]:
+    """Per-language profile scores: fraction of tokens in each
+    language's function-word list."""
+    profs = profiles if profiles is not None else LANG_PROFILES
+    return [(lang, stopword_ratio(col, tuple(words))) for lang, words in profs.items()]
+
+
+def lang_id(
+    col: Column | str,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    min_score: float = 0.05,
+) -> Column:
+    """Multi-class heuristic language ID: score the token stream against
+    each language's function-word profile, take the argmax (ties broken
+    by profile order — deterministic under any partitioning), emit
+    ``unknown`` below ``min_score``.  Pure Column expressions, no UDF.
+
+    Default single-profile call degenerates to en/unknown on the
+    synthetic fixture corpus, whose text carries no language signal
+    (every `lang` label shares one English-like token distribution) —
+    the multi-profile discrimination is exercised by unit tests with
+    profile-bearing text (`test_lang_id_multiclass`)."""
+    profs = profiles if profiles is not None else {"en": tuple(STOPWORDS)}
+    scored = lang_scores(col, profs)
+    langs = [lang for lang, _ in scored]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+                for i, (_, s) in enumerate(scored)
+            ]
+        )
+    )
+    name = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["ni"] + 1)
+    return F.when(best["s"] >= min_score, name).otherwise(F.lit("unknown"))
 
 
 def fingerprint(col: Column | str, ngram: int = 8) -> Column:

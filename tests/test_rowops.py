@@ -58,3 +58,43 @@ def test_inverse_and_chain(spark):
         lambda d: d.filter(F.col("k2") == 2),
     )
     assert out.count() == 1
+
+
+def test_lang_id_multiclass(spark):
+    # With multi-language profiles, function-word-bearing text routes to
+    # the right class; profile-free text falls back to unknown.
+    from hadoop_20_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            ("e", "the cat is on the mat and the dog is in the house"),
+            ("f", "le chat est dans la maison et les chiens sont sur le toit"),
+            ("d", "der hund ist in dem haus und die katze ist auf der couch"),
+            ("s", "el gato es de la casa y los perros son del parque"),
+            ("x", "zzz qqq www rrr ttt yyy"),
+        ],
+        ["k", "txt"],
+    )
+    got = {
+        r["k"]: r["lang"]
+        for r in df.select(
+            "k", text_ops.lang_id("txt", profiles=text_ops.LANG_PROFILES).alias("lang")
+        ).collect()
+    }
+    assert got == {"e": "en", "f": "fr", "d": "de", "s": "es", "x": "unknown"}
+
+
+def test_lang_id_default_matches_legacy(spark, tables):
+    # Default single-profile call must preserve the en/unknown contract
+    # the text_stats oracle encodes.
+    from hadoop_20_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    legacy = docs.select(
+        F.when(text_ops.stopword_ratio("text") >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("l")
+    )
+    new = docs.select(text_ops.lang_id("text").alias("l"))
+    assert [r["l"] for r in legacy.collect()] == [r["l"] for r in new.collect()]
