@@ -77,3 +77,56 @@ def test_jdbc_roundtrip_embedded_derby(spark, tables, tmp_path):
     got = {(r["n_nationkey"], r["n_name"]) for r in back.collect()}
     exp = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
     assert got == exp
+
+
+def test_sequencefile_writable_matrix(spark, tables, tmp_path):
+    """Beyond Text/Text: Long/Double/Bytes/null Writable payloads
+    round-trip through real Hadoop SequenceFiles (IntWritable keys are
+    what saveAsSequenceFile picks for Python ints; bytes go through
+    BytesWritable; None through NullWritable)."""
+    sc = spark.sparkContext
+
+    # LongWritable / DoubleWritable
+    p1 = str(tmp_path / "seq_long_double")
+    sc.parallelize([(1, 1.5), (2, 2.25), (3, -7.0)]).saveAsSequenceFile(p1)
+    assert dict(sc.sequenceFile(p1).collect()) == {1: 1.5, 2: 2.25, 3: -7.0}
+
+    # Text / BytesWritable (binary payloads — the SequenceFileAsBinary case)
+    p2 = str(tmp_path / "seq_bytes")
+    payload = [("a", bytearray(b"\x00\x01\xff")), ("b", bytearray(b"spark"))]
+    sc.parallelize(payload).saveAsSequenceFile(p2)
+    back = {k: bytes(v) for k, v in sc.sequenceFile(p2).collect()}
+    assert back == {"a": b"\x00\x01\xff", "b": b"spark"}
+
+    # NullWritable values (key-only records)
+    p3 = str(tmp_path / "seq_null")
+    sc.parallelize([("k1", None), ("k2", None)]).saveAsSequenceFile(p3)
+    assert dict(sc.sequenceFile(p3).collect()) == {"k1": None, "k2": None}
+
+
+def test_sequencefile_explicit_writable_classes(spark, tables, tmp_path):
+    """saveAsNewAPIHadoopFile with explicit Writable classes — the
+    io/SequenceFile.java contract spelled out (IntWritable keys — what
+    the Python converter emits for int32-range ints — and Text values),
+    then read back with the matching InputFormat."""
+    sc = spark.sparkContext
+    path = str(tmp_path / "seq_explicit")
+    pairs = tables["region"].select("r_regionkey", "r_name").rdd.map(
+        lambda r: (int(r["r_regionkey"]), r["r_name"])
+    )
+    pairs.saveAsNewAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat",
+        keyClass="org.apache.hadoop.io.IntWritable",
+        valueClass="org.apache.hadoop.io.Text",
+    )
+    back = dict(
+        sc.newAPIHadoopFile(
+            path,
+            "org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat",
+            keyClass="org.apache.hadoop.io.IntWritable",
+            valueClass="org.apache.hadoop.io.Text",
+        ).collect()
+    )
+    exp = {r["r_regionkey"]: r["r_name"] for r in tables["region"].collect()}
+    assert back == exp
