@@ -50,3 +50,46 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     assert glob.glob(out + "/event_type=*")
     back = spark.read.parquet(out)
     assert back.count() == load_table(spark, "events", SF_DIR).count()
+
+
+def test_checkpoint_restart_exactly_once(spark, tables, tmp_path):
+    """Checkpointed restart semantics: a file-source stream processed
+    with availableNow + checkpoint must, on restart, pick up ONLY new
+    files — the already-committed batch is never reprocessed (the
+    exactly-once contract the reference approximated with
+    overwrite-partition reprocessing)."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = tables["events"].select("event_id", "user_id", "value").limit(200)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == first.count()
+
+    # new files arrive; restart from the same checkpoint
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == ev.count()  # no duplicates, nothing missed
+    assert out.select("event_id").distinct().count() == ev.count()
+
+    # idle restart: nothing new -> nothing written
+    run_once()
+    assert spark.read.parquet(out_dir).count() == ev.count()
