@@ -3524,6 +3524,69 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_functions_ext",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_type, 2) AS type_twice,
+           upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2, length(p_name))) AS name_title,
+           levenshtein(p_brand, 'Brand#1') AS brand_dist,
+           CAST(sign(p_size - 25) AS BIGINT) AS size_side,
+           ROUND(log2(CAST(p_size AS DOUBLE)), 6) AS size_log2,
+           ROUND(degrees(CAST(p_size AS DOUBLE) / 50.0), 6) AS size_deg,
+           CAST(p_size % 7 AS BIGINT) AS size_mod,
+           greatest(p_size, 10) AS size_floor10,
+           least(p_size, 40) AS size_cap40,
+           CASE WHEN p_size BETWEEN 10 AND 20 THEN 'mid' ELSE 'edge' END AS size_band,
+           coalesce(nullif(p_brand, 'Brand#1'), 'FLAGSHIP') AS brand_or_flag,
+           CAST(ascii(p_type) AS BIGINT) AS type_ascii,
+           left(p_type, 3) AS type3,
+           right(p_brand, 2) AS brand2,
+           contains(p_name, 'a') AS has_a,
+           starts_with(p_type, 'PRO') AS is_promo_type,
+           ends_with(p_brand, '1') AS brand_ends_1
+    FROM part
+    """,
+    note="§2.9 scalar surface, extended battery: padding/edit-distance/math/conditional/string-predicate functions, all with exact DuckDB twins",
+)
+def scalar_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second §2.9 battery — 20 more engine-portable scalar expressions
+    (StringUtils/Text analogs plus the math/conditional kernel), chosen
+    so every one has an exactly-matching DuckDB function."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_type", 2).alias("type_twice"),
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)),
+            F.lower(F.col("p_name").substr(F.lit(2), F.length("p_name"))),
+        ).alias("name_title"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).alias("brand_dist"),
+        F.signum(F.col("p_size") - 25).cast("long").alias("size_side"),
+        F.round(F.log2(F.col("p_size").cast("double")), 6).alias("size_log2"),
+        F.round(F.degrees(F.col("p_size").cast("double") / 50.0), 6).alias("size_deg"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.least("p_size", F.lit(40)).alias("size_cap40"),
+        F.when(F.col("p_size").between(10, 20), F.lit("mid"))
+        .otherwise(F.lit("edge"))
+        .alias("size_band"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("FLAGSHIP")).alias(
+            "brand_or_flag"
+        ),
+        F.ascii("p_type").cast("long").alias("type_ascii"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.substring(F.col("p_brand"), -2, 2).alias("brand2"),
+        F.contains("p_name", F.lit("a")).alias("has_a"),
+        F.startswith("p_type", F.lit("PRO")).alias("is_promo_type"),
+        F.endswith("p_brand", F.lit("1")).alias("brand_ends_1"),
+    )
+
+
 # --- additional TPC-H query shapes (round 2 widening) -----------------------
 
 

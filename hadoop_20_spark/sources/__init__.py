@@ -133,18 +133,28 @@ def compact_small_files(
     return n_files
 
 
+#: repartition_n_rows is sweep-input-only; refuse bulk data outright.
+NLINE_MAX_ROWS = 1_000_000
+
+
 def repartition_n_rows(df: DataFrame, rows_per_partition: int, order_col: str) -> DataFrame:
     """mapred/lib/NLineInputFormat.java — exactly N records per task, for
     parameter sweeps.  Row-rank → partition id → identity partitioner
     (hash repartition would collide several ids into one task).  The
     global row_number is a single-partition sort — fine for the sweep-
-    input use case this exists for, wrong for bulk data; use
-    repartition(n) there."""
+    input use case this exists for, wrong for bulk data (guarded by
+    :data:`NLINE_MAX_ROWS`); use ``repartition(n)`` there."""
     import math
 
     from pyspark.sql import Window
 
     n = df.count()
+    if n > NLINE_MAX_ROWS:
+        raise ValueError(
+            f"repartition_n_rows is a sweep-input tool (global single-task "
+            f"row_number); {n} rows exceeds NLINE_MAX_ROWS={NLINE_MAX_ROWS} — "
+            "use df.repartition(n) for bulk data"
+        )
     num_parts = max(1, math.ceil(n / rows_per_partition))
     rank = F.row_number().over(Window.orderBy(order_col)) - 1
     with_pid = df.withColumn(

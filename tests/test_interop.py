@@ -130,3 +130,17 @@ def test_sequencefile_explicit_writable_classes(spark, tables, tmp_path):
     )
     exp = {r["r_regionkey"]: r["r_name"] for r in tables["region"].collect()}
     assert back == exp
+
+
+def test_nline_repartition_bulk_guard(spark, tables):
+    import pytest
+
+    from hadoop_20_spark import sources
+
+    old = sources.NLINE_MAX_ROWS
+    sources.NLINE_MAX_ROWS = 10
+    try:
+        with pytest.raises(ValueError):
+            sources.repartition_n_rows(tables["nation"], 5, "n_nationkey")
+    finally:
+        sources.NLINE_MAX_ROWS = old
