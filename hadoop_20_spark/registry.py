@@ -3587,6 +3587,53 @@ def scalar_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_analytics_ext",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """,
+    note="§2.6 ranking surface, extended: ntile/percent_rank/cume_dist/nth_value with explicit frames and id tie-breaks",
+)
+def window_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family over one shuffle: every function shares
+    the same window spec, so Catalyst plans a single sort+Window; frames
+    for first/nth are explicit full-partition ROWS frames (the default
+    running frame would make last/nth order-dependent)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.first("o_orderkey").over(wf).alias("top_order"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        )
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
 # --- additional TPC-H query shapes (round 2 widening) -----------------------
 
 
