@@ -190,3 +190,74 @@ def pack_sequences(
             .alias("bin_offset"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window prep op for training/embedding pipelines.  Chunk i
+    covers tokens ``[1 + i*stride, ... + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final partial chunk is kept
+    (dropping it silently loses tail text).  Pure Column expressions:
+    tokenize once, explode a ``sequence`` of chunk starts, slice — all
+    row-local (embarrassingly parallel; no shuffle).
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    out = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            t.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``md5(id) mod 10000 < rate*10000`` for its stratum's rate — the
+    data-mixing op (e.g. upsample low-resource languages, downsample
+    boilerplate).  md5-hash gating (InputSampler/MD5Filter discipline)
+    makes the sample reproducible in any engine and stable under
+    repartitioning, unlike seeded Bernoulli sampling."""
+    rate = None
+    for stratum, r in rates.items():
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    bucket = md5_long(F.col(id_col).cast("string")) % 10000
+    return df.filter(bucket < (rate * 10000).cast("long"))

@@ -3634,6 +3634,59 @@ def window_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(u AS INT) AS chunk_id,
+           CAST(len(toks[u * 48 + 1 : u * 48 + 64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[u * 48 + 1 : u * 48 + 64], ' ') AS chunk_text
+    FROM c, UNNEST(range(0, n_chunks)) AS s(u)
+    ORDER BY doc_id, chunk_id
+    """,
+    note="context-window chunking (64-token windows, 16 overlap): tokenize once, explode chunk starts, slice — row-local, zero shuffle",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.chunk_documents`` — the chunk-for-embedding/training prep
+    op; keeps the final partial chunk (tail text is never silently
+    dropped)."""
+    return text_ops.chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 10000 WHEN 'de' THEN 10000
+                      WHEN 'es' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END
+    ORDER BY doc_id
+    """,
+    note="deterministic per-stratum (language) sampling via md5 gating — the data-mixing op; reproducible in any engine, stable under repartitioning",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.stratified_sample`` — upsample/downsample strata with
+    md5-hash gates (InputSampler/MD5Filter discipline), not seeded
+    Bernoulli draws: the keep-set is a pure function of ids."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return text_ops.stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": 0.5, "fr": 1.0, "de": 1.0, "es": 0.25, "zh": 0.1},
+    ).orderBy("doc_id")
+
+
 # --- additional TPC-H query shapes (round 2 widening) -----------------------
 
 

@@ -98,3 +98,46 @@ def test_lang_id_default_matches_legacy(spark, tables):
     )
     new = docs.select(text_ops.lang_id("text").alias("l"))
     assert [r["l"] for r in legacy.collect()] == [r["l"] for r in new.collect()]
+
+
+def test_chunk_documents_tiling(spark, tables):
+    # Chunks tile the doc: stride 48, full chunks 64 tokens, tail kept;
+    # reconstructing from non-overlap prefixes yields the original.
+    from hadoop_20_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].select("doc_id", "text").limit(20)
+    chunks = text_ops.chunk_documents(docs, "doc_id", "text", 64, 16)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in chunks.collect())
+    )
+    orig = {
+        r["doc_id"]: r["text"].split() for r in docs.collect()
+    }
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for did, cid, n, txt in rows:
+        per_doc[did].append((cid, n, txt.split() if txt else []))
+    for did, cs in per_doc.items():
+        toks = orig[did]
+        assert [c[0] for c in cs] == list(range(len(cs)))  # dense ids
+        for cid, n, ctoks in cs:
+            assert ctoks == toks[cid * 48 : cid * 48 + 64]
+            assert n == len(ctoks)
+        # every token position covered
+        assert cs[-1][0] * 48 + cs[-1][1] >= len(toks)
+
+
+def test_stratified_sample_deterministic(spark, tables):
+    from hadoop_20_spark.operators import text as text_ops
+
+    docs = tables["documents"].select("doc_id", "lang")
+    rates = {"en": 0.5, "zh": 0.0}
+    a = {r["doc_id"] for r in text_ops.stratified_sample(docs, "doc_id", "lang", rates).collect()}
+    b = {r["doc_id"] for r in text_ops.stratified_sample(docs.repartition(17), "doc_id", "lang", rates).collect()}
+    assert a == b
+    langs = {r["lang"] for r in text_ops.stratified_sample(docs, "doc_id", "lang", rates).collect()}
+    assert "zh" not in langs  # rate 0 and default 0 exclude everything else
+    assert langs <= {"en"}
