@@ -560,3 +560,38 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = max(|x|)``,
+    ``q_i = round(x_i / scale * 127)`` — the 4× storage/bandwidth cut
+    applied to embedding tables before they ship to ANN serving or
+    training at 100 TB.  Row-local pure expressions (zero shuffle);
+    zero vectors quantize to zeros with scale 0.  Dequantization is
+    ``q_i * scale / 127``; max absolute error is ``scale/254``.
+
+    Output: (id, scale rounded 6dp, qvec array<int> in [-127, 127]).
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.array_max(
+            F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+        ).alias("_scale"),
+    )
+    q = F.when(
+        F.col("_scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x.cast("double") / F.col("_scale") * 127).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    return base.select(
+        id_col,
+        F.round(F.col("_scale"), 6).alias("scale"),
+        q.alias("qvec"),
+    )

@@ -3687,6 +3687,28 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(sc, 6) AS scale,
+           CASE WHEN sc > 0
+                THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT))
+                ELSE list_transform(embedding, x -> 0) END AS qvec
+    FROM s ORDER BY vec_id
+    """,
+    note="symmetric int8 embedding quantization (scale = max|x|, q = round(x/scale*127)) — the 4x storage cut before ANN serving; row-local, zero shuffle",
+)
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings(
+        _t(spark, sf_dir, "embeddings")
+    ).orderBy("vec_id")
+
+
 # --- additional TPC-H query shapes (round 2 widening) -----------------------
 
 

@@ -244,3 +244,19 @@ def test_ivf_topk_kmeans_recall(spark):
         for r in REGISTRY["ivf_topk_kmeans"].fn(spark, SF_DIR).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_quantize_embeddings_bounds_and_error(spark, tables):
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    q = similarity.quantize_embeddings(emb)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for vid, r in rows.items():
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        scale = r["scale"]
+        if scale > 0:
+            # dequantized error bounded by scale/254 (+ rounding of scale)
+            for x, qv in zip(orig[vid], r["qvec"]):
+                assert abs(qv * scale / 127 - x) <= scale / 254 + 1e-5
