@@ -52,11 +52,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+    # Spark 4 would infer TIMESTAMP_NTZ, which breaks event-time ops
+    # (unix_micros, watermarks) and diverges from the DuckDB oracle's
+    # naive-as-UTC reading.  Read them as session-tz (UTC) timestamps —
+    # set at call time so the driver's vanilla session behaves too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and truncate to microseconds (the
-        # same floor DuckDB/pyarrow apply when down-converting), keeping
-        # the public schema `ts: timestamp`.
+        # Older fixture generations wrote events.ts as TIMESTAMP(NANOS),
+        # which Spark's reader rejects; read nanos as long and truncate
+        # to microseconds (the same floor DuckDB/pyarrow apply when
+        # down-converting), keeping the public schema `ts: timestamp`.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir or DEFAULT_SF_DIR, name))
         if dict(df.dtypes).get("ts") == "bigint":

@@ -35,6 +35,64 @@ JOIN_TYPES = {
 }
 
 
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_size(text: str) -> int:
+    """Parse a Spark byte-size conf string ('10MB', '10485760b', '-1')."""
+    s = str(text).strip().lower()
+    for suf in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _SIZE_SUFFIXES[suf])
+    return int(s)
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint — the DistributedCache discipline
+    (core/filecache/DistributedCache.java replicates only *small* files).
+
+    A raw ``F.broadcast(df)`` is honored by Spark regardless of actual
+    size and hard-fails above the 8 GB broadcast limit, so it is safe
+    only for fixed-cardinality tables (nation = 25 rows, region = 5).
+    For tables whose size grows with the data (customer/supplier/part,
+    per-user or per-doc aggregates) this helper consults Catalyst's own
+    size estimate (``optimizedPlan().stats().sizeInBytes``, derived from
+    file statistics) and attaches the hint only when the estimate is
+    under the session's ``spark.sql.autoBroadcastJoinThreshold``.
+    Above the threshold the plan is left unhinted: the optimizer plus
+    AQE still choose broadcast from *runtime* stats when the side is
+    genuinely small, and degrade gracefully to a shuffle join when not
+    — instead of aborting at 100 TB.
+    """
+    spark = df.sparkSession
+    if max_bytes is None:
+        max_bytes = _parse_size(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+    if max_bytes <= 0:  # broadcast disabled session-wide: never hint
+        return df
+    try:
+        # py4j maps scala BigInt to a Python int when it fits; fall back
+        # to the string form for values outside the long range.
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(str(raw))
+    except Exception:
+        # Stats unavailable (e.g. Spark Connect): no hint is the safe
+        # default — a missed broadcast costs a shuffle, a wrong one OOMs.
+        return df
+    return F.broadcast(df) if size <= max_bytes else df
+
+
 def join(
     left: DataFrame,
     right: DataFrame,

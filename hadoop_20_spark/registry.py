@@ -1078,7 +1078,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(joins.broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             exact_sum_double(
@@ -1601,14 +1601,18 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way join with the Q5 'local supplier' twist (supplier in the
-    customer's nation).  Scale plan: region/nation/customer/supplier are
-    broadcast (DistributedCache idiom, core/filecache/DistributedCache.java);
-    the only shuffle is lineitem⋈orders on orderkey, then a partial-agg'd
-    groupBy on the tiny (r_name, n_name) key space."""
+    customer's nation).  Scale plan: region/nation (fixed cardinality:
+    5 and 25 rows) are broadcast unconditionally — the DistributedCache
+    idiom (core/filecache/DistributedCache.java) is for *small* files.
+    customer/supplier grow with SF, so they get a size-gated hint only
+    (under the autoBroadcastJoinThreshold); above it Catalyst + AQE pick
+    the strategy from stats instead of aborting at the 8 GB broadcast
+    cap.  The only guaranteed shuffle is lineitem⋈orders on orderkey,
+    then a partial-agg'd groupBy on the tiny (r_name, n_name) key space."""
     region = F.broadcast(_t(spark, sf_dir, "region"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    customer = F.broadcast(_t(spark, sf_dir, "customer"))
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
+    supplier = joins.broadcast_if_small(_t(spark, sf_dir, "supplier"))
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -1636,42 +1640,6 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14_promo_revenue",
-    """
-    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6)
-           AS promo_revenue_pct,
-           COUNT(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
-    """,
-    note="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim join",
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promo-revenue ratio: CASE-gated sum / total sum in one pass — the
-    reference's conditional-Combiner idiom (one reducer computing two sums,
-    mapred/lib/aggregate/DoubleValueSum.java) as a single aggregation."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
-    )
-    part = F.broadcast(_t(spark, sf_dir, "part"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0 * exact_sum_double(promo) / exact_sum_double(disc), 6
-            ).alias("promo_revenue_pct"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@register(
     "q18_large_orders",
     """
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
@@ -1694,15 +1662,17 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed into one plan with a broadcast left-semi join."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    customer = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
+    # `big` is a derived aggregate — its pre-runtime size estimate is
+    # unreliable, so no hint: AQE broadcasts it at runtime when small.
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(customer, F.col("o_custkey") == customer.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -1729,7 +1699,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe; per-side conjunct members (brand/size lists) are still pushed
     to the scans as derived filters."""
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part"))
+    part = joins.broadcast_if_small(_t(spark, sf_dir, "part"))
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & q.between(1, 20))
@@ -2130,11 +2100,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = qpass.join(F.broadcast(keepers), "doc_id", "left_semi")
+    # keepers/drop are per-doc aggregates that grow with the corpus —
+    # no forced hint; AQE broadcasts them at runtime only when small.
+    kept = qpass.join(keepers, "doc_id", "left_semi")
     near = dedup.jaccard_pairs(kept, "doc_id", "text", threshold=0.5, shingle=3)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     return (
-        kept.join(F.broadcast(drop), "doc_id", "left_anti")
+        kept.join(drop, "doc_id", "left_anti")
         .select("doc_id", "quality", "n_tokens")
         .orderBy("doc_id")
     )
@@ -2268,8 +2240,10 @@ def job_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 500)
         .select("term")
     )
+    # hot is a derived vocabulary that grows with the corpus — unhinted;
+    # AQE broadcasts the semi-join side at runtime only when it fits.
     usage = (
-        tok.join(F.broadcast(hot), "term", "left_semi")
+        tok.join(hot, "term", "left_semi")
         .select("lang", "doc_id")
         .distinct()
     )
@@ -2561,8 +2535,8 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     checks = [
-        one("orphan_lineitems", li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti")),
-        one("orphan_orders", orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")),
+        one("orphan_lineitems", li.join(joins.broadcast_if_small(orders), li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one("orphan_orders", orders.join(joins.broadcast_if_small(cust), orders.o_custkey == cust.c_custkey, "left_anti")),
         one("null_order_keys", orders.filter(F.col("o_orderkey").isNull())),
         one(
             "dup_order_keys",
@@ -2839,47 +2813,6 @@ def trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q10_returned_items",
-    """
-    SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
-    FROM customer
-    JOIN nation   ON n_nationkey = c_nationkey
-    JOIN orders   ON o_custkey = c_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-    note="TPC-H Q10 shape: returned-item revenue per customer, top 20 (join + agg + TakeOrdered)",
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = F.broadcast(_t(spark, sf_dir, "customer"))
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            exact_sum_double(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
-    )
-
-
-@register(
     "stateful_totals",
     """
     SELECT user_id, COUNT(*) AS n_events,
@@ -3112,8 +3045,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    cust = F.broadcast(_t(spark, sf_dir, "customer"))
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
+    supp = joins.broadcast_if_small(_t(spark, sf_dir, "supplier"))
     nation = _t(spark, sf_dir, "nation")
     n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation")))
     n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")))
@@ -3224,14 +3157,14 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
@@ -3269,8 +3202,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
     )
+    # first_seen is a per-user aggregate (scales with users) — unhinted;
+    # AQE picks broadcast at runtime when it fits.
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -3342,7 +3277,7 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
-    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    cust = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
     f = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
@@ -3747,9 +3682,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(joins.broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(joins.broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(pair)
         .groupBy(
@@ -3795,8 +3730,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(joins.broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(joins.broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -3868,7 +3803,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(joins.broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(
             exact_sum_double(
@@ -3908,7 +3843,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,6)"
     )
     zero = F.lit(0).cast("decimal(28,6)")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(joins.broadcast_if_small(p), li.l_partkey == p.p_partkey)
     out = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
         .cast("double")
@@ -3959,7 +3894,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(joins.broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -4015,7 +3950,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR evaluates post-join."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(joins.broadcast_if_small(p), li.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")

@@ -26,16 +26,20 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns in the parquet; converted below
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_as_long: bool) -> StructType:
+    """Fixture generations differ: events.ts has been TIMESTAMP(NANOS)
+    (unreadable by Spark except as long) and TIMESTAMP(MICROS).  The
+    stream schema is chosen from the actual file's footer."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_as_long else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,17 +54,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
+    probe = src
+    if os.path.isdir(probe):
+        cands = [f for f in os.listdir(probe) if f.endswith(".parquet")]
+        probe = os.path.join(probe, cands[0]) if cands else probe
+    ts_as_long = True
+    try:
+        import pyarrow.parquet as pq
+
+        ts_as_long = "ns" in str(pq.read_schema(probe).field("ts").type)
+    except Exception:
+        pass  # unreadable footer: keep the legacy nanos-as-long path
     if os.path.isfile(src):
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(d, "events.parquet"))
         src = d
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_as_long))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_as_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_agg(
