@@ -28,9 +28,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hadoop_20_spark import get_spark  # noqa: E402
+from hadoop_20_spark.functions import md5_long  # noqa: E402
 from hadoop_20_spark.registry import REGISTRY  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# B1-B6 have a direct DuckDB analog (BASELINE.md §3: "compare to DuckDB
+# on identical data for B1–B6") — the registry oracle SQL on the same
+# parquet.
+DUCKDB_COMPARABLE = (
+    "b1_agg_scan",
+    "b2_grep",
+    "b3_global_sort",
+    "b4_star_join",
+    "b5_override_join",
+    "b6_secondary_sort",
+)
 
 BENCH_QUERIES = {
     "b1_agg_scan": "q1_pricing_summary",
@@ -70,15 +83,75 @@ def run_once(spark, name: str) -> float:
     return time.time() - t0
 
 
+def fingerprint(df) -> tuple[int, str]:
+    """Distributed, order-independent output fingerprint: rows out plus
+    the sum of a 60-bit md5 of every row's '\\x1f'-joined string form.
+    Self-validating bench runs (BASELINE.md §3) — a plan change that
+    alters results shifts the hash even when the timing looks fine.
+    Runs untimed, after the measured passes."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns]
+    row = (
+        df.select(md5_long(F.concat_ws("\x1f", *cols)).alias("h"))
+        # decimal partial sums: 60-bit values overflow long under ANSI
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), format(int(row["hsum"] or 0) & (2**64 - 1), "x")
+
+
+def duckdb_compare(name: str) -> dict:
+    """Run the registry oracle SQL for a B1-B6 query in DuckDB on the
+    same parquet; record wall-clock and rows for a cross-engine anchor."""
+    import duckdb
+
+    from hadoop_20_spark.catalog import TABLES, table_path
+
+    qname = BENCH_QUERIES[name]
+    sql = REGISTRY[qname].oracle
+    if sql is None:
+        return {}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    times = []
+    rows = 0
+    for _ in range(3):
+        t0 = time.time()
+        rows = len(con.execute(sql).fetchall())
+        times.append(time.time() - t0)
+    con.close()
+    return {"duckdb_secs": round(statistics.median(times), 3), "duckdb_rows": rows}
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warm-up: JVM + parquet footer caches
     REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR).count()
 
     per_query: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         times = [run_once(spark, name) for _ in range(3)]
         per_query[name] = round(statistics.median(times), 3)
+        d: dict = {"secs": per_query[name]}
+        if name == "b7_demux_write":
+            from hadoop_20_spark.catalog import load_table
+
+            d["rows"], d["hash"] = fingerprint(load_table(spark, "events", SF_DIR))
+        else:
+            d["rows"], d["hash"] = fingerprint(
+                REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR)
+            )
+        if name in DUCKDB_COMPARABLE:
+            d.update(duckdb_compare(name))
+            if "duckdb_rows" in d:
+                d["rows_match"] = d["rows"] == d["duckdb_rows"]
+        detail[name] = d
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -88,6 +161,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "detail": detail,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

