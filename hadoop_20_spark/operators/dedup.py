@@ -233,12 +233,18 @@ def jaccard_verify(
     b = sets.select(F.col("did").alias("id_b"), F.col("shs").alias("_shs_b"))
     inter = F.size(F.array_intersect(F.col("_shs_a"), F.col("_shs_b")))
     union = F.size("_shs_a") + F.size("_shs_b") - inter
+    # Threshold the UNROUNDED ratio (integer intersection vs t*union):
+    # prefix pruning only guarantees candidates for true J >= t, so
+    # filtering on a rounded value would admit pairs in [t-5e-7, t)
+    # that pruning is free to drop.  Round only the emitted column.
     return (
         pairs.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("_i", inter)
+        .withColumn("_u", F.size("_shs_a") + F.size("_shs_b") - F.col("_i"))
+        .filter(F.col("_i") >= F.lit(float(threshold)) * F.col("_u"))
+        .withColumn("jaccard", F.round(F.col("_i") / F.col("_u"), 6))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -307,18 +313,14 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("did").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("did").alias("id_b"), F.col("sz").alias("sz_b"))
+    # Same exact-threshold convention as jaccard_verify: filter on the
+    # unrounded ratio, round only the emitted column.
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("_u", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        .filter(F.col("n_common") >= F.lit(float(threshold)) * F.col("_u"))
+        .withColumn("jaccard", F.round(F.col("n_common") / F.col("_u"), 6))
         .select("id_a", "id_b", "jaccard")
     )
 

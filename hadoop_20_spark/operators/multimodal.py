@@ -51,20 +51,56 @@ def to_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _real_decoder():
+    """PIL-backed image decoder when the library is importable, else
+    ``None``.  Cached module-side so executors probe the import once per
+    worker process, not once per row."""
+    global _REAL_DECODER
+    if _REAL_DECODER is not _UNPROBED:
+        return _REAL_DECODER
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        _REAL_DECODER = None
+        return None
+
+    def decode(payload: bytes) -> tuple[int, int, list[float]]:
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        w, h = img.size
+        # 8-dim feature: 4x2 grayscale thumbnail, [0,1] — the smallest
+        # real embedding that exercises the array<float> plumbing.
+        feat = [p / 255.0 for p in img.convert("L").resize((4, 2)).getdata()]
+        return w, h, feat
+
+    _REAL_DECODER = decode
+    return decode
+
+
+_UNPROBED = object()
+_REAL_DECODER = _UNPROBED
+
+
 def _decode_bytes(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
     """Decode one media payload → (width, height, feature vector).
 
-    REAL DECODER GOES HERE (PIL/torchvision/ffmpeg).  Not available in
-    this container, so:
-    - fake=False → NotImplementedError (clearly-marked stub);
+    - fake=False → real decode via PIL when importable (optional dep —
+      not in this container's baseline image); otherwise a
+      clearly-marked NotImplementedError stub;
     - fake=True → deterministic pseudo-decode from md5(payload): width/
       height in [64, 1983], 8-dim feature of bytes/255.
     """
     if not fake:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "pass fake=True for the deterministic stub"
-        )
+        decode = _real_decoder()
+        if decode is None:
+            raise NotImplementedError(
+                "media codecs not available in this environment "
+                "(PIL not importable); pass fake=True for the "
+                "deterministic stub"
+            )
+        return decode(payload)
     digest = hashlib.md5(payload).digest()
     width = 64 + int.from_bytes(digest[0:2], "big") % 1920
     height = 64 + int.from_bytes(digest[2:4], "big") % 1920

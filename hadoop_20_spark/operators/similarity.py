@@ -507,6 +507,42 @@ def embedding_verify(
 BRUTE_FORCE_MAX_ROWS = 100_000
 
 
+def srp_bucket_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Per-table SRP bucket occupancy — the observability hook for the
+    approximate path (the SRP analog of ``dedup.lsh_bucket_stats``):
+    rows, distinct buckets, and the largest bucket per hash table.
+    A max bucket near the table's row count means the planes aren't
+    splitting this corpus (degenerate vectors) and candidate-join
+    fan-out will approach all-pairs; near-singleton buckets mean
+    recall comes from multiprobe/tables, not co-bucketing."""
+    per_table = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _srp_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
+        )
+        for t in range(n_tables)
+    ]
+    return (
+        df.select(F.explode(F.array(*per_table)).alias("tb"))
+        .groupBy("tb.tbl", "tb.bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("tbl")
+        .agg(
+            F.sum("n").alias("rows"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+        )
+        .orderBy("tbl")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -517,25 +553,35 @@ def embedding_near_dups(
     n_tables: int = 12,
     multiprobe: int = 1,
     brute_force: bool = False,
+    method: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (``id_a < id_b``, sim ≥ t).
 
-    Default path is bucket-then-verify: SRP candidates with Hamming-1
-    multiprobe (:func:`srp_candidate_pairs`) → exact cosine verify
-    (:func:`embedding_verify`).  Emitted similarities are exact; recall
-    is approximate — a qualifying pair is found iff it lands within one
-    plane-flip of a shared bucket in ≥1 of ``n_tables`` deterministic
-    tables: per-table probability ``p^k + k·p^(k-1)(1-p)`` with
-    ``p = 1-θ/π``, ``k = n_planes`` (≈0.59/table at sim 0.5, >0.999
-    overall with the defaults).  The planes are md5-seeded constants, so
-    recall on a given corpus is deterministic and testable, not a
-    per-run coin flip.
+    ``method`` names the path explicitly at call sites:
 
-    ``brute_force=True`` selects the exact all-pairs cross join — guarded
-    by :data:`BRUTE_FORCE_MAX_ROWS` (the count is one cheap action) so
-    the O(n²) path can never silently run on a 100 TB corpus.
+    - ``"srp"`` (the default) — bucket-then-verify: SRP candidates with
+      Hamming-1 multiprobe (:func:`srp_candidate_pairs`) → exact cosine
+      verify (:func:`embedding_verify`).  Emitted similarities are
+      exact; **recall is probabilistic by construction** — a qualifying
+      pair is found iff it lands within one plane-flip of a shared
+      bucket in ≥1 of ``n_tables`` deterministic tables: per-table
+      probability ``p^k + k·p^(k-1)(1-p)`` with ``p = 1-θ/π``,
+      ``k = n_planes`` (≈0.59/table at sim 0.5, >0.999 overall with
+      the defaults).  The planes are md5-seeded constants, so recall on
+      a given corpus is deterministic and testable, not a per-run coin
+      flip; :func:`srp_bucket_stats` reports bucket occupancy for
+      coverage monitoring.
+    - ``"brute"`` — the exact all-pairs cross join, guarded by
+      :data:`BRUTE_FORCE_MAX_ROWS` (the count is one cheap action) so
+      the O(n²) path can never silently run on a 100 TB corpus.
+
+    ``brute_force=True`` is the legacy spelling of ``method="brute"``.
     """
-    if not brute_force:
+    if method is None:
+        method = "brute" if brute_force else "srp"
+    if method not in ("srp", "brute"):
+        raise ValueError(f"method must be 'srp' or 'brute', got {method!r}")
+    if method == "srp":
         cand = srp_candidate_pairs(
             df, id_col, vec_col, dim, n_planes, n_tables, multiprobe
         )

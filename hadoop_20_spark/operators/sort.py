@@ -98,16 +98,18 @@ def parse_key_field_spec(
     spec: str,
 ) -> list[tuple[int, int, int, int, bool, bool]]:
     """``"-k2.4,3nr -k1"`` → [(2,4,3,0,numeric=True,reverse=True),
-    (1,1,1,0,F,F)] as (start_field, start_char, end_field, end_char,
+    (1,1,-1,0,F,F)] as (start_field, start_char, end_field, end_char,
     numeric, reverse).  Fields and chars are 1-based as in
-    sort(1)/KeyFieldHelper.java#parseKey; ``end_char == 0`` means "to
-    the end of the end field" (the KeyDescription default); flags may be
-    attached to either endpoint, as in sort(1)."""
+    sort(1)/KeyFieldHelper.java#parseKey; ``end_field == -1`` means
+    "through the end of the line" (sort(1)'s and KeyDescription's
+    default when pos2 is absent); ``end_char == 0`` means "to the end
+    of the end field"; flags may be attached to either endpoint, as in
+    sort(1)."""
     out = []
     for m in _KEYSPEC.finditer(spec):
         start_f = int(m.group(1))
         start_c = int(m.group(2)) if m.group(2) else 1
-        end_f = int(m.group(4)) if m.group(4) else start_f
+        end_f = int(m.group(4)) if m.group(4) else -1
         end_c = int(m.group(5)) if m.group(5) else 0
         flags = (m.group(3) or "") + (m.group(6) or "")
         out.append((start_f, start_c, end_f, end_c, "n" in flags, "r" in flags))
@@ -119,7 +121,15 @@ def parse_key_field_spec(
 def _key_piece(fields: Column, sf: int, sc: int, ef: int, ec: int, sep: str) -> Column:
     """Extract the key text for one (field.char, field.char) range from a
     split-fields array — char offsets trim only the endpoint fields,
-    exactly KeyFieldHelper#getStartOffset/getEndOffset."""
+    exactly KeyFieldHelper#getStartOffset/getEndOffset.  ``ef == -1``
+    = through the last field (missing pos2)."""
+    if ef == -1:
+        head = F.element_at(fields, sf)
+        head = head.substr(F.lit(sc), F.length(head))
+        rest = F.slice(
+            fields, sf + 1, F.greatest(F.size(fields) - sf, F.lit(0))
+        )
+        return F.array_join(F.concat(F.array(head), rest), sep)
     if sf == ef:
         f0 = F.element_at(fields, sf)
         if ec > 0:

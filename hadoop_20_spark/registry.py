@@ -569,9 +569,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lines AS (
       SELECT concat_ws(chr(9), s_name, s_nationkey, s_acctbal) AS line FROM supplier
     ), f AS (SELECT line, string_split(line, chr(9)) AS fields FROM lines)
-    SELECT line FROM f ORDER BY CAST(fields[3] AS DOUBLE) DESC, fields[1]
+    SELECT line FROM f ORDER BY CAST(fields[3] AS DOUBLE) DESC, line
     """,
-    note="KeyFieldBasedComparator -k3nr -k1 POSIX sort spec",
+    note="KeyFieldBasedComparator -k3nr -k1 POSIX sort spec (-k1 with no pos2 = field 1 through end of line)",
 )
 def key_field_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select(

@@ -190,33 +190,82 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-def stateful_running_totals(events: DataFrame) -> DataFrame:
+def stateful_running_totals(
+    events: DataFrame,
+    idle_timeout_ms: int | None = None,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState —
     the arbitrary-state API the reference had no analog for (its reducers
     were stateless across jobs; cross-job state lived in HDFS files).
 
     Per user, maintains (n_events, total_value) across microbatches and
-    emits the updated running totals each batch.  State is a 2-tuple per
-    key — bounded, watermark-free (demo); production operators pair this
-    with timeouts to expire idle keys."""
+    emits the updated running totals each batch.
+
+    ``idle_timeout_ms`` arms an EventTimeTimeout per key: a key whose
+    last event is more than that far behind the watermark is expired —
+    its final totals are emitted with ``expired = true`` and the state
+    entry is REMOVED, so state size tracks the active-key working set
+    instead of the all-time key cardinality (the requirement at 100 TB,
+    where all-time user ids don't fit in executor memory).  Event-time
+    (not processing-time) expiry on purpose: it is reprocessing-safe
+    (replaying yesterday's data expires the same keys), and the engine
+    only reruns batches when the watermark advances, so bounded runs
+    (availableNow / processAllAvailable) terminate — a
+    ProcessingTimeTimeout makes every microbatch schedule another one
+    and test harnesses spin forever.  Without it the operator is
+    watermark-free and state grows with distinct keys (demo/test
+    sizing only)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
-    out_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    with_timeout = idle_timeout_ms is not None
+    out_schema = "user_id long, n_events long, total_value double" + (
+        ", expired boolean" if with_timeout else ""
+    )
+    state_schema = "n long, total double" + (", max_ts long" if with_timeout else "")
+
+    def row(uid, n, total, expired):
+        cols = {
+            "user_id": [uid],
+            "n_events": [n],
+            "total_value": [round(total, 6)],
+        }
+        if with_timeout:
+            cols["expired"] = [expired]
+        return pd.DataFrame(cols)
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        if with_timeout and state.hasTimedOut:
+            n, total = state.get[0], state.get[1]
+            state.remove()
+            yield row(key[0], n, total, True)
+            return
+        prev = state.get if state.exists else None
+        n, total = (prev[0], prev[1]) if prev else (0, 0.0)
+        max_ts = prev[2] if (prev and with_timeout) else 0
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
-        )
+            if with_timeout and len(pdf):
+                batch_max = pdf[ts_col].max()
+                max_ts = max(max_ts, int(batch_max.timestamp() * 1000))
+        if with_timeout:
+            state.update((n, round(total, 6), max_ts))
+            state.setTimeoutTimestamp(max_ts + idle_timeout_ms)
+        else:
+            state.update((n, round(total, 6)))
+        yield row(key[0], n, total, False)
 
+    if with_timeout:
+        events = events.withWatermark(ts_col, watermark)
     return events.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", "NoTimeout"
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        "EventTimeTimeout" if with_timeout else "NoTimeout",
     )
 
 

@@ -205,6 +205,30 @@ def test_embedding_near_dups_srp_matches_brute_force(spark, tables):
     assert (1, 100001) in srp
 
 
+def test_embedding_near_dups_method_param(spark, tables):
+    import pytest
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(50)
+    # explicit method names select the same paths as the legacy flag
+    a = similarity.embedding_near_dups(emb, threshold=0.5, method="brute").collect()
+    b = similarity.embedding_near_dups(emb, threshold=0.5, brute_force=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="method"):
+        similarity.embedding_near_dups(emb, method="annoy")
+
+
+def test_srp_bucket_stats(spark, tables):
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    n = emb.count()
+    stats = similarity.srp_bucket_stats(emb, n_tables=3).collect()
+    assert [r["tbl"] for r in stats] == [0, 1, 2]
+    for r in stats:
+        assert r["rows"] == n
+        # 4 planes -> at most 16 buckets; occupancy must partition rows
+        assert 1 <= r["n_buckets"] <= 16
+        assert r["max_bucket"] <= n
+
+
 def test_embedding_brute_force_guard(spark, tables):
     import pytest
 

@@ -70,3 +70,59 @@ def test_stateful_running_totals(spark):
     g = {r["user_id"]: r["n_events"] for r in got.collect()}
     e = {r["user_id"]: r["n_events"] for r in exp.collect()}
     assert g == e
+
+
+def test_stateful_idle_key_timeout_expires_state(spark, tmp_path):
+    """EventTimeTimeout: a key idle past the timeout (in event time,
+    relative to the watermark) is emitted with expired=true and its
+    state REMOVED — state size tracks the active working set, not
+    all-time key cardinality."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_file(tag, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / tag)
+        )
+
+    def stage(tag):
+        part = glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{tag}.parquet"))
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("f1", [(1, 10.0, t(10)), (1, 5.0, t(10, 5))])
+    write_file("f2", [(2, 7.0, t(12))])  # watermark -> 12:00
+    write_file("f3", [(1, 1.0, t(13))])  # user 1 returns after expiry
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming.stateful_running_totals(
+        stream, idle_timeout_ms=3_600_000  # 1h of event time
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_sft")
+        .start()
+    )
+    stage("f1")
+    q.processAllAvailable()  # user 1 accumulates; timeout at 11:05
+    stage("f2")
+    q.processAllAvailable()  # watermark 12:00 > 11:05 -> user 1 expires
+    stage("f3")
+    q.processAllAvailable()  # user 1 restarts FROM ZERO
+    q.stop()
+
+    rows = spark.table("t_sft").collect()
+    expired = [r for r in rows if r["expired"]]
+    assert any(r["user_id"] == 1 and r["n_events"] == 2 for r in expired)
+    # post-expiry, user 1's totals restart from scratch (state removed)
+    restarted = [
+        r for r in rows if r["user_id"] == 1 and not r["expired"] and r["n_events"] == 1
+    ]
+    assert restarted and restarted[0]["total_value"] == 1.0

@@ -8,9 +8,11 @@ from hadoop_20_spark.plans import (
 
 
 def test_parse_key_field_spec():
+    # missing pos2 defaults to end-of-line (-1), as in sort(1) and
+    # KeyFieldHelper#parseKey
     assert sort_ops.parse_key_field_spec("-k2,3nr -k1") == [
         (2, 1, 3, 0, True, True),
-        (1, 1, 1, 0, False, False),
+        (1, 1, -1, 0, False, False),
     ]
     # KeyFieldHelper char offsets: -k2.4,3.2n = from char 4 of field 2
     # through char 2 of field 3, numeric; flags attach to either end.
@@ -105,6 +107,22 @@ def test_key_field_sort_char_offsets(spark):
         for r in sort_ops.key_field_sort(df, "line", "-k1.2,1.3n", separator=" ").collect()
     ]
     assert out == ["a125 y", "b401 z", "a934 x"]
+
+
+def test_key_field_sort_open_ended_range(spark):
+    # -k2 (no pos2): key is field 2 THROUGH END OF LINE, not field 2
+    # alone — "2 a" vs "2 b" must order by the trailing field too.
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    df = spark.createDataFrame(
+        [("x 2 b",), ("y 2 a",), ("z 10 c",)], ["line"]
+    )
+    out = [
+        r["line"]
+        for r in sort_ops.key_field_sort(df, "line", "-k2", separator=" ").collect()
+    ]
+    # text keys: "2 b", "2 a", "10 c" -> "10 c" < "2 a" < "2 b"
+    assert out == ["z 10 c", "y 2 a", "x 2 b"]
 
 
 def test_key_field_sort_char_offset_spans_fields(spark):

@@ -88,12 +88,31 @@ def test_multimodal_features_deterministic(spark, tables):
         assert len(r["feat"]) == 8
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_real_decode_stub_or_pil():
+    """fake=False uses PIL when importable, else the marked stub."""
     try:
-        multimodal._decode_bytes(b"xx", fake=False)
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        try:
+            multimodal._decode_bytes(b"xx", fake=False)
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+        return
+    # real path: decode a generated 6x3 PNG; 8-dim feature contract holds
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (6, 3), (200, 10, 10)).save(buf, format="PNG")
+    w, h, feat = multimodal._decode_bytes(buf.getvalue(), fake=False)
+    assert (w, h) == (6, 3)
+    assert len(feat) == 8 and all(0.0 <= x <= 1.0 for x in feat)
 
 
 def test_resize_stub_bounds(spark, tables):
