@@ -641,3 +641,71 @@ def quantize_embeddings(
         F.round(F.col("_scale"), 6).alias("scale"),
         q.alias("qvec"),
     )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Per-label outlier detection: cosine of every vector against its
+    label's mean centroid, lowest ``k`` per label — the embedding-space
+    curation op (mislabeled / off-distribution examples surface as the
+    least-central members of their own class).
+
+    Plan shape: posexplode to (label, pos, val) → one partial-agg'd
+    groupBy for centroids (decimal-exact sums, so centroids are
+    identical under any partitioning) → rejoin on (label, pos) →
+    per-vector dot/norm aggregation → WindowGroupLimit top-k per label.
+    Everything is positional arithmetic on narrow rows; the vectors are
+    never rebuilt into arrays and nothing driver-side touches the data.
+    At 100 TB both shuffles key on (label, pos) / (vec_id) — high
+    cardinality, no skew beyond label imbalance (salt the centroid agg
+    if one label dominates)."""
+    pos = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    cent = (
+        pos.groupBy("lbl", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    # decimal partial sums: dot/norms exact under any partitioning
+    scored = (
+        pos.join(cent, ["lbl", "pos"])
+        .groupBy("vid", "lbl")
+        .agg(
+            F.sum((F.col("val") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("val") * F.col("val")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("nv"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("nc"),
+        )
+        .withColumn(
+            "centroid_cos",
+            F.round(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6),
+        )
+    )
+    w = Window.partitionBy("lbl").orderBy("centroid_cos", "vid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("lbl").alias(label_col),
+            "centroid_cos",
+            F.col("rk").alias("outlier_rank"),
+        )
+    )

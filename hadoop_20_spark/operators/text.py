@@ -261,3 +261,46 @@ def stratified_sample(
     rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
     bucket = md5_long(F.col(id_col).cast("string")) % 10000
     return df.filter(bucket < (rate * 10000).cast("long"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm: Schleimer,
+    Wilkerson & Aiken, SIGMOD'03): hash every word ``k``-gram
+    (:func:`md5_long` — engine-portable), then keep the MINIMUM hash of
+    each sliding ``window`` of consecutive k-gram hashes; the distinct
+    minima are the document's fingerprints.
+
+    Guarantees (the paper's): any shared substring of at least
+    ``k + window - 1`` tokens produces at least one shared fingerprint,
+    while storing only ~``2/(window+1)`` of all k-gram hashes — the
+    position-aware fingerprint family, vs the position-blind MinHash
+    sketch in ``dedup``.
+
+    Scale: the whole selection is higher-order Column expressions
+    (transform/slice/array_min — whole-stage codegen, row-local, zero
+    shuffle); only the output explode widens rows.  Nearest reference
+    analog: the per-record digesting idiom of core/io/MD5Hash.java, with
+    windowed selection the reference never had."""
+    grams = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(tokens(F.col(text_col))) - k, F.lit(0)),
+        ),
+        lambda i: F.array_join(F.slice(tokens(F.col(text_col)), i + 1, k), " "),
+    )
+    hashes = F.transform(grams, lambda g: md5_long(g))
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        # slice clamps at the array end, so short docs yield min-of-all
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
+    )

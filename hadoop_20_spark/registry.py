@@ -3988,6 +3988,209 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(cnt) AS total FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS dcnt FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(cnt AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / dcnt) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM s
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS tfidf, rk
+    FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+    note="TF-IDF top-3 terms per document (keyword extraction): two partial-agg passes + one broadcast scalar + per-doc WindowGroupLimit",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords — the classic relevance weighting
+    (Spärck Jones IDF), all partial-agg'd groupBys: tf on (doc, term),
+    doc length on (doc), document frequency on (term), corpus size as a
+    broadcast 1-row cross join.  Rank by UNROUNDED score with a term
+    tie-break (identical double arithmetic in both engines), round only
+    the emitted value — the registry determinism rules.  At 100 TB the
+    only wide shuffle keys on term (document frequency); Zipf-head
+    terms partial-aggregate map-side, so no skew blowup."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_fn_tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("total"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dcnt"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("cnt").cast("double") / F.col("total"))
+            * F.log(F.col("n_docs").cast("double") / F.col("dcnt")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
+    "winnowing_fps",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS grams
+      FROM tok
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+      FROM g
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                                 i -> list_min(hs[i:i+3])))) AS fp
+      FROM h
+    )
+    SELECT doc_id, fp FROM w ORDER BY doc_id, fp
+    """,
+    note="winnowing (MOSS) fingerprints: min-hash of each sliding window of 3-gram hashes — position-aware dedup fingerprints, row-local codegen",
+)
+def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4
+    ).orderBy("doc_id", "fp")
+
+
+@register(
+    "label_outliers",
+    """
+    WITH pos AS (
+      SELECT vec_id, label, ord, CAST(embedding[ord] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(ord)
+    ),
+    cent AS (
+      SELECT label, ord,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM pos GROUP BY label, ord
+    ),
+    scored AS (
+      SELECT p.vec_id, p.label,
+             CAST(SUM(CAST(p.val * c.c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(p.val * p.val AS DECIMAL(38,18))) AS DOUBLE) AS nv,
+             CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,18))) AS DOUBLE) AS nc
+      FROM pos p JOIN cent c ON c.label = p.label AND c.ord = p.ord
+      GROUP BY p.vec_id, p.label
+    ),
+    r AS (
+      SELECT vec_id, label, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS centroid_cos,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY ROUND(dot / (sqrt(nv) * sqrt(nc)), 6), vec_id) AS outlier_rank
+      FROM scored
+    )
+    SELECT vec_id, label, centroid_cos, outlier_rank
+    FROM r WHERE outlier_rank <= 5 ORDER BY label, outlier_rank
+    """,
+    note="embedding outlier detection: cosine to own-label mean centroid, bottom-5 per label (mislabel/off-distribution curation)",
+)
+def label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroid_outliers(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", k=5
+    ).orderBy("label", "outlier_rank")
+
+
+@register(
+    "source_ngram_overlap",
+    r"""
+    WITH tok AS (
+      SELECT source, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+2], ' ')))) AS ng
+      FROM tok
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coef
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    note="cross-source 3-gram overlap matrix (train/eval leakage audit): distinct (source, ngram) self-join — fan-out bounded by #sources per ngram, never #docs",
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources via distinct
+    3-gram sets — the leakage/contamination audit between data mixes.
+    The self-join keys on ngram AFTER per-source dedup, so each ngram
+    contributes at most #sources rows per side: fan-out is bounded by
+    #sources² per ngram regardless of corpus size (unlike a doc-level
+    join).  At 100 TB, hash ngrams to 8-byte keys (md5_long) to shrink
+    the shuffle payload."""
+    from hadoop_20_spark.functions import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "source", F.explode(shingles("text", 3)).alias("ng")
+    ).distinct()
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col("source").alias("src_a"), "ng")
+    b = g.select(F.col("source").alias("src_b"), "ng")
+    shared = (
+        a.join(b, "ng")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("sz_a", "sz_b"),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def _driver_seen() -> frozenset[str]:
     """Names with a green row in any per-round driver correctness file
     (CORRECTNESS_r*.json at the repo root).  queries() lists
