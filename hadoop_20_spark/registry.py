@@ -1576,6 +1576,41 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.run_to_memory(agg, "q_streaming_tumbling")
 
 
+@register(
+    "streaming_static_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+    note="REAL stream-static dimension join (file microbatches x static customer dim) + complete-mode agg; oracle is the batch equivalence",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the streaming face of the
+    DistributedCache replicated join: each microbatch hash-joins against
+    the STATIC customer dim (stateless — no join state accrues, unlike
+    stream-stream), then feeds a complete-mode aggregate.  At 100 TB
+    the dim side is re-planned per microbatch, so Catalyst/AQE pick
+    broadcast vs shuffle from the dim's actual size — same gating
+    discipline as the batch queries, no forced hint."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events.join(cust, events.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return stream_ops.run_to_memory(agg, "q_streaming_static_join")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped relational widening (SURVEY §2.4/§2.5 composition patterns)
 # ---------------------------------------------------------------------------
@@ -4028,12 +4063,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_fn_tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("total"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dcnt"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # doc length and document frequency as windows over the ONE tf
+    # relation (instead of groupBy+rejoin, which makes Spark recompute
+    # the token aggregation per branch): exactly three tf-sized
+    # shuffles — (doc,term) agg, term window, doc window — and the
+    # ranking window reuses the doc partitioning (no fourth exchange).
     s = (
-        tf.join(dl, "doc_id")
-        .join(dfreq, "term")
+        tf.withColumn(
+            "dcnt", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("doc_id"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
