@@ -304,3 +304,63 @@ def winnowing_fingerprints(
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_bits: int = 3,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS trick, token granularity):
+    a chunk boundary falls AFTER any token whose md5 hash has its low
+    ``boundary_bits`` bits zero — so boundaries are decided by content,
+    not position, and an insertion near the start of a document shifts
+    only the chunk it lands in, never the chunks downstream (fixed-width
+    chunking re-hashes everything after the edit).  Expected chunk
+    length is ``2**boundary_bits`` tokens.
+
+    Emits ``(id, chunk_idx, chunk_hash, n_tokens)`` — the chunk-store
+    view used for delta-dedup between document versions: shared chunks
+    hash identically across docs.
+
+    Scale: boundary detection, range assembly, and hashing are all
+    higher-order Column expressions (codegen, row-local, zero shuffle);
+    only the final explode widens rows.  Reference analog: the
+    block-level dedup HDFS never had; per-record digests via
+    core/io/MD5Hash.java."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mask = (1 << boundary_bits) - 1
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: md5_long(F.element_at(toks, i)).bitwiseAND(mask) == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    ranges = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        # a boundary on the last token leaves an empty trailing range
+        lambda r: r["s"] <= r["e"],
+    )
+    chunks = F.transform(
+        ranges,
+        lambda r: F.struct(
+            F.md5(
+                F.array_join(F.slice(toks, r["s"], r["e"] - r["s"] + 1), " ")
+            ).alias("h"),
+            (r["e"] - r["s"] + 1).alias("nt"),
+        ),
+    )
+    return (
+        df.filter(n >= 1)
+        .select(F.col(id_col), F.posexplode(chunks).alias("pos", "c"))
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("chunk_idx"),
+            F.col("c.h").alias("chunk_hash"),
+            F.col("c.nt").alias("n_tokens"),
+        )
+    )

@@ -4233,6 +4233,44 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_chunks",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 1
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, greatest(len(toks), 1) + 1),
+                         i -> CAST(('0x' || substr(md5(toks[i]), 1, 15)) AS BIGINT) % 8 = 0) AS bpos
+      FROM tok
+    ),
+    r AS (
+      SELECT doc_id, toks,
+             list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+             list_append(bpos, len(toks)) AS ends
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id, j, starts[j] AS s, ends[j] AS e, toks
+      FROM r, UNNEST(range(1, len(starts) + 1)) AS t(j)
+      WHERE starts[j] <= ends[j]
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS chunk_idx,
+           md5(array_to_string(toks[s:e], ' ')) AS chunk_hash,
+           e - s + 1 AS n_tokens
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    note="content-defined chunking (rsync/LBFS): md5-gated token boundaries, shift-resistant chunk hashes for delta-dedup; row-local codegen, explode-only widening",
+)
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.cdc_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", boundary_bits=3
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _driver_seen() -> frozenset[str]:
     """Names with a green row in any per-round driver correctness file
     (CORRECTNESS_r*.json at the repo root).  queries() lists

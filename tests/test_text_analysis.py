@@ -54,3 +54,54 @@ def test_label_outliers_deterministic_and_ranked(spark, tables):
         # ranks follow ascending centroid cosine (least central first)
         cos = [r["centroid_cos"] for r in rows]
         assert cos == sorted(cos)
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """Content-defined chunking: inserting tokens at the FRONT of a
+    document only changes the chunk containing the edit — every chunk
+    after the first content boundary hashes identically (fixed-width
+    chunking would shift and re-hash everything)."""
+    from hadoop_20_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted words " + base)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, "doc_id", "text", boundary_bits=3).collect()
+    h = {}
+    for r in rows:
+        h.setdefault(r["doc_id"], set()).add(r["chunk_hash"])
+    shared = h[1] & h[2]
+    # all base chunks except (at most) the first survive the front edit
+    assert len(shared) >= len(h[1]) - 1
+    assert len(shared) >= 2  # the fixture yields several chunks
+
+
+def test_cdc_chunks_cover_document(spark, tables):
+    """Chunks tile the document: per-doc token counts sum to the doc's
+    token count, and chunk_idx is gapless from 1."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.text import cdc_chunks
+    from hadoop_20_spark.functions import tokens
+
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    chunks = cdc_chunks(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]: (r["nt"], r["nchunks"], r["maxidx"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("nt"),
+            F.count(F.lit(1)).alias("nchunks"),
+            F.max("chunk_idx").alias("maxidx"),
+        )
+        .collect()
+    }
+    exp = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    assert set(got) == set(exp)
+    for d, (nt, nchunks, maxidx) in got.items():
+        assert nt == exp[d], d
+        assert nchunks == maxidx, d
