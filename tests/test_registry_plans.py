@@ -117,3 +117,45 @@ def test_sequence_packing_no_global_window(spark):
     plan = physical_plan(REGISTRY["sequence_packing"].fn(spark, PLAN_SF))
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_winnowing_row_local_until_explode(spark):
+    """Winnowing selection is row-local: the only exchange in the plan
+    is the final result sort — no shuffle feeds the fingerprint calc."""
+    plan = physical_plan(REGISTRY["winnowing_fps"].fn(spark, PLAN_SF))
+    import re
+
+    # count footer node entries: the formatted plan repeats each node
+    # in the tree and the detail footer
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert plan.count("BroadcastExchange") == 0, plan[:2000]
+    assert n_ex <= 1, f"{n_ex} exchanges (want <=1, the result sort)"
+
+
+def test_cdc_chunks_row_local_until_explode(spark):
+    plan = physical_plan(REGISTRY["cdc_chunks"].fn(spark, PLAN_SF))
+    import re
+
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert plan.count("BroadcastExchange") == 0, plan[:2000]
+    assert n_ex <= 1, f"{n_ex} exchanges (want <=1, the result sort)"
+    assert "Generate" in plan  # the chunk explode
+
+
+def test_tfidf_plan_shape(spark):
+    """TF-IDF: windows over one tf relation (no recomputed token agg);
+    ranking uses WindowGroupLimit (partial top-k before the shuffle)."""
+    import re
+
+    plan = physical_plan(REGISTRY["tfidf_top_terms"].fn(spark, PLAN_SF))
+    assert "WindowGroupLimit" in plan
+    # one token explode only — doc-length/doc-frequency come from
+    # windows, not separate scans (footer node entries)
+    n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_gen == 1, plan[:3000]
+
+
+def test_label_outliers_partial_agg_and_group_limit(spark):
+    plan = physical_plan(REGISTRY["label_outliers"].fn(spark, PLAN_SF))
+    assert "WindowGroupLimit" in plan
+    assert "partial_sum" in plan  # decimal partial sums map-side
