@@ -4234,6 +4234,60 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    s AS (
+      SELECT tok.doc_id, -ln(CAST(n AS DOUBLE) / t) AS nll
+      FROM tok JOIN cnt USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    note="unigram LM cross-entropy per doc (CCNet-style perplexity filtering signal): corpus unigram probs -> per-doc mean -ln p(token), decimal-exact mean",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy — the language-model quality
+    signal corpus filters rank on (high = off-distribution/noise, low =
+    repetitive/boilerplate): H(doc) = mean of -ln p(token) under the
+    corpus unigram distribution.
+
+    Determinism: the mean sums ln-values in DECIMAL(38,18) (fp addition
+    order would differ by partitioning); ln/division are identical IEEE
+    doubles in both engines.  Scale: one term-count shuffle (Zipf-head
+    terms partial-aggregate map-side), then tok⋈vocab on term — the
+    vocab side is a derived aggregate, so it carries no forced hint and
+    AQE broadcasts it when it fits (typical: vocab ≪ corpus) — then a
+    per-doc aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_fn_tokens("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    nll = -F.log(F.col("n").cast("double") / F.col("t"))
+    return (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "cdc_chunks",
     r"""
     WITH tok AS (
