@@ -2402,6 +2402,51 @@ REGISTRY["embedding_topk_lsh"] = Query(
 )
 
 
+def _srp_stats_oracle() -> str:
+    """Per-table SRP bucket occupancy with the same literal hyperplanes
+    as _srp_topk_oracle."""
+    from hadoop_20_spark.operators.similarity import _srp_signs
+
+    def bkt_expr(t: int) -> str:
+        terms = []
+        for p in range(4):
+            lits = "[" + ", ".join(str(x) for x in _srp_signs(64, 4, t)[p]) + "]"
+            proj = (
+                f"list_aggregate(list_transform(range(1, 65), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lits}[i])), 'sum')"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, 0 AS tbl, {bkt_expr(0)} AS bkt FROM embeddings
+      UNION ALL SELECT vec_id, 1, {bkt_expr(1)} FROM embeddings
+      UNION ALL SELECT vec_id, 2, {bkt_expr(2)} FROM embeddings
+    ),
+    per AS (SELECT tbl, bkt, COUNT(*) AS n FROM bk GROUP BY tbl, bkt)
+    SELECT tbl, CAST(SUM(n) AS BIGINT) AS "rows", COUNT(*) AS n_buckets, MAX(n) AS max_bucket
+    FROM per GROUP BY tbl ORDER BY tbl"""
+
+
+@register(
+    "srp_bucket_stats",
+    None,  # oracle attached below (dynamic literals)
+    note="SRP bucket-occupancy observability (rows / distinct buckets / max bucket per hash table) — the recall/fan-out monitor for the approximate embedding paths",
+)
+def srp_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.srp_bucket_stats(
+        _t(spark, sf_dir, "embeddings"), n_tables=3
+    ).orderBy("tbl")
+
+
+REGISTRY["srp_bucket_stats"] = Query(
+    fn=REGISTRY["srp_bucket_stats"].fn,
+    oracle=_srp_stats_oracle(),
+    note=REGISTRY["srp_bucket_stats"].note,
+)
+
+
 @register(
     "pii_redact",
     r"""
