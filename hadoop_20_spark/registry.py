@@ -4279,6 +4279,44 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_rate_by_source",
+    """
+    WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+    f AS (SELECT hh, MIN(doc_id) AS keeper FROM h GROUP BY hh)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+           ROUND(CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM h JOIN f USING (hh)
+    GROUP BY source ORDER BY source
+    """,
+    note="per-source exact-duplicate rate (keeper = min doc_id per md5): the dedup yield report a curation run starts from; 32-byte-key shuffles only",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report per source — the first number a corpus
+    curation pass produces (how much of each feed is redundant).  Same
+    plan family as dedup_exact: shuffle keys are 32-byte md5 digests,
+    never document bodies; keeper resolution is one partial-agg'd
+    groupBy; the rate aggregation keys on the tiny source domain."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("hh"))
+    keep = h.groupBy("hh").agg(F.min("doc_id").alias("keeper"))
+    dup = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    return (
+        h.join(keep, "hh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_dupes"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "unigram_logprob",
     r"""
     WITH tok AS (
