@@ -4279,6 +4279,78 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_lm_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT t.pair[1] AS w1, t.pair[2] AS w2
+      FROM tok, UNNEST(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                      i -> [toks[i], toks[i+1]])) AS t(pair)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+    s AS (
+      SELECT w1, w2, n12, SUM(n12) OVER (PARTITION BY w1) AS n1 FROM c2
+    ),
+    r AS (
+      SELECT w1, w2, n12, n1,
+             ROUND(CAST(n12 AS DOUBLE) / n1, 6) AS p,
+             ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n12 DESC, w2) AS rk
+      FROM s
+    )
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12, p, rk
+    FROM r WHERE rk <= 3 AND n1 >= 50 ORDER BY w1, rk
+    """,
+    note="bigram LM table: top-3 continuations per token with conditional probability (count-ranked, probability emitted) — the n-gram-LM training artifact as two shuffles",
+)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-a-bigram-LM as a query: P(w2|w1) = c(w1,w2)/c(w1), top-3
+    continuations per head token (count-ranked with a w2 tie-break —
+    integer ordering, so engine-identical; probability emitted rounded).
+    The denominator comes from a window over the ONE bigram-count
+    relation (the tfidf_top_terms lesson — no recomputed explode), and
+    the ranking window shares the w1 partitioning.  Heads with n1 < 50
+    are dropped (rare-head noise, and a stable output contract).  At
+    100 TB: bigram extraction is row-local; the (w1,w2) count
+    partial-aggregates map-side; Zipf-head w1 skew is absorbed by the
+    same partial aggregation before either window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _fn_tokens("text")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pr"))
+        .select("pr.w1", "pr.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    s = c2.withColumn("n1", F.sum("n12").over(Window.partitionBy("w1")))
+    w = Window.partitionBy("w1").orderBy(F.col("n12").desc(), "w2")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("n1") >= 50))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(F.col("n12").cast("double") / F.col("n1"), 6).alias("p"),
+            "rk",
+        )
+        .orderBy("w1", "rk")
+    )
+
+
+@register(
     "dedup_rate_by_source",
     """
     WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
