@@ -4278,6 +4278,61 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_topk_oracle() -> str:
+    """Quantize (the quantize_embeddings formula) then brute-force
+    cosine top-5 over the int8 vectors — the serving-path check."""
+    qz = """
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE)
+                                 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qv
+      FROM embeddings"""
+    return f"""
+    WITH qz AS ({qz}),
+    q AS (SELECT vec_id AS query_id, qv AS q_vec FROM qz WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, qv AS n_vec FROM qz),
+    scored AS (
+      SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
+
+@register(
+    "quantized_topk",
+    None,  # oracle attached below (built from the shared cosine fragment)
+    note="top-5 cosine retrieval over int8-quantized vectors (the post-quantization serving path): integer dots are exact in doubles, so both engines agree bit-for-bit",
+)
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization→serving round trip: quantize (symmetric int8,
+    row-local), then brute-force cosine top-5 over the QUANTIZED
+    vectors.  Cosine is scale-invariant, so per-vector scales drop out
+    and the int8 vectors retrieve directly; every product
+    (≤127²·64 ≈ 10⁶) is exactly representable in doubles, making the
+    approximate path itself engine-deterministic.  Same plan as
+    embedding_topk: broadcast query set, corpus never shuffles,
+    per-query WindowGroupLimit."""
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    qd = q.select(
+        "vec_id", F.col("qvec").cast("array<double>").alias("embedding")
+    )
+    return similarity.cosine_topk(
+        qd, qd.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+REGISTRY["quantized_topk"] = Query(
+    fn=REGISTRY["quantized_topk"].fn,
+    oracle=_quantized_topk_oracle(),
+    note=REGISTRY["quantized_topk"].note,
+)
+
+
 @register(
     "bigram_lm_topk",
     r"""
