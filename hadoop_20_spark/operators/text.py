@@ -33,27 +33,46 @@ def char_count(col: Column | str) -> Column:
     return F.length(c)
 
 
-def avg_token_len(col: Column | str) -> Column:
-    """Mean token length (0 for empty docs)."""
-    t = tokens(col)
+def avg_token_len_t(t: Column) -> Column:
+    """Mean token length over a pre-tokenized array (0 for empty docs)."""
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(t) > 0, total.cast("double") / F.size(t)).otherwise(F.lit(0.0))
 
 
-def distinct_token_ratio(col: Column | str) -> Column:
-    """Lexical diversity: |distinct tokens| / |tokens| (1.0 for empty)."""
-    t = tokens(col)
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length (0 for empty docs)."""
+    return avg_token_len_t(tokens(col))
+
+
+def distinct_token_ratio_t(t: Column) -> Column:
     return F.when(
         F.size(t) > 0, F.size(F.array_distinct(t)).cast("double") / F.size(t)
     ).otherwise(F.lit(1.0))
 
 
-def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -> Column:
-    """Fraction of tokens that are stopwords — the core quality signal."""
-    t = tokens(col)
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| (1.0 for empty)."""
+    return distinct_token_ratio_t(tokens(col))
+
+
+def stopword_ratio_t(t: Column, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -> Column:
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
     return F.when(F.size(t) > 0, n_stop.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -> Column:
+    """Fraction of tokens that are stopwords — the core quality signal."""
+    return stopword_ratio_t(tokens(col), stopwords)
+
+
+def quality_score_t(t: Column) -> Column:
+    n = F.size(t)
+    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.25))
+    div = distinct_token_ratio_t(t)
+    sw = stopword_ratio_t(t)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok * 0.4 + div * 0.3 + sw_ok * 0.3), 6)
 
 
 def quality_score(col: Column | str) -> Column:
@@ -61,12 +80,7 @@ def quality_score(col: Column | str) -> Column:
     lexical diversity, and presence (not excess) of stopwords.  A
     deterministic stand-in for model-based quality filters; thresholds
     follow common heuristic-filter practice (e.g., Gopher rules)."""
-    n = token_count(col)
-    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.25))
-    div = distinct_token_ratio(col)
-    sw = stopword_ratio(col)
-    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round((len_ok * 0.4 + div * 0.3 + sw_ok * 0.3), 6)
+    return quality_score_t(tokens(col))
 
 
 # Function-word profiles for multi-class ID — tiny public-domain
@@ -80,14 +94,41 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def lang_scores_t(
+    t: Column,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> list[tuple[str, Column]]:
+    profs = profiles if profiles is not None else LANG_PROFILES
+    return [(lang, stopword_ratio_t(t, tuple(words))) for lang, words in profs.items()]
+
+
 def lang_scores(
     col: Column | str,
     profiles: dict[str, tuple[str, ...]] | None = None,
 ) -> list[tuple[str, Column]]:
     """Per-language profile scores: fraction of tokens in each
     language's function-word list."""
-    profs = profiles if profiles is not None else LANG_PROFILES
-    return [(lang, stopword_ratio(col, tuple(words))) for lang, words in profs.items()]
+    return lang_scores_t(tokens(col), profiles)
+
+
+def lang_id_t(
+    t: Column,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    min_score: float = 0.05,
+) -> Column:
+    profs = profiles if profiles is not None else {"en": tuple(STOPWORDS)}
+    scored = lang_scores_t(t, profs)
+    langs = [lang for lang, _ in scored]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+                for i, (_, s) in enumerate(scored)
+            ]
+        )
+    )
+    name = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["ni"] + 1)
+    return F.when(best["s"] >= min_score, name).otherwise(F.lit("unknown"))
 
 
 def lang_id(
@@ -105,26 +146,10 @@ def lang_id(
     (every `lang` label shares one English-like token distribution) —
     the multi-profile discrimination is exercised by unit tests with
     profile-bearing text (`test_lang_id_multiclass`)."""
-    profs = profiles if profiles is not None else {"en": tuple(STOPWORDS)}
-    scored = lang_scores(col, profs)
-    langs = [lang for lang, _ in scored]
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(s.alias("s"), F.lit(-i).alias("ni"))
-                for i, (_, s) in enumerate(scored)
-            ]
-        )
-    )
-    name = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["ni"] + 1)
-    return F.when(best["s"] >= min_score, name).otherwise(F.lit("unknown"))
+    return lang_id_t(tokens(col), profiles, min_score)
 
 
-def fingerprint(col: Column | str, ngram: int = 8) -> Column:
-    """Document fingerprint: minimum md5-hash over word ``ngram``-shingles
-    (winnowing-style rolling fingerprint, deterministic across engines).
-    Docs shorter than ``ngram`` tokens hash the whole text."""
-    t = tokens(col)
+def fingerprint_t(t: Column, ngram: int = 8) -> Column:
     n_sh = F.greatest(F.size(t) - ngram + 1, F.lit(1))
     sh = F.transform(
         F.sequence(F.lit(1), n_sh),
@@ -133,21 +158,44 @@ def fingerprint(col: Column | str, ngram: int = 8) -> Column:
     return F.array_min(sh)
 
 
+def fingerprint(col: Column | str, ngram: int = 8) -> Column:
+    """Document fingerprint: minimum md5-hash over word ``ngram``-shingles
+    (winnowing-style rolling fingerprint, deterministic across engines).
+    Docs shorter than ``ngram`` tokens hash the whole text."""
+    return fingerprint_t(tokens(col), ngram)
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass per-document stats table (all codegen'd, zero shuffle).
+    """Per-document stats table (all codegen'd, zero shuffle).
     ``ensure_parallelism`` spreads the CPU-heavy token passes across all
     cores when the input arrives as a single small split (no-op at scale).
+
+    The token array is materialized ONCE in its own projection before the
+    nine derived metrics: Catalyst does not CSE across nested higher-order
+    lambdas, so inlining ``tokens(text)`` into every metric re-runs the
+    regex split ~10× per row (and the shingle loop in ``fingerprint``
+    re-tokenized per shingle).  CollapseProject's cheap-expression guard
+    keeps the two projections separate.
     """
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        char_count(text_col).alias("n_chars_measured"),
-        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
-        F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fingerprint"),
+    t = F.col("_toks")
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            char_count(text_col).alias("n_chars_measured"),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.size(t).alias("n_tokens"),
+            "n_chars_measured",
+            F.round(avg_token_len_t(t), 6).alias("avg_token_len"),
+            F.round(distinct_token_ratio_t(t), 6).alias("distinct_ratio"),
+            F.round(stopword_ratio_t(t), 6).alias("stopword_ratio"),
+            quality_score_t(t).alias("quality"),
+            lang_id_t(t).alias("lang_pred"),
+            fingerprint_t(t).alias("fingerprint"),
+        )
     )
 
 
@@ -286,22 +334,39 @@ def winnowing_fingerprints(
     (transform/slice/array_min — whole-stage codegen, row-local, zero
     shuffle); only the output explode widens rows.  Nearest reference
     analog: the per-record digesting idiom of core/io/MD5Hash.java, with
-    windowed selection the reference never had."""
-    grams = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.greatest(F.size(tokens(F.col(text_col))) - k, F.lit(0)),
-        ),
-        lambda i: F.array_join(F.slice(tokens(F.col(text_col)), i + 1, k), " "),
+    windowed selection the reference never had.
+
+    The token and k-gram-hash arrays MUST be materialized in separate
+    projections (the chained ``select``s below) before the sliding-window
+    ``transform``: Catalyst does not common-subexpression-eliminate
+    across nested higher-order lambdas, so writing ``minima`` over an
+    inline ``hashes`` expression re-tokenizes and re-hashes the document
+    once per window position — O(n_tokens × window) tokenizations per
+    row, measured ~60× slower at sf0.01 with identical output.
+    CollapseProject's cheap-expression guard keeps these projections from
+    being re-inlined."""
+    toks_df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
-    hashes = F.transform(grams, lambda g: md5_long(g))
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    hashed = toks_df.select(
+        id_col,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))
+            ),
+            lambda i: md5_long(
+                F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")
+            ),
+        ).alias("_h"),
+    )
+    h = F.col("_h")
+    n_windows = F.greatest(F.size(h) - window + 1, F.lit(1))
     minima = F.transform(
         F.sequence(F.lit(1), n_windows),
         # slice clamps at the array end, so short docs yield min-of-all
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        lambda i: F.array_min(F.slice(h, i, window)),
     )
-    return df.select(
+    return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
     )
 
@@ -328,14 +393,30 @@ def cdc_chunks(
     higher-order Column expressions (codegen, row-local, zero shuffle);
     only the final explode widens rows.  Reference analog: the
     block-level dedup HDFS never had; per-record digests via
-    core/io/MD5Hash.java."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    core/io/MD5Hash.java.
+
+    The token array and the boundary-position array are each materialized
+    in their own projection before the expressions that consume them
+    repeatedly: Catalyst does not CSE across nested higher-order lambdas,
+    so inlining ``tokens(text)`` into the boundary filter re-tokenized the
+    document once per token, and ``bpos`` referenced from both ``starts``
+    and ``ends`` hashed every token twice.  CollapseProject's
+    cheap-expression guard keeps the projections separate."""
     mask = (1 << boundary_bits) - 1
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: md5_long(F.element_at(toks, i)).bitwiseAND(mask) == 0,
+    toks = F.col("_toks")
+    n = F.size(toks)
+    tdf = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(n >= 1)
+    bdf = tdf.select(
+        id_col,
+        "_toks",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: md5_long(F.element_at(toks, i)).bitwiseAND(mask) == 0,
+        ).alias("_bpos"),
     )
+    bpos = F.col("_bpos")
     starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
     ends = F.concat(bpos, F.array(n))
     ranges = F.filter(
@@ -355,8 +436,7 @@ def cdc_chunks(
         ),
     )
     return (
-        df.filter(n >= 1)
-        .select(F.col(id_col), F.posexplode(chunks).alias("pos", "c"))
+        bdf.select(F.col(id_col), F.posexplode(chunks).alias("pos", "c"))
         .select(
             id_col,
             (F.col("pos") + 1).alias("chunk_idx"),
