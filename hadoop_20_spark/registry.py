@@ -1239,16 +1239,31 @@ def nested_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    None,
-    note="UniqValueCount capped mode -> approx_count_distinct (HLL); engines' sketches differ so rows-only by design (exact twin: uniq_value_count)",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    note="UniqValueCount capped mode -> approx_count_distinct (HLL); engines' sketches differ, so the checkable contract is the estimate's 5%-of-exact tolerance (deterministic per dataset) plus the exact count",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("within_tol"),
         )
     )
 
