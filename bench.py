@@ -143,9 +143,19 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 3)
         d: dict = {"secs": per_query[name]}
         if name == "b7_demux_write":
-            from hadoop_20_spark.catalog import load_table
-
-            d["rows"], d["hash"] = fingerprint(load_table(spark, "events", SF_DIR))
+            # Fingerprint the WRITTEN output (read back the demux dir),
+            # not the input — a broken write path (wrong partitioning or
+            # dropped rows) must shift the hash.
+            out = os.path.join(
+                os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "bench_demux"
+            )
+            d["rows"], d["hash"] = fingerprint(
+                spark.read.parquet(out).select(
+                    # stable column order: read-back appends the
+                    # partition column at the end; sort by name
+                    *sorted(spark.read.parquet(out).columns)
+                )
+            )
         else:
             d["rows"], d["hash"] = fingerprint(
                 REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR)

@@ -232,7 +232,6 @@ def jaccard_verify(
     a = sets.select(F.col("did").alias("id_a"), F.col("shs").alias("_shs_a"))
     b = sets.select(F.col("did").alias("id_b"), F.col("shs").alias("_shs_b"))
     inter = F.size(F.array_intersect(F.col("_shs_a"), F.col("_shs_b")))
-    union = F.size("_shs_a") + F.size("_shs_b") - inter
     # Threshold the UNROUNDED ratio (integer intersection vs t*union):
     # prefix pruning only guarantees candidates for true J >= t, so
     # filtering on a rounded value would admit pairs in [t-5e-7, t)

@@ -157,7 +157,16 @@ def key_field_sort(
     sort_cols: list[Column] = []
     for sf, sc, ef, ec, numeric, reverse in parse_key_field_spec(spec):
         piece = _key_piece(fields, sf, sc, ef, ec, separator)
-        c = piece.cast("double") if numeric else piece
+        if numeric:
+            # sort(1)/KeyFieldBasedComparator parse the LEADING numeric
+            # prefix of the key — an open-ended key like -k2n on
+            # "x 2 b" compares 2, and a key with no numeric prefix
+            # compares as 0 (GNU sort -n).  A whole-string cast would
+            # throw under ANSI (or NULL otherwise) on multi-field keys.
+            num = F.regexp_extract(piece, r"^\s*(-?\d+(?:\.\d+)?)", 1)
+            c = F.when(num == "", F.lit(0.0)).otherwise(num.cast("double"))
+        else:
+            c = piece
         sort_cols.append(c.desc() if reverse else c.asc())
     return df.orderBy(*sort_cols)
 

@@ -138,3 +138,16 @@ def test_key_field_sort_char_offset_spans_fields(spark):
     ]
     # keys: "b zz", "a yy", "c aa" -> a yy, b zz, c aa
     assert out == ["zza yy 2", "xxb zz 1", "yyc aa 3"]
+
+
+def test_key_field_sort_numeric_open_ended(spark):
+    # -k2n with no pos2 extends through end of line; the numeric compare
+    # must use the LEADING numeric prefix of the multi-field key (as
+    # sort(1)/KeyFieldBasedComparator do) — a whole-key cast of "2 b"
+    # throws under ANSI.  Keys with no numeric prefix sort as 0.
+    df = spark.createDataFrame([("x 2 b",), ("y 10 a",), ("z m q",)], ["line"])
+    out = [
+        r["line"]
+        for r in sort_ops.key_field_sort(df, "line", "-k2n", separator=" ").collect()
+    ]
+    assert out == ["z m q", "x 2 b", "y 10 a"]

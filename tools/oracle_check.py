@@ -34,7 +34,13 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     # boundary.
     for c in df.columns:
         if df[c].dtype == object and len(df):
-            v = df[c].iloc[0]
+            # First NON-NULL value: a leading None/scalar cell would let
+            # list-bearing columns slip past and crash the driver's
+            # row-sort canonicalizer anyway.
+            nn = df[c].dropna()
+            if nn.empty:
+                continue
+            v = nn.iloc[0]
             if isinstance(v, (list, dict, set, bytearray)) or type(v).__name__ == "ndarray":
                 raise TypeError(
                     f"column {c!r} holds {type(v).__name__} cells — the driver's "
