@@ -46,6 +46,9 @@ DUCKDB_COMPARABLE = (
     "b4_star_join",
     "b5_override_join",
     "b6_secondary_sort",
+    "b10a_winnowing",
+    "b10b_cdc_chunks",
+    "b10c_tfidf",
 )
 
 BENCH_QUERIES = {
@@ -59,6 +62,11 @@ BENCH_QUERIES = {
     "b8_window_agg": "tumbling_window_agg",
     "b9a_minhash_dedup": "minhash_lsh_pairs",
     "b9b_embedding_topk": "embedding_topk",
+    # b10: LLM-text operators — the round-3 winnowing regression was
+    # invisible to the bench because no text op was in the suite.
+    "b10a_winnowing": "winnowing_fps",
+    "b10b_cdc_chunks": "cdc_chunks",
+    "b10c_tfidf": "tfidf_top_terms",
 }
 
 
