@@ -5,11 +5,12 @@ heavy per-item work (decode, resize, feature-extract, frame-sample) runs
 in Arrow-batched ``mapInPandas`` so bytes never round-trip through
 driver-side Python row objects.
 
-The actual codec step is STUBBED: the image/audio libraries are not in
-this container, so ``decode_image`` raises unless ``fake=True``, which
-substitutes a deterministic md5-derived fake decode.  The Spark-side
-contract — schema, batch iteration, partitioning — is real and tested;
-a real decoder drops into ``_decode_bytes`` untouched.
+Decoding: uncompressed PPM (P6) and 24-bit uncompressed BMP are decoded
+by a built-in dependency-free decoder (real pixels, runs everywhere);
+any other format goes through PIL when importable.  Compressed formats
+with neither available raise a clearly-marked NotImplementedError;
+``fake=True`` substitutes a deterministic md5-derived pseudo-decode for
+plumbing tests that don't care about pixels.
 
 Closest reference analog: BytesWritable payloads processed by custom
 mappers; C++ pipes (``mapred/pipes/``) for native codecs — superseded by
@@ -51,6 +52,91 @@ def to_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _pool_feature(px, w: int, h: int) -> list[float]:
+    """4x2 box-average grayscale thumbnail in [0,1] from an (h, w, 3)
+    uint8 pixel array — the same 8-dim feature shape the PIL path emits
+    (grid means instead of PIL's resample kernel; both are deterministic
+    per decoder)."""
+    import numpy as np
+
+    # integer luma (Rec.601 weights, PIL's L formula)
+    luma = (
+        px[:, :, 0].astype("uint32") * 299
+        + px[:, :, 1].astype("uint32") * 587
+        + px[:, :, 2].astype("uint32") * 114
+    ) // 1000
+    feat = []
+    for gy in range(2):
+        y0, y1 = gy * h // 2, max((gy + 1) * h // 2, gy * h // 2 + 1)
+        for gx in range(4):
+            x0, x1 = gx * w // 4, max((gx + 1) * w // 4, gx * w // 4 + 1)
+            cell = luma[y0 : max(y1, y0 + 1), x0 : max(x1, x0 + 1)]
+            feat.append(float(np.mean(cell)) / 255.0 if cell.size else 0.0)
+    return feat
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, list[float]]:
+    """Binary PPM (P6): ASCII header (magic, width, height, maxval, with
+    ``#`` comments) then raw RGB triples.  No compression, no deps."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, _pool_feature(px.reshape(h, w, 3), w, h)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): little-endian header,
+    BGR rows padded to 4 bytes, stored bottom-up (top-down when height
+    is negative).  No compression, no deps."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    # BGR -> RGB
+    return w, h, _pool_feature(rows[:, :, ::-1], w, h)
+
+
+def _builtin_decoder(payload: bytes):
+    """Magic-sniff for the formats the built-in decoder handles."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm
+    if payload.startswith(b"BM"):
+        return _decode_bmp
+    return None
+
+
 def _real_decoder():
     """PIL-backed image decoder when the library is importable, else
     ``None``.  Cached module-side so executors probe the import once per
@@ -86,19 +172,23 @@ _REAL_DECODER = _UNPROBED
 def _decode_bytes(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
     """Decode one media payload → (width, height, feature vector).
 
-    - fake=False → real decode via PIL when importable (optional dep —
-      not in this container's baseline image); otherwise a
-      clearly-marked NotImplementedError stub;
+    - fake=False → real decode: uncompressed PPM/BMP via the built-in
+      dependency-free decoder (runs in this container); other formats
+      via PIL when importable (optional dep — not in this container's
+      baseline image); otherwise a clearly-marked NotImplementedError;
     - fake=True → deterministic pseudo-decode from md5(payload): width/
       height in [64, 1983], 8-dim feature of bytes/255.
     """
     if not fake:
+        builtin = _builtin_decoder(payload)
+        if builtin is not None:
+            return builtin(payload)
         decode = _real_decoder()
         if decode is None:
             raise NotImplementedError(
-                "media codecs not available in this environment "
-                "(PIL not importable); pass fake=True for the "
-                "deterministic stub"
+                "compressed media codecs not available in this "
+                "environment (PIL not importable) and payload is not "
+                "PPM/BMP; pass fake=True for the deterministic stub"
             )
         return decode(payload)
     digest = hashlib.md5(payload).digest()

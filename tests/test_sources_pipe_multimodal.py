@@ -214,3 +214,69 @@ def test_distcp_files_preserves_bytes(spark, tables, tmp_path):
     assert n == len(sources.fs_list_files(spark, src))
     assert sources.fs_du_bytes(spark, dst) == sources.fs_du_bytes(spark, src)
     assert spark.read.parquet(dst).count() == tables["nation"].count()
+
+
+def _make_ppm(w, h, rgb_rows):
+    """rgb_rows: list of h rows, each w (r,g,b) tuples."""
+    body = bytes(c for row in rgb_rows for px in row for c in px)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + body
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Uncompressed 24-bit bottom-up BMP from top-down rgb rows."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rgb_rows):  # bottom-up storage
+        line = bytes(c for (r, g, b) in row for c in (b, g, r))  # BGR
+        body += line + b"\x00" * (stride - len(line))
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def test_builtin_ppm_decode_real_pixels():
+    """The dependency-free PPM decoder runs HERE (no PIL): 8x2 image,
+    left half black, right half white -> feature cells 0,0,1,1 per row."""
+    rows = [[(0, 0, 0)] * 4 + [(255, 255, 255)] * 4 for _ in range(2)]
+    w, h, feat = multimodal._decode_bytes(_make_ppm(8, 2, rows), fake=False)
+    assert (w, h) == (8, 2)
+    assert len(feat) == 8
+    assert feat == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]
+
+
+def test_builtin_bmp_decode_real_pixels():
+    """BMP path: bottom-up BGR storage with row padding decodes to the
+    same top-down RGB pixels as the equivalent PPM."""
+    rows = [
+        [(255, 0, 0)] * 2 + [(0, 0, 255)] * 2,  # top row: red | blue
+        [(0, 255, 0)] * 4,  # bottom row: green
+    ]
+    w, h, feat = multimodal._decode_bytes(_make_bmp(4, 2, rows), fake=False)
+    w2, h2, feat2 = multimodal._decode_bytes(_make_ppm(4, 2, rows), fake=False)
+    assert (w, h) == (4, 2)
+    # BMP and PPM of the same image must produce identical features
+    assert feat == feat2
+    # top row: red luma 299/1000, blue luma 114/1000
+    assert abs(feat[0] - 0.299 * 255 // 1 / 255) < 0.01
+    assert abs(feat[3] - 0.114) < 0.01
+    # bottom row: green luma 587/1000
+    assert all(abs(f - 0.587) < 0.01 for f in feat[4:])
+
+
+def test_extract_features_real_decode_through_spark(spark):
+    """The real (fake=False) decode path executes end-to-end in
+    mapInPandas in THIS container via the built-in PPM decoder."""
+    rows = [[(128, 128, 128)] * 4 for _ in range(2)]
+    payload = _make_ppm(4, 2, rows)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "image/x-portable-pixmap", ("a.ppm", None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.extract_features(media, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    assert all(abs(f - 128 / 255) < 0.01 for f in r["feat"])
