@@ -1,0 +1,434 @@
+"""Embedding similarity search: brute-force / SRP-LSH / IVF ANN, quantization, centroid outliers.
+
+Split from the original single-file registry (round 4) — behavior-
+identical; REGISTRY names, oracles, and notes are unchanged.  Definition
+order within this module preserves the original file order (module-level
+re-registrations must follow their originals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
+from hadoop_20_spark.operators import (  # noqa: F401
+    aggregate as agg_ops,
+    dedup,
+    joins,
+    rowops,
+    setops,
+    similarity,
+    sort as sort_ops,
+    text as text_ops,
+)
+from hadoop_20_spark.operators.aggregate import (  # noqa: F401
+    exact_avg_double,
+    exact_sum_double,
+)
+from hadoop_20_spark.queries._base import (  # noqa: F401
+    _TOKENS,
+    REGISTRY,
+    Query,
+    _sql_md5_long,
+    _t,
+    register,
+)
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))), 4) AS cosine_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    note="brute-force cosine top-k (queries broadcast = DistributedCache pattern); LSH variant = embedding_topk_lsh",
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_topk_lsh",
+    None,
+    note="SRP-LSH bucketed ANN (4 planes × 3 tables) — approximate; rows-only check by design",
+)
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# classic query shapes (TPC-H Q3/Q6 analogs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_near_dups",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))), 4) AS cosine_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.5
+    """,
+    note="embedding-cosine near-dup pairs via SRP bucket-then-verify (12 deterministic hash tables -> exact cosine); oracle is the brute-force cross join, so green proves the bucketed path loses no pair on this corpus",
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default scale path: SRP candidates → exact verify — no cross
+    join.  The oracle is brute-force all-pairs SQL; hash-match means the
+    deterministic bucket tables recovered every qualifying pair here
+    (recall semantics documented on the operator)."""
+    return similarity.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine-similarity fragment matching similarity.cosine
+    (sequential-order double sums, rounded to 4dp)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, 65), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')"
+        )
+
+    return f"ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 4)"
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT neighbor_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT neighbor_id, n_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         qa AS (SELECT query_id, q_vec, cent_id, {_sql_cos('q_vec', 'c_vec')} AS sim FROM q, cent),
+         qcells AS (SELECT query_id, q_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cent_id) AS rk FROM qa)
+            WHERE rk <= 4),
+         scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim
+            FROM qcells JOIN cells USING (cell) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    note="IVF-style ANN: deterministic coarse quantizer (16 cells), nprobe=4 probe join — the scale path beside SRP-LSH",
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    )
+
+
+def _kmeans_ctes(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's-iteration CTE chain mirroring
+    ``similarity.kmeans_centroids`` (fixed iteration count makes the
+    'training' expressible as plain SQL): assignment by 4dp-rounded
+    cosine argmax (cent_id tie-break), per-coordinate means as exact
+    DECIMAL(30,10) sums / COUNT rounded to 8dp, empty cells keep their
+    previous centroid.  Final centroids are ``c{iterations}``."""
+    parts = [
+        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cent_id, "
+        f"CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings WHERE vec_id < {k})",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_sql_cos('v.embedding', 'c.c_vec')} DESC, c.cent_id) AS rk
+        FROM v, c{i} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT cell, pos,
+             ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 8) AS m
+      FROM (SELECT a{i}.cell, generate_subscripts(v.embedding, 1) AS pos,
+                   unnest(v.embedding) AS val
+            FROM a{i} JOIN v USING (vec_id))
+      GROUP BY cell, pos)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+      SELECT old.cent_id, COALESCE(new.c_vec, old.c_vec) AS c_vec
+      FROM c{i} old LEFT JOIN
+           (SELECT cell AS cent_id, list(m ORDER BY pos) AS c_vec
+            FROM m{i} GROUP BY cell) new USING (cent_id))"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ivf_topk_kmeans",
+    f"""
+    WITH {_kmeans_ctes(16, 3)},
+         cent AS (SELECT cent_id, c_vec FROM c3),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT neighbor_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT neighbor_id, n_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         qa AS (SELECT query_id, q_vec, cent_id, {_sql_cos('q_vec', 'c_vec')} AS sim FROM q, cent),
+         qcells AS (SELECT query_id, q_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cent_id) AS rk FROM qa)
+            WHERE rk <= 4),
+         scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim
+            FROM qcells JOIN cells USING (cell) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    note="IVF ANN over REAL k-means centroids (3 deterministic Lloyd's iterations, decimal-exact means) — the oracle unrolls the training loop as CTEs, so even the quantizer is hash-checked",
+)
+def ivf_topk_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivf_topk` with centroids from ``similarity.kmeans_centroids``:
+    deterministic init (k smallest ids), 3 fixed Lloyd's iterations,
+    decimal-exact per-coordinate means — the whole pipeline (training
+    included) hash-matches the unrolled-SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=16, iterations=3)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4, centroids=cents
+    )
+
+
+def _srp_topk_oracle() -> str:
+    """SRP-LSH top-k mirroring similarity.lsh_topk (4 planes × 3 tables,
+    k=5, queries vec_id < 10) with the hyperplane ±1 coefficients
+    embedded as literals from the same _srp_signs family."""
+    from hadoop_20_spark.operators.similarity import _srp_signs
+
+    def bkt_expr(t: int) -> str:
+        terms = []
+        for p in range(4):
+            lits = "[" + ", ".join(str(x) for x in _srp_signs(64, 4, t)[p]) + "]"
+            proj = (
+                f"list_aggregate(list_transform(range(1, 65), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lits}[i])), 'sum')"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, 0 AS tbl, {bkt_expr(0)} AS bkt FROM embeddings
+      UNION ALL SELECT vec_id, embedding, 1, {bkt_expr(1)} FROM embeddings
+      UNION ALL SELECT vec_id, embedding, 2, {bkt_expr(2)} FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, tbl, bkt FROM bk WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec, tbl, bkt FROM bk),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, q_vec, n_vec
+      FROM c JOIN q USING (tbl, bkt) WHERE neighbor_id <> query_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim FROM cand)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
+
+REGISTRY["embedding_topk_lsh"] = Query(
+    fn=REGISTRY["embedding_topk_lsh"].fn,
+    oracle=_srp_topk_oracle(),
+    note="SRP-LSH bucketed ANN (4 planes × 3 tables) — deterministic given the literal hyperplane family, full oracle",
+)
+
+
+def _srp_stats_oracle() -> str:
+    """Per-table SRP bucket occupancy with the same literal hyperplanes
+    as _srp_topk_oracle."""
+    from hadoop_20_spark.operators.similarity import _srp_signs
+
+    def bkt_expr(t: int) -> str:
+        terms = []
+        for p in range(4):
+            lits = "[" + ", ".join(str(x) for x in _srp_signs(64, 4, t)[p]) + "]"
+            proj = (
+                f"list_aggregate(list_transform(range(1, 65), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lits}[i])), 'sum')"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, 0 AS tbl, {bkt_expr(0)} AS bkt FROM embeddings
+      UNION ALL SELECT vec_id, 1, {bkt_expr(1)} FROM embeddings
+      UNION ALL SELECT vec_id, 2, {bkt_expr(2)} FROM embeddings
+    ),
+    per AS (SELECT tbl, bkt, COUNT(*) AS n FROM bk GROUP BY tbl, bkt)
+    SELECT tbl, CAST(SUM(n) AS BIGINT) AS "rows", COUNT(*) AS n_buckets, MAX(n) AS max_bucket
+    FROM per GROUP BY tbl ORDER BY tbl"""
+
+
+@register(
+    "srp_bucket_stats",
+    None,  # oracle attached below (dynamic literals)
+    note="SRP bucket-occupancy observability (rows / distinct buckets / max bucket per hash table) — the recall/fan-out monitor for the approximate embedding paths",
+)
+def srp_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.srp_bucket_stats(
+        _t(spark, sf_dir, "embeddings"), n_tables=3
+    ).orderBy("tbl")
+
+
+REGISTRY["srp_bucket_stats"] = Query(
+    fn=REGISTRY["srp_bucket_stats"].fn,
+    oracle=_srp_stats_oracle(),
+    note=REGISTRY["srp_bucket_stats"].note,
+)
+
+
+@register(
+    "quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(sc, 6) AS scale,
+           array_to_string(
+             CASE WHEN sc > 0
+                  THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END, '|') AS qvec
+    FROM s ORDER BY vec_id
+    """,
+    note="symmetric int8 embedding quantization (scale = max|x|, q = round(x/scale*127)) — the 4x storage cut before ANN serving; row-local, zero shuffle",
+)
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry boundary serializes the int8 vector with '|' (list cells
+    are unhashable in the driver's canonicalizer); the operator itself
+    (similarity.quantize_embeddings) keeps the real array column."""
+    out = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "qvec", F.concat_ws("|", F.col("qvec").cast("array<string>"))
+    ).orderBy("vec_id")
+
+
+@register(
+    "label_outliers",
+    """
+    WITH pos AS (
+      SELECT vec_id, label, ord, CAST(embedding[ord] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(ord)
+    ),
+    cent AS (
+      SELECT label, ord,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM pos GROUP BY label, ord
+    ),
+    scored AS (
+      SELECT p.vec_id, p.label,
+             CAST(SUM(CAST(p.val * c.c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(p.val * p.val AS DECIMAL(38,18))) AS DOUBLE) AS nv,
+             CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,18))) AS DOUBLE) AS nc
+      FROM pos p JOIN cent c ON c.label = p.label AND c.ord = p.ord
+      GROUP BY p.vec_id, p.label
+    ),
+    r AS (
+      SELECT vec_id, label, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS centroid_cos,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY ROUND(dot / (sqrt(nv) * sqrt(nc)), 6), vec_id) AS outlier_rank
+      FROM scored
+    )
+    SELECT vec_id, label, centroid_cos, outlier_rank
+    FROM r WHERE outlier_rank <= 5 ORDER BY label, outlier_rank
+    """,
+    note="embedding outlier detection: cosine to own-label mean centroid, bottom-5 per label (mislabel/off-distribution curation)",
+)
+def label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroid_outliers(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", k=5
+    ).orderBy("label", "outlier_rank")
+
+
+def _quantized_topk_oracle() -> str:
+    """Quantize (the quantize_embeddings formula) then brute-force
+    cosine top-5 over the int8 vectors — the serving-path check."""
+    qz = """
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE)
+                                 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qv
+      FROM embeddings"""
+    return f"""
+    WITH qz AS ({qz}),
+    q AS (SELECT vec_id AS query_id, qv AS q_vec FROM qz WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, qv AS n_vec FROM qz),
+    scored AS (
+      SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS cosine_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5"""
+
+
+@register(
+    "quantized_topk",
+    None,  # oracle attached below (built from the shared cosine fragment)
+    note="top-5 cosine retrieval over int8-quantized vectors (the post-quantization serving path): integer dots are exact in doubles, so both engines agree bit-for-bit",
+)
+def quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization→serving round trip: quantize (symmetric int8,
+    row-local), then brute-force cosine top-5 over the QUANTIZED
+    vectors.  Cosine is scale-invariant, so per-vector scales drop out
+    and the int8 vectors retrieve directly; every product
+    (≤127²·64 ≈ 10⁶) is exactly representable in doubles, making the
+    approximate path itself engine-deterministic.  Same plan as
+    embedding_topk: broadcast query set, corpus never shuffles,
+    per-query WindowGroupLimit."""
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    qd = q.select(
+        "vec_id", F.col("qvec").cast("array<double>").alias("embedding")
+    )
+    return similarity.cosine_topk(
+        qd, qd.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+REGISTRY["quantized_topk"] = Query(
+    fn=REGISTRY["quantized_topk"].fn,
+    oracle=_quantized_topk_oracle(),
+    note=REGISTRY["quantized_topk"].note,
+)
+
+

@@ -1,0 +1,442 @@
+"""Structured Streaming queries and UD* surfaces: pipes, multimodal, UDTF, job chaining, stateful processing.
+
+Split from the original single-file registry (round 4) — behavior-
+identical; REGISTRY names, oracles, and notes are unchanged.  Definition
+order within this module preserves the original file order (module-level
+re-registrations must follow their originals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
+from hadoop_20_spark.operators import (  # noqa: F401
+    aggregate as agg_ops,
+    dedup,
+    joins,
+    rowops,
+    setops,
+    similarity,
+    sort as sort_ops,
+    text as text_ops,
+)
+from hadoop_20_spark.operators.aggregate import (  # noqa: F401
+    exact_avg_double,
+    exact_sum_double,
+)
+from hadoop_20_spark.queries._base import (  # noqa: F401
+    _TOKENS,
+    REGISTRY,
+    Query,
+    _sql_md5_long,
+    _t,
+    register,
+)
+
+@register(
+    "pipe_wordcount",
+    f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS token_count
+    FROM (SELECT unnest({_TOKENS.format(col='text')}) AS token FROM documents)
+    GROUP BY token
+    """,
+    note="hadoop-streaming pipe protocol (st/PipeMapRed.java): python child process as mapper, engine as combiner+reducer",
+)
+def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import pipe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pipe.script_wordcount(spark, docs).withColumn(
+        "token_count", F.col("token_count").cast("long")
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(64 + ('0x' || substr(md5(text), 1, 4))::INT % 1920 AS INT) AS width,
+           CAST(64 + ('0x' || substr(md5(text), 5, 4))::INT % 1920 AS INT) AS height
+    FROM documents
+    """,
+    note="multimodal binary-column plumbing: mapInPandas Arrow-batched decode (deterministic fake codec; real decoder drops into _decode_bytes)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import multimodal
+
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.extract_features(media, fake=True).select(
+        "media_id", "media_type", "n_bytes", "content_md5", "width", "height"
+    )
+
+
+@register(
+    "streaming_tumbling",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    note="REAL Structured Streaming run (file source, 1-file microbatches, watermark, memory sink) — oracle is the batch equivalence",
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    spark.catalog.dropTempView("q_streaming_tumbling") if "q_streaming_tumbling" in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    return stream_ops.run_to_memory(agg, "q_streaming_tumbling")
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+    note="REAL stream-static dimension join (file microbatches x static customer dim) + complete-mode agg; oracle is the batch equivalence",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the streaming face of the
+    DistributedCache replicated join: each microbatch hash-joins against
+    the STATIC customer dim (stateless — no join state accrues, unlike
+    stream-stream), then feeds a complete-mode aggregate.  At 100 TB
+    the dim side is re-planned per microbatch, so Catalyst/AQE pick
+    broadcast vs shuffle from the dim's actual size — same gating
+    discipline as the batch queries, no forced hint."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events.join(cust, events.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return stream_ops.run_to_memory(agg, "q_streaming_static_join")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational widening (SURVEY §2.4/§2.5 composition patterns)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    note="REAL streaming stateful dedup (dropDuplicatesWithinWatermark, file microbatches); oracle is batch DISTINCT",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark keeps one
+    row per (user_id, event_type) with bounded state (keys expire past
+    the watermark — the unbounded-state fix for plain dropDuplicates on
+    streams).  Projecting the key columns afterwards makes the emitted
+    set deterministic (= batch DISTINCT), whichever arrival won."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return stream_ops.run_append_to_memory(deduped, "q_streaming_dedup")
+
+
+@register(
+    "udtf_term_counts",
+    r"""
+    SELECT doc_id, term, n FROM (
+      SELECT doc_id, sh AS term, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS sh
+            FROM documents)
+      GROUP BY doc_id, sh)
+    WHERE n >= 2
+    """,
+    note="Python UDTF (LATERAL) — Mapper-as-UDTF surface; oracle is the JVM-side explode/groupBy equivalent",
+)
+def udtf_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-term counts per document via a registered Python UDTF in
+    a LATERAL join — the reference's Mapper contract (0..n records out
+    per record in, st/PipeMapper.java being the scripted form).  The
+    oracle proves the UDTF's semantics equal the vectorized
+    explode→groupBy plan a production pipeline should prefer."""
+    from hadoop_20_spark.operators.udx import term_counts_udtf
+
+    spark.udtf.register("term_counts", term_counts_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT doc_id, tc.term, tc.n FROM udtf_docs_v, LATERAL term_counts(text) AS tc"
+    )
+
+
+@register(
+    "frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      1 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 8) AS n_frames
+               FROM documents)
+    SELECT media_id, CAST(u AS INT) AS frame_idx,
+           md5(text || '#' || CAST(u AS VARCHAR)) AS frame_md5
+    FROM m, UNNEST(range(0, n_frames, 2)) AS t(u)
+    """,
+    note="video frame-sampling plumbing: row-expanding mapInPandas with deterministic fake codec (every 2nd frame)",
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark.operators import multimodal
+
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.frame_sample(media, stride=2, fake=True)
+
+
+@register(
+    "streaming_sliding",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) - k * INTERVAL 30 MINUTES AS window_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY window_start, event_type
+    """,
+    note="REAL streaming sliding windows (1h/30m, file microbatches, watermark); oracle is the batch expansion",
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    return stream_ops.run_to_memory(agg, "q_streaming_sliding")
+
+
+@register(
+    "record_io_render",
+    """
+    WITH r AS (SELECT n_nationkey, n_name, n_regionkey,
+                      n_nationkey || ',' || n_name || ',' || n_regionkey AS csv_line
+               FROM nation)
+    SELECT n_nationkey, csv_line,
+           CAST(string_split(csv_line, ',')[2] AS VARCHAR) AS parsed_name,
+           CAST(string_split(csv_line, ',')[3] AS BIGINT) AS parsed_regionkey
+    FROM r ORDER BY n_nationkey
+    """,
+    note="Record I/O CSV rendering round-trip (core/record/CsvRecordOutput.java): struct -> csv line -> parsed fields",
+)
+def record_io_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Record I/O renders fixed-schema records to CSV/XML
+    streams (core/record/{CsvRecordOutput,CsvRecordInput}.java, rcc DDL).
+    Spark-first: render with concat_ws, parse back with from_csv against
+    a DDL schema string — the same fixed-schema island, declaratively."""
+    n = _t(spark, sf_dir, "nation")
+    rendered = n.select(
+        "n_nationkey",
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("csv_line"),
+    )
+    parsed = F.from_csv(
+        F.col("csv_line"), "k bigint, name string, regionkey bigint"
+    )
+    return rendered.select(
+        "n_nationkey",
+        "csv_line",
+        parsed.getField("name").alias("parsed_name"),
+        parsed.getField("regionkey").alias("parsed_regionkey"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "job_chain",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    hot AS (SELECT term FROM counts WHERE n >= 500),
+    usage AS (
+      SELECT t.lang, t.doc_id
+      FROM tok t JOIN hot USING (term)
+      GROUP BY t.lang, t.doc_id
+    )
+    SELECT lang, COUNT(*) AS docs_with_hot_terms
+    FROM usage GROUP BY lang ORDER BY docs_with_hot_terms DESC, lang
+    """,
+    note="JobControl DAG / gridmix 'monster chain': wordcount job -> threshold filter job -> join+agg job, one lazy plan",
+)
+def job_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference chains dependent MR jobs via
+    mapred/jobcontrol/{Job,JobControl}.java (each stage materialized to
+    HDFS between jobs); gridmix2's 'monster query' is the canonical
+    3-stage chain.  Spark-first: the whole DAG is ONE lazy plan — no
+    intermediate materialization, and the hot-term set (stage 2 output)
+    comes back as a broadcast semi-join instead of a DistributedCache
+    file."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(_fn_tokens("text")).alias("term"))
+    )
+    hot = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 500)
+        .select("term")
+    )
+    # hot is a derived vocabulary that grows with the corpus — unhinted;
+    # AQE broadcasts the semi-join side at runtime only when it fits.
+    usage = (
+        tok.join(hot, "term", "left_semi")
+        .select("lang", "doc_id")
+        .distinct()
+    )
+    return (
+        usage.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs_with_hot_terms"))
+        .orderBy(F.col("docs_with_hot_terms").desc(), "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micros
+    FROM events GROUP BY user_id
+    """,
+    note="REAL custom stateful streaming op (applyInPandasWithState): per-user running totals across microbatches; oracle = batch groupBy",
+)
+def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming (applyInPandasWithState): per-user
+    (count, total) state carried across microbatches, final state equal
+    to the batch aggregation.  Values accumulate as integer micro-units
+    (floor(value·1e6)) so the running sums are exact and engine-identical
+    — the streaming analog of the DECIMAL-sum determinism rule.
+
+    The update-mode memory sink keeps one row per (user, batch); the
+    final state per user is the max (totals are monotone).  Reference
+    analog: none — cross-job state in hadoop-20 lived in HDFS files
+    between chained jobs (SURVEY §2.10)."""
+    import pandas as pd
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, n_events long, total_micros long"
+    state_schema = "n long, total long"
+
+    def update(key, pdfs, state):
+        import math
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(sum(math.floor(v * 1_000_000) for v in pdf["value"]))
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [total]}
+        )
+
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+    table = stream_ops.run_update_to_memory(updates, "q_stateful_totals")
+    return table.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_micros").alias("total_micros"),
+    )
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    note="REAL stream-stream inner join (click->purchase within 1h, watermark-bounded state); oracle = batch time-range self-join",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks matched to purchases by the same
+    user within one hour.  Watermarks on BOTH sides + the time-range
+    join condition bound each side's buffered state (rows older than the
+    range fall out) — the stateful-join discipline at 100 TB.  Inner
+    joins emit eagerly on match, so processing all input yields exactly
+    the batch join (the oracle)."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    ev1 = stream_ops.read_events_stream(spark, sf_dir)
+    ev2 = stream_ops.read_events_stream(spark, sf_dir)
+    clicks = (
+        ev1.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+    return stream_ops.run_append_to_memory(joined, "q_stream_join")
+
+

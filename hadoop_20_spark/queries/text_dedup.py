@@ -1,0 +1,1295 @@
+"""LLM-pipeline text analysis and deduplication: minhash/LSH, jaccard, simhash, winnowing, CDC, LM stats, curation/PII.
+
+Split from the original single-file registry (round 4) — behavior-
+identical; REGISTRY names, oracles, and notes are unchanged.  Definition
+order within this module preserves the original file order (module-level
+re-registrations must follow their originals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
+from hadoop_20_spark.operators import (  # noqa: F401
+    aggregate as agg_ops,
+    dedup,
+    joins,
+    rowops,
+    setops,
+    similarity,
+    sort as sort_ops,
+    text as text_ops,
+)
+from hadoop_20_spark.operators.aggregate import (  # noqa: F401
+    exact_avg_double,
+    exact_sum_double,
+)
+from hadoop_20_spark.queries._base import (  # noqa: F401
+    _TOKENS,
+    REGISTRY,
+    Query,
+    _sql_md5_long,
+    _t,
+    register,
+)
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    note="exact dedup via content hash-groupBy (32-byte shuffle keys at 100 TB, not bodies)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "minhash_signatures",
+    None,  # oracle added programmatically below (16 generated columns)
+    note="MinHash signatures (16 hashes, 3-shingles) — deterministic md5 family",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, shingle=3
+    )
+
+
+def _minhash_oracle() -> str:
+    from hadoop_20_spark.functions import MERSENNE31, hash_coeffs
+
+    shingle_arr = (
+        "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' '))"
+    )
+    base = _sql_md5_long("s") + f" % {MERSENNE31}"
+    cols = ",\n           ".join(
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE31}),"
+        f" 'min') AS mh{i}"
+        for i, (a, b) in enumerate(hash_coeffs(16))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
+         s AS (SELECT doc_id, {shingle_arr} AS sh FROM t),
+         hh AS (SELECT doc_id, list_transform(sh, s -> {base}) AS hs FROM s)
+    SELECT doc_id, {cols} FROM hh
+    """
+
+
+REGISTRY["minhash_signatures"] = Query(
+    fn=minhash_signatures_q, oracle=_minhash_oracle(), note=REGISTRY["minhash_signatures"].note
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    None,
+    note="LSH band-bucket candidate pairs (16 hashes / 4 bands); rows-only check — bucket-join shape is the non-SQL part",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=4
+    )
+
+
+@register(
+    "jaccard_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS did, unnest(list_distinct({_TOKENS.format(col='text')})) AS sh
+      FROM documents
+    ), sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.did = id_a
+    JOIN sizes sb ON sb.did = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    note="exact token-set Jaccard ≥0.5 via explode+self-join (small-corpus escape hatch — the operator refuses this form without an explicit flag)",
+)
+def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle=1,
+        allow_full_self_join=True,
+    )
+
+
+@register(
+    "jaccard_pairs_pruned",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS did, unnest(list_distinct({_TOKENS.format(col='text')})) AS sh
+      FROM documents
+    ), sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.did = id_a
+    JOIN sizes sb ON sb.did = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    note="prefix-filtered Jaccard join (PPJoin-style frequency-ordered pruning) + exact set-intersect verify — oracle is the UNPRUNED brute force; hash-match proves the pruned plan is lossless",
+)
+def jaccard_pairs_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default form of ``jaccard_pairs``: prefix filtering orders
+    shingles rarest-first by document frequency and joins only each
+    doc's ``s - ceil(t*s) + 1`` rarest shingles — a pair with J ≥ t
+    provably shares a prefix shingle, so no qualifying pair is lost,
+    while stopword shingles (the quadratic fan-out) never enter the
+    join.  Candidates are verified over FULL shingle sets.  The oracle
+    is the unpruned all-pairs SQL: green means the pruned plan
+    reproduces the brute-force result exactly."""
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle=1,
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    None,  # generated below
+    note="16-bit frequency-weighted SimHash, pure expressions",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+def _simhash_oracle() -> str:
+    h = _sql_md5_long("x")
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
+         hh AS (SELECT doc_id, list_transform(toks, x -> {h}) AS hs FROM t)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hh
+    """
+
+
+REGISTRY["simhash_fingerprints"] = Query(
+    fn=simhash_fingerprints, oracle=_simhash_oracle(), note=REGISTRY["simhash_fingerprints"].note
+)
+
+
+@register(
+    "text_stats",
+    None,  # generated below
+    note="per-doc text analysis: tokens/chars/diversity/stopwords/quality/lang/fingerprint",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _text_stats_oracle() -> str:
+    sw_list = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS)
+    fp_hash = _sql_md5_long("array_to_string(toks[i:i+7], ' ')")
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS.format(col='text')} AS toks FROM documents),
+         m AS (
+      SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{sw_list}], x))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct,
+             list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS total_len
+      FROM t)
+    SELECT doc_id,
+           n_tokens,
+           length(text) AS n_chars_measured,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END, 6) AS distinct_ratio,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+                 + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END) * 0.3
+                 + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                         BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+           CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           list_aggregate(list_transform(range(1, greatest(n_tokens - 7, 1) + 1),
+                          i -> {fp_hash}), 'min') AS fingerprint
+    FROM m
+    """
+
+
+REGISTRY["text_stats"] = Query(
+    fn=text_stats_q, oracle=_text_stats_oracle(), note=REGISTRY["text_stats"].note
+)
+
+
+@register(
+    "minhash_near_dups",
+    None,
+    note="end-to-end near-dup pipeline: LSH candidates → exact-jaccard verify (bucket-then-verify; candidates ⊆ exact pairs so rows-only by design)",
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+    # verify exactly the candidate PAIRS (linear in |cand|) — not
+    # all-pairs among candidate docs.
+    return dedup.jaccard_verify(docs, "doc_id", "text", cand, threshold=0.5)
+
+
+@register(
+    "quality_filter",
+    None,  # generated below from the text_stats oracle
+    note="quality-threshold document filter (the Gopher-style heuristic gate)",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_ops.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return stats.filter(
+        (F.col("quality") >= 0.8) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "quality", "n_tokens")
+
+
+REGISTRY["quality_filter"] = Query(
+    fn=quality_filter,
+    oracle=f"""
+    WITH stats AS ({_text_stats_oracle()})
+    SELECT doc_id, quality, n_tokens FROM stats
+    WHERE quality >= 0.8 AND lang_pred = 'en'
+    """,
+    note=REGISTRY["quality_filter"].note,
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 pipe protocol / multimodal / streaming
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_id_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+         m AS (
+      SELECT lang, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'are', 'was', 'were', 'for', 'on', 'with', 'as', 'by', 'at', 'from'], x))) AS n_stop
+      FROM t)
+    SELECT lang,
+           CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM m
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    note="language-ID confusion matrix: predicted (stopword-profile heuristic) vs labeled lang",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the labeled
+    ``lang`` column — the eval loop a corpus pipeline runs after any
+    classifier change.  Row-local scoring then a tiny groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text_ops.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_CURATION_QUALITY_CTE = """
+    WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents),
+         m AS (
+      SELECT doc_id, text, toks, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains(['the', 'a', 'an', 'of', 'to', 'in', 'and', 'or', 'is', 'are', 'was', 'were', 'for', 'on', 'with', 'as', 'by', 'at', 'from'], x))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t),
+         scored AS (
+      SELECT doc_id, text, toks, n_tokens,
+             ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+                   + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END) * 0.3
+                   + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                           BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+             CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM m),
+         qpass AS (SELECT doc_id, text, toks, n_tokens, quality FROM scored
+                   WHERE quality >= 0.8 AND lang_pred = 'en'),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM qpass GROUP BY md5(text)),
+         kept AS (SELECT q.doc_id, q.toks, q.n_tokens, q.quality FROM qpass q JOIN keepers USING (doc_id)),
+         sh AS (SELECT doc_id AS did,
+                       unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))) AS s
+                FROM kept),
+         sizes AS (SELECT did, COUNT(*) AS sz FROM sh GROUP BY did),
+         pairs AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+      GROUP BY a.did, b.did),
+         neardup AS (
+      SELECT DISTINCT id_b FROM pairs
+      JOIN sizes sa ON sa.did = id_a
+      JOIN sizes sb ON sb.did = id_b
+      WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5)
+    SELECT doc_id, quality, n_tokens FROM kept
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_curation",
+    _CURATION_QUALITY_CTE,
+    note="end-to-end training-corpus keep-list: quality gate → exact dedup → 3-gram Jaccard near-dup prune",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data pipeline, as one declarative plan:
+
+    1. quality gate (Gopher-style heuristics, row-local codegen);
+    2. exact dedup (md5 hash-groupBy, keep min doc_id);
+    3. near-dup prune: 3-gram Jaccard ≥ 0.5 pairs, drop the higher id.
+
+    Stage 3 runs the prefix-filtered exact Jaccard join (rarest-first
+    frequency ordering keeps hot shingles out of the candidate join;
+    candidates verified over full sets — lossless); at 100 TB it can
+    equally route through ``dedup.minhash_lsh_candidates`` (band
+    buckets) into the same ``jaccard_verify`` — either way the shuffle
+    is bounded, never the raw shared-shingle fan-out."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.text_stats(docs, "doc_id", "text")
+    qpass = (
+        docs.join(
+            stats.filter(
+                (F.col("quality") >= 0.8) & (F.col("lang_pred") == "en")
+            ).select("doc_id", "quality", "n_tokens"),
+            "doc_id",
+        )
+    )
+    keepers = (
+        qpass.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # keepers/drop are per-doc aggregates that grow with the corpus —
+    # no forced hint; AQE broadcasts them at runtime only when small.
+    kept = qpass.join(keepers, "doc_id", "left_semi")
+    near = dedup.jaccard_pairs(kept, "doc_id", "text", threshold=0.5, shingle=3)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        kept.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+# Generated oracles for the LSH family (deterministic algorithms — the
+# SQL is verbose, so it is built programmatically from the same
+# parameters the Spark operators use; previously rows-only).
+# ---------------------------------------------------------------------------
+
+def _lsh_bands_cte() -> str:
+    """CTE chain sig→bands→buckets→pairs for 16 hashes / 4 bands,
+    mirroring dedup.minhash_lsh_candidates (max_bucket=1000)."""
+    return f"""
+    WITH sig AS ({_minhash_oracle()}),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS h0, mh1 AS h1, mh2 AS h2, mh3 AS h3 FROM sig
+      UNION ALL SELECT doc_id, 1, mh4, mh5, mh6, mh7 FROM sig
+      UNION ALL SELECT doc_id, 2, mh8, mh9, mh10, mh11 FROM sig
+      UNION ALL SELECT doc_id, 3, mh12, mh13, mh14, mh15 FROM sig
+    ),
+    buckets AS (
+      SELECT band, h0, h1, h2, h3, list_sort(list(doc_id)) AS ids
+      FROM bands GROUP BY band, h0, h1, h2, h3
+      HAVING COUNT(*) BETWEEN 2 AND 1000
+    ),
+    rawpairs AS (
+      SELECT p[1] AS id_a, p[2] AS id_b
+      FROM buckets,
+           UNNEST(flatten(list_transform(ids, a -> list_transform(list_filter(ids, b -> b > a), b -> [a, b])))) AS t(p)
+    ),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM rawpairs)"""
+
+
+def _lsh_pairs_oracle() -> str:
+    return _lsh_bands_cte() + "\n    SELECT id_a, id_b FROM pairs"
+
+
+def _minhash_near_dups_oracle() -> str:
+    """LSH candidates → exact token-set Jaccard (threshold 0.5) verify,
+    mirroring minhash_near_dups: jaccard computed over the docs that
+    appear in any candidate pair, then inner-joined to the pairs."""
+    return _lsh_bands_cte() + r""",
+    pids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
+    base AS (
+      SELECT d.doc_id AS did,
+             unnest(list_distinct(list_filter(regexp_split_to_array(d.text, '\s+'), t -> t <> ''))) AS sh
+      FROM documents d JOIN pids USING (doc_id)
+    ),
+    sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    JOIN sizes sa ON sa.did = p.id_a
+    JOIN sizes sb ON sb.did = p.id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5"""
+
+
+REGISTRY["minhash_lsh_pairs"] = Query(
+    fn=REGISTRY["minhash_lsh_pairs"].fn,
+    oracle=_lsh_pairs_oracle(),
+    note="LSH band-bucket candidate pairs (16 hashes / 4 bands) — deterministic, full oracle",
+)
+REGISTRY["minhash_near_dups"] = Query(
+    fn=REGISTRY["minhash_near_dups"].fn,
+    oracle=_minhash_near_dups_oracle(),
+    note="end-to-end near-dup pipeline: LSH candidates → exact-jaccard verify — deterministic, full oracle",
+)
+@register(
+    "pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com tel 555-' || doc_id AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                          '\b555-[0-9]+', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+             + len(regexp_extract_all(raw, '\b555-[0-9]+')) AS n_redactions
+    FROM aug ORDER BY doc_id
+    """,
+    note="PII redaction pass (email/phone patterns -> placeholder tokens) with per-doc redaction counts",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-redaction pass a training pipeline runs before release:
+    regexp_replace chains, all codegen.  The fixture corpus carries no
+    PII, so a deterministic contact suffix is synthesized per doc and
+    then scrubbed — the count column proves each pattern fired.
+    Reference analog: RegexMapper (mapred/lib/RegexMapper.java) used as
+    a scrubber."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.col("doc_id").cast("string"),
+    )
+    email = r"[a-z0-9.]+@[a-z0-9.]+"
+    phone = r"\b555-[0-9]+"
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+            ).alias("clean"),
+            (
+                F.size(F.regexp_extract_all(raw, F.lit(email), 0))
+                + F.size(F.regexp_extract_all(raw, F.lit(phone), 0))
+            ).cast("long").alias("n_redactions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> array_to_string(toks[i:i+4], ' ')))) AS ng
+          FROM tok),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id < 20)
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM g JOIN bench USING (ng)
+    WHERE g.doc_id >= 20
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    note="benchmark decontamination: corpus docs sharing any 5-gram with the benchmark set (docs 0-19), hit counts",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the overlap check every training corpus
+    needs: distinct 5-grams of the benchmark set (here docs 0-19) are
+    broadcast and joined against the corpus's 5-grams; output is each
+    contaminated doc with its hit count (downstream: drop or trim).
+
+    At 100 TB the benchmark side stays small (benchmarks are), so this
+    remains one broadcast hash join against a narrow exploded n-gram
+    stream — no corpus shuffle; hash n-grams (md5_long) to 8-byte keys
+    if the broadcast grows."""
+    docs = _t(spark, sf_dir, "documents")
+    from hadoop_20_spark.functions import ngrams
+
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams("text", 5))).alias("ng")
+    )
+    bench = F.broadcast(g.filter(F.col("doc_id") < 20).select("ng").distinct())
+    return (
+        g.filter(F.col("doc_id") >= 20)
+        .join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH b AS (SELECT c_custkey, c_name, substr(c_name, 1, len(c_name) - 1) AS blk FROM customer)
+    SELECT a.c_custkey AS key_a, c.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, c.c_name) AS INT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= 1
+    """,
+    note="record-linkage fuzzy match: blocking key (name prefix) -> within-block levenshtein <= 1",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching with BLOCKING — the record-linkage discipline:
+    never all-pairs levenshtein (quadratic in the table); an equi-join on
+    a cheap blocking key (here the name prefix) bounds candidates to
+    within-block pairs, then the edit-distance verify runs on those only.
+    Same bucket-then-verify shape as MinHash-LSH; at 100 TB pick blocking
+    keys so the largest block fits a task (or salt hot blocks)."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("blk"),
+    )
+    a = b.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    d = b.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    return (
+        a.join(d, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 1)
+    )
+
+
+@register(
+    "integrity_checks",
+    """
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+    UNION ALL
+    SELECT 'orphan_orders',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'null_order_keys', (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'dup_order_keys',
+           (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'negative_prices', (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+    ORDER BY check_name
+    """,
+    note="data-quality audit: referential integrity (anti-joins), null/duplicate keys, domain constraints",
+)
+def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit a warehouse load runs after ingest: referential
+    integrity via broadcast anti-joins, key nullability/uniqueness,
+    domain checks — each check one small aggregate, unioned into a
+    (check_name, violations) report.  The reference idiom is a counter
+    per validation job (SortValidator's RecordStatsChecker); here
+    counters are rows, so the report is itself queryable."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def one(name: str, df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    checks = [
+        one("orphan_lineitems", li.join(joins.broadcast_if_small(orders), li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one("orphan_orders", orders.join(joins.broadcast_if_small(cust), orders.o_custkey == cust.c_custkey, "left_anti")),
+        one("null_order_keys", orders.filter(F.col("o_orderkey").isNull())),
+        one(
+            "dup_order_keys",
+            orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1),
+        ),
+        one("negative_prices", li.filter(F.col("l_extendedprice") < 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    base AS ({_lsh_pairs_oracle()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM base UNION SELECT id_b, id_a FROM base),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"""
+
+
+@register(
+    "dedup_clusters",
+    None,  # oracle attached below (generated: recursive CTE over the LSH pairs)
+    note="connected components over near-dup pairs (iterative min-label propagation); oracle = recursive CTE",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph via iterative min-label propagation (each node adopts the
+    smallest label among itself and its neighbors until fixpoint) —
+    cluster id = smallest doc_id in the component, the canonical keeper.
+
+    This is the iterative-algorithm pattern (reference analog: chained
+    MR jobs reading the previous round's output): a driver loop over
+    DataFrames with localCheckpoint() to cut lineage each round.
+    Rounds = graph diameter (near-dup clusters are shallow); each round
+    is one join + one aggregation, all distributed — and the DuckDB
+    recursive-CTE oracle certifies the fixpoint exactly."""
+    pairs = dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, bands=4
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+REGISTRY["dedup_clusters"] = Query(
+    fn=REGISTRY["dedup_clusters"].fn,
+    oracle=_dedup_clusters_oracle(),
+    note=REGISTRY["dedup_clusters"].note,
+)
+
+
+@register(
+    "bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS INT) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    note="BPE-ish regex tokenizer count (word/number/punct classes) beside the whitespace count — the token-budget estimator",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with a BPE-ish regex (letter runs, digit runs,
+    punctuation singletons — the GPT-2 pre-tokenizer shape, minus the
+    merges): pure regexp_extract_all, codegen, no UDF.  The whitespace
+    count rides along for calibration."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+            F.size(_fn_tokens("text")).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens - FLOOR((cum - n_tokens) / 2048) * 2048 AS BIGINT) AS bin_offset
+    FROM c ORDER BY shard, doc_id
+    """,
+    note="sequence packing: per-shard contiguous token-budget bins (2048/ctx) via partitioned prefix sums — the pretraining batch-prep op; no global single-task window",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget context windows (2048) via
+    ``text_ops.pack_sequences``, SHARDED: each of 8 deterministic shards
+    (doc_id mod 8 — in production, the trainer-rank key) prefix-sums and
+    bins independently, so the window partitions by shard and the plan
+    has no Exchange SinglePartition (asserted in test_registry_plans).
+    Bins are (shard, bin_id) pairs — exactly the layout a per-rank data
+    loader consumes."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        F.size(_fn_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return text_ops.pack_sequences(
+        t, "doc_id", "n_tokens", budget=2048, shard_col="shard"
+    ).orderBy("shard", "doc_id")
+
+
+@register(
+    "word_histogram",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w)
+    SELECT 'WORD_HISTOGRAM' AS histogram,
+           COUNT(*) AS n_distinct_values,
+           CAST(MIN(freq) AS BIGINT) AS min_freq,
+           ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
+           CAST(MAX(freq) AS BIGINT) AS max_freq,
+           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
+           ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) AS stddev_freq
+    FROM freq
+    """,
+    note="AggregateWordHistogram (ex/AggregateWordHistogram.java): ValueHistogram over the corpus token stream",
+)
+def word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second aggregate-framework demo: the corpus-wide
+    word-frequency histogram (distinct words; min/median/max/avg/stddev
+    of the frequencies) — aggregate.value_histogram over exploded tokens
+    under a single constant key, exact-moment statistics throughout."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.lit("WORD_HISTOGRAM").alias("histogram"),
+        F.explode(_fn_tokens("text")).alias("w"),
+    )
+    return agg_ops.value_histogram(tok, "histogram", "w")
+
+
+@register(
+    "repetition_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS bg
+      FROM tok
+    ),
+    counts AS (SELECT doc_id, bg, COUNT(*) AS n FROM g GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_count,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+    note="Gopher-style repetition metrics: top-bigram fraction per doc (repetitious docs filtered before training)",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher repetition-filter family): the
+    fraction of a document's 2-grams taken by its single most frequent
+    2-gram — boilerplate and degenerate generations score high.  Explode
+    → two-level count (both partial-agg'd); pairs with
+    ``distinct_token_ratio`` in text_stats for the full filter set."""
+    docs = _t(spark, sf_dir, "documents")
+    from hadoop_20_spark.functions import ngrams
+
+    g = docs.select("doc_id", F.explode(ngrams("text", 2)).alias("bg"))
+    counts = g.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.max("n").cast("long").alias("top_bigram_count"),
+            F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(u AS INT) AS chunk_id,
+           CAST(len(toks[u * 48 + 1 : u * 48 + 64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[u * 48 + 1 : u * 48 + 64], ' ') AS chunk_text
+    FROM c, UNNEST(range(0, n_chunks)) AS s(u)
+    ORDER BY doc_id, chunk_id
+    """,
+    note="context-window chunking (64-token windows, 16 overlap): tokenize once, explode chunk starts, slice — row-local, zero shuffle",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.chunk_documents`` — the chunk-for-embedding/training prep
+    op; keeps the final partial chunk (tail text is never silently
+    dropped)."""
+    return text_ops.chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 10000 WHEN 'de' THEN 10000
+                      WHEN 'es' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END
+    ORDER BY doc_id
+    """,
+    note="deterministic per-stratum (language) sampling via md5 gating — the data-mixing op; reproducible in any engine, stable under repartitioning",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text.stratified_sample`` — upsample/downsample strata with
+    md5-hash gates (InputSampler/MD5Filter discipline), not seeded
+    Bernoulli draws: the keep-set is a pure function of ids."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return text_ops.stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": 0.5, "fr": 1.0, "de": 1.0, "es": 0.25, "zh": 0.1},
+    ).orderBy("doc_id")
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(cnt) AS total FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS dcnt FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(cnt AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / dcnt) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM s
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS tfidf, rk
+    FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+    note="TF-IDF top-3 terms per document (keyword extraction): two partial-agg passes + one broadcast scalar + per-doc WindowGroupLimit",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords — the classic relevance weighting
+    (Spärck Jones IDF), all partial-agg'd groupBys: tf on (doc, term),
+    doc length on (doc), document frequency on (term), corpus size as a
+    broadcast 1-row cross join.  Rank by UNROUNDED score with a term
+    tie-break (identical double arithmetic in both engines), round only
+    the emitted value — the registry determinism rules.  At 100 TB the
+    only wide shuffle keys on term (document frequency); Zipf-head
+    terms partial-aggregate map-side, so no skew blowup."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_fn_tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # doc length and document frequency as windows over the ONE tf
+    # relation (instead of groupBy+rejoin, which makes Spark recompute
+    # the token aggregation per branch): exactly three tf-sized
+    # shuffles — (doc,term) agg, term window, doc window — and the
+    # ranking window reuses the doc partitioning (no fourth exchange).
+    s = (
+        tf.withColumn(
+            "dcnt", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("doc_id"))
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("cnt").cast("double") / F.col("total"))
+            * F.log(F.col("n_docs").cast("double") / F.col("dcnt")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
+    "winnowing_fps",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS grams
+      FROM tok
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+      FROM g
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                                 i -> list_min(hs[i:i+3])))) AS fp
+      FROM h
+    )
+    SELECT doc_id, fp FROM w ORDER BY doc_id, fp
+    """,
+    note="winnowing (MOSS) fingerprints: min-hash of each sliding window of 3-gram hashes — position-aware dedup fingerprints, row-local codegen",
+)
+def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4
+    ).orderBy("doc_id", "fp")
+
+
+@register(
+    "source_ngram_overlap",
+    r"""
+    WITH tok AS (
+      SELECT source, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+2], ' ')))) AS ng
+      FROM tok
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coef
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    note="cross-source 3-gram overlap matrix (train/eval leakage audit): distinct (source, ngram) self-join — fan-out bounded by #sources per ngram, never #docs",
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources via distinct
+    3-gram sets — the leakage/contamination audit between data mixes.
+    The self-join keys on ngram AFTER per-source dedup, so each ngram
+    contributes at most #sources rows per side: fan-out is bounded by
+    #sources² per ngram regardless of corpus size (unlike a doc-level
+    join).  At 100 TB, hash ngrams to 8-byte keys (md5_long) to shrink
+    the shuffle payload."""
+    from hadoop_20_spark.functions import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "source", F.explode(shingles("text", 3)).alias("ng")
+    ).distinct()
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col("source").alias("src_a"), "ng")
+    b = g.select(F.col("source").alias("src_b"), "ng")
+    shared = (
+        a.join(b, "ng")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("sz_a", "sz_b"),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "bigram_lm_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT t.pair[1] AS w1, t.pair[2] AS w2
+      FROM tok, UNNEST(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                      i -> [toks[i], toks[i+1]])) AS t(pair)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+    s AS (
+      SELECT w1, w2, n12, SUM(n12) OVER (PARTITION BY w1) AS n1 FROM c2
+    ),
+    r AS (
+      SELECT w1, w2, n12, n1,
+             ROUND(CAST(n12 AS DOUBLE) / n1, 6) AS p,
+             ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n12 DESC, w2) AS rk
+      FROM s
+    )
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12, p, rk
+    FROM r WHERE rk <= 3 AND n1 >= 50 ORDER BY w1, rk
+    """,
+    note="bigram LM table: top-3 continuations per token with conditional probability (count-ranked, probability emitted) — the n-gram-LM training artifact as two shuffles",
+)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-a-bigram-LM as a query: P(w2|w1) = c(w1,w2)/c(w1), top-3
+    continuations per head token (count-ranked with a w2 tie-break —
+    integer ordering, so engine-identical; probability emitted rounded).
+    The denominator comes from a window over the ONE bigram-count
+    relation (the tfidf_top_terms lesson — no recomputed explode), and
+    the ranking window shares the w1 partitioning.  Heads with n1 < 50
+    are dropped (rare-head noise, and a stable output contract).  At
+    100 TB: bigram extraction is row-local; the (w1,w2) count
+    partial-aggregates map-side; Zipf-head w1 skew is absorbed by the
+    same partial aggregation before either window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _fn_tokens("text")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pr"))
+        .select("pr.w1", "pr.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    s = c2.withColumn("n1", F.sum("n12").over(Window.partitionBy("w1")))
+    w = Window.partitionBy("w1").orderBy(F.col("n12").desc(), "w2")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("n1") >= 50))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(F.col("n12").cast("double") / F.col("n1"), 6).alias("p"),
+            "rk",
+        )
+        .orderBy("w1", "rk")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+    f AS (SELECT hh, MIN(doc_id) AS keeper FROM h GROUP BY hh)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+           ROUND(CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM h JOIN f USING (hh)
+    GROUP BY source ORDER BY source
+    """,
+    note="per-source exact-duplicate rate (keeper = min doc_id per md5): the dedup yield report a curation run starts from; 32-byte-key shuffles only",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report per source — the first number a corpus
+    curation pass produces (how much of each feed is redundant).  Same
+    plan family as dedup_exact: shuffle keys are 32-byte md5 digests,
+    never document bodies; keeper resolution is one partial-agg'd
+    groupBy; the rate aggregation keys on the tiny source domain."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("hh"))
+    keep = h.groupBy("hh").agg(F.min("doc_id").alias("keeper"))
+    dup = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    return (
+        h.join(keep, "hh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_dupes"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    s AS (
+      SELECT tok.doc_id, -ln(CAST(n AS DOUBLE) / t) AS nll
+      FROM tok JOIN cnt USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    note="unigram LM cross-entropy per doc (CCNet-style perplexity filtering signal): corpus unigram probs -> per-doc mean -ln p(token), decimal-exact mean",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy — the language-model quality
+    signal corpus filters rank on (high = off-distribution/noise, low =
+    repetitive/boilerplate): H(doc) = mean of -ln p(token) under the
+    corpus unigram distribution.
+
+    Determinism: the mean sums ln-values in DECIMAL(38,18) (fp addition
+    order would differ by partitioning); ln/division are identical IEEE
+    doubles in both engines.  Scale: one term-count shuffle (Zipf-head
+    terms partial-aggregate map-side), then tok⋈vocab on term — the
+    vocab side is a derived aggregate, so it carries no forced hint and
+    AQE broadcasts it when it fits (typical: vocab ≪ corpus) — then a
+    per-doc aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_fn_tokens("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    nll = -F.log(F.col("n").cast("double") / F.col("t"))
+    return (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "cdc_chunks",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 1
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, greatest(len(toks), 1) + 1),
+                         i -> CAST(('0x' || substr(md5(toks[i]), 1, 15)) AS BIGINT) % 8 = 0) AS bpos
+      FROM tok
+    ),
+    r AS (
+      SELECT doc_id, toks,
+             list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+             list_append(bpos, len(toks)) AS ends
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id, j, starts[j] AS s, ends[j] AS e, toks
+      FROM r, UNNEST(range(1, len(starts) + 1)) AS t(j)
+      WHERE starts[j] <= ends[j]
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS chunk_idx,
+           md5(array_to_string(toks[s:e], ' ')) AS chunk_hash,
+           e - s + 1 AS n_tokens
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    note="content-defined chunking (rsync/LBFS): md5-gated token boundaries, shift-resistant chunk hashes for delta-dedup; row-local codegen, explode-only widening",
+)
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.cdc_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", boundary_bits=3
+    ).orderBy("doc_id", "chunk_idx")
+
+

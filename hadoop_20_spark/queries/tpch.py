@@ -1,0 +1,843 @@
+"""TPC-H-shaped analytical queries (SURVEY §2.4/§2.5 composition patterns).
+
+Split from the original single-file registry (round 4) — behavior-
+identical; REGISTRY names, oracles, and notes are unchanged.  Definition
+order within this module preserves the original file order (module-level
+re-registrations must follow their originals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
+from hadoop_20_spark.operators import (  # noqa: F401
+    aggregate as agg_ops,
+    dedup,
+    joins,
+    rowops,
+    setops,
+    similarity,
+    sort as sort_ops,
+    text as text_ops,
+)
+from hadoop_20_spark.operators.aggregate import (  # noqa: F401
+    exact_avg_double,
+    exact_sum_double,
+)
+from hadoop_20_spark.queries._base import (  # noqa: F401
+    _TOKENS,
+    REGISTRY,
+    Query,
+    _sql_md5_long,
+    _t,
+    register,
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    note="flagship: TPC-H Q1 shape = the reference's canonical scan→filter→combine→reduce→sort (WordCount/Aggregate-framework pipeline)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum_double("l_quantity").alias("sum_qty"),
+            exact_sum_double("l_extendedprice").alias("sum_base_price"),
+            exact_sum_double(disc_price).alias("sum_disc_price"),
+            exact_sum_double(charge).alias("sum_charge"),
+            exact_avg_double("l_quantity").alias("avg_qty"),
+            exact_avg_double("l_extendedprice").alias("avg_price"),
+            exact_avg_double("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    note="TPC-H Q3 shape: selective dim filter -> star join -> agg -> top-k (TakeOrdered)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(joins.broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    note="TPC-H Q6 shape: pure scan-filter-agg; all four predicates push to the parquet scan",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum_double(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# generators / sampling / scalar surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    note="TPC-H Q5 shape: 6-way snowflake join (local-supplier condition) + agg; dims broadcast, fact never shuffles twice",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join with the Q5 'local supplier' twist (supplier in the
+    customer's nation).  Scale plan: region/nation (fixed cardinality:
+    5 and 25 rows) are broadcast unconditionally — the DistributedCache
+    idiom (core/filecache/DistributedCache.java) is for *small* files.
+    customer/supplier grow with SF, so they get a size-gated hint only
+    (under the autoBroadcastJoinThreshold); above it Catalyst + AQE pick
+    the strategy from stats instead of aborting at the 8 GB broadcast
+    cap.  The only guaranteed shuffle is lineitem⋈orders on orderkey,
+    then a partial-agg'd groupBy on the tiny (r_name, n_name) key space."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
+    supplier = joins.broadcast_if_small(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(
+            supplier,
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 300)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    note="TPC-H Q18 shape: groupBy-HAVING semi-join (left_semi on an aggregated subquery) + re-aggregation",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantity orders: the HAVING subquery runs as an aggregation
+    whose (small) result semi-joins the fact — the reference's two-job
+    chain (aggregate job feeding a filter job via DistributedCache)
+    collapsed into one plan with a broadcast left-semi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    # `big` is a derived aggregate — its pre-runtime size estimate is
+    # unreliable, so no hint: AQE broadcasts it at runtime when small.
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum_double("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 5 AND 40)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 10 AND 60)
+    """,
+    note="TPC-H Q19 shape: disjunctive (OR-of-conjunctions) predicates spanning both join sides",
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across both sides of an equi-join — Catalyst
+    keeps the equi-key join and evaluates the residual disjunction post-
+    probe; per-side conjunct members (brand/size lists) are still pushed
+    to the scans as derived filters."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = joins.broadcast_if_small(_t(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(5, 40))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 50) & q.between(10, 60))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_orderdate) FROM orders WHERE o_custkey = c_custkey) AS last_order_date,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    note="correlated scalar subqueries (TPC-H Q2/Q17 shape) — Catalyst decorrelates to aggregate + join",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries, run through Spark SQL so Catalyst's
+    DecorrelateInnerQuery rewrites them into one aggregate joined back —
+    the plan the reference would hand-build as an aggregate job + a
+    map-side join (DistributedCache)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_q2")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_q2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_orderdate) FROM ord_q2 WHERE o_custkey = c_custkey) AS last_order_date,
+               (SELECT COUNT(*) FROM ord_q2 WHERE o_custkey = c_custkey) AS n_orders
+        FROM cust_q2
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q11_value_concentration",
+    """
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+           > (SELECT 1.05 * SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                     / COUNT(DISTINCT l_suppkey) FROM lineitem)
+    ORDER BY revenue DESC, l_suppkey
+    """,
+    note="TPC-H Q11 shape: HAVING against a global scalar subquery (above-average revenue share)",
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q11")
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM li_q11
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+               > (SELECT 1.05 * SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                         / COUNT(DISTINCT l_suppkey) FROM li_q11)
+        ORDER BY revenue DESC, l_suppkey
+        """
+    )
+
+
+@register(
+    "q21_sole_blame",
+    """
+    SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    ORDER BY n_orders DESC, l_suppkey
+    LIMIT 20
+    """,
+    note="TPC-H Q21 shape: EXISTS + NOT EXISTS correlated subqueries (semi + anti join after decorrelation)",
+)
+def q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q21 pattern: multi-supplier orders where exactly one supplier
+    has returned ('R') lines — EXISTS decorrelates to a left-semi join,
+    NOT EXISTS to a left-anti join, both on l_orderkey."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q21")
+    return spark.sql(
+        """
+        SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        FROM li_q21 l1
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM li_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey
+        ORDER BY n_orders DESC, l_suppkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    ORDER BY volume DESC, cust_nation, supp_nation
+    LIMIT 30
+    """,
+    note="TPC-H Q7 shape: cross-nation trade volume — the same dim joined twice under two aliases",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation joined TWICE under different roles (customer side and
+    supplier side) — the alias-disambiguation pattern the reference
+    expressed as two tagged map inputs (MultipleInputs) feeding one
+    reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
+    supp = joins.broadcast_if_small(_t(spark, sf_dir, "supplier"))
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(n1, F.col("c_nationkey") == F.col("nk1"))
+        .join(n2, F.col("s_nationkey") == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("volume").desc(), "cust_nation", "supp_nation")
+        .limit(30)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT SUBSTR(c_name, 10, 2) AS cntry_code, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY SUBSTR(c_name, 10, 2)
+    ORDER BY cntry_code
+    """,
+    note="TPC-H Q22 shape: above-average balance + NOT IN (anti join) — high-balance customers with no orders since 2000",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no recent orders: a global scalar
+    aggregate feeds the filter, NOT IN decorrelates to a broadcast
+    left-anti join (orders' key set is the small side after
+    projection)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_q22")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_q22")
+    return spark.sql(
+        """
+        SELECT SUBSTR(c_name, 10, 2) AS cntry_code, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+        FROM cust_q22
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust_q22 WHERE c_acctbal > 0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM ord_q22 WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY SUBSTR(c_name, 10, 2)
+        ORDER BY cntry_code
+        """
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS n_custs
+    FROM per_cust GROUP BY c_count
+    ORDER BY n_custs DESC, c_count DESC
+    """,
+    note="TPC-H Q13 shape: customer order-count distribution — LEFT join keeps zero-order customers, COUNT(col) skips their nulls",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer: the left outer join keeps
+    customers with no orders and COUNT(o_orderkey) counts them as 0
+    (COUNT(col) null semantics), then the second aggregation histograms
+    the counts — the double-aggregation shape the reference chained as
+    two jobs."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.col("n_custs").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    note="TPC-H Q7 shape: bidirectional nation-pair trade volume by year — six-table join with a cross-side disjunction",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(joins.broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(joins.broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE contains(p.p_name, 'a')
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    note="TPC-H Q9 shape: profit by supplier nation x order year — five-table join, substring part filter, decimal-exact profit expression (cost proxied by 10% of retail price; no partsupp table in the fixture)",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.contains("p_name", F.lit("a")))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(joins.broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(joins.broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(exact_sum_double(profit).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- additional TPC-H query shapes (round 2 widening) -----------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then priority rollup",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join on orderkey: orders never duplicate no
+    matter how many qualifying lines exist (the semantics a plain inner
+    join would break)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li_r = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li_r, o.o_orderkey == li_r.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    note="TPC-H Q10 shape: returned-item revenue per customer — filtered star join, agg, top-20",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(joins.broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            exact_sum_double(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    note="TPC-H Q14 shape: conditional (CASE) aggregation ratio over a broadcast part join",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    joined = li.join(joins.broadcast_if_small(p), li.l_partkey == p.p_partkey)
+    out = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return out.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    note="TPC-H Q15 shape: revenue view + scalar MAX subquery (safe to compare: decimal-exact revenue)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via broadcast of a 1-row aggregate — the equality
+    on revenue is engine-safe because the sum goes through DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum_double(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(joins.broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    note="TPC-H Q17 shape: correlated per-part AVG subquery, decorrelated to an aggregate + join (decimal-exact mean)",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar AVG decorrelates to a per-partkey aggregate
+    joined back — written in SQL so Catalyst's decorrelation does it
+    (the q21/q22 discipline); the mean goes through DECIMAL so the
+    `<` threshold compares identically in both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q17")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("p_q17")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM li_q17 l JOIN p_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                              FROM li_q17 l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    note="TPC-H Q19 shape: OR-of-ANDs across both join sides — tests disjunctive predicate split/pushdown",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed-side predicate: Catalyst extracts the
+    common-side conjuncts (brand/size only touch part, quantity only
+    lineitem) so each scan still gets a pushed filter, and the residual
+    OR evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(joins.broadcast_if_small(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        exact_sum_double(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+

@@ -79,24 +79,31 @@ def test_no_forced_broadcast_on_scaling_tables_in_registry():
     """Source lint: every remaining raw ``F.broadcast(`` in the registry
     must not load a scaling table inside its argument.  Statement-level
     check (balanced-paren slice), not line-level, so multi-line calls
-    can't hide a ``_t(..., "customer")``."""
-    src = Path(__file__).resolve().parents[1].joinpath(
-        "hadoop_20_spark", "registry.py"
-    ).read_text()
+    can't hide a ``_t(..., "customer")``.  Scans the whole queries/
+    package (the registry was split per-domain in round 4)."""
+    pkg = Path(__file__).resolve().parents[1].joinpath(
+        "hadoop_20_spark", "queries"
+    )
+    files = sorted(pkg.glob("*.py"))
+    assert len(files) >= 6, "queries package files missing"
     bad = []
-    for m in re.finditer(r"F\.broadcast\(", src):
-        depth, i = 1, m.end()
-        while depth and i < len(src):
-            if src[i] == "(":
-                depth += 1
-            elif src[i] == ")":
-                depth -= 1
-            i += 1
-        arg = src[m.end() : i]
-        for t in SCALING_TABLES:
-            if f'"{t}"' in arg or f"'{t}'" in arg:
-                line = src.count("\n", 0, m.start()) + 1
-                bad.append(f"registry.py:{line} F.broadcast on {t}: {arg[:80]}")
+    for path in files:
+        src = path.read_text()
+        for m in re.finditer(r"F\.broadcast\(", src):
+            depth, i = 1, m.end()
+            while depth and i < len(src):
+                if src[i] == "(":
+                    depth += 1
+                elif src[i] == ")":
+                    depth -= 1
+                i += 1
+            arg = src[m.end() : i]
+            for t in SCALING_TABLES:
+                if f'"{t}"' in arg or f"'{t}'" in arg:
+                    line = src.count("\n", 0, m.start()) + 1
+                    bad.append(
+                        f"{path.name}:{line} F.broadcast on {t}: {arg[:80]}"
+                    )
     assert not bad, "\n".join(bad)
 
 
