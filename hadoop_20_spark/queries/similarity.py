@@ -432,3 +432,69 @@ REGISTRY["quantized_topk"] = Query(
 )
 
 
+
+# --- round-4 widening -------------------------------------------------------
+
+
+@register(
+    "knn_label_agreement",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS own_label FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nb_label FROM embeddings),
+         scored AS (
+           SELECT query_id, own_label, neighbor_id, nb_label,
+                  {_sql_cos('qv', 'cv')} AS cosine_sim
+           FROM c, q WHERE neighbor_id <> query_id
+         ),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           FROM scored
+         ),
+         per_q AS (
+           SELECT query_id, own_label,
+                  SUM(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END) AS m
+           FROM ranked WHERE rank <= 10 GROUP BY query_id, own_label
+         )
+    SELECT own_label AS label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(m) AS DOUBLE) / (10 * COUNT(*)), 6) AS avg_agreement,
+           CAST(SUM(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+    FROM per_q GROUP BY own_label ORDER BY label
+    """,
+    note="kNN label-agreement audit (mislabel detection): per-label share of each vector's 10 nearest neighbors carrying the same label; n_suspect = vectors whose neighborhood majority disagrees",
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit via k-nearest-neighbor vote: for every vector,
+    count how many of its 10 nearest cosine neighbors share its label;
+    aggregate per label (avg agreement, #majority-disagree suspects).
+    Integer vote counts aggregate exactly (SUM of ints, never a double
+    sum), so the per-label ratio is deterministic.  Scale plan: this
+    brute-force form reuses cosine_topk (corpus never shuffles; queries
+    broadcast) — right up to ~10⁵ queries; beyond that swap the
+    candidate generator for srp_candidate_pairs (same downstream vote),
+    which is exactly how lsh_topk relates to cosine_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = similarity.cosine_topk(emb, emb, k=10)
+    own = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("own_label"))
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label"))
+    per_q = (
+        knn.join(joins.broadcast_if_small(own), "query_id")
+        .join(joins.broadcast_if_small(nb), "neighbor_id")
+        .groupBy("query_id", "own_label")
+        .agg(
+            F.sum(
+                F.when(F.col("nb_label") == F.col("own_label"), 1).otherwise(0)
+            ).alias("m")
+        )
+    )
+    return (
+        per_q.groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("m").cast("double") / (10 * F.count(F.lit(1))), 6
+            ).alias("avg_agreement"),
+            F.sum(F.when(F.col("m") < 5, 1).otherwise(0)).alias("n_suspect"),
+        )
+        .orderBy("label")
+    )

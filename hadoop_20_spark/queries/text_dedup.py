@@ -1293,3 +1293,121 @@ def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+
+# --- round-4 widening -------------------------------------------------------
+
+
+@register(
+    "dup_ngram_fraction",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+7], ' ')))) AS ng
+      FROM tok
+    ),
+    df AS (SELECT ng, COUNT(*) AS n_docs FROM g GROUP BY ng)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM g JOIN df ON df.ng = g.ng
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+    note="per-doc duplication-contamination fraction: share of a doc's distinct 8-gram shingles that occur in >=2 docs (the doc-level dedup triage signal; complements source_ngram_overlap's source-level matrix)",
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-duplication triage: the fraction of each doc's
+    distinct 8-gram shingles that also occur elsewhere in the corpus.
+    The token array is materialized in its own projection BEFORE the
+    shingle transform (lambda-CSE rule: Catalyst does not CSE across
+    nested higher-order lambdas — see SCALE.md).  Scale plan: two
+    shingle-keyed shuffles (document frequency + join back), counts per
+    shingle bounded by corpus df, never a doc×doc join; at 100 TB hash
+    the shingle to md5_long 8-byte keys to shrink both shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _fn_tokens("text").alias("_toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("_toks") - 8, F.lit(0))),
+                    lambda i: F.array_join(F.slice("_toks", i + 1, 8), " "),
+                )
+            )
+        ).alias("ng"),
+    )
+    df_counts = sh.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sh.join(df_counts, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup"),
+            F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mixture_weights",
+    r"""
+    WITH tok AS (
+      SELECT source, len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)) AS s FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(s AS DOUBLE) / CAST((SELECT SUM(s) FROM w) AS DOUBLE), 6) AS weight,
+           ROUND(CAST(s AS DOUBLE) / CAST((SELECT SUM(s) FROM w) AS DOUBLE)
+                 * 1000000 / n_tokens, 6) AS epochs_at_1m
+    FROM w ORDER BY source
+    """,
+    note="training-mix sampling weights per source: sqrt-temperature reweighting (w ∝ n_tokens^0.5) + effective epochs at a 1M-token budget — the data-mixing step of an LLM pipeline",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for training-data mixing: square-root
+    temperature scaling (upweights small sources, the standard
+    multilingual/multi-source rebalancing), plus the effective epoch
+    count each source would see under a fixed token budget.  Engine
+    determinism: sqrt is IEEE-exact, and the normalizing total sums the
+    per-source sqrt values in DECIMAL (order-independent) — only the
+    final division is a double.  Scale plan: one partial-agg'd shuffle
+    on source (tiny key space); the 1-row total broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("source", F.size(_fn_tokens("text")).alias("n_toks"))
+    per_src = toked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "s", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,12)")
+    )
+    tot = w.agg(F.sum("s").alias("_tot"))
+    weight = F.col("s").cast("double") / F.col("_tot").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(weight, 6).alias("weight"),
+            F.round(weight * 1000000 / F.col("n_tokens"), 6).alias("epochs_at_1m"),
+        )
+        .orderBy("source")
+    )

@@ -841,3 +841,294 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-4 widening: the five remaining TPC-H query shapes ----------------
+# (q2, q8, q12, q16, q20 — completes the 22-query battery.  The fixture has
+# no partsupp table and no l_shipmode/l_commitdate columns, so q2/q16/q20
+# derive the part-supplier relation from lineitem and q12 buckets by
+# l_linestatus with a shipping-delay lateness predicate; the *query shapes*
+# — correlated-min, CASE-share ratio, two-level distinct-count with
+# exclusion, nested dominance subquery — are preserved.)
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    regional AS (
+      SELECT sp.l_partkey, sp.l_suppkey, sp.supply_cost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM supply sp
+      JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT rg.s_acctbal, rg.s_name, rg.n_name, p.p_partkey, p.p_type, rg.supply_cost
+    FROM part p
+    JOIN regional rg ON rg.l_partkey = p.p_partkey
+    WHERE p.p_size = 15
+      AND rg.supply_cost = (SELECT MIN(r2.supply_cost) FROM regional r2
+                            WHERE r2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    note="TPC-H Q2 shape: min-cost regional supplier per part — correlated MIN decorrelated to agg+join (supply relation derived from lineitem; no partsupp in fixture)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-MIN, hand-decorrelated: the per-part regional
+    minimum is a separate aggregate joined back on (partkey, cost).
+    Scale plan: `supply` is one lineitem shuffle on (partkey, suppkey)
+    with map-side partial MIN; supplier/nation/region prune to one
+    region BEFORE touching supply, so the regional relation is ~1/5 of
+    suppliers; the per-part min re-uses the same partkey partitioning
+    (no extra exchange under AQE).  Double equality on the min is safe:
+    both sides are the same IEEE value (MIN of identical divisions,
+    never a sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    s = joins.broadcast_if_small(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    regional = (
+        supply.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "supply_cost", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = regional.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    p = joins.broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    )
+    return (
+        regional.join(min_cost, ["l_partkey"])
+        .filter(F.col("supply_cost") == F.col("_min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vols AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM vols GROUP BY o_year ORDER BY o_year
+    """,
+    note="TPC-H Q8 shape: national market share by year — 8-table snowflake + CASE-sum ratio (decimal-exact numerator/denominator)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share ratio: both sums aggregate in DECIMAL and only the
+    final division happens in doubles, so the ratio is bit-identical
+    across engines.  Scale plan: all five dims broadcast (size-gated),
+    lineitem⋈orders is the only fact shuffle, and the per-year group
+    key space is tiny (partial agg collapses everything map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = joins.broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = joins.broadcast_if_small(_t(spark, sf_dir, "customer"))
+    s = joins.broadcast_if_small(_t(spark, sf_dir, "supplier"))
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1")))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("nk1"))
+        .join(r, F.col("rk1") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("nk2"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l_linestatus
+    """,
+    note="TPC-H Q12 shape: priority split of late shipments — cross-table lateness predicate + CASE counts (l_linestatus buckets; fixture has no l_shipmode/l_commitdate)",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's CASE-count split over a lateness predicate that spans both
+    join sides (shipdate vs orderdate+60d), so it evaluates post-probe
+    while the per-side date-range conjunct still pushes to the lineitem
+    scan.  Timestamp arithmetic is exact ms integer math in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    note="TPC-H Q16 shape: distinct supplier count per part attribute with NOT-IN exclusion (part-supplier relation derived from lineitem; negative-balance suppliers stand in for complaint suppliers)",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct: first DISTINCT (partkey, suppkey) pairs
+    (one lineitem shuffle), then COUNT(DISTINCT suppkey) per part
+    attribute triple (Spark expands to a partial-distinct two-phase
+    plan).  The NOT IN exclusion is a broadcast left-anti join against
+    the (tiny, projected) bad-supplier key set — never a shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = joins.broadcast_if_small(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    """
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS pq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(pq) AS tq FROM qty GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT q.l_suppkey FROM qty q
+        JOIN tot t ON t.l_partkey = q.l_partkey
+        WHERE 2 * q.pq > t.tq
+          AND q.l_partkey IN (SELECT p_partkey FROM part WHERE contains(p_name, 'e')))
+    ORDER BY s_suppkey
+    """,
+    note="TPC-H Q20 shape: suppliers dominating a part's 1997 volume — nested IN subqueries over a derived availability relation (lineitem stands in for partsupp availqty; dominance = >half the part's shipped quantity, decimal-exact via 2*pq > tq)",
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested-IN chain, hand-decorrelated: per-(part,supplier)
+    and per-part quantity aggregates share one partkey partitioning
+    (the second agg re-aggregates the first — no new shuffle of
+    lineitem), the part-name filter semi-joins the small projected key
+    set, and the final IN is a semi join into the supplier dim.  The
+    dominance comparison is integer-exact: 2*pq > tq in DECIMAL, never
+    a double ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("pq")
+    )
+    tot = qty.groupBy("l_partkey").agg(F.sum("pq").alias("tq"))
+    named_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.contains("p_name", F.lit("e")))
+        .select("p_partkey")
+    )
+    dominant = (
+        qty.join(tot, ["l_partkey"])
+        .filter(2 * F.col("pq") > F.col("tq"))
+        .join(named_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
