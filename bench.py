@@ -49,6 +49,7 @@ DUCKDB_COMPARABLE = (
     "b10a_winnowing",
     "b10b_cdc_chunks",
     "b10c_tfidf",
+    "b11_snowflake_join",
 )
 
 BENCH_QUERIES = {
@@ -67,6 +68,10 @@ BENCH_QUERIES = {
     "b10a_winnowing": "winnowing_fps",
     "b10b_cdc_chunks": "cdc_chunks",
     "b10c_tfidf": "tfidf_top_terms",
+    # b11: the join-heaviest TPC-H shape in the registry (8-table
+    # snowflake, five broadcast dims, one fact shuffle) — the bench's
+    # proxy for multi-dim star-schema work at scale.
+    "b11_snowflake_join": "q8_market_share",
 }
 
 

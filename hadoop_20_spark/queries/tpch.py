@@ -878,15 +878,17 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="TPC-H Q2 shape: min-cost regional supplier per part — correlated MIN decorrelated to agg+join (supply relation derived from lineitem; no partsupp in fixture)",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2's correlated-MIN, hand-decorrelated: the per-part regional
-    minimum is a separate aggregate joined back on (partkey, cost).
-    Scale plan: `supply` is one lineitem shuffle on (partkey, suppkey)
-    with map-side partial MIN; supplier/nation/region prune to one
-    region BEFORE touching supply, so the regional relation is ~1/5 of
-    suppliers; the per-part min re-uses the same partkey partitioning
-    (no extra exchange under AQE).  Double equality on the min is safe:
-    both sides are the same IEEE value (MIN of identical divisions,
-    never a sum)."""
+    """Q2's correlated-MIN, hand-decorrelated as a window: the per-part
+    regional minimum is MIN() OVER (PARTITION BY partkey) instead of an
+    aggregate joined back — one exchange on partkey and no second join
+    (an agg+join form makes Catalyst fold the equality filter into a
+    compound (cost, partkey) SortMergeJoin key and shuffle regional
+    twice; measured in PLANS.md history).  Scale plan: `supply` is one
+    lineitem shuffle on (partkey, suppkey) with map-side partial MIN;
+    supplier/nation/region prune to one region BEFORE the window, so
+    the windowed relation is ~1/5 of supply.  Double equality on the
+    min is safe: both sides are the same IEEE value (MIN of identical
+    divisions, never a sum)."""
     li = _t(spark, sf_dir, "lineitem")
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
@@ -900,14 +902,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "l_suppkey", "supply_cost", "s_name", "s_acctbal", "n_name")
     )
-    min_cost = regional.groupBy("l_partkey").agg(
-        F.min("supply_cost").alias("_min_cost")
-    )
+    from pyspark.sql import Window
+
+    w_min = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
     p = joins.broadcast_if_small(
         _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     )
     return (
-        regional.join(min_cost, ["l_partkey"])
+        regional.withColumn("_min_cost", w_min)
         .filter(F.col("supply_cost") == F.col("_min_cost"))
         .join(p, F.col("l_partkey") == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
