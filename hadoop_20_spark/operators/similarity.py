@@ -709,3 +709,75 @@ def label_centroid_outliers(
             F.col("rk").alias("outlier_rank"),
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with deterministic
+    k-means, then mark every vector that has a SAME-CLUSTER neighbor
+    with cosine ≥ ``threshold`` and a smaller id as a semantic
+    duplicate of that neighbor (keep-lowest-id policy).  Returns one
+    row per dropped vector: (vec_id, cell, keeper_id, cosine_sim) where
+    keeper is the most-similar lower-id cluster-mate (ties by id).
+
+    Scale plan (100 TB): the quadratic step is confined WITHIN Voronoi
+    cells — cost Σ|cell|², never n² — and the cluster count grows with
+    the corpus so |cell| stays bounded; centroids broadcast, cell
+    assignment is map-side, and the only data shuffle is the equi-join
+    on cell.  Oversized cells should be split by raising n_centroids
+    (or sub-bucketing hot cells with SRP, as embedding_near_dups
+    does)."""
+    cents = kmeans_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iterations=iterations
+    )
+    cent = F.broadcast(cents.select("cent_id", "c_vec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    w_asg = Window.partitionBy("_id").orderBy(F.col("sim").desc(), "cent_id")
+    cells = (
+        c.crossJoin(cent)
+        .select(
+            "_id",
+            "_vec",
+            "cent_id",
+            F.round(cosine(F.col("_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_asg))
+        .filter(F.col("rk") == 1)
+        .select("_id", "_vec", F.col("cent_id").alias("cell"))
+    )
+    hi = cells.select(
+        F.col("cell"), F.col("_id").alias("vec_id"), F.col("_vec").alias("_v_hi")
+    )
+    lo = cells.select(
+        F.col("cell").alias("cell2"),
+        F.col("_id").alias("keeper_id"),
+        F.col("_vec").alias("_v_lo"),
+    )
+    pairs = (
+        hi.join(lo, (hi.cell == lo.cell2) & (F.col("vec_id") > F.col("keeper_id")))
+        .select(
+            "vec_id",
+            "cell",
+            "keeper_id",
+            F.round(cosine(F.col("_v_hi"), F.col("_v_lo")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    w_keep = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("keeper_id")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w_keep))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "cell", "keeper_id", "cosine_sim")
+        .orderBy("vec_id")
+    )

@@ -498,3 +498,36 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH {_kmeans_ctes(16, 3)},
+         cent AS (SELECT cent_id, c_vec FROM c3),
+         corpus AS (SELECT vec_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT vec_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT vec_id, n_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk = 1),
+         pairs AS (
+           SELECT a.vec_id, a.cell, b.vec_id AS keeper_id,
+                  {_sql_cos('a.n_vec', 'b.n_vec')} AS cosine_sim
+           FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id > b.vec_id
+         )
+    SELECT vec_id, cell, keeper_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cosine_sim DESC, keeper_id) AS rk
+      FROM pairs WHERE cosine_sim >= 0.45)
+    WHERE rk = 1
+    ORDER BY vec_id
+    """,
+    note="SemDeDup semantic deduplication (arXiv:2303.09540): k-means cluster then within-cluster cosine prune, keep-lowest-id — quadratic work confined to Voronoi cells; the oracle unrolls k-means training as CTEs",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune semantic dedup over the embeddings fixture:
+    real (deterministic) k-means quantizer, within-cell cosine ≥ 0.45,
+    keep-lowest-id.  Every stage — training included — hash-matches the
+    unrolled-SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.45)

@@ -284,3 +284,40 @@ def test_quantize_embeddings_bounds_and_error(spark, tables):
             # dequantized error bounded by scale/254 (+ rounding of scale)
             for x, qv in zip(orig[vid], r["qvec"]):
                 assert abs(qv * scale / 127 - x) <= scale / 254 + 1e-5
+
+
+def test_semantic_dedup_planted_duplicate(spark, tables):
+    """A planted identical vector (cos=1.0 to its source) must be
+    dropped in favor of the lower id, and the result must be stable
+    under a different input partitioning."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(planted)
+    out = similarity.semantic_dedup(corpus, threshold=0.99)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert 100003 in rows
+    assert rows[100003]["keeper_id"] == 3
+    assert rows[100003]["cosine_sim"] == 1.0
+    # repartition-stability: same answer from a different layout
+    again = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            corpus.repartition(7), threshold=0.99
+        ).collect()
+    }
+    assert {k: (v["keeper_id"], v["cosine_sim"]) for k, v in rows.items()} == {
+        k: (v["keeper_id"], v["cosine_sim"]) for k, v in again.items()
+    }
+
+
+def test_semantic_dedup_no_corpus_cross_join(spark, tables):
+    """The quadratic step must be an equi-join on cell — never a
+    corpus×corpus cartesian.  (Centroid assignment legitimately uses a
+    BroadcastNestedLoopJoin against the tiny broadcast centroid set.)"""
+    from hadoop_20_spark.plans import physical_plan
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    plan = physical_plan(similarity.semantic_dedup(emb))
+    assert "CartesianProduct" not in plan
