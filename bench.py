@@ -72,6 +72,13 @@ BENCH_QUERIES = {
     # snowflake, five broadcast dims, one fact shuffle) — the bench's
     # proxy for multi-dim star-schema work at scale.
     "b11_snowflake_join": "q8_market_share",
+    # b12: the cluster-then-prune embedding path (k-means training +
+    # within-cell cosine join).  No DuckDB anchor: the unrolled-kmeans
+    # oracle is gate-checked but too slow to run 3x per bench.  At this
+    # tiny scale the wall-clock is dominated by the training loop's
+    # fixed job count (3 iterations x ~3 jobs + checkpoints), not data —
+    # the number to watch round-over-round is the delta, not the level.
+    "b12_semantic_dedup": "semantic_dedup",
 }
 
 
