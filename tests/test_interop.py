@@ -40,6 +40,17 @@ def test_codec_matrix_parquet(spark, tables, tmp_path):
         assert spark.read.parquet(p).count() == tables["region"].count(), codec
 
 
+def test_codec_matrix_orc(spark, tables, tmp_path):
+    """ORC roundtrip with codec matrix — the columnar sibling to the
+    parquet path (RCFile's lineage in the Hive-on-hadoop-20 ecosystem
+    ended up in ORC; the reference itself is row-oriented, SURVEY §1.1)."""
+    exp = sorted(tables["nation"].collect())
+    for codec in ["zlib", "snappy", "zstd"]:
+        p = str(tmp_path / f"orc_{codec}")
+        tables["nation"].write.option("compression", codec).mode("overwrite").orc(p)
+        assert sorted(spark.read.orc(p).collect()) == exp, codec
+
+
 def test_nline_repartition(spark, tables):
     out = sources.repartition_n_rows(tables["nation"], 5, "n_nationkey")
     sizes = out.rdd.glom().map(len).collect()
