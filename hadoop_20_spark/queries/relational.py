@@ -1656,3 +1656,45 @@ def window_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "approx_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(median(l_extendedprice) AS DOUBLE), 6) AS exact_median,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    note="approx_percentile (GK sketch) with the approx_distinct tolerance contract: estimate within 2% of the exact median per group, plus the exact median — the sketch differs per engine/merge order, the tolerance row does not",
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median via Spark's GK-sketch ``approx_percentile``
+    checked against the exact sort-based median: the sketch's merge
+    order varies with partitioning, so the oracle-checkable contract
+    is the 2%-relative tolerance row (robust to any merge order at the
+    configured accuracy) plus the exact value.  At 100 TB the
+    approximate path is the default (one pass, bounded memory) with
+    the exact twin reserved for audits — the §2.5 UniqValueCount
+    story, applied to quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_approx")
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.col("_exact").cast("double"), 6).alias("exact_median"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact")) / F.abs(F.col("_exact"))
+                <= 0.02
+            ).alias("within_tol"),
+        )
+        .orderBy("l_returnflag")
+    )
