@@ -93,12 +93,24 @@ def tokens(col: Column | str) -> Column:
 def ngrams(col: Column | str, n: int) -> Column:
     """Word n-grams over whitespace tokens as ' '-joined strings.
     Pure higher-order-function implementation (codegen, no UDF):
-    transform over token indexes → slice → array_join."""
-    toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    transform over token indexes → slice → array_join.
+
+    The token array is LET-BOUND once per row via an outer single-
+    element ``transform`` (the lambda variable trick): Catalyst does
+    not CSE across nested lambdas (SCALE.md, lambda-CSE rule), so
+    referencing the ``tokens(col)`` *expression* from the per-index
+    lambda would re-tokenize the string once per window position —
+    measured 7× slower on a 3-gram explode at sf0.1.  Binding it as a
+    lambda variable evaluates it once, with no need for callers to
+    materialize a projection."""
+
+    def _grams(toks: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+
+    return F.transform(F.array(tokens(col)), _grams)[0]
 
 
 def shingles(col: Column | str, n: int) -> Column:
