@@ -17,12 +17,25 @@ __all__ = [
     "MERSENNE31",
     "ensure_parallelism",
     "hash_coeffs",
+    "let",
     "md5_long",
     "md5_bucket",
     "ngrams",
     "shingles",
     "tokens",
 ]
+
+
+def let(expr: Column, body) -> Column:
+    """Let-bind ``expr`` ONCE per row as a lambda variable and build the
+    result with ``body(var)`` — the lambda-CSE rule (SCALE.md): Catalyst
+    does not common-subexpression-eliminate across nested higher-order
+    lambdas, so an expensive expression referenced from a per-element
+    lambda body re-evaluates per element.  ``transform(array(e), x ->
+    body(x))[0]`` evaluates ``e`` exactly once.  Use whenever a Column
+    builder (no DataFrame at hand to materialize a projection) feeds an
+    expensive array into a sliding-window/per-element lambda."""
+    return F.transform(F.array(expr), body)[0]
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):
@@ -95,14 +108,10 @@ def ngrams(col: Column | str, n: int) -> Column:
     Pure higher-order-function implementation (codegen, no UDF):
     transform over token indexes → slice → array_join.
 
-    The token array is LET-BOUND once per row via an outer single-
-    element ``transform`` (the lambda variable trick): Catalyst does
-    not CSE across nested lambdas (SCALE.md, lambda-CSE rule), so
-    referencing the ``tokens(col)`` *expression* from the per-index
-    lambda would re-tokenize the string once per window position —
-    measured 7× slower on a 3-gram explode at sf0.1.  Binding it as a
-    lambda variable evaluates it once, with no need for callers to
-    materialize a projection."""
+    The token array is let-bound once per row (``let``): referencing
+    the ``tokens(col)`` *expression* from the per-index lambda would
+    re-tokenize the string once per window position — measured 7×
+    slower on a 3-gram explode at sf0.1."""
 
     def _grams(toks: Column) -> Column:
         return F.transform(
@@ -110,7 +119,7 @@ def ngrams(col: Column | str, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
 
-    return F.transform(F.array(tokens(col)), _grams)[0]
+    return let(tokens(col), _grams)
 
 
 def shingles(col: Column | str, n: int) -> Column:

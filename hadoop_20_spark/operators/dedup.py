@@ -28,6 +28,7 @@ from hadoop_20_spark.functions import (
     MERSENNE31,
     ensure_parallelism,
     hash_coeffs,
+    let,
     md5_long,
     tokens,
 )
@@ -60,11 +61,15 @@ def shingle_hashes(col: Column | str, shingle: int = 3) -> Column:
     with two multiplications — the universal-hashing construction of
     Broder's minwise permutations (one hash per element, k cheap
     (a·h+b) mod p rehashes), which cuts signature cost k-fold."""
-    t = tokens(col)
-    n_sh = F.greatest(F.size(t) - shingle + 1, F.lit(1))
-    sh = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.array_join(F.slice(t, i, shingle), " "),
+    # token array let-bound once per row (lambda-CSE rule, SCALE.md):
+    # referencing the tokens() expression from the per-position slice
+    # lambda would re-tokenize per shingle position
+    sh = let(
+        tokens(col),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - shingle + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, shingle), " "),
+        ),
     )
     # NB: single-parameter lambdas only — pyspark dispatches two-parameter
     # lambdas as (element, index), silently rebinding default-arg closures.
@@ -193,10 +198,13 @@ def lsh_bucket_stats(
 def _shingle_col(text_col: str, shingle: int) -> Column:
     t = tokens(text_col)
     if shingle > 1:
-        n_sh = F.greatest(F.size(t) - shingle + 1, F.lit(1))
-        t = F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(t, i, shingle), " "),
+        # let-bound: same lambda-CSE fix as shingle_hashes
+        t = let(
+            tokens(text_col),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - shingle + 1, F.lit(1))),
+                lambda i: F.array_join(F.slice(tk, i, shingle), " "),
+            ),
         )
     return t
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import ensure_parallelism, md5_long, tokens
+from hadoop_20_spark.functions import ensure_parallelism, let, md5_long, tokens
 
 # A small English stopword list for the ratio heuristics (public-domain
 # common-words list; the synthetic fixture text is built from similar
@@ -40,8 +40,9 @@ def avg_token_len_t(t: Column) -> Column:
 
 
 def avg_token_len(col: Column | str) -> Column:
-    """Mean token length (0 for empty docs)."""
-    return avg_token_len_t(tokens(col))
+    """Mean token length (0 for empty docs).  Token array let-bound once
+    (lambda-CSE rule) — the _t builder references it several times."""
+    return let(tokens(col), avg_token_len_t)
 
 
 def distinct_token_ratio_t(t: Column) -> Column:
@@ -52,7 +53,7 @@ def distinct_token_ratio_t(t: Column) -> Column:
 
 def distinct_token_ratio(col: Column | str) -> Column:
     """Lexical diversity: |distinct tokens| / |tokens| (1.0 for empty)."""
-    return distinct_token_ratio_t(tokens(col))
+    return let(tokens(col), distinct_token_ratio_t)
 
 
 def stopword_ratio_t(t: Column, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -> Column:
@@ -63,7 +64,7 @@ def stopword_ratio_t(t: Column, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = tuple(STOPWORDS)) -> Column:
     """Fraction of tokens that are stopwords — the core quality signal."""
-    return stopword_ratio_t(tokens(col), stopwords)
+    return let(tokens(col), lambda t: stopword_ratio_t(t, stopwords))
 
 
 def quality_score_t(t: Column) -> Column:
@@ -80,7 +81,7 @@ def quality_score(col: Column | str) -> Column:
     lexical diversity, and presence (not excess) of stopwords.  A
     deterministic stand-in for model-based quality filters; thresholds
     follow common heuristic-filter practice (e.g., Gopher rules)."""
-    return quality_score_t(tokens(col))
+    return let(tokens(col), quality_score_t)
 
 
 # Function-word profiles for multi-class ID — tiny public-domain
@@ -146,7 +147,7 @@ def lang_id(
     (every `lang` label shares one English-like token distribution) —
     the multi-profile discrimination is exercised by unit tests with
     profile-bearing text (`test_lang_id_multiclass`)."""
-    return lang_id_t(tokens(col), profiles, min_score)
+    return let(tokens(col), lambda t: lang_id_t(t, profiles, min_score))
 
 
 def fingerprint_t(t: Column, ngram: int = 8) -> Column:
@@ -162,7 +163,7 @@ def fingerprint(col: Column | str, ngram: int = 8) -> Column:
     """Document fingerprint: minimum md5-hash over word ``ngram``-shingles
     (winnowing-style rolling fingerprint, deterministic across engines).
     Docs shorter than ``ngram`` tokens hash the whole text."""
-    return fingerprint_t(tokens(col), ngram)
+    return let(tokens(col), lambda t: fingerprint_t(t, ngram))
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
