@@ -1,0 +1,79 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — the real
+"write your own InputFormat" surface.
+
+The reference's custom-scan extension point is an InputFormat subclass:
+``getSplits`` partitions the work, ``getRecordReader`` yields records
+per split (mapred/FileInputFormat.java#getSplits,
+ex/terasort/TeraGen.java drives one with synthetic splits).  Spark's
+Python DataSource API is the same contract — ``partitions()`` are the
+splits, ``read(partition)`` is the record reader — so we implement the
+TeraGen generator as a REAL registered source: deterministic rows,
+arbitrary parallelism, no input files.
+
+Rows are bit-identical to :func:`hadoop_20_spark.sources.teragen` (the
+expression-based generator): ``key = md5('tera_'||id)[:10]``, payload =
+``md5('pa_'||id) || md5('pb_'||id)`` right-padded to 90 with 'X' —
+hashlib and Spark's ``md5()`` agree on hex digests, so the two
+implementations are mutually checkable (asserted in
+tests/test_interop.py::test_teragen_datasource_matches_expression).
+
+Usage::
+
+    spark.dataSource.register(TeraGenDataSource)
+    df = (spark.read.format("teragen")
+          .option("rows", 100000).option("partitions", 32).load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    """One split: a half-open id range [start, end) — the getSplits
+    analog (block-aligned ranges, no data locality needed for a
+    generator)."""
+
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _TeraGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self) -> list[_RangePartition]:
+        step = -(-self.n_rows // self.n_parts)  # ceil div
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            sid = str(i)
+            key = hashlib.md5(f"tera_{sid}".encode()).hexdigest()[:10]
+            payload = (
+                hashlib.md5(f"pa_{sid}".encode()).hexdigest()
+                + hashlib.md5(f"pb_{sid}".encode()).hexdigest()
+            ).ljust(90, "X")
+            yield (i, key, payload)
+
+
+class TeraGenDataSource(DataSource):
+    """``spark.read.format("teragen")`` — registered custom source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "teragen"
+
+    def schema(self) -> str:
+        return "id bigint, key string, payload string"
+
+    def reader(self, schema) -> _TeraGenReader:
+        return _TeraGenReader(self.options)

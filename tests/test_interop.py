@@ -155,3 +155,22 @@ def test_nline_repartition_bulk_guard(spark, tables):
             sources.repartition_n_rows(tables["nation"], 5, "n_nationkey")
     finally:
         sources.NLINE_MAX_ROWS = old
+
+
+def test_teragen_datasource_matches_expression(spark):
+    """The Python DataSource TeraGen (real custom-source API: partitions
+    = getSplits, read = record reader) must produce bit-identical rows
+    to the expression-based generator, at a different parallelism."""
+    from hadoop_20_spark.sources.pyds import TeraGenDataSource
+
+    spark.dataSource.register(TeraGenDataSource)
+    via_ds = (
+        spark.read.format("teragen")
+        .option("rows", 1000)
+        .option("partitions", 7)
+        .load()
+    )
+    assert via_ds.rdd.getNumPartitions() == 7
+    got = sorted(via_ds.collect())
+    exp = sorted(sources.teragen(spark, 1000).collect())
+    assert got == exp
