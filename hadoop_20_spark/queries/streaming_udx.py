@@ -438,5 +438,3 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"), "click_id", "purchase_id"
     )
     return stream_ops.run_append_to_memory(joined, "q_stream_join")
-
-

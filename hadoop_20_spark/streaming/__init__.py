@@ -284,3 +284,54 @@ def foreach_batch_idempotent_sink(stream_df: DataFrame, out_path: str, partition
         )
 
     return stream_df.writeStream.foreachBatch(write_batch)
+
+
+def stateful_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals as
+    :func:`stateful_running_totals`, on Spark 4's NEXT-GEN arbitrary
+    stateful API (``transformWithStateInPandas`` + ``StatefulProcessor``
+    + typed ``ValueState``) — the successor to applyInPandasWithState
+    with composable named state (value/list/map), per-key timers, and
+    state TTL.
+
+    Environment note: execution requires ``google.protobuf`` (the
+    transformWithState driver worker speaks a protobuf state protocol);
+    this container ships pyspark without it, so the operator is
+    verified where protobuf exists and skipped otherwise
+    (tests/test_streaming.py::test_stateful_totals_tws) — the
+    registry's oracle-gated entry stays on applyInPandasWithState
+    (`stateful_totals`), which runs everywhere.
+
+    Totals accumulate as integer micro-units (floor(value·1e6)) so the
+    running sums are exact across any microbatch split — the streaming
+    analog of the DECIMAL-sum rule.  At 100 TB: state is per-key in the
+    state store exactly as before; TTL (``ttlDurationMs``) is the
+    declarative replacement for the hand-armed idle-expiry timer."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(sum(math.floor(v * 1_000_000) for v in pdf["value"]))
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_micros": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        "user_id long, n_events long, total_micros long",
+        "Update",
+        "None",
+    )

@@ -93,3 +93,32 @@ def test_checkpoint_restart_exactly_once(spark, tables, tmp_path):
     # idle restart: nothing new -> nothing written
     run_once()
     assert spark.read.parquet(out_dir).count() == ev.count()
+
+
+def test_stateful_totals_tws(spark):
+    """Next-gen transformWithStateInPandas running totals must converge
+    to the batch aggregation — skipped where google.protobuf (required
+    by the transformWithState state protocol) is absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available in this container")
+    stream = streaming.read_events_stream(spark, SF_DIR)
+    updates = streaming.stateful_running_totals_tws(stream)
+    got = streaming.run_update_to_memory(updates, "t_tws")
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_micros").alias("total_micros")
+    )
+    from hadoop_20_spark.catalog import load_table
+
+    exp = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias("total_micros"),
+        )
+    )
+    assert sorted(final.collect()) == sorted(exp.collect())
