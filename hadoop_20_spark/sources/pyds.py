@@ -77,3 +77,78 @@ class TeraGenDataSource(DataSource):
 
     def reader(self, schema) -> _TeraGenReader:
         return _TeraGenReader(self.options)
+
+
+# --- custom sink: the commit-protocol showcase ------------------------------
+#
+# FileOutputCommitter's contract (mapred/FileOutputCommitter.java): tasks
+# write to an attempt-scoped location, task commit publishes a message,
+# JOB commit makes the output visible atomically; a failed job aborts and
+# leaves nothing visible.  The Python DataSourceWriter is that exact
+# protocol: write() runs per task and returns a WriterCommitMessage,
+# commit(messages) runs once on the driver with every task's message,
+# abort() on failure.  ChecksumSinkDataSource materializes the protocol
+# observably: each task reports (rows, checksum); job commit writes ONE
+# manifest file with the totals — so partial/duplicate task output can
+# never surface (speculative/retried tasks' messages are de-duplicated
+# by Spark before commit()).
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _TaskChecksum(WriterCommitMessage):
+    rows: int
+    checksum: int
+
+
+class _ChecksumWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.key_col = options.get("key", None)
+
+    def write(self, iterator) -> _TaskChecksum:
+        rows = 0
+        checksum = 0
+        for row in iterator:
+            rows += 1
+            d = row.asDict()
+            v = d[self.key_col] if self.key_col else next(iter(d.values()))
+            checksum = (
+                checksum
+                + int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            ) % (1 << 62)
+        return _TaskChecksum(rows=rows, checksum=checksum)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "tasks": len(messages),
+            "rows": sum(m.rows for m in messages),
+            "checksum": sum(m.checksum for m in messages) % (1 << 62),
+        }
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        # job failed: nothing becomes visible (the manifest is only
+        # written in commit) — the FileOutputCommitter cleanup phase
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+
+class ChecksumSinkDataSource(DataSource):
+    """``df.write.format("checksum_sink").option("path", ...)`` — counts
+    and checksums rows through the task/job commit protocol and
+    publishes a single manifest at job commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "checksum_sink"
+
+    def writer(self, schema, overwrite: bool) -> _ChecksumWriter:
+        return _ChecksumWriter(self.options)

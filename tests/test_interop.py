@@ -174,3 +174,37 @@ def test_teragen_datasource_matches_expression(spark):
     got = sorted(via_ds.collect())
     exp = sorted(sources.teragen(spark, 1000).collect())
     assert got == exp
+
+
+def test_checksum_sink_commit_protocol(spark, tables, tmp_path):
+    """Custom Python DataSource SINK: per-task write() messages roll up
+    in a single driver-side commit() — the FileOutputCommitter contract.
+    The manifest's totals must equal a driver-side recomputation, at any
+    partitioning."""
+    import json
+
+    from hadoop_20_spark.functions import md5_long
+    from hadoop_20_spark.sources.pyds import ChecksumSinkDataSource
+
+    spark.dataSource.register(ChecksumSinkDataSource)
+    manifest_path = str(tmp_path / "out" / "manifest.json")
+    nation = tables["nation"].select("n_nationkey", "n_name")
+    (
+        nation.repartition(6)
+        .write.format("checksum_sink")
+        .option("path", manifest_path)
+        .option("key", "n_nationkey")
+        .mode("append")
+        .save()
+    )
+    manifest = json.load(open(manifest_path))
+    assert manifest["rows"] == 25
+    exp = int(
+        nation.select(md5_long(F.col("n_nationkey").cast("string")).alias("h"))
+        # decimal sum: 25 60-bit values overflow long under ANSI
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    # the sink reduces mod 2^62 per task then sums task sums mod 2^62;
+    # compare mod 2^62 (sum-then-mod == mod-then-sum-then-mod)
+    assert manifest["checksum"] == exp % (1 << 62)

@@ -159,3 +159,47 @@ def test_label_outliers_partial_agg_and_group_limit(spark):
     plan = physical_plan(REGISTRY["label_outliers"].fn(spark, PLAN_SF))
     assert "WindowGroupLimit" in plan
     assert "partial_sum" in plan  # decimal partial sums map-side
+
+
+def test_q2_single_window_no_compound_float_join(spark):
+    """Round-4 q2 rule: the regional min must be a window over partkey,
+    never an agg rejoined on a float-normalized compound key (which
+    shuffles the regional relation twice)."""
+    plan = physical_plan(REGISTRY["q2_min_cost_supplier"].fn(spark, PLAN_SF))
+    assert "Window" in plan
+    assert "knownfloatingpointnormalized" not in plan
+
+
+def test_q8_one_fact_shuffle(spark):
+    """q8's snowflake: every dim broadcasts at sf0.01; the fact side
+    contributes the only data shuffle (plus the agg + result sort)."""
+    import re
+
+    plan = physical_plan(REGISTRY["q8_market_share"].fn(spark, PLAN_SF))
+    # count plan NODES once via the formatted detail lines "(n) Op"
+    n_bc = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    n_shuffle = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_bc >= 5, n_bc
+    assert n_shuffle <= 2, n_shuffle  # partial->final agg + range sort
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = physical_plan(REGISTRY["q16_supplier_part_counts"].fn(spark, PLAN_SF))
+    assert "LeftAnti" in plan
+
+
+def test_q20_dominance_via_semi_joins(spark):
+    plan = physical_plan(REGISTRY["q20_dominant_supplier"].fn(spark, PLAN_SF))
+    assert plan.count("LeftSemi") >= 2  # part-name set and dominant-supplier set
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    plan = physical_plan(REGISTRY["semantic_dedup"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_ngram_fraction_no_doc_cross_join(spark):
+    """The duplication-triage join keys on the shingle, never doc x doc."""
+    plan = physical_plan(REGISTRY["dup_ngram_fraction"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
