@@ -29,7 +29,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _RangePartition(InputPartition):
@@ -152,3 +157,80 @@ class ChecksumSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _ChecksumWriter:
         return _ChecksumWriter(self.options)
+
+
+# --- custom STREAMING source: the tailing-input contract --------------------
+#
+# The reference's streaming input was an appended HDFS directory tailed
+# by periodic jobs (Scribe→HDFS; realtime-HDFS append/hflush,
+# hdfs/DFSClient.java#sync).  The Python DataSourceStreamReader is that
+# contract made explicit: offsets are the "how far has the log grown"
+# cursor, partitions(start, end) are the splits of the newly-appended
+# range, read(partition) replays it.  EventGenStreamSource emits a
+# deterministic, offset-addressed event log (md5-derived, same discipline
+# as TeraGen) in fixed-size microbatches — replaying any offset range
+# yields identical rows, which is exactly the reprocessing-safety
+# property the reference got from immutable appended files.
+
+
+class _OffsetRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _gen_event(i: int) -> tuple:
+    h = hashlib.md5(f"ev_{i}".encode()).hexdigest()
+    user_id = int(h[:8], 16) % 100
+    etype = ("view", "click", "purchase")[int(h[8:10], 16) % 3]
+    value = round(int(h[10:16], 16) / 1000.0, 3)
+    return (i, user_id, etype, value)
+
+
+class _EventGenStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        # the "log" grows by one fixed batch per poll, up to maxRows —
+        # a bounded, deterministic stand-in for directory growth
+        if not hasattr(self, "_cur"):
+            self._cur = 0
+        self._cur = min(self._cur + self.batch_rows, self.max_rows)
+        return {"offset": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["offset"], end["offset"]
+        step = -(-(hi - lo) // self.n_parts) or 1
+        return [
+            _OffsetRange(a, min(a + step, hi)) for a in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _OffsetRange):
+        for i in range(partition.start, partition.end):
+            yield _gen_event(i)
+
+    def commit(self, end: dict) -> None:
+        # offsets at/under `end` are durable in the checkpoint; nothing
+        # to clean up for a generator (a file source would GC here)
+        pass
+
+
+class EventGenStreamSource(DataSource):
+    """``spark.readStream.format("eventgen")`` — registered custom
+    streaming source with deterministic offset-addressed replay."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def streamReader(self, schema) -> _EventGenStreamReader:
+        return _EventGenStreamReader(self.options)

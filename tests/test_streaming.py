@@ -122,3 +122,41 @@ def test_stateful_totals_tws(spark):
         )
     )
     assert sorted(final.collect()) == sorted(exp.collect())
+
+
+def test_eventgen_custom_stream_source(spark, tmp_path):
+    """Custom Python streaming source: offsets advance per poll,
+    partitions(start,end) split the appended range, replay is
+    deterministic.  Drain the bounded log and check exact content."""
+    import hashlib
+
+    from hadoop_20_spark.sources.pyds import EventGenStreamSource, _gen_event
+
+    spark.dataSource.register(EventGenStreamSource)
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 200)
+        .option("partitions", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_eventgen")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the bounded log grows rowsPerBatch per poll — five real
+    # microbatches, each a separate (offsets, partitions, read) cycle
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("t_eventgen").count() >= 200:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("t_eventgen").collect())
+    exp = sorted(_gen_event(i) for i in range(200))
+    assert got == exp
