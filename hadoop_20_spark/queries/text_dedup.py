@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
+from hadoop_20_spark.functions import ngrams as _fn_ngrams  # noqa: F401
 from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
 from hadoop_20_spark.operators import (  # noqa: F401
     aggregate as agg_ops,
@@ -1411,3 +1412,130 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _minhash_quality_oracle() -> str:
+    """Estimator-quality audit oracle: 16-hash MinHash estimate vs exact
+    3-shingle Jaccard over deterministic blocked pairs (doc_id % 25)."""
+    from hadoop_20_spark.functions import MERSENNE31, hash_coeffs
+
+    shingle_arr = (
+        "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' '))"
+    )
+    base = _sql_md5_long("s") + f" % {MERSENNE31}"
+    mh_cols = ",\n           ".join(
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE31}),"
+        f" 'min') AS mh{i}"
+        for i, (a, b) in enumerate(hash_coeffs(16))
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({shingle_arr}) AS sh FROM t),
+         hh AS (SELECT doc_id, list_transform({shingle_arr}, s -> {base}) AS hs FROM t),
+         sig AS (SELECT doc_id, {mh_cols} FROM hh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({matches}) AS m
+           FROM sig a JOIN sig b
+             ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT p.m,
+                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS exact_j
+           FROM pairs p
+           JOIN s sa ON sa.doc_id = p.id_a
+           JOIN s sb ON sb.doc_id = p.id_b)
+    SELECT CAST(LEAST(FLOOR(exact_j * 100), 9) AS BIGINT) AS j_bucket,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(m) AS DOUBLE) / (16 * COUNT(*)), 6) AS avg_estimate,
+           ROUND(CAST(SUM(CAST(exact_j AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_exact,
+           ROUND(CAST(SUM(CAST(ABS(m / 16.0 - exact_j) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+    FROM scored GROUP BY j_bucket ORDER BY j_bucket
+    """
+
+
+@register(
+    "minhash_estimate_quality",
+    None,  # oracle attached programmatically below (16 generated columns)
+    note="MinHash estimator-quality audit: matching-component estimate vs exact 3-shingle Jaccard over deterministic blocked pairs, bucketed by exact similarity — the observability query for the LSH recall knobs",
+)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the 16-hash MinHash estimator on THIS corpus: for a
+    deterministic sample of pairs (same doc_id % 25 block), compare the
+    matching-component estimate m/16 against the exact shingle Jaccard,
+    bucketed by exact similarity.  All means aggregate integer match
+    counts or DECIMAL-cast doubles (order-independent).  Scale plan: the
+    block join bounds pairs at Σ|block|² with #blocks a free knob (the
+    audit runs on a sample, never the corpus²); signatures and shingle
+    sets are the same narrow per-doc passes the production path uses."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle=3)
+    sets = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(_fn_ngrams("text", 3))).alias("sh"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") % 25).alias("blk"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        (F.col("doc_id") % 25).alias("blk"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    m_expr = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", m_expr.alias("m"))
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("m", (inter.cast("double") / union).alias("exact_j"))
+    )
+    return (
+        scored.groupBy(
+            # percent-resolution buckets, capped: the synthetic corpus has
+            # no high-Jaccard pairs, so 1%-wide buckets resolve the tail
+            F.least(F.floor(F.col("exact_j") * 100), F.lit(9))
+            .cast("long")
+            .alias("j_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("m").cast("double") / (16 * F.count(F.lit(1))), 6).alias(
+                "avg_estimate"
+            ),
+            F.round(
+                F.sum(F.col("exact_j").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_exact"),
+            F.round(
+                F.sum(
+                    F.abs(F.col("m") / 16.0 - F.col("exact_j")).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("j_bucket")
+    )
+
+
+REGISTRY["minhash_estimate_quality"] = Query(
+    fn=minhash_estimate_quality,
+    oracle=_minhash_quality_oracle(),
+    note=REGISTRY["minhash_estimate_quality"].note,
+)
