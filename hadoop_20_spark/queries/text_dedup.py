@@ -1539,3 +1539,72 @@ REGISTRY["minhash_estimate_quality"] = Query(
     oracle=_minhash_quality_oracle(),
     note=REGISTRY["minhash_estimate_quality"].note,
 )
+
+
+@register(
+    "vocab_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+        FROM tok GROUP BY w) WHERE rk <= 500
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             COUNT(*) AS n_toks,
+             SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON v.w = t.w
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_toks), 6) AS oov_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    note="tokenizer vocab coverage: corpus-frequency top-500 vocab (deterministic tie-break), per-source OOV rate — the 'will my tokenizer fragment this source' pipeline signal",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: build the top-500 corpus vocabulary by
+    frequency (ties broken by token — deterministic), then report each
+    source's OOV token rate against it.  Scale plan: the vocab is a
+    top-k over the term-count aggregate (one token-keyed shuffle with
+    map-side partials) and broadcasts to the probe side; integer OOV
+    counts aggregate exactly.  At 100 TB swap the exact top-k for a
+    count-min/frequent-items sketch if the term space explodes."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(_fn_tokens("text")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # top-k via TakeOrderedAndProject (per-partition heaps) — never a
+    # single-partition global window over the term table
+    vocab = counts.orderBy(F.col("c").desc(), "w").limit(500).select("w")
+    oov = F.when(F.col("v_w").isNull(), 1).otherwise(0)
+    per_doc = (
+        tok.join(
+            F.broadcast(vocab.select(F.col("w").alias("v_w"))),
+            tok.w == F.col("v_w"),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(oov).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.sum("n_oov").cast("double") / F.sum("n_toks"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
