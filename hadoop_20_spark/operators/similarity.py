@@ -190,6 +190,39 @@ def lsh_topk(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment — THE one place that encodes the
+    quantizer contract every DuckDB oracle replicates: argmax of the
+    4dp-ROUNDED cosine with cent_id tie-break, ``nprobe`` cells per
+    input row.  Centroids broadcast; assignment is map-side except the
+    per-id ranking window.  Shared by ivf_topk (corpus cells + query
+    probes), build_ivf_index, query_ivf_index, and semantic_dedup, so
+    the rounding/tie-break rules cannot drift between them."""
+    cent = F.broadcast(centroids.select("cent_id", "c_vec"))
+    x = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+    w = Window.partitionBy(id_alias).orderBy(F.col("sim").desc(), "cent_id")
+    return (
+        x.crossJoin(cent)
+        .select(
+            id_alias,
+            vec_alias,
+            "cent_id",
+            F.round(cosine(F.col(vec_alias), F.col("c_vec")), 4).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select(id_alias, vec_alias, F.col("cent_id").alias("cell"))
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -253,12 +286,18 @@ def kmeans_centroids(
             )
             .select("_vid", (-F.col("_best._neg")).alias("cell"))
         )
+        # try_element_at (NULL past the end, never an ANSI error) + a
+        # per-coordinate non-null COUNT reproduces the old posexplode
+        # semantics for ragged vectors: each coordinate averages over
+        # the vectors that HAVE it; fixed-dim input is unchanged.
         mean_cols = [
             F.round(
                 F.sum(
-                    F.element_at("_vec", i + 1).cast("double").cast("decimal(30,10)")
+                    F.try_element_at("_vec", F.lit(i + 1))
+                    .cast("double")
+                    .cast("decimal(30,10)")
                 ).cast("double")
-                / F.count(F.lit(1)),
+                / F.count(F.try_element_at("_vec", F.lit(i + 1))),
                 8,
             ).alias(f"_m{i}")
             for i in range(dim)
@@ -315,36 +354,11 @@ def ivf_topk(
         centroids = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
         )
-    cent = F.broadcast(centroids.select("cent_id", "c_vec"))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    cells = assign_cells(
+        ensure_parallelism(corpus), centroids, "neighbor_id", "n_vec", id_col, vec_col
     )
-    w_asg = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), "cent_id")
-    cells = (
-        c.crossJoin(cent)
-        .select(
-            "neighbor_id",
-            "n_vec",
-            "cent_id",
-            F.round(cosine(F.col("n_vec"), F.col("c_vec")), 4).alias("sim"),
-        )
-        .withColumn("rk", F.row_number().over(w_asg))
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "n_vec", F.col("cent_id").alias("cell"))
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cent_id")
-    qcells = (
-        q.crossJoin(cent)
-        .select(
-            "query_id",
-            "q_vec",
-            "cent_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
-        )
-        .withColumn("rk", F.row_number().over(w_probe))
-        .filter(F.col("rk") <= nprobe)
-        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    qcells = assign_cells(
+        queries, centroids, "query_id", "q_vec", id_col, vec_col, nprobe=nprobe
     )
     scored = (
         cells.join(qcells, "cell")
@@ -379,25 +393,10 @@ def build_ivf_index(
     at 100 TB the assignment pass runs once instead of per query batch,
     and queries read only ``nprobe`` of ``n_centroids`` directories via
     partition pruning."""
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
-        )
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
-    w_asg = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), "cent_id")
-    cells = (
-        c.crossJoin(cent)
-        .select(
-            "neighbor_id",
-            "n_vec",
-            "cent_id",
-            F.round(cosine(F.col("n_vec"), F.col("c_vec")), 4).alias("sim"),
-        )
-        .withColumn("rk", F.row_number().over(w_asg))
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "n_vec", F.col("cent_id").alias("cell"))
-    )
+    cells = assign_cells(corpus, centroids, "neighbor_id", "n_vec", id_col, vec_col)
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -418,24 +417,11 @@ def query_ivf_index(
     reads ONLY the probed directories (static partition pruning; check
     PartitionFilters in the scan).  Scoring and ranking match
     ``ivf_topk`` exactly."""
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
-        )
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cent_id")
-    qcells = (
-        q.crossJoin(cent)
-        .select(
-            "query_id",
-            "q_vec",
-            "cent_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
-        )
-        .withColumn("rk", F.row_number().over(w_probe))
-        .filter(F.col("rk") <= nprobe)
-        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    qcells = assign_cells(
+        queries, centroids, "query_id", "q_vec", id_col, vec_col, nprobe=nprobe
     )
     index = spark.read.parquet(path)
     scored = (
@@ -770,28 +756,12 @@ def semantic_dedup(
     cents = kmeans_centroids(
         corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iterations=iterations
     )
-    cent = F.broadcast(cents.select("cent_id", "c_vec"))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    )
-    w_asg = Window.partitionBy("_id").orderBy(F.col("sim").desc(), "cent_id")
-    cells = (
-        c.crossJoin(cent)
-        .select(
-            "_id",
-            "_vec",
-            "cent_id",
-            F.round(cosine(F.col("_vec"), F.col("c_vec")), 4).alias("sim"),
-        )
-        .withColumn("rk", F.row_number().over(w_asg))
-        .filter(F.col("rk") == 1)
-        # per-vector norm materialized ONCE here (row-local, non-cheap
-        # so CollapseProject keeps it) — the within-cell pair scoring
-        # below then does one dot per pair, not dot + two norms
-        .select(
-            "_id", "_vec", F.col("cent_id").alias("cell"), norm(F.col("_vec")).alias("_nrm")
-        )
-    )
+    # per-vector norm materialized ONCE after assignment (row-local,
+    # non-cheap so CollapseProject keeps it) — the within-cell pair
+    # scoring below then does one dot per pair, not dot + two norms
+    cells = assign_cells(
+        ensure_parallelism(corpus), cents, "_id", "_vec", id_col, vec_col
+    ).withColumn("_nrm", norm(F.col("_vec")))
     hi = cells.select(
         F.col("cell"),
         F.col("_id").alias("vec_id"),

@@ -1325,25 +1325,16 @@ def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document near-duplication triage: the fraction of each doc's
-    distinct 8-gram shingles that also occur elsewhere in the corpus.
-    The token array is materialized in its own projection BEFORE the
-    shingle transform (lambda-CSE rule: Catalyst does not CSE across
-    nested higher-order lambdas — see SCALE.md).  Scale plan: two
+    distinct 8-gram shingles that also occur elsewhere in the corpus
+    (shingles via the shared let-bound helper — the lambda-CSE rule
+    lives in ONE place, functions.ngrams).  Scale plan: two
     shingle-keyed shuffles (document frequency + join back), counts per
     shingle bounded by corpus df, never a doc×doc join; at 100 TB hash
     the shingle to md5_long 8-byte keys to shrink both shuffles."""
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", _fn_tokens("text").alias("_toks"))
-    sh = toked.select(
+    sh = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("_toks") - 8, F.lit(0))),
-                    lambda i: F.array_join(F.slice("_toks", i + 1, 8), " "),
-                )
-            )
-        ).alias("ng"),
+        F.explode(F.array_distinct(_fn_ngrams("text", 8))).alias("ng"),
     )
     df_counts = sh.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)

@@ -53,7 +53,7 @@ class _TeraGenReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self) -> list[_RangePartition]:
-        step = -(-self.n_rows // self.n_parts)  # ceil div
+        step = -(-self.n_rows // self.n_parts) or 1  # ceil div; rows=0 -> no splits
         return [
             _RangePartition(lo, min(lo + step, self.n_rows))
             for lo in range(0, self.n_rows, step)
@@ -140,10 +140,13 @@ class _ChecksumWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
-        # job failed: nothing becomes visible (the manifest is only
-        # written in commit) — the FileOutputCommitter cleanup phase
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        # Job failed: NO-OP.  This job's manifest was never written (only
+        # commit() writes it), so there is nothing of ours to clean up —
+        # and the path may hold a PREVIOUS job's committed manifest,
+        # which a failed later job must never destroy (FileOutputCommitter
+        # abort cleans attempt-scoped temp output only, never prior
+        # committed output).
+        pass
 
 
 class ChecksumSinkDataSource(DataSource):
@@ -165,12 +168,13 @@ class ChecksumSinkDataSource(DataSource):
 # by periodic jobs (Scribe→HDFS; realtime-HDFS append/hflush,
 # hdfs/DFSClient.java#sync).  The Python DataSourceStreamReader is that
 # contract made explicit: offsets are the "how far has the log grown"
-# cursor, partitions(start, end) are the splits of the newly-appended
+# cursor, partitions(start, end) are the splits of the available
 # range, read(partition) replays it.  EventGenStreamSource emits a
-# deterministic, offset-addressed event log (md5-derived, same discipline
-# as TeraGen) in fixed-size microbatches — replaying any offset range
-# yields identical rows, which is exactly the reprocessing-safety
-# property the reference got from immutable appended files.
+# deterministic, offset-addressed BOUNDED event log (md5-derived, same
+# discipline as TeraGen), chunked into rowsPerBatch-sized splits —
+# replaying any offset range yields identical rows, which is exactly
+# the reprocessing-safety property the reference got from immutable
+# appended files, and restarting from a checkpoint emits nothing twice.
 
 
 class _OffsetRange(InputPartition):
@@ -188,25 +192,33 @@ def _gen_event(i: int) -> tuple:
 
 
 class _EventGenStreamReader(DataSourceStreamReader):
+    """Offsets must be MONOTONE ACROSS RESTARTS: a fresh reader instance
+    has no memory of the checkpoint, so any latestOffset() derived from
+    instance state (e.g. "grow per poll") can return a value BELOW the
+    checkpointed start after a restart — Spark then plans an inverted
+    batch and later re-emits rows the sink already saw.  The safe
+    contract for a bounded log: latestOffset() is a pure function of
+    the external state (here: the full log length), and parallelism
+    comes from partitions() splitting [start, end) — not from rationing
+    the frontier."""
+
     def __init__(self, options: dict):
-        self.batch_rows = int(options.get("rowsPerBatch", 100))
+        self.rows_per_chunk = int(options.get("rowsPerBatch", 100))
         self.max_rows = int(options.get("maxRows", 1000))
-        self.n_parts = max(1, int(options.get("partitions", 4)))
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        # the "log" grows by one fixed batch per poll, up to maxRows —
-        # a bounded, deterministic stand-in for directory growth
-        if not hasattr(self, "_cur"):
-            self._cur = 0
-        self._cur = min(self._cur + self.batch_rows, self.max_rows)
-        return {"offset": self._cur}
+        # the whole bounded log is available: restart-safe by
+        # construction (never below any previously returned offset)
+        return {"offset": self.max_rows}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["offset"], end["offset"]
-        step = -(-(hi - lo) // self.n_parts) or 1
+        if hi <= lo:  # defensive: empty/inverted range -> no splits
+            return [_OffsetRange(lo, lo)]
+        step = self.rows_per_chunk or 1
         return [
             _OffsetRange(a, min(a + step, hi)) for a in range(lo, hi, step)
         ]

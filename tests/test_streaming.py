@@ -125,9 +125,9 @@ def test_stateful_totals_tws(spark):
 
 
 def test_eventgen_custom_stream_source(spark, tmp_path):
-    """Custom Python streaming source: offsets advance per poll,
-    partitions(start,end) split the appended range, replay is
-    deterministic.  Drain the bounded log and check exact content."""
+    """Custom Python streaming source: partitions(start,end) split the
+    available range into rowsPerBatch chunks, replay is deterministic,
+    and a restart from the checkpoint emits nothing twice."""
     import hashlib
 
     from hadoop_20_spark.sources.pyds import EventGenStreamSource, _gen_event
@@ -140,23 +140,24 @@ def test_eventgen_custom_stream_source(spark, tmp_path):
         .option("partitions", 3)
         .load()
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("t_eventgen")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    # the bounded log grows rowsPerBatch per poll — five real
-    # microbatches, each a separate (offsets, partitions, read) cycle
-    import time
+    out_dir = str(tmp_path / "out")
 
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.table("t_eventgen").count() >= 200:
-            break
-        time.sleep(0.5)
-    q.stop()
-    got = sorted(tuple(r) for r in spark.table("t_eventgen").collect())
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+
+    got = drain()
     exp = sorted(_gen_event(i) for i in range(200))
     assert got == exp
+    # restart from the same checkpoint: the committed offset equals the
+    # log length, so the second run must emit NOTHING (no duplicate
+    # replay — the restart-safety contract a per-poll-growing
+    # latestOffset would break)
+    assert drain() == exp
