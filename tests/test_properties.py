@@ -167,3 +167,32 @@ def test_range_join_matches_cross_filter_model(spark, left, right):
         if rk == k and lo <= p < hi
     }
     assert got == expected
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_ngrams_let_binding_matches_python_model(spark, texts, n):
+    """functions.ngrams (let-bound sliding window) must equal the plain
+    Python n-gram model on arbitrary whitespace text — guards the
+    let()/lambda-variable rewrite against off-by-ones at the edges
+    (empty docs, docs shorter than n, repeated separators)."""
+    from hadoop_20_spark.functions import ngrams
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {
+        r["id"]: r["ng"]
+        for r in df.select("id", ngrams("t", n).alias("ng")).collect()
+    }
+
+    def model(text: str) -> list[str]:
+        toks = [w for w in text.split() if w]
+        upper = max(len(toks) - n, 0)
+        return [" ".join(toks[i : i + n]) for i in range(upper + 1)]
+
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), (t, n)
