@@ -438,3 +438,49 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"), "click_id", "purchase_id"
     )
     return stream_ops.run_append_to_memory(joined, "q_stream_join")
+
+
+@register(
+    "streaming_custom_source_totals",
+    """
+    WITH log AS (
+      SELECT i AS event_id,
+             ('0x' || substr(md5('ev_' || i), 1, 8))::BIGINT % 100 AS user_id,
+             list_extract(['view','click','purchase'],
+                 CAST(('0x' || substr(md5('ev_' || i), 9, 2))::BIGINT % 3 AS INTEGER) + 1) AS event_type,
+             ROUND(('0x' || substr(md5('ev_' || i), 11, 6))::BIGINT / 1000.0, 3) AS value
+      FROM range(600) t(i)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+    FROM log GROUP BY event_type ORDER BY event_type
+    """,
+    note="REAL custom Python streaming source driven end-to-end (EventGenStreamSource: offset cursor, range partitions, deterministic replay) — the md5-derived log is reproduced row-exactly in SQL, so even a custom source gets a full oracle",
+)
+def streaming_custom_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the registered Python DataSourceStreamReader through a
+    real availableNow run (memory sink) and aggregates the result —
+    the oracle regenerates the identical md5-derived log in SQL
+    (hashlib and md5() agree), so the custom-source path is
+    hash-checked like every relational query.  Exactness: value has
+    exactly 3 decimals by construction, so the DECIMAL(18,3) sum is
+    engine-identical."""
+    from hadoop_20_spark import streaming as stream_ops
+    from hadoop_20_spark.sources.pyds import EventGenStreamSource
+
+    spark.dataSource.register(EventGenStreamSource)
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", 200)
+        .option("maxRows", 600)
+        .load()
+    )
+    table = stream_ops.run_append_to_memory(stream, "q_custom_source")
+    return (
+        table.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
