@@ -53,7 +53,11 @@ class _TeraGenReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self) -> list[_RangePartition]:
-        step = -(-self.n_rows // self.n_parts) or 1  # ceil div; rows=0 -> no splits
+        if self.n_rows <= 0:
+            # an empty list makes Spark call read(None); always hand the
+            # reader a real (empty) split instead
+            return [_RangePartition(0, 0)]
+        step = -(-self.n_rows // self.n_parts)  # ceil div
         return [
             _RangePartition(lo, min(lo + step, self.n_rows))
             for lo in range(0, self.n_rows, step)

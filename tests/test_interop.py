@@ -208,3 +208,35 @@ def test_checksum_sink_commit_protocol(spark, tables, tmp_path):
     # the sink reduces mod 2^62 per task then sums task sums mod 2^62;
     # compare mod 2^62 (sum-then-mod == mod-then-sum-then-mod)
     assert manifest["checksum"] == exp % (1 << 62)
+
+
+def test_checksum_sink_abort_preserves_prior_manifest(spark, tables, tmp_path):
+    """A failed LATER job must never destroy a previously committed
+    manifest (abort is a no-op — FileOutputCommitter abort cleans
+    attempt-scoped output only)."""
+    import json
+
+    from hadoop_20_spark.sources.pyds import ChecksumSinkDataSource, _ChecksumWriter
+
+    spark.dataSource.register(ChecksumSinkDataSource)
+    manifest_path = str(tmp_path / "out" / "manifest.json")
+    nation = tables["nation"].select("n_nationkey", "n_name")
+    (
+        nation.write.format("checksum_sink")
+        .option("path", manifest_path)
+        .option("key", "n_nationkey")
+        .mode("append")
+        .save()
+    )
+    before = json.load(open(manifest_path))
+    # simulate a failed second job's abort path directly
+    _ChecksumWriter({"path": manifest_path, "key": "n_nationkey"}).abort([])
+    assert json.load(open(manifest_path)) == before
+
+
+def test_teragen_datasource_zero_rows(spark):
+    from hadoop_20_spark.sources.pyds import TeraGenDataSource
+
+    spark.dataSource.register(TeraGenDataSource)
+    df = spark.read.format("teragen").option("rows", 0).load()
+    assert df.count() == 0
