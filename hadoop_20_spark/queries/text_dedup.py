@@ -1599,3 +1599,116 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "token_length_histogram",
+    r"""
+    WITH tok AS (
+      SELECT len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n
+      FROM documents
+    )
+    SELECT CAST(LEAST(n // 64, 15) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n) AS DOUBLE) / (SELECT SUM(n) FROM tok), 6) AS token_share
+    FROM tok GROUP BY bucket ORDER BY bucket
+    """,
+    note="doc token-length histogram (64-token buckets, capped) with per-bucket corpus token share — the packing/context-window planning signal that sizes sequence_packing bins",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in 64-token buckets: how much of the
+    corpus (docs and tokens) sits at each length — the planning input
+    for sequence_packing bin sizes and chunk_documents windows.  One
+    partial-agg'd shuffle on a ≤16-value bucket key; the corpus-total
+    denominator is a broadcast 1-row aggregate; integer sums exact."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.size(_fn_tokens("text")).alias("n"))
+    tot = tok.agg(F.sum("n").alias("_tot"))
+    return (
+        tok.groupBy(
+            F.least(F.floor(F.col("n") / 64), F.lit(15)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("_tot"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dedup_retention_curve",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS did, unnest(list_distinct({_TOKENS.format(col='text')})) AS sh
+      FROM documents
+    ), sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM base a JOIN base b ON a.sh = b.sh AND a.did < b.did
+      GROUP BY a.did, b.did
+    ),
+    scored AS (
+      SELECT id_b, ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS j
+      FROM common
+      JOIN sizes sa ON sa.did = id_a
+      JOIN sizes sb ON sb.did = id_b
+      WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.25
+    ),
+    mx AS (SELECT id_b, MAX(j) AS mj FROM scored GROUP BY id_b),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.threshold,
+           CAST((SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS BIGINT) AS n_removed,
+           CAST(tot.n_docs - (SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS BIGINT) AS n_kept,
+           ROUND(CAST(tot.n_docs - (SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS DOUBLE)
+                 / tot.n_docs, 6) AS retention
+    FROM (VALUES (0.25), (0.5), (0.75)) t(threshold) CROSS JOIN tot
+    ORDER BY threshold
+    """,
+    note="dedup retention curve: corpus survivor rate under keep-lowest-id exact-Jaccard dedup at thresholds 0.25/0.5/0.75 — the knob-tuning readout before committing to a near-dup threshold",
+)
+def dedup_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the corpus survives dedup at each candidate
+    threshold: per doc, the max Jaccard against any LOWER-id doc
+    (keep-lowest-id discipline), then survivor counts at 0.25/0.5/0.75.
+    Scale plan: candidates come from the lossless prefix-filtered
+    Jaccard join at the LOWEST curve threshold (0.25) — one pass serves
+    the whole curve; per-doc max and the 3-row curve are trivial
+    aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.25, shingle=1)
+    mx = pairs.groupBy(F.col("id_b").alias("did")).agg(F.max("jaccard").alias("mj"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    th = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "threshold double")
+    removed = (
+        th.crossJoin(mx)
+        .filter(F.col("mj") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        th.join(removed, "threshold", "left")
+        .select("threshold", F.coalesce("n_removed", F.lit(0)).alias("n_removed"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.col("n_removed").cast("long").alias("n_removed"),
+            (F.col("n_docs") - F.col("n_removed")).cast("long").alias("n_kept"),
+            F.round(
+                (F.col("n_docs") - F.col("n_removed")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("threshold")
+    )
