@@ -459,7 +459,8 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_custom_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the registered Python DataSourceStreamReader through a
-    real availableNow run (memory sink) and aggregates the result —
+    real micro-batch run (memory sink, drained with
+    processAllAvailable) and aggregates the result —
     the oracle regenerates the identical md5-derived log in SQL
     (hashlib and md5() agree), so the custom-source path is
     hash-checked like every relational query.  Exactness: value has

@@ -1622,25 +1622,25 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sequence_packing bin sizes and chunk_documents windows.  One
     partial-agg'd shuffle on a ≤16-value bucket key; the corpus-total
     denominator is a broadcast 1-row aggregate; integer sums exact."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.size(_fn_tokens("text")).alias("n"))
-    tot = tok.agg(F.sum("n").alias("_tot"))
+    # corpus total = window sum over the <=16 aggregated rows — no
+    # second scan/tokenization of the corpus just for the denominator
+    hist = tok.groupBy(
+        F.least(F.floor(F.col("n") / 64), F.lit(15)).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    tot = F.sum("n_tokens").over(Window.partitionBy())
     return (
-        tok.groupBy(
-            F.least(F.floor(F.col("n") / 64), F.lit(15)).cast("long").alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n").cast("long").alias("n_tokens"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
+        hist.select(
             "bucket",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens").cast("double") / F.col("_tot"), 6).alias(
-                "token_share"
-            ),
+            F.round(F.col("n_tokens").cast("double") / tot, 6).alias("token_share"),
         )
         .orderBy("bucket")
     )
