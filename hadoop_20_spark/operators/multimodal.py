@@ -362,7 +362,10 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "n_channels": decoded.map(lambda d: d[0]).astype("int32"),
                     "sample_rate": decoded.map(lambda d: d[1]).astype("int32"),
                     "n_samples": decoded.map(lambda d: d[2]).astype("int64"),
-                    "duration_s": decoded.map(lambda d: round(d[3], 6)),
+                    # raw duration — rounding policy belongs to the query
+                    # layer (F.round = half-up, matches SQL ROUND; Python
+                    # round here would be banker's and diverge on .5 ties)
+                    "duration_s": decoded.map(lambda d: d[3]),
                     "feature": decoded.map(lambda d: d[4]),
                 }
             )

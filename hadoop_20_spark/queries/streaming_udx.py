@@ -485,3 +485,50 @@ def streaming_custom_source_totals(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT % 2 AS INT) AS n_channels,
+           CAST(list_extract([8000,16000,22050,44100],
+                ('0x' || substr(md5(text), 3, 2))::INT % 4 + 1) AS INT) AS sample_rate,
+           CAST(1 + ('0x' || substr(md5(text), 5, 6))::BIGINT
+                % (4 * list_extract([8000,16000,22050,44100],
+                       ('0x' || substr(md5(text), 3, 2))::INT % 4 + 1)) AS BIGINT) AS n_samples,
+           CAST(FLOOR((1 + ('0x' || substr(md5(text), 5, 6))::BIGINT
+                % (4 * list_extract([8000,16000,22050,44100],
+                       ('0x' || substr(md5(text), 3, 2))::INT % 4 + 1))) * 1000.0
+                / list_extract([8000,16000,22050,44100],
+                       ('0x' || substr(md5(text), 3, 2))::INT % 4 + 1)) AS BIGINT) AS duration_ms
+    FROM documents ORDER BY media_id
+    """,
+    note="audio-column plumbing: Arrow mapInPandas extract_audio_features (deterministic fake codec — real PCM WAV decoder drops in via fake=False); oracle reproduces the md5-derived params",
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata/feature pass over a media-shaped table (payload =
+    utf-8 bytes of the doc text — same stand-in as multimodal_features):
+    the fake codec derives channels/rate/samples from md5(payload), so
+    the whole mapInPandas pipeline is hash-checked; the REAL PCM WAV
+    decoder (tested on synthesized sine WAVs) replaces it via
+    fake=False with no other change."""
+    from hadoop_20_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    return (
+        multimodal.extract_audio_features(media, fake=True)
+        # integer-exact duration: FLOOR(n*1000/rate) — a 6dp ROUND of
+        # n/16000 can land on exact decimal .5 ties where engines'
+        # double rounding directions differ; the floored-ms contract
+        # cannot (exact quotients are IEEE-exact, others sit >=1e-4
+        # from an integer boundary)
+        .select(
+            "media_id", "n_channels", "sample_rate", "n_samples",
+            F.floor(F.col("n_samples") * 1000.0 / F.col("sample_rate"))
+            .cast("long")
+            .alias("duration_ms"),
+        )
+        .orderBy("media_id")
+    )
