@@ -203,3 +203,9 @@ def test_dup_ngram_fraction_no_doc_cross_join(spark):
     plan = physical_plan(REGISTRY["dup_ngram_fraction"].fn(spark, PLAN_SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_uses_take_ordered_not_global_window(spark):
+    plan = physical_plan(REGISTRY["vocab_oov_rate"].fn(spark, PLAN_SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]

@@ -46,6 +46,8 @@ QUERIES = {
     "dup_ngram_fraction": "shingle-keyed df count + join back — never a doc×doc join; token array materialized before the shingle transform",
     "knn_label_agreement": "broadcast-nested-loop scoring (queries broadcast, norms precomputed per vector), window top-k, integer vote sums",
     "semantic_dedup": "k-means (one-shuffle positional means, argmax agg) then within-cell pair join — quadratic work confined to cells, norms precomputed",
+    "vocab_oov_rate": "top-500 vocab via TakeOrderedAndProject (per-partition heaps, no global window), broadcast probe, integer OOV sums",
+    "dedup_retention_curve": "one lossless prefix-filtered candidate pass at the lowest threshold serves the whole curve; per-doc max + 3-row aggregation",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
