@@ -7,8 +7,13 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Each query runs 3 times (after one warm-up of the flagship to absorb JVM
-startup); the median per-query wall-clock is reported, and ``value`` is
-the sum of medians.  Results are materialized via a ``noop``-format
+startup); the median per-query wall-clock is reported (plus the min, as
+``secs_min``, for noise diagnosis), and ``value`` is the sum of medians.
+DuckDB-anchored entries also record ``ratio`` = secs/duckdb_secs: ambient
+host noise moves both engines together (the r3→r4 suite drifted +14%
+with identical hashes while the DuckDB anchors drifted +19–27% the same
+day), so round-over-round comparisons should read the ratio, not the raw
+seconds.  Results are materialized via a ``noop``-format
 write: unlike ``count()`` (which lets Catalyst prune all columns and —
 for sort queries — drop the sort entirely via EliminateSorts), a write
 sink consumes every output row with all columns, so the measured plan is
@@ -50,6 +55,7 @@ DUCKDB_COMPARABLE = (
     "b10b_cdc_chunks",
     "b10c_tfidf",
     "b11_snowflake_join",
+    "b13_stream_join",  # anchor = the BATCH time-range self-join oracle
 )
 
 BENCH_QUERIES = {
@@ -72,19 +78,40 @@ BENCH_QUERIES = {
     # snowflake, five broadcast dims, one fact shuffle) — the bench's
     # proxy for multi-dim star-schema work at scale.
     "b11_snowflake_join": "q8_market_share",
-    # b12: the cluster-then-prune embedding path (k-means training +
-    # within-cell cosine join).  No DuckDB anchor: the unrolled-kmeans
-    # oracle is gate-checked but too slow to run 3x per bench.  At this
-    # tiny scale the wall-clock is dominated by the training loop's
-    # fixed job count (3 iterations x ~3 jobs + checkpoints), not data —
-    # the number to watch round-over-round is the delta, not the level.
+    # b12: the cluster-then-prune embedding path.  The k-means TRAINING
+    # loop (fixed job count: 3 iterations x ~3 jobs + checkpoints) is
+    # run ONCE, untimed, into a cached centroid table; the 3 timed
+    # passes cover only the prune path (assign + within-cell cosine join
+    # + keep-lowest-id), so a prune regression can't hide inside
+    # training noise.  train_secs is recorded separately in the detail.
+    # The untimed fingerprint still runs the FULL registry query
+    # (training included) so the hash stays comparable to the gate
+    # oracle.  No DuckDB anchor: the unrolled-kmeans oracle is
+    # gate-checked but too slow to run 3x per bench.
     "b12_semantic_dedup": "semantic_dedup",
+    # b13: streaming — stream-stream join (the slowest gate family had
+    # ZERO bench coverage, the exact blind spot that hid winnowing in
+    # r3).  The registry fn runs the stream to completion synchronously
+    # (processAllAvailable over the staged file source), so the timed
+    # pass covers micro-batch scheduling + watermark state + join state,
+    # and the DuckDB anchor is the batch time-range self-join oracle.
+    "b13_stream_join": "streaming_stream_join",
 }
 
 
-def run_once(spark, name: str) -> float:
+def run_once(spark, name: str, ctx: dict | None = None) -> float:
     t0 = time.time()
-    if name == "b7_demux_write":
+    if name == "b12_semantic_dedup" and ctx and "b12_cents" in ctx:
+        from hadoop_20_spark.catalog import load_table
+        from hadoop_20_spark.operators import similarity as _sim
+
+        df = _sim.semantic_dedup(
+            load_table(spark, "embeddings", SF_DIR),
+            threshold=0.45,
+            centroids=ctx["b12_cents"],
+        )
+        df.write.format("noop").mode("overwrite").save()
+    elif name == "b7_demux_write":
         # MultipleOutputFormat analog: demux events by event_type.
         from hadoop_20_spark.catalog import load_table
 
@@ -158,10 +185,25 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    ctx: dict = {}
     for name in BENCH_QUERIES:
-        times = [run_once(spark, name) for _ in range(3)]
+        d: dict = {}
+        if name == "b12_semantic_dedup":
+            # train once, untimed-loop: the fixed-job-count k-means is
+            # recorded as train_secs; the 3 timed passes are prune-only
+            from hadoop_20_spark.catalog import load_table
+            from hadoop_20_spark.operators import similarity as _sim
+
+            t0 = time.time()
+            ctx["b12_cents"] = _sim.kmeans_centroids(
+                load_table(spark, "embeddings", SF_DIR), k=16, iterations=3
+            )
+            ctx["b12_cents"].count()  # force the localCheckpoint chain
+            d["train_secs"] = round(time.time() - t0, 3)
+        times = [run_once(spark, name, ctx) for _ in range(3)]
         per_query[name] = round(statistics.median(times), 3)
-        d: dict = {"secs": per_query[name]}
+        d["secs"] = per_query[name]
+        d["secs_min"] = round(min(times), 3)
         if name == "b7_demux_write":
             # Fingerprint the WRITTEN output (read back the demux dir),
             # not the input — a broken write path (wrong partitioning or
@@ -184,6 +226,11 @@ def main() -> None:
             d.update(duckdb_compare(name))
             if "duckdb_rows" in d:
                 d["rows_match"] = d["rows"] == d["duckdb_rows"]
+            if d.get("duckdb_secs"):
+                # cross-engine ratio: host noise moves Spark AND DuckDB
+                # together, a plan regression moves only the numerator —
+                # compare ratios round-over-round, not raw seconds
+                d["ratio"] = round(d["secs"] / d["duckdb_secs"], 2)
         detail[name] = d
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

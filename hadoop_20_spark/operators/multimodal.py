@@ -5,9 +5,11 @@ heavy per-item work (decode, resize, feature-extract, frame-sample) runs
 in Arrow-batched ``mapInPandas`` so bytes never round-trip through
 driver-side Python row objects.
 
-Decoding: uncompressed PPM (P6) and 24-bit uncompressed BMP are decoded
-by a built-in dependency-free decoder (real pixels, runs everywhere);
-any other format goes through PIL when importable.  Compressed formats
+Decoding: uncompressed PPM (P6), 24-bit uncompressed BMP, and 8-bit
+RGB/RGBA non-interlaced PNG (stdlib zlib inflate + full scanline
+unfiltering) are decoded by a built-in dependency-free decoder (real
+pixels, runs everywhere); any other format goes through PIL when
+importable.  Compressed formats
 with neither available raise a clearly-marked NotImplementedError;
 ``fake=True`` substitutes a deterministic md5-derived pseudo-decode for
 plumbing tests that don't care about pixels.
@@ -128,12 +130,92 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, _pool_feature(rows[:, :, ::-1], w, h)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    """8-bit truecolor PNG (color type 2 RGB / 6 RGBA, no interlace)
+    via the stdlib only: chunk walk → concatenated IDAT → zlib inflate →
+    per-scanline unfilter (None/Sub/Up/Average/Paeth, RFC 2083 §6) →
+    RGB pixels.  The one COMPRESSED image format the built-in decoder
+    handles everywhere — PPM/BMP prove the raw path, this proves a real
+    inflate+unfilter pipeline with zero dependencies.  Alpha (type 6)
+    is dropped, not composited: features come from the color channels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            "only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    bpp = 4 if color_type == 6 else 3  # bytes per pixel == channels at 8-bit
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated IDAT stream")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)  # virtual zero row above the image
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, bpp)[:, :, :3]
+    return w, h, _pool_feature(px, w, h)
+
+
 def _builtin_decoder(payload: bytes):
     """Magic-sniff for the formats the built-in decoder handles."""
     if payload.startswith(b"P6"):
         return _decode_ppm
     if payload.startswith(b"BM"):
         return _decode_bmp
+    if payload.startswith(_PNG_MAGIC):
+        return _decode_png
     return None
 
 
@@ -317,6 +399,8 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, float, list[float]]:
     if audio_format != 1 or bits not in (8, 16) or n_ch < 1:
         raise ValueError(f"only PCM 8/16-bit supported (fmt={audio_format}, bits={bits})")
     if bits == 16:
+        # tolerate a truncated/odd-length data chunk: trim to whole frames
+        data = data[: len(data) // (2 * n_ch) * (2 * n_ch)]
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     else:  # 8-bit WAV is unsigned, midpoint 128
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

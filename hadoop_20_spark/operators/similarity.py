@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 
 from hadoop_20_spark.functions import ensure_parallelism, md5_long
 
+# One groupBy with ``dim`` decimal-sum expressions is ideal up to a few
+# hundred coordinates; past that, codegen/planning cost grows
+# superlinearly in the expression count.  Above this chunk size
+# ``kmeans_centroids`` splits its mean pass into ceil(dim/chunk) passes
+# of <=chunk aggregates each over a checkpointed (vector, cell) frame,
+# then stitches the k-row chunk results with cheap joins on cell.
+# Total shuffle bytes are unchanged (each pass ships only its own
+# coordinate slice + the cell key); only the stage count grows.
+KMEANS_MEAN_CHUNK = 256
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in doubles with deterministic (sequential) addition order."""
@@ -264,8 +274,17 @@ def kmeans_centroids(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     )
-    # model-shape inference, once (a 1-row driver action, not a data pull)
-    dim = len(cent.select("c_vec").first()["c_vec"])
+    # model-shape inference, once (a 1-row driver action, not a data pull).
+    # All vectors are assumed to share the seed centroid's length; ragged
+    # inputs average only the coordinates they have (try_element_at below)
+    # and coordinates past ``dim`` are ignored entirely.
+    _seed = cent.select("c_vec").first()
+    if _seed is None:
+        raise ValueError(
+            "kmeans_centroids: empty centroid seed (empty corpus, or no "
+            f"rows with {id_col} < k={k}) — cannot infer vector dim"
+        )
+    dim = len(_seed["c_vec"])
     for _ in range(iterations):
         # argmax(sim DESC, cent_id ASC) as a partial-aggregable
         # max(struct(sim, -cent_id)) — same selection as a row_number
@@ -290,8 +309,8 @@ def kmeans_centroids(
         # per-coordinate non-null COUNT reproduces the old posexplode
         # semantics for ragged vectors: each coordinate averages over
         # the vectors that HAVE it; fixed-dim input is unchanged.
-        mean_cols = [
-            F.round(
+        def _mean_col(i: int):
+            return F.round(
                 F.sum(
                     F.try_element_at("_vec", F.lit(i + 1))
                     .cast("double")
@@ -300,16 +319,22 @@ def kmeans_centroids(
                 / F.count(F.try_element_at("_vec", F.lit(i + 1))),
                 8,
             ).alias(f"_m{i}")
-            for i in range(dim)
-        ]
-        new_cent = (
-            c.join(asg, "_vid")
-            .groupBy("cell")
-            .agg(*mean_cols)
-            .select(
-                F.col("cell").alias("cent_id"),
-                F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("c_vec"),
-            )
+
+        joined = c.join(asg, "_vid")
+        if dim <= KMEANS_MEAN_CHUNK:
+            means = joined.groupBy("cell").agg(*[_mean_col(i) for i in range(dim)])
+        else:
+            # checkpoint so each chunk pass re-reads the materialized
+            # assignment instead of recomputing the crossJoin+argmax
+            joined = joined.localCheckpoint()
+            means = None
+            for start in range(0, dim, KMEANS_MEAN_CHUNK):
+                cols = [_mean_col(i) for i in range(start, min(start + KMEANS_MEAN_CHUNK, dim))]
+                part = joined.groupBy("cell").agg(*cols)
+                means = part if means is None else means.join(part, "cell")
+        new_cent = means.select(
+            F.col("cell").alias("cent_id"),
+            F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("c_vec"),
         )
         cent = (
             cent.select("cent_id", F.col("c_vec").alias("_old"))
@@ -737,6 +762,7 @@ def semantic_dedup(
     threshold: float = 0.45,
     n_centroids: int = 16,
     iterations: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with deterministic
@@ -752,9 +778,18 @@ def semantic_dedup(
     assignment is map-side, and the only data shuffle is the equi-join
     on cell.  Oversized cells should be split by raising n_centroids
     (or sub-bucketing hot cells with SRP, as embedding_near_dups
-    does)."""
-    cents = kmeans_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iterations=iterations
+    does).
+
+    Pass ``centroids=`` (a trained ``(cent_id, c_vec)`` table) to skip
+    training — used by the bench to time the prune path separately from
+    the fixed-job-count k-means loop, and the natural production shape
+    (train once, dedup many shards against the same model)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iterations=iterations
+        )
     )
     # per-vector norm materialized ONCE after assignment (row-local,
     # non-cheap so CollapseProject keeps it) — the within-cell pair

@@ -30,7 +30,9 @@ def _driver_seen() -> frozenset[str]:
     from pathlib import Path
 
     seen: set[str] = set()
-    root = Path(__file__).resolve().parent.parent
+    # this file is <repo>/hadoop_20_spark/queries/__init__.py; the
+    # driver writes CORRECTNESS_r*.json at <repo> — three parents up
+    root = Path(__file__).resolve().parent.parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(p.read_text())

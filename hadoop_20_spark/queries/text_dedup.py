@@ -1647,6 +1647,64 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_merge_pairs",
+    r"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    p AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM w, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+    note="BPE tokenizer induction, first merge iteration: corpus-wide adjacent character-pair frequencies within lowercased whitespace tokens, top-50 merge candidates (Sennrich et al. 2016 pair-counting step)",
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of byte-pair-encoding vocabulary induction
+    (Sennrich et al. 2016): every adjacent character pair inside every
+    (lowercased, whitespace-split) token occurrence, counted corpus-wide;
+    the top pair is BPE's first merge.  Real BPE iterates merge→recount;
+    each iteration is exactly this plan over the re-paired corpus, so
+    the one-iteration query is the representative unit of work.
+
+    Scale plan: pair extraction is row-local codegen (token explode →
+    per-index substr transform → pair explode — no Python, no shuffle);
+    counting is one partial-agg'd shuffle on a small key domain (char
+    bigrams), and the top-50 is TakeOrderedAndProject, never a global
+    sort.  Total order (n DESC, pair ASC) makes the cut deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    from hadoop_20_spark.functions import ensure_parallelism
+
+    # CPU-bound interpreted-lambda stage: decouple from input split
+    # count (the SCALE.md ensure_parallelism rule) or the whole pair
+    # extraction serializes onto however few splits the corpus arrived
+    # as.  Single-char tokens MUST be filtered before sequence(1, len-1):
+    # Spark's sequence auto-steps DOWNWARD when stop < start, so len=1
+    # would yield [1, 0], not an empty list.
+    toks = ensure_parallelism(docs).select(
+        F.explode(_fn_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+@register(
     "dedup_retention_curve",
     f"""
     WITH base AS (

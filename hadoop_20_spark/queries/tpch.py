@@ -1038,7 +1038,8 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_acctbal < 0 AND s.s_suppkey = ps.l_suppkey)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,

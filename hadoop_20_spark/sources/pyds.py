@@ -139,7 +139,9 @@ class _ChecksumWriter(DataSourceWriter):
             "rows": sum(m.rows for m in messages),
             "checksum": sum(m.checksum for m in messages) % (1 << 62),
         }
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        parent = os.path.dirname(self.path)
+        if parent:  # a bare-filename path has no parent to create
+            os.makedirs(parent, exist_ok=True)
         with open(self.path, "w") as f:
             json.dump(manifest, f)
 

@@ -255,6 +255,58 @@ def test_kmeans_centroids_deterministic_under_repartition(spark, tables):
     assert all(len(v) == 64 for v in ra.values())
 
 
+def test_kmeans_centroids_chunked_bit_identical(spark, tables, monkeypatch):
+    """Forcing the chunked high-dim mean path (chunk < dim) must yield
+    exactly the single-pass result — same decimal sums, just split
+    across stages."""
+    from hadoop_20_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    single = {r["cent_id"]: r["c_vec"]
+              for r in sim.kmeans_centroids(emb, k=4, iterations=2).collect()}
+    monkeypatch.setattr(sim, "KMEANS_MEAN_CHUNK", 16)  # dim 64 → 4 passes
+    chunked = {r["cent_id"]: r["c_vec"]
+               for r in sim.kmeans_centroids(emb, k=4, iterations=2).collect()}
+    assert chunked == single
+
+
+def test_kmeans_centroids_dim_1024(spark):
+    """High-dim guard: training at dim 1024 completes via the chunked
+    mean path without a single 1024-aggregate groupBy (the codegen
+    blowup the chunking exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators import similarity as sim
+
+    dim, n = 1024, 48
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: ((F.col("id") * 31 + i) % 17).cast("float") / 16.0,
+        ).alias("embedding"),
+    )
+    cent = sim.kmeans_centroids(vecs, k=4, iterations=1)
+    rows = {r["cent_id"]: r["c_vec"] for r in cent.collect()}
+    assert len(rows) == 4
+    assert all(len(v) == dim for v in rows.values())
+    assert all(x is not None for v in rows.values() for x in v)
+
+
+def test_kmeans_centroids_empty_seed_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators import similarity as sim
+
+    empty = spark.range(0).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="empty centroid seed"):
+        sim.kmeans_centroids(empty, k=4, iterations=1)
+
+
 def test_ivf_topk_kmeans_recall(spark):
     from hadoop_20_spark.registry import REGISTRY
     from tests.conftest import SF_DIR

@@ -28,6 +28,26 @@ def test_registry_complete():
         assert callable(q.fn), name
 
 
+def test_driver_rotation_reads_correctness_files():
+    """The unseen-first rotation must actually FIND the repo-root
+    CORRECTNESS_r*.json files (a wrong parent count once made it glob
+    inside the package and silently return empty, freezing the driver
+    sample on the same 50 queries) and order never-driver-checked
+    queries first."""
+    from pathlib import Path
+
+    from hadoop_20_spark.queries import _driver_seen, queries
+
+    repo_root = Path(__file__).resolve().parent.parent
+    have_files = any(repo_root.glob("CORRECTNESS_r*.json"))
+    seen = _driver_seen()
+    if have_files:
+        assert seen, "driver correctness files exist but none were read"
+    ordered = list(queries())
+    unseen = [n for n in ordered if n not in seen]
+    assert ordered[: len(unseen)] == unseen, "unseen queries must come first"
+
+
 def test_fast_subset_runs(spark):
     for name in FAST_SUBSET:
         df = REGISTRY[name].fn(spark, SF_DIR)

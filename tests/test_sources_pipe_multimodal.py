@@ -266,6 +266,115 @@ def test_builtin_bmp_decode_real_pixels():
     assert all(abs(f - 0.587) < 0.01 for f in feat[4:])
 
 
+def _make_png(w, h, rgb_rows, filters=None, alpha=None):
+    """Synthesize an 8-bit truecolor PNG with the stdlib only, encoding
+    each scanline with a CHOSEN filter type (default: cycle through all
+    five) so the decoder's unfiltering logic is genuinely exercised.
+    ``alpha``: per-pixel alpha byte → color type 6 (RGBA)."""
+    import struct
+    import zlib
+
+    bpp = 4 if alpha is not None else 3
+    color_type = 6 if alpha is not None else 2
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    raw_rows = []
+    for row in rgb_rows:
+        line = bytearray()
+        for px in row:
+            line += bytes(px)
+            if alpha is not None:
+                line.append(alpha)
+        raw_rows.append(bytes(line))
+    if filters is None:
+        filters = [(y % 5) for y in range(h)]
+    stream = bytearray()
+    prev = bytes(w * bpp)
+    for y, row in enumerate(raw_rows):
+        f = filters[y]
+        enc = bytearray(row)
+        if f == 1:  # Sub: x - left
+            for i in range(len(row) - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif f == 2:  # Up: x - above
+            for i in range(len(row)):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        stream.append(f)
+        stream += enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_builtin_png_decode_all_filters():
+    """PNG (the one COMPRESSED built-in format): an image encoded with
+    every filter type (None/Sub/Up/Average/Paeth across its 5 rows) must
+    decode to the same features as the equivalent uncompressed PPM."""
+    rows = [
+        [((x * 37 + y * 91) % 256, (x * 11) % 256, (y * 53) % 256) for x in range(8)]
+        for y in range(5)
+    ]
+    w, h, feat = multimodal._decode_bytes(
+        _make_png(8, 5, rows, filters=[0, 1, 2, 3, 4]), fake=False
+    )
+    w2, h2, feat2 = multimodal._decode_bytes(_make_ppm(8, 5, rows), fake=False)
+    assert (w, h) == (8, 5) == (w2, h2)
+    assert feat == feat2
+
+
+def test_builtin_png_decode_rgba_and_known_pixels():
+    """RGBA (color type 6) decodes with alpha dropped; a half-black /
+    half-white image yields the exact 0/1 feature grid (real pixel
+    values, not shape-only)."""
+    rows = [[(0, 0, 0)] * 4 + [(255, 255, 255)] * 4 for _ in range(2)]
+    w, h, feat = multimodal._decode_bytes(
+        _make_png(8, 2, rows, alpha=200), fake=False
+    )
+    assert (w, h) == (8, 2)
+    assert feat == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]
+
+
+def test_extract_features_png_through_spark(spark):
+    """Real zlib-inflate PNG decode end-to-end in Arrow mapInPandas in
+    THIS container (no PIL): asserts decoded dims and pixel values."""
+    rows = [[(128, 128, 128)] * 4 for _ in range(2)]
+    payload = _make_png(4, 2, rows, filters=[4, 2])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "image/png", ("a.png", None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.extract_features(media, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    assert all(abs(f - 128 / 255) < 0.01 for f in r["feat"])
+
+
 def test_extract_features_real_decode_through_spark(spark):
     """The real (fake=False) decode path executes end-to-end in
     mapInPandas in THIS container via the built-in PPM decoder."""
@@ -326,6 +435,32 @@ def test_builtin_wav_decode_real_samples():
     )
     assert (n_ch2, rate2, n2) == (2, 8000, 2000)
     assert abs(feat2[0] - (120 / 128.0) / (2 ** 0.5)) < 0.02, feat2
+
+
+def test_wav_decode_truncated_data_chunk():
+    """A data chunk cut mid-frame (odd byte count) must decode the whole
+    frames it has instead of raising from np.frombuffer."""
+    from hadoop_20_spark.operators.multimodal import _decode_wav
+
+    import struct
+
+    full = _make_wav(seconds=0.1, channels=2)  # 16-bit stereo
+    # rebuild with the data chunk 3 bytes short (mid-frame cut): walk to
+    # the data chunk and shrink both its declared size and its body
+    pos, out = 12, bytearray(full[:12])
+    while pos + 8 <= len(full):
+        cid = full[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", full, pos + 4)
+        body = full[pos + 8 : pos + 8 + sz]
+        if cid == b"data":
+            body = body[:-3]
+            sz = len(body)
+        out += cid + struct.pack("<I", sz) + body
+        pos += 8 + struct.unpack_from("<I", full, pos + 4)[0]
+    n_ch, rate, n_samples, _, feat = _decode_wav(bytes(out))
+    assert (n_ch, rate) == (2, 8000)
+    assert n_samples == 800 - 1  # one frame lost to the truncation
+    assert len(feat) == 8
 
 
 def test_extract_audio_features_real_decode_through_spark(spark):

@@ -48,6 +48,9 @@ QUERIES = {
     "semantic_dedup": "k-means (one-shuffle positional means, argmax agg) then within-cell pair join — quadratic work confined to cells, norms precomputed",
     "vocab_oov_rate": "top-500 vocab via TakeOrderedAndProject (per-partition heaps, no global window), broadcast probe, integer OOV sums",
     "dedup_retention_curve": "one lossless prefix-filtered candidate pass at the lowest threshold serves the whole curve; per-doc max + 3-row aggregation",
+    "bpe_merge_pairs": "row-local pair extraction (token explode → per-index substr), one partial-agg'd shuffle on the char-bigram key, TakeOrderedAndProject top-50",
+    "join_key_skew_audit": "ONE fact-scale shuffle (the join key's partial count); multiplicity groupBy + window totals + sort all run on the tiny histogram",
+    "analyze_table_stats": "ONE scan, single wide aggregate (expand only for the exact NDVs), 1-row unpivot — no per-column rescans",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
