@@ -332,6 +332,78 @@ def jaccard_pairs(
     )
 
 
+def incremental_jaccard_pairs(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard matches of each NEW (batch) doc against the
+    EXISTING corpus only — the incremental-ingest dedup path: returns
+    ``(batch_id, existing_id, jaccard)`` for every cross-side pair with
+    similarity ≥ ``threshold``.  Intra-side pairs are never generated
+    (dedup the batch against itself separately with
+    :func:`jaccard_pairs` if needed).
+
+    Same lossless prefix-filter theorem as :func:`jaccard_pairs`, in the
+    two-relation form: both sides rank their shingles by ONE shared
+    total order (document frequency over the union, rarest first — any
+    shared total order preserves the guarantee; DF is the performance
+    choice), each doc keeps its first ``s - ceil(t*s) + 1`` shingles,
+    and candidates come from the cross-side equi-join of the prefix
+    postings; verification over full shingle sets makes the result
+    bit-identical to brute force.
+
+    Scale plan (100 TB corpus, per-ingest batches): the corpus-side
+    postings/prefix index depends only on (corpus, threshold) and is
+    persisted once per corpus version, so each ingest pays only the
+    batch's shingling plus an equi-join against the indexed prefixes —
+    plain ``jaccard_pairs(existing ∪ batch)`` would re-generate every
+    corpus-internal candidate pair on every ingest.  The join key is the
+    shingle, so hot-shingle fan-out is bounded exactly as in the
+    one-relation form (stopword shingles sort last and fall out of the
+    prefixes).
+
+    Doc ids must be unique ACROSS the two relations (the verifier keys
+    shingle sets by id over their union)."""
+    ex = _shingle_postings(existing, id_col, text_col, shingle)
+    ba = _shingle_postings(batch, id_col, text_col, shingle)
+    freq = ex.unionByName(ba).groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
+
+    def prefix(postings: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("did").orderBy("_fr", "sh")
+        ranked = postings.join(freq, "sh").select(
+            "did",
+            "sh",
+            F.row_number().over(w).alias("_pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("did")).alias("_sz"),
+        )
+        return ranked.filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+
+    cand = (
+        prefix(ba)
+        .select(F.col("did").alias("id_a"), "sh")
+        .join(prefix(ex).select(F.col("did").alias("id_b"), "sh"), "sh")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = existing.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch.select(F.col(id_col), F.col(text_col))
+    )
+    return jaccard_verify(both, id_col, text_col, cand, threshold, shingle).select(
+        F.col("id_a").alias("batch_id"),
+        F.col("id_b").alias("existing_id"),
+        "jaccard",
+    )
+
+
 # --- simhash ----------------------------------------------------------------
 
 def simhash(col: Column | str, bits: int = 16) -> Column:

@@ -1859,3 +1859,68 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("column_name")
     )
+
+
+@register(
+    "equi_depth_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.125) AS b1,
+             quantile_cont(o_totalprice, 0.250) AS b2,
+             quantile_cont(o_totalprice, 0.375) AS b3,
+             quantile_cont(o_totalprice, 0.500) AS b4,
+             quantile_cont(o_totalprice, 0.625) AS b5,
+             quantile_cont(o_totalprice, 0.750) AS b6,
+             quantile_cont(o_totalprice, 0.875) AS b7
+      FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(p), 6) AS lo, ROUND(MAX(p), 6) AS hi
+    FROM (
+      SELECT o_totalprice AS p,
+             CAST(1 + (CASE WHEN o_totalprice > b.b1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b.b2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b.b3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b.b4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b.b5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b.b6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b.b7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM orders CROSS JOIN b
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+    note="equi-depth (CBO-style) 8-bucket histogram over o_totalprice: exact septile boundaries + per-bucket count/lo/hi — built boundaries-then-count, never a global NTILE window",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer's equi-depth histogram (the `analyze_table_stats`
+    companion): 8 buckets of ~equal row count over o_totalprice, each
+    with its row count and value range.
+
+    Scale plan: NTILE(8) OVER (ORDER BY price) — the textbook spelling —
+    is an Exchange SinglePartition (every row through one task).
+    Instead: pass 1 computes the 7 boundary septiles (one aggregate;
+    `percentile` here for oracle-exactness, `approx_percentile` is the
+    documented 100 TB swap with the identical plan), pass 2 broadcasts
+    the 1-row boundary set and counts per bucket — both passes fully
+    parallel, bucket assignment row-local.  Boundary ties go to the
+    lower bucket (strict > comparisons) in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    probs = [i / 8 for i in range(1, 8)]
+    bounds = o.agg(
+        *[F.percentile("o_totalprice", p).alias(f"_b{i}") for i, p in enumerate(probs, 1)]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 8):
+        bucket = bucket + F.when(F.col("o_totalprice") > F.col(f"_b{i}"), 1).otherwise(0)
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(F.col("o_totalprice").alias("p"), bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("p"), 6).alias("lo"),
+            F.round(F.max("p"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1647,6 +1647,64 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS did, unnest(list_distinct({_TOKENS.format(col='text')})) AS sh
+      FROM documents
+    ), sizes AS (SELECT did, COUNT(*) AS sz FROM base GROUP BY did),
+    common AS (
+      SELECT b.did AS batch_id, e.did AS existing_id, COUNT(*) AS n_common
+      FROM base b JOIN base e ON b.sh = e.sh
+      WHERE b.did % 2 = 1 AND e.did % 2 = 0
+      GROUP BY b.did, e.did
+    ),
+    scored AS (
+      SELECT batch_id, existing_id,
+             ROUND(n_common * 1.0 / (sb.sz + se.sz - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sb ON sb.did = batch_id
+      JOIN sizes se ON se.did = existing_id
+      WHERE n_common >= 0.5 * (sb.sz + se.sz - n_common)
+    )
+    SELECT batch_id, existing_id, jaccard FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
+                ORDER BY jaccard DESC, existing_id) AS rk
+      FROM scored)
+    WHERE rk = 1
+    ORDER BY batch_id
+    """,
+    note="incremental-ingest dedup: each NEW doc (odd ids = the batch) matched against the EXISTING corpus (even ids) via the two-relation prefix-filtered exact Jaccard join; best existing match per flagged new doc",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ingest-time dedup: the odd-id half of documents plays
+    the NEW batch, the even-id half the EXISTING corpus; each new doc
+    with an existing Jaccard-0.5 neighbor is flagged with its best
+    match (max jaccard, ties to the lowest existing id).  Cross-side
+    pairs only — corpus-internal pairs are never regenerated, which is
+    the point of the incremental form (see
+    ``dedup.incremental_jaccard_pairs``: the corpus prefix index is
+    reusable across ingests at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = dedup.incremental_jaccard_pairs(
+        existing, batch, "doc_id", "text", threshold=0.5, shingle=1
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("existing_id")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("batch_id", "existing_id", "jaccard")
+        .orderBy("batch_id")
+    )
+
+
+@register(
     "bpe_merge_pairs",
     r"""
     WITH w AS (

@@ -244,6 +244,36 @@ def test_embedding_brute_force_guard(spark, tables):
         sim.BRUTE_FORCE_MAX_ROWS = old
 
 
+def test_incremental_jaccard_matches_full_join_cross_side(spark, tables):
+    """Two-relation incremental dedup must produce EXACTLY the
+    cross-side subset of the one-relation exact Jaccard join (lossless
+    prefix filter in the two-sided form), and no intra-side pairs."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators import dedup
+
+    docs = tables["documents"].select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r["batch_id"], r["existing_id"], r["jaccard"])
+        for r in dedup.incremental_jaccard_pairs(
+            existing, batch, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    full = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+    cross = {
+        # reorient: (batch=odd, existing=even) regardless of id order
+        (r["id_a"], r["id_b"], r["jaccard"])
+        if r["id_a"] % 2 == 1
+        else (r["id_b"], r["id_a"], r["jaccard"])
+        for r in full
+        if (r["id_a"] % 2) != (r["id_b"] % 2)
+    }
+    assert inc == cross
+    assert all(b % 2 == 1 and e % 2 == 0 for b, e, _ in inc)
+
+
 def test_kmeans_centroids_deterministic_under_repartition(spark, tables):
     emb = tables["embeddings"].select("vec_id", "embedding")
     a = similarity.kmeans_centroids(emb, k=8, iterations=2)

@@ -51,6 +51,10 @@ QUERIES = {
     "bpe_merge_pairs": "row-local pair extraction (token explode → per-index substr), one partial-agg'd shuffle on the char-bigram key, TakeOrderedAndProject top-50",
     "join_key_skew_audit": "ONE fact-scale shuffle (the join key's partial count); multiplicity groupBy + window totals + sort all run on the tiny histogram",
     "analyze_table_stats": "ONE scan, single wide aggregate (expand only for the exact NDVs), 1-row unpivot — no per-column rescans",
+    "equi_depth_histogram": "boundaries-then-count: one percentile agg, broadcast 1-row bounds, row-local bucket assignment — no Exchange SinglePartition (the NTILE trap)",
+    "incremental_dedup": "two-relation prefix-filtered Jaccard: shared union-DF shingle order, cross-side candidate equi-join on shingle, full-set verify — no corpus-internal pairs",
+    "funnel_conversion": "three nested MIN-over-user windows share ONE user_id hash shuffle; stage table unpivots a single-row agg — no second events pass",
+    "cohort_retention": "cohort assignment = MIN window over the single user_id shuffle; cell agg + week-0 denominator window run on the tiny cohort×offset grid",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
