@@ -125,6 +125,153 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_ols_trend",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(value AS DECIMAL(28,6))) AS sy,
+             SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS DECIMAL(10,0))
+                 * CAST(value AS DECIMAL(20,6))) AS sxy,
+             SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS DECIMAL(18,0))
+                 * CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS DECIMAL(18,0))) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6)
+             AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s ORDER BY event_type
+    """,
+    note="per-group closed-form OLS (value ~ time): slope/day + intercept from five decimal-exact sufficient statistics in one partial-agg'd pass — never regr_slope's float accumulation",
+)
+def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of event value over time, per event type —
+    the grouped-regression analytic, computed from sufficient
+    statistics: n, Σx, Σy, Σxy, Σx² with x = seconds since 2024-01-01
+    (integer, offset keeps magnitudes decimal-safe) and every sum
+    aggregated in DECIMAL, then one fixed double expression for
+    slope/intercept.
+
+    Built-in ``regr_slope`` accumulates in floating point — addition
+    order varies with partitioning, so results drift run-to-run and
+    engine-to-engine; the decimal sufficient-statistics form is exact,
+    order-independent, and partial-agg friendly (one shuffle on the
+    tiny group key) — the `exact_sum_double` discipline applied to
+    regression."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("long") - F.lit(1704067200)  # 2024-01-01 UTC
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,0)")).alias("sx"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sy"),
+        F.sum(
+            x.cast("decimal(10,0)") * F.col("value").cast("decimal(20,6)")
+        ).alias("sxy"),
+        F.sum(x.cast("decimal(18,0)") * x.cast("decimal(18,0)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope_sec = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(slope_sec * 86400, 6).alias("slope_per_day"),
+            F.round((syd - slope_sec * sxd) / nd, 6).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "resample_ffill",
+    """
+    WITH rng AS (
+      SELECT user_id,
+             DATE_TRUNC('day', MIN(ts)) AS t0,
+             MAX(ts) AS t1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS ts,
+             NULL::DOUBLE AS value, NULL::BIGINT AS event_id
+      FROM rng
+    ),
+    ev AS (SELECT user_id, ts, value, event_id FROM events),
+    unioned AS (SELECT * FROM grid UNION ALL SELECT * FROM ev),
+    filled AS (
+      SELECT user_id, ts, event_id,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, COALESCE(event_id, 4611686018427387904)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM unioned
+    )
+    SELECT user_id, ts AS grid_ts, ROUND(v, 6) AS value
+    FROM filled WHERE event_id IS NULL
+    ORDER BY user_id, grid_ts
+    """,
+    note="time-series resample + forward fill: per-user daily grid between first (day-truncated) and last event, each grid point carrying the last event value at or before it — grid and events merged under ONE user window, no per-point lookup join",
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular event series: one row per user per day
+    in the user's active range, valued by the most recent event at or
+    before that instant (forward fill; NULL before the first event —
+    never fabricated).
+
+    Scale plan: the day grid is a row-local ``sequence`` explode off the
+    per-user (min, max) aggregate — no calendar table join; grid and
+    event rows then share ONE user_id-partitioned window where
+    ``last(value, ignorenulls)`` does the fill — the per-grid-point
+    as-of join is replaced by a single sort within each user's
+    partition.  Ordering is made total (ts, then event_id with grid
+    rows forced last via a sentinel — engines disagree on NULL sort
+    order, so no bare NULL keys) to keep same-timestamp fills
+    deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 DAY"))
+        ).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    unioned = grid.unionByName(ev.select("user_id", "ts", "value", "event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.coalesce(F.col("event_id"), F.lit(1 << 62)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("v", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNull())
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round("v", 6).alias("value"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH act AS (

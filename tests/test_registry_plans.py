@@ -88,6 +88,31 @@ def test_wholestage_codegen_on_agg(spark):
     assert "*(" in plan
 
 
+def test_funnel_single_user_shuffle(spark):
+    """The three nested funnel windows must share ONE user_id hash
+    exchange — a second user shuffle means Catalyst stopped merging
+    the same-partitioning windows."""
+    plan = physical_plan(REGISTRY["funnel_conversion"].fn(spark, PLAN_SF))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_bpe_top50_uses_take_ordered(spark):
+    plan = physical_plan(REGISTRY["bpe_merge_pairs"].fn(spark, PLAN_SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_equi_depth_histogram_no_global_window(spark):
+    """Boundaries-then-count must never plan the NTILE trap: no window
+    operator at all (the data-wide bucket pass is a plain aggregate;
+    the only SinglePartition exchanges carry pre-aggregated rows)."""
+    import re
+
+    plan = physical_plan(REGISTRY["equi_depth_histogram"].fn(spark, PLAN_SF))
+    # \b so the check doesn't trip on 'percentile' (which ends in ntile)
+    assert not re.search(r"\bntile\(", plan.lower())
+    assert "WindowExec" not in plan and "Window " not in plan
+
+
 def test_new_tpch_shapes_run(spark):
     for name in [
         "q5_local_supplier",
