@@ -46,6 +46,16 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, note: str = ""):
     def deco(fn):
+        # A duplicate register() SILENTLY SHADOWED an earlier query once
+        # (round 5: a new cohort_retention replaced round 2's, shrinking
+        # the registry by one with no error).  Deliberate re-definitions
+        # use direct ``REGISTRY[name] = Query(...)`` assignment, so a
+        # second register() under the same name is always a mistake.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate registry name {name!r} — pick a new name, or "
+                "assign REGISTRY[name] directly for a deliberate override"
+            )
         REGISTRY[name] = Query(fn=fn, oracle=oracle, note=note)
         return fn
 

@@ -62,6 +62,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER their stage-N-1 time (first view, first click after that
     view, first purchase after that click).
 
+    Deliberate plan A/B with round 2's ``funnel_analysis`` (same stage
+    semantics): that form chains three conditional-min aggregations via
+    broadcast joins (the reference's one-job-per-stage idiom — N-1 join
+    stages, wide single-row output); this form computes all stages in
+    nested windows over ONE shuffle and emits the long-form stage table
+    with conversion rates.  Both oracle-checked; at 100 TB the window
+    form shuffles events once where the join chain re-broadcasts a
+    growing per-user stage table per stage.
+
     Scale plan: the three stage times are nested MIN-over-user windows —
     all share the user_id partitioning, so Catalyst plans ONE hash
     shuffle and evaluates the windows back-to-back without
@@ -272,7 +281,7 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cohort_retention",
+    "cohort_retention_rate",
     """
     WITH act AS (
       SELECT DISTINCT user_id,
@@ -292,9 +301,9 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cells
     ORDER BY cohort_week, week_offset
     """,
-    note="weekly cohort retention: users grouped by first-active ISO week, per-week-offset active counts and retention vs cohort size — one user shuffle + tiny cohort-cell aggregation",
+    note="weekly cohort retention RATE table (the week-0-normalized companion of the r2 cohort_retention counts query): one user window shuffle, cells + denominator on the tiny cohort grid",
 )
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort table: cohort = the ISO week (Monday-truncated, so
     both engines agree) of a user's first event; each (cohort, offset)
     cell counts users active that many weeks later; retention divides

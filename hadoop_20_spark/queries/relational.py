@@ -1365,7 +1365,10 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel: each stage counts users whose FIRST qualifying
     event happens strictly after their previous stage's first event —
     three conditional-min aggregations chained by broadcast joins (the
-    reference idiom: one job per stage, DistributedCache'd outputs)."""
+    reference idiom: one job per stage, DistributedCache'd outputs).
+    Plan A/B twin: ``funnel_conversion`` (queries/events.py) computes
+    the same stages in nested windows over a single user shuffle and
+    emits the long-form conversion table."""
     ev = _t(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")

@@ -28,6 +28,18 @@ def test_registry_complete():
         assert callable(q.fn), name
 
 
+def test_register_rejects_duplicate_names():
+    """register() must fail loudly on a name collision — a duplicate
+    once silently shadowed round 2's cohort_retention, shrinking the
+    registry by one with no error anywhere."""
+    import pytest
+
+    from hadoop_20_spark.queries._base import register
+
+    with pytest.raises(ValueError, match="duplicate registry name"):
+        register("wordcount", None)(lambda spark, sf: None)
+
+
 def test_driver_rotation_reads_correctness_files():
     """The unseen-first rotation must actually FIND the repo-root
     CORRECTNESS_r*.json files (a wrong parent count once made it glob

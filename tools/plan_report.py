@@ -54,7 +54,7 @@ QUERIES = {
     "equi_depth_histogram": "boundaries-then-count: one percentile agg, broadcast 1-row bounds, row-local bucket assignment — no Exchange SinglePartition (the NTILE trap)",
     "incremental_dedup": "two-relation prefix-filtered Jaccard: shared union-DF shingle order, cross-side candidate equi-join on shingle, full-set verify — no corpus-internal pairs",
     "funnel_conversion": "three nested MIN-over-user windows share ONE user_id hash shuffle; stage table unpivots a single-row agg — no second events pass",
-    "cohort_retention": "cohort assignment = MIN window over the single user_id shuffle; cell agg + week-0 denominator window run on the tiny cohort×offset grid",
+    "cohort_retention_rate": "cohort assignment = MIN window over the single user_id shuffle; cell agg + week-0 denominator window run on the tiny cohort×offset grid",
     "resample_ffill": "grid = sequence explode off the per-user range agg; fill = last-ignorenulls over one user window — grid and events merged, no per-point as-of join",
     "grouped_ols_trend": "five decimal sufficient statistics in ONE partial-agg'd shuffle on the group key; slope/intercept = fixed double expression over the agg row",
     "streaming_tumbling": None,  # streaming — skip plan
