@@ -1647,6 +1647,67 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_split",
+    f"""
+    WITH rep AS (
+      SELECT doc_id, source,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN {_sql_md5_long("'split_' || rep_id")} % 10 < 8 THEN 'train'
+                  WHEN {_sql_md5_long("'split_' || rep_id")} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rep
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY source, split ORDER BY source, split
+    """,
+    note="leakage-safe train/val/test split (8/1/1): split key = md5 of the duplicate-group REPRESENTATIVE (min doc_id per exact-text group), so byte-identical duplicates can never straddle train and test; per-source split counts",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8/1/1 split with the contamination rule every
+    training pipeline needs: documents are keyed by their duplicate
+    GROUP (min doc_id over identical text), and the md5-derived split
+    is a function of that representative — so a duplicated document
+    cannot land in train AND test (the eval-leakage failure mode plain
+    per-doc hashing allows).  Swap the exact-text group for
+    `dedup_clusters` labels to extend the guarantee to near-dups —
+    identical plan shape, one extra join.
+
+    Scale plan: the representative is a MIN window over md5(text) —
+    one 32-byte-key shuffle of narrow rows; split assignment is
+    row-local md5 arithmetic; the report aggregates on the tiny
+    (source × split) grid.  No per-split passes, no sampling
+    nondeterminism — re-running on a grown corpus keeps every
+    surviving doc's split stable (hash of a stable key, the
+    InputSampler-free discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    from hadoop_20_spark.functions import md5_long
+
+    rep = docs.select(
+        "doc_id",
+        "source",
+        F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text")))).alias("rep_id"),
+    )
+    bucket = md5_long(F.concat(F.lit("split_"), F.col("rep_id").cast("string"))) % 10
+    return (
+        rep.select(
+            "source",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
     "incremental_dedup",
     f"""
     WITH base AS (

@@ -57,6 +57,7 @@ QUERIES = {
     "cohort_retention_rate": "cohort assignment = MIN window over the single user_id shuffle; cell agg + week-0 denominator window run on the tiny cohort×offset grid",
     "resample_ffill": "grid = sequence explode off the per-user range agg; fill = last-ignorenulls over one user window — grid and events merged, no per-point as-of join",
     "grouped_ols_trend": "five decimal sufficient statistics in ONE partial-agg'd shuffle on the group key; slope/intercept = fixed double expression over the agg row",
+    "leakage_safe_split": "dup-group representative = MIN window over md5(text) (narrow projected rows); split = row-local md5 arithmetic; report on the tiny source×split grid",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
