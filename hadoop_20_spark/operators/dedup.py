@@ -349,9 +349,10 @@ def incremental_jaccard_pairs(
 
     Same lossless prefix-filter theorem as :func:`jaccard_pairs`, in the
     two-relation form: both sides rank their shingles by ONE shared
-    total order (document frequency over the union, rarest first — any
-    shared total order preserves the guarantee; DF is the performance
-    choice), each doc keeps its first ``s - ceil(t*s) + 1`` shingles,
+    total order (CORPUS document frequency, rarest first, batch-only
+    shingles treated as rarest — any shared total order preserves the
+    guarantee; corpus DF keeps the order a pure function of the corpus),
+    each doc keeps its first ``s - ceil(t*s) + 1`` shingles,
     and candidates come from the cross-side equi-join of the prefix
     postings; verification over full shingle sets makes the result
     bit-identical to brute force.
@@ -370,13 +371,19 @@ def incremental_jaccard_pairs(
     shingle sets by id over their union)."""
     ex = _shingle_postings(existing, id_col, text_col, shingle)
     ba = _shingle_postings(batch, id_col, text_col, shingle)
-    freq = ex.unionByName(ba).groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
+    # Frequency — hence the shared shingle order — comes from the
+    # CORPUS ALONE, so the (postings, freq, prefix) index really is a
+    # function of (corpus, threshold) and persists unchanged across
+    # ingests.  Batch-only shingles default to frequency 0 (rarest):
+    # still one fixed total order on (freq, sh), which is all the
+    # prefix theorem needs.
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
 
     def prefix(postings: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
         w = Window.partitionBy("did").orderBy("_fr", "sh")
-        ranked = postings.join(freq, "sh").select(
+        ranked = postings.join(freq, "sh", "left").fillna({"_fr": 0}).select(
             "did",
             "sh",
             F.row_number().over(w).alias("_pos"),
