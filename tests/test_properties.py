@@ -196,3 +196,30 @@ def test_ngrams_let_binding_matches_python_model(spark, texts, n):
 
     for i, t in enumerate(texts):
         assert got[i] == model(t), (t, n)
+
+
+rgb = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+@given(data=st.data())
+@settings(**SETTINGS)
+def test_png_unfilter_matches_ppm_model(data):
+    """Random pixel grids encoded with RANDOM per-scanline PNG filters
+    (None/Sub/Up/Average/Paeth) and optional alpha must decode to
+    exactly the features of the equivalent uncompressed PPM — the
+    unfiltering algebra, fuzzed."""
+    from hadoop_20_spark.operators import multimodal
+    from tests.test_sources_pipe_multimodal import _make_png, _make_ppm
+
+    w = data.draw(st.integers(1, 8))
+    h = data.draw(st.integers(1, 6))
+    rows = [[data.draw(rgb) for _ in range(w)] for _ in range(h)]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    alpha = data.draw(st.one_of(st.none(), st.integers(0, 255)))
+    got = multimodal._decode_bytes(
+        _make_png(w, h, rows, filters=filters, alpha=alpha), fake=False
+    )
+    want = multimodal._decode_bytes(_make_ppm(w, h, rows), fake=False)
+    assert got == want
