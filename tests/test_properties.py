@@ -223,3 +223,43 @@ def test_png_unfilter_matches_ppm_model(data):
     )
     want = multimodal._decode_bytes(_make_ppm(w, h, rows), fake=False)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ex_texts=st.lists(
+        st.text(alphabet="abc de", min_size=1, max_size=30), min_size=1, max_size=6
+    ),
+    ba_texts=st.lists(
+        st.text(alphabet="cde fg", min_size=1, max_size=30), min_size=1, max_size=6
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_incremental_jaccard_matches_python_model(spark, ex_texts, ba_texts, threshold):
+    """Two-relation prefix-filtered Jaccard vs a brute-force Python
+    model on random corpora — partially-disjoint alphabets force the
+    batch-only-shingle path (corpus frequency 0, rarest rank), the
+    part the fixture's shared vocabulary barely exercises."""
+    from hadoop_20_spark.operators import dedup
+
+    ex = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ex_texts)], "doc_id long, text string"
+    )
+    ba = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(ba_texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["batch_id"], r["existing_id"])
+        for r in dedup.incremental_jaccard_pairs(
+            ex, ba, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    expected = set()
+    ex_sets = {i: {w for w in t.split() if w} for i, t in enumerate(ex_texts)}
+    ba_sets = {1000 + i: {w for w in t.split() if w} for i, t in enumerate(ba_texts)}
+    for b, bs in ba_sets.items():
+        for e, es in ex_sets.items():
+            union = bs | es
+            if union and len(bs & es) / len(union) >= threshold:
+                expected.add((b, e))
+    assert got == expected
