@@ -15,6 +15,7 @@ from hadoop_20_spark.queries._base import REGISTRY, Query, register  # noqa: F40
 from hadoop_20_spark.queries import relational  # noqa: F401,E402
 from hadoop_20_spark.queries import tpch  # noqa: F401,E402
 from hadoop_20_spark.queries import text_dedup  # noqa: F401,E402
+from hadoop_20_spark.queries import text_curation  # noqa: F401,E402
 from hadoop_20_spark.queries import similarity  # noqa: F401,E402
 from hadoop_20_spark.queries import streaming_udx  # noqa: F401,E402
 from hadoop_20_spark.queries import events  # noqa: F401,E402
