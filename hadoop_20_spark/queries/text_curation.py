@@ -381,3 +381,44 @@ def dedup_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "stratified_exact_k_sample",
+    f"""
+    SELECT source, doc_id, rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_md5_long("'sample_' || doc_id")}, doc_id) AS rank
+      FROM documents)
+    WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+    note="deterministic exact-k per-stratum sample (k=5 per source): rank = md5-derived pseudo-random order, the fixed-size eval-set builder — WindowGroupLimit plan, sample stable under corpus growth for surviving docs",
+)
+def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k documents per source, chosen by a deterministic
+    md5-derived order — the fixed-size eval/inspection-set builder
+    (the rate-based twin is ``stratified_sample``; use this form when
+    the contract is "exactly k per stratum", e.g. holdout panels or
+    labeling batches).  The choice depends only on doc_id, so re-runs
+    and engines agree, and a doc's membership never flips because
+    OTHER docs arrived — only k-th-place displacement changes it.
+
+    Scale plan: row_number + rank<=k collapses to WindowGroupLimit —
+    per-partition top-k heaps before the single per-source shuffle, so
+    the exchange carries at most k·partitions rows per stratum, not
+    the corpus."""
+    from pyspark.sql import Window
+
+    from hadoop_20_spark.functions import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    order = md5_long(F.concat(F.lit("sample_"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("source", "rank")
+    )
