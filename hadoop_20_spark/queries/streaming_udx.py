@@ -441,6 +441,68 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_outer_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+    note="REAL stream-stream LEFT OUTER join: unmatched clicks emit with NULL purchase_id only after the watermark passes their join window — end-of-stream flush driven by staged far-future sentinel events; oracle = batch left join",
+)
+def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTER form of the stream-stream join: every click emits —
+    matched rows eagerly, unmatched ones with NULL purchase_id once the
+    watermark proves no qualifying purchase can still arrive (state
+    expiry is the emission trigger, the semantic inner joins don't
+    have).
+
+    End-of-input problem: rows still inside the watermark when the
+    source is exhausted would NEVER emit.  The source therefore stages
+    two far-future sentinel events (read_events_stream(sentinel=True));
+    sentinel 1 advances the watermark past all real events, and the
+    flush runs inside sentinel 2's batch, which processAllAvailable
+    does wait for.  Sentinels survive the event-type filters (they
+    must reach the watermark operator) and are dropped from the result
+    by the click_id >= 0 filter.  At 100 TB this is exactly the
+    drain-and-flush discipline for decommissioning a streaming
+    pipeline: inject max-watermark markers, then read the final state
+    out of the sink."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    ev1 = stream_ops.read_events_stream(spark, sf_dir, sentinel=True)
+    ev2 = stream_ops.read_events_stream(spark, sf_dir, sentinel=True)
+    clicks = (
+        ev1.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev2.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    table = stream_ops.run_append_to_memory(joined, "q_stream_outer_join")
+    return table.filter(F.col("click_id") >= 0).orderBy("click_id", "purchase_id")
+
+
+@register(
     "streaming_custom_source_totals",
     """
     WITH log AS (

@@ -42,14 +42,26 @@ def _events_schema(ts_as_long: bool) -> StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, sentinel: bool = False
+) -> DataFrame:
     """File-source readStream over the events parquet (the appended-
     directory tailing pattern).  One file per microbatch to exercise
     incremental processing in tests.
 
     FileStreamSource monitors a DIRECTORY (new files appear = new data,
     exactly the Scribe→HDFS append pattern); the fixture is a single
-    file, so it is staged into a temp dir via symlink."""
+    file, so it is staged into a temp dir via symlink.
+
+    ``sentinel=True`` additionally stages a one-row far-future event
+    (event_id = -1, ts = 2030-01-01, type ``__sentinel__``) as a SECOND
+    file, processed after the fixture (FileStreamSource orders by
+    mtime): its arrival pushes the event-time watermark past every real
+    event, which is what lets OUTER stream-stream joins and
+    final-window aggregations flush their last buffered state before
+    ``processAllAvailable`` returns — without it, rows still inside
+    the watermark at end-of-input never emit.  Consumers filter the
+    sentinel out of results (`event_id >= 0`)."""
     import os
     import tempfile
 
@@ -68,6 +80,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isfile(src):
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(d, "events.parquet"))
+        if sentinel:
+            # TWO sentinel batches: the watermark advanced by file 1 is
+            # only applied at the start of file 2's batch, and
+            # processAllAvailable waits only for REAL data — so the
+            # state flush driven by sentinel 1 happens inside sentinel
+            # 2's batch, which processAllAvailable does wait for.
+            # Distinct mtimes pin the FileStreamSource processing order.
+            import time as _time
+
+            now = _time.time()
+            for i in (1, 2):
+                p = os.path.join(d, f"zz_sentinel_{i}.parquet")
+                _write_sentinel_file(p, ts_as_long, day=i)
+                os.utime(p, (now + 2 * i, now + 2 * i))
         src = d
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -79,6 +105,36 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_as_long:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
+
+
+SENTINEL_TS_NS = 1_893_456_000_000_000_000  # 2030-01-01 00:00:00 UTC in ns
+
+
+def _write_sentinel_file(path: str, ts_as_long: bool, day: int = 1) -> None:
+    """One far-future event row, schema-matched to the staged fixture
+    (ts as int64 nanos or timestamp[us]) so FileStreamSource reads it
+    under the same declared schema.  ``day`` staggers the timestamp so
+    successive sentinels keep advancing the watermark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = SENTINEL_TS_NS + (day - 1) * 86_400_000_000_000
+    ts_val = (
+        pa.array([ns], pa.int64())
+        if ts_as_long
+        else pa.array([ns // 1000], pa.timestamp("us"))
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": ts_val,
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["__sentinel__"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
 
 
 def tumbling_agg(
