@@ -1927,3 +1927,52 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT l_returnflag, metric, ROUND(amount, 6) AS amount
+    FROM (
+      SELECT l_returnflag,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 6) AS extendedprice,
+             ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 6) AS discount,
+             ROUND(SUM(CAST(l_tax AS DECIMAL(28,6))), 6) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    UNPIVOT (amount FOR metric IN (extendedprice, discount, tax))
+    ORDER BY l_returnflag, metric
+    """,
+    note="UNPIVOT/melt: wide per-flag decimal-exact sums rotated to (flag, metric, amount) long form — Spark DataFrame.unpivot vs SQL UNPIVOT, rotation happens on the tiny aggregated relation",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The melt operator (inverse of pivot_agg): aggregate FIRST, then
+    rotate the 3 metric columns of the tiny per-flag result into long
+    form with ``DataFrame.unpivot`` — rotating before aggregating would
+    triple the fact rows through the shuffle for no reason (the same
+    aggregate-then-reshape discipline as analyze_table_stats).  Sums in
+    DECIMAL for engine-exact parity; cast to double at emission
+    (unpivot requires a common value type)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.sum(F.col(c).cast("decimal(28,6)")), 6)
+            .cast("double")
+            .alias(a)
+            for c, a in [
+                ("l_extendedprice", "extendedprice"),
+                ("l_discount", "discount"),
+                ("l_tax", "tax"),
+            ]
+        ]
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["extendedprice", "discount", "tax"],
+            variableColumnName="metric",
+            valueColumnName="amount",
+        )
+        .select("l_returnflag", "metric", F.round("amount", 6).alias("amount"))
+        .orderBy("l_returnflag", "metric")
+    )
