@@ -171,6 +171,76 @@ def key_field_sort(
     return df.orderBy(*sort_cols)
 
 
+# --- distributed global rank ------------------------------------------------
+
+def distributed_global_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    rank_col: str = "rn",
+    num_buckets: int | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Global 1-based row_number in ``keys`` order WITHOUT an
+    ``Exchange SinglePartition`` — the zipWithIndex discipline expressed
+    over DataFrames, mirroring ``mapred/lib/InputSampler.java`` +
+    ``TotalOrderPartitioner``'s sample-then-partition two-pass.
+
+    A bare ``Window.orderBy(keys)`` plans a single-partition exchange:
+    every row of the fact table flows through ONE task — fine at sf0.01,
+    a guaranteed straggler at 100 TB.  Instead:
+
+      1. approxQuantile on the leading key → B-1 boundary literals
+         (driver-side, tiny; balance-only — ANY boundaries are correct).
+      2. bucket = #{boundaries strictly below the row's leading key} —
+         a pure row-local expression, so both passes below agree on the
+         bucket of every row regardless of partitioning (no caching or
+         sampler nondeterminism, unlike repartitionByRange whose bounds
+         can differ between actions).  Equal leading keys share a bucket,
+         and for x in bucket i, y in bucket j>i:  x <= b_{i+1} < y, so
+         bucket order IS global leading-key order.
+      3. exact per-bucket counts (one shuffled agg, <=B rows collected)
+         → cumulative offsets, broadcast-joined back on bucket.
+      4. rank = offset + row_number over Window.partitionBy(bucket)
+         .orderBy(keys) — B parallel window groups, never one.
+
+    The leading key must be numeric (approxQuantile contract).  Skewed
+    corner: if one leading-key value dominates, its bucket degenerates
+    toward a single group — same failure mode the reference's
+    TotalOrderPartitioner has with a hot key, and visible in the bucket
+    counts if it happens.
+    """
+    lead = keys[0]
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.approxQuantile(lead, probs, relative_error))) if probs else []
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__rank_bucket", bucket)
+
+    counts = {
+        r["__rank_bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__rank_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, running = [], 0
+    for i in range(len(bounds) + 1):
+        offsets.append((i, running))
+        running += counts.get(i, 0)
+    offsets_df = spark.createDataFrame(offsets, ["__rank_bucket", "__rank_offset"])
+
+    w = Window.partitionBy("__rank_bucket").orderBy(*keys)
+    return (
+        bucketed.join(F.broadcast(offsets_df), "__rank_bucket")
+        .withColumn(rank_col, (F.col("__rank_offset") + F.row_number().over(w)).cast("int"))
+        .drop("__rank_bucket", "__rank_offset")
+    )
+
+
 # --- sampling ---------------------------------------------------------------
 
 def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

@@ -766,15 +766,18 @@ def teragen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="InputSampler.IntervalSampler: every k-th record in key order",
 )
 def interval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") % 100 == 1)
-        .drop("rn")
+    # Global every-100th-in-key-order WITHOUT Exchange SinglePartition:
+    # distributed_global_rank buckets on driver-collected quantile
+    # boundaries, so the rank window is partitioned (B parallel groups)
+    # instead of funnelling the whole fact table through one task.
+    # Semantics identical to InputSampler.IntervalSampler; plan-asserted
+    # in tests/test_registry_plans.py::test_interval_sample_partitioned_rank.
+    ranked = sort_ops.distributed_global_rank(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        rank_col="rn",
     )
+    return ranked.filter(F.col("rn") % 100 == 1).drop("rn")
 
 
 @register(

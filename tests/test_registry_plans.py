@@ -113,6 +113,17 @@ def test_bpe_top50_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_interval_sample_partitioned_rank(spark):
+    """The global rank must be bucket-partitioned (distributed_global_rank),
+    never a single-partition window over the fact table: no
+    Exchange SinglePartition anywhere, and the WindowExec must carry a
+    partition spec (the bucket column), not 'No Partition Defined'."""
+    df = REGISTRY["interval_sample"].fn(spark, PLAN_SF)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "__rank_bucket" in plan  # window partitioned by the bucket
+
+
 def test_equi_depth_histogram_no_global_window(spark):
     """Boundaries-then-count must never plan the NTILE trap: no window
     operator at all (the data-wide bucket pass is a plain aggregate;

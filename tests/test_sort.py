@@ -151,3 +151,33 @@ def test_key_field_sort_numeric_open_ended(spark):
         for r in sort_ops.key_field_sort(df, "line", "-k2n", separator=" ").collect()
     ]
     assert out == ["z m q", "x 2 b", "y 10 a"]
+
+
+def test_distributed_global_rank_matches_sorted_enumeration(spark):
+    # 1000 rows, deliberately skewed + tied leading keys, shuffled input
+    # order: rank must equal position in (k, sub) sort order, 1-based.
+    rows = [((i * 7919) % 50, i) for i in range(1000)]  # 50 hot leading keys
+    df = spark.createDataFrame(rows, ["k", "sub"]).repartition(13)
+    out = sort_ops.distributed_global_rank(df, ["k", "sub"], rank_col="rn")
+    got = {(r["k"], r["sub"]): r["rn"] for r in out.collect()}
+    expect = {kv: i + 1 for i, kv in enumerate(sorted(rows))}
+    assert got == expect
+
+
+def test_distributed_global_rank_no_single_partition_exchange(spark):
+    from hadoop_20_spark.plans import physical_plan
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("sub")
+    )
+    out = sort_ops.distributed_global_rank(df, ["k", "sub"])
+    assert "Exchange SinglePartition" not in physical_plan(out)
+
+
+def test_distributed_global_rank_single_bucket_degenerate(spark):
+    # num_buckets=1 -> no boundaries, one window group: still correct.
+    df = spark.createDataFrame([(3, 0), (1, 0), (2, 0)], ["k", "sub"])
+    out = sort_ops.distributed_global_rank(df, ["k", "sub"], num_buckets=1)
+    assert [(r["k"], r["rn"]) for r in out.orderBy("rn").collect()] == [
+        (1, 1), (2, 2), (3, 3),
+    ]
