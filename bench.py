@@ -227,6 +227,15 @@ def main() -> None:
             d["rows"], d["hash"] = fingerprint(
                 REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR)
             )
+        if name == "b13_stream_join":
+            # state-store observability: peak/final buffered rows and
+            # peak state memory from the LAST (fingerprint) run — a
+            # watermark regression that stops bounding join state moves
+            # these long before it moves wall-clock.
+            from hadoop_20_spark import streaming as _stream_ops
+
+            for k, v in _stream_ops.LAST_QUERY_PROGRESS.items():
+                d[f"state_{k}" if not k.startswith("state") else k] = v
         if name in DUCKDB_COMPARABLE:
             d.update(duckdb_compare(name))
             if "duckdb_rows" in d:
@@ -239,18 +248,30 @@ def main() -> None:
         detail[name] = d
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "detail": detail,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "bench_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "detail": detail,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # The driver records only the LAST 2000 chars of stdout — at 16+
+    # entries that truncates the head entries out of BENCH_r{N}.json
+    # (it dropped b1–b4 in round 5).  Persist the full result to a
+    # tracked repo file so every round's complete numbers are readable
+    # without a re-run.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_detail.json"),
+            "w",
+        ) as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries everything
 
 
 if __name__ == "__main__":

@@ -151,6 +151,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
     pos, ihdr, idat = len(_PNG_MAGIC), None, []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            # A declared length past the buffer would silently truncate
+            # the body slice and fail LATER as zlib.error / a bogus
+            # short-IDAT — keep malformed input in the ValueError family
+            # every other decoder raises, at the point of detection.
+            raise ValueError("corrupt PNG: chunk length exceeds payload")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
@@ -172,7 +178,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
         )
     bpp = 4 if color_type == 6 else 3  # bytes per pixel == channels at 8-bit
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT: {e}") from e
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated IDAT stream")
     out = bytearray(h * stride)

@@ -145,7 +145,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(value AS DECIMAL(20,6))) AS sxy,
              SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS DECIMAL(18,0))
                  * CAST(date_diff('second', TIMESTAMP '2024-01-01', ts) AS DECIMAL(18,0))) AS sxx
-      FROM events GROUP BY event_type
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_events,
            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -176,8 +176,14 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-to-engine; the decimal sufficient-statistics form is exact,
     order-independent, and partial-agg friendly (one shuffle on the
     tiny group key) — the `exact_sum_double` discipline applied to
-    regression."""
-    ev = _t(spark, sf_dir, "events")
+    regression.
+
+    Rows with NULL value are excluded up front: SUM skips them but
+    COUNT(*) would not, and mixed sufficient statistics (n over all
+    rows, sy/sxy over non-null only) give a silently wrong slope —
+    a both-engines-agree-on-the-wrong-answer class the oracle gate
+    cannot catch, so the filter must be explicit on BOTH sides."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x = F.col("ts").cast("long") - F.lit(1704067200)  # 2024-01-01 UTC
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -345,7 +345,7 @@ _CURATION_QUALITY_CTE = """
       JOIN sizes sb ON sb.did = id_b
       WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5)
     SELECT doc_id, quality, n_tokens FROM kept
-    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+    WHERE NOT EXISTS (SELECT 1 FROM neardup WHERE id_b = doc_id)
     ORDER BY doc_id
 """
 
@@ -600,10 +600,12 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integrity_checks",
     """
     SELECT 'orphan_lineitems' AS check_name,
-           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS violations
     UNION ALL
     SELECT 'orphan_orders',
-           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
     UNION ALL
     SELECT 'null_order_keys', (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
     UNION ALL

@@ -449,17 +449,23 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY SUBSTR(c_name, 10, 2)
     ORDER BY cntry_code
     """,
-    note="TPC-H Q22 shape: above-average balance + NOT IN (anti join) — high-balance customers with no orders since 2000",
+    note="TPC-H Q22 shape: above-average balance + NOT EXISTS (anti join) — high-balance customers with no orders since 2000",
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-balance customers with no recent orders: a global scalar
-    aggregate feeds the filter, NOT IN decorrelates to a broadcast
+    aggregate feeds the filter, NOT EXISTS decorrelates to a broadcast
     left-anti join (orders' key set is the small side after
-    projection)."""
+    projection).  NOT EXISTS rather than NOT IN (subquery) in BOTH the
+    Spark SQL and the oracle: NOT IN's three-valued null semantics would
+    silently empty the result if o_custkey ever contained a NULL, and
+    the two engines could diverge on when they notice (same fix as q16,
+    round-4 ADVICE)."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_q22")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_q22")
     return spark.sql(
@@ -468,7 +474,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
         FROM cust_q22
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM cust_q22 WHERE c_acctbal > 0)
-          AND c_custkey NOT IN (SELECT o_custkey FROM ord_q22 WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          AND NOT EXISTS (SELECT 1 FROM ord_q22
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY SUBSTR(c_name, 10, 2)
         ORDER BY cntry_code
         """

@@ -100,6 +100,12 @@ def read_events_stream(
     raw = (
         spark.readStream.schema(_events_schema(ts_as_long))
         .option("maxFilesPerTrigger", 1)
+        # The fixture is staged via symlink and KEEPS its target's mtime,
+        # while sentinels are stamped now(): FileStreamSource's default
+        # maxFileAge=7d measures age against the NEWEST file seen, so once
+        # the fixture is >7 days older than the sentinels it would be
+        # silently skipped and sentinel-mode streams would emit nothing.
+        .option("maxFileAge", "36500d")
         .parquet(src)
     )
     if ts_as_long:
@@ -234,6 +240,15 @@ def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
+# State-store observability for the most recent run_append_to_memory
+# call: peak/final state rows + peak memory across all stateful
+# operators, per microbatch progress.  A state-store leak (watermark
+# not bounding the join buffers) shows up here long before it shows up
+# in wall-clock — bench.py copies this into the b13 detail and
+# tests/test_streaming.py asserts the sentinel flush drains state.
+LAST_QUERY_PROGRESS: dict = {}
+
+
 def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     q = (
         stream_df.writeStream.outputMode("append")
@@ -242,6 +257,23 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    rows_by_batch = []
+    mem_peak = 0
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        rows_by_batch.append(sum(op.get("numRowsTotal", 0) for op in ops))
+        mem_peak = max(
+            mem_peak, sum(op.get("memoryUsedBytes", 0) for op in ops)
+        )
+    LAST_QUERY_PROGRESS.clear()
+    LAST_QUERY_PROGRESS.update(
+        {
+            "n_batches": len(rows_by_batch),
+            "state_rows_peak": max(rows_by_batch, default=0),
+            "state_rows_final": rows_by_batch[-1] if rows_by_batch else 0,
+            "state_memory_peak_bytes": mem_peak,
+        }
+    )
     q.stop()
     return stream_df.sparkSession.table(name)
 

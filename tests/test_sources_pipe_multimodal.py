@@ -359,6 +359,40 @@ def test_builtin_png_decode_rgba_and_known_pixels():
     assert feat == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]
 
 
+def test_builtin_png_corrupt_inputs_raise_value_error():
+    """Malformed PNGs must fail in the ValueError family at detection,
+    like every other decoder — never leak zlib.error or silently
+    truncate a chunk whose declared length overruns the payload."""
+    import pytest
+
+    rows = [[(10, 20, 30)] * 4 for _ in range(2)]
+    good = _make_png(4, 2, rows)
+    # 1. oversized declared chunk length (first chunk = IHDR at offset 8)
+    bad_len = good[:8] + b"\xff\xff\xff\x00" + good[12:]
+    with pytest.raises(ValueError, match="chunk length"):
+        multimodal._decode_bytes(bad_len, fake=False)
+    # 2. corrupt deflate stream inside a well-framed IDAT
+    import struct
+
+    def chunk(ctype, body):
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    broken = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x00not-deflate")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        multimodal._decode_bytes(broken, fake=False)
+
+
 def test_extract_features_png_through_spark(spark):
     """Real zlib-inflate PNG decode end-to-end in Arrow mapInPandas in
     THIS container (no PIL): asserts decoded dims and pixel values."""

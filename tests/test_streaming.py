@@ -161,3 +161,23 @@ def test_eventgen_custom_stream_source(spark, tmp_path):
     # replay — the restart-safety contract a per-poll-growing
     # latestOffset would break)
     assert drain() == exp
+
+
+def test_stream_outer_join_sentinel_flush_drains_state(spark):
+    """After the sentinel-driven end-of-stream flush, the join state
+    stores must be (near-)empty — only the far-future sentinel rows
+    themselves may remain buffered.  A watermark regression that stops
+    bounding the outer-join state shows up here as state_rows_final
+    tracking state_rows_peak instead of collapsing."""
+    from hadoop_20_spark.registry import REGISTRY
+
+    out = REGISTRY["streaming_stream_outer_join"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.count() > 0
+    prog = streaming.LAST_QUERY_PROGRESS
+    assert prog["n_batches"] >= 3  # fixture + 2 sentinel batches
+    assert prog["state_rows_peak"] > 0
+    # flush drained the real rows; at most the sentinels linger
+    assert prog["state_rows_final"] <= 4
+    assert prog["state_rows_final"] < prog["state_rows_peak"]
