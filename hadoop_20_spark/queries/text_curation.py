@@ -422,3 +422,150 @@ def stratified_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("source", "rank")
     )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled n-iteration BPE oracle.  Same procedure as the Spark
+    side, spelled in DuckDB SQL: distinct-word frequency table, each
+    word encoded as a framed symbol line (every symbol as TAB+sym+SPACE
+    — both frame chars are whitespace, which tokenization guarantees
+    absent from symbols).  In that encoding, occurrences of the needle
+    TAB l SPACE TAB r SPACE map one-to-one onto adjacent (l,r) symbol
+    pairs — no mid-symbol or shared-boundary matches — so a SINGLE
+    left-to-right non-overlapping literal replace is exactly the greedy
+    BPE merge (brute-verified against a list-walk model in
+    tests/test_text_analysis.py)."""
+    ctes = [
+        r"""w0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+             array_to_string(list_transform(range(1, length(w) + 1), i -> chr(9) || w[i] || ' '), '') AS syms
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""p{i} AS (
+      SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT freq, unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j + 1])) AS pr
+            FROM (SELECT freq,
+                         list_filter(list_transform(string_split(syms, chr(9)), x -> trim(x)), x -> x <> '') AS a
+                  FROM w{p}))
+      GROUP BY pr
+    )""")
+        ctes.append(f"""b{i} AS (
+      SELECT pair, replace(pair, ' ', '') AS merged, n FROM p{i}
+      ORDER BY n DESC, pair LIMIT 1
+    )""")
+        if i < n_merges:
+            ctes.append(f"""w{i} AS (
+      SELECT freq,
+             replace(syms,
+                 chr(9) || replace((SELECT pair FROM b{i}), ' ', ' ' || chr(9)) || ' ',
+                 chr(9) || (SELECT merged FROM b{i}) || ' ') AS syms
+      FROM w{p}
+    )""")
+    selects = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_idx, pair, merged, n FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT merge_idx, pair, merged, n FROM ({selects})\n    ORDER BY merge_idx"
+    )
+
+
+@register(
+    "bpe_merges_n",
+    _bpe_oracle_sql(5),
+    note="BPE tokenizer induction, FIVE iterated merges (Sennrich et al. 2016): merge->re-pair->recount loop over the distinct-word frequency table; proves the re-pairing plan is stable under iteration",
+)
+def bpe_merges_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated byte-pair-encoding induction: the first 5 merges, each
+    chosen as the most frequent adjacent symbol pair (ties broken by
+    pair text) over the corpus, with the corpus re-paired after every
+    merge — real tokenizer training, not just the first count
+    (`bpe_merge_pairs` is the single-iteration unit).
+
+    Scale plan: the loop runs over the DISTINCT-WORD frequency table
+    (the classic BPE working set — vocabulary-sized, not corpus-sized:
+    one corpus-wide token count up front, then every iteration touches
+    only distinct words x their freq).  Each word is a FRAMED symbol
+    line — every symbol encoded as TAB+sym+SPACE; both frame chars are
+    whitespace, guaranteed absent from symbols by the tokenizer — so
+    needle occurrences (TAB l SPACE TAB r SPACE) map one-to-one onto
+    adjacent (l,r) symbol pairs, and one left-to-right non-overlapping
+    literal replace IS the exact greedy BPE merge (a bare
+    space-separated encoding deviates from greedy on odd runs of 5+
+    identical symbols because consecutive matches share the boundary
+    space; brute-verified vs a list-walk model in
+    tests/test_text_analysis.py).  Per iteration: one small-domain
+    pair-count shuffle + a 1-row driver collect (the merge decision —
+    control plane, like k-means centroids), then localCheckpoint keeps
+    lineage flat across iterations (the dedup_clusters loop
+    discipline).  Single-symbol lines are filtered before
+    sequence(1, size-1): Spark's sequence steps DOWNWARD when
+    stop < start (the bpe_merge_pairs trap)."""
+    from hadoop_20_spark.functions import ensure_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        ensure_parallelism(docs)
+        .select(F.explode(_fn_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.split("w", ""),
+                    lambda c: F.concat(F.lit("\t"), c, F.lit(" ")),
+                ),
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for it in range(1, 6):
+        arr = F.filter(
+            F.transform(F.split(F.col("syms"), "\t"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        best = (
+            cur.select("freq", arr.alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus fully merged before n iterations
+            break
+        pair, n = best[0]["pair"], best[0]["n"]
+        l_sym, r_sym = pair.split(" ", 1)
+        merged = l_sym + r_sym
+        merges.append((it, pair, merged, n))
+        cur = cur.withColumn(
+            "syms",
+            F.replace(
+                F.col("syms"),
+                F.lit(f"\t{l_sym} \t{r_sym} "),
+                F.lit(f"\t{merged} "),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_idx int, pair string, merged string, n long"
+    )

@@ -105,3 +105,70 @@ def test_cdc_chunks_cover_document(spark, tables):
     for d, (nt, nchunks, maxidx) in got.items():
         assert nt == exp[d], d
         assert nchunks == maxidx, d
+
+
+def _bpe_model(corpus_words, n_merges):
+    """Plain-Python reference BPE (Sennrich et al. 2016): distinct-word
+    freq table, greedy left-to-right list-walk merge."""
+    from collections import Counter
+
+    freq = Counter()
+    for w in corpus_words:
+        freq[tuple(w)] += 1
+    merges = []
+    for idx in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, f in freq.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        # max n, tie-break pair text ascending (l + ' ' + r)
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((idx, f"{l} {r}", l + r, n))
+        new_freq = Counter()
+        for syms, f in freq.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_freq[tuple(out)] += f
+        freq = new_freq
+    return merges
+
+
+def test_bpe_merges_n_matches_python_model(spark, tmp_path):
+    """The 5-merge sequence from the Spark framed-replace loop must
+    equal the greedy list-walk model — including on adversarial runs of
+    identical characters (where a naive space-separated replace picks
+    the WRONG positions on odd runs >= 5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_spark.registry import REGISTRY
+
+    texts = [
+        "aaaaa bbbbbbb abababab",       # odd/even runs, alternations
+        "the cat sat on the mat",
+        "aaaaa aaaa aaa aa a",
+        "lower lowest low slower slow newest new wider wide",
+        "the the the cat cat mat",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "source": ["t"] * len(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = [
+        (r["merge_idx"], r["pair"], r["merged"], r["n"])
+        for r in REGISTRY["bpe_merges_n"].fn(spark, str(tmp_path)).collect()
+    ]
+    words = [w for t in texts for w in t.lower().split()]
+    assert got == _bpe_model(words, 5)
