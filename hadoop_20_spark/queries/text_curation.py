@@ -569,3 +569,79 @@ def bpe_merges_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_idx int, pair string, merged string, n long"
     )
+
+
+def _neardup_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, source, split) with the split keyed on the
+    NEAR-dup cluster representative: cluster_id from `dedup_clusters`
+    (connected components over the MinHash-LSH pair graph) where the
+    doc has near-dup edges, else the doc's own id.  Factored out so the
+    planted-near-dup isolation test can assert doc-level placement."""
+    from hadoop_20_spark.functions import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = REGISTRY["dedup_clusters"].fn(spark, sf_dir)
+    rep = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("cluster_id", "doc_id").alias("rep_id"),
+    )
+    bucket = md5_long(F.concat(F.lit("split_"), F.col("rep_id").cast("string"))) % 10
+    return rep.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_safe_split_neardup_oracle() -> str:
+    from hadoop_20_spark.queries.text_dedup import _dedup_clusters_oracle
+
+    return f"""
+    WITH clu AS (SELECT * FROM ({_dedup_clusters_oracle()})),
+    rep AS (
+      SELECT d.doc_id, d.source, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN clu c ON c.doc_id = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN {_sql_md5_long("'split_' || rep_id")} % 10 < 8 THEN 'train'
+                  WHEN {_sql_md5_long("'split_' || rep_id")} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rep
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY source, split ORDER BY source, split
+    """
+
+
+@register(
+    "leakage_safe_split_neardup",
+    _leakage_safe_split_neardup_oracle(),
+    note="leakage-safe 8/1/1 split keyed on the NEAR-dup cluster representative (dedup_clusters connected components over MinHash-LSH pairs), so near-duplicates — not just byte-identical ones — can never straddle train and test; the form a real pretraining pipeline ships",
+)
+def leakage_safe_split_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`leakage_safe_split` upgraded from exact-text groups to NEAR-dup
+    clusters: the split key is the connected-component representative
+    over the MinHash-LSH near-dup graph, so paraphrased/lightly-edited
+    duplicates land in the SAME split — the eval-contamination rule a
+    real pretraining pipeline ships (exact-hash grouping misses a
+    near-dup whose one changed token moves the md5).
+
+    Scale plan: cluster labels come from the iterative min-label
+    propagation already bounded in `dedup_clusters` (LSH band-bucket
+    shuffles only, localCheckpoint per round); the label table is
+    near-dup docs ONLY (a small fraction of the corpus), so the join
+    back to documents broadcasts; split assignment stays row-local md5
+    arithmetic on the representative.  Membership is stable under
+    corpus growth for any doc whose cluster representative survives —
+    same InputSampler-free discipline as the exact-text form."""
+    return (
+        _neardup_split_assignment(spark, sf_dir)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "split")
+    )

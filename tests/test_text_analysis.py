@@ -172,3 +172,57 @@ def test_bpe_merges_n_matches_python_model(spark, tmp_path):
     ]
     words = [w for t in texts for w in t.lower().split()]
     assert got == _bpe_model(words, 5)
+
+
+def test_neardup_split_isolates_planted_near_duplicates(spark, tmp_path):
+    """Two documents that are NEAR-duplicates (one token changed — so
+    exact-text md5 grouping would NOT catch them) must land in the same
+    train/val/test split, and every near-dup cluster must map to
+    exactly one split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_spark.queries.text_curation import _neardup_split_assignment
+    from hadoop_20_spark.registry import REGISTRY
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain falls softly on the quiet village roofs tonight")
+    near = base.replace("softly", "gently")  # 1 of 20 tokens differs
+    fillers = [
+        f"completely unrelated document number {i} about spark shuffles "
+        f"partitions and broadcast joins in distributed engines {i * 17}"
+        for i in range(30)
+    ]
+    texts = [base, near] + fillers
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "source": ["t"] * len(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    assign = _neardup_split_assignment(spark, str(tmp_path))
+    splits = {r["doc_id"]: r["split"] for r in assign.collect()}
+    assert splits[0] == splits[1], "planted near-dups straddle splits"
+
+    # the pair is a NEAR dup (different md5), and the cluster oracle
+    # really linked them (0 is 1's representative)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_clusters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert clusters.get(1) == 0 and clusters.get(0) == 0
+
+    # corpus-wide invariant: one split per cluster
+    from pyspark.sql import functions as F
+
+    clu = REGISTRY["dedup_clusters"].fn(spark, str(tmp_path))
+    per_cluster = (
+        assign.join(clu, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert per_cluster and all(r["k"] == 1 for r in per_cluster)
