@@ -435,6 +435,20 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     left-to-right non-overlapping literal replace is exactly the greedy
     BPE merge (brute-verified against a list-walk model in
     tests/test_text_analysis.py)."""
+    selects = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_idx, pair, merged, n FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(_bpe_cte_chain(n_merges))
+        + f"\n    SELECT merge_idx, pair, merged, n FROM ({selects})\n    ORDER BY merge_idx"
+    )
+
+
+def _bpe_cte_chain(n_merges: int, keep_last_w: bool = False) -> list[str]:
+    """The learn-loop CTEs shared by bpe_merges_n (needs b1..bN) and
+    bpe_apply_merges (needs the same merge decisions to re-apply to the
+    corpus)."""
     ctes = [
         r"""w0 AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS freq,
@@ -458,7 +472,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       SELECT pair, replace(pair, ' ', '') AS merged, n FROM p{i}
       ORDER BY n DESC, pair LIMIT 1
     )""")
-        if i < n_merges:
+        if i < n_merges or keep_last_w:
             ctes.append(f"""w{i} AS (
       SELECT freq,
              replace(syms,
@@ -466,14 +480,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                  chr(9) || (SELECT merged FROM b{i}) || ' ') AS syms
       FROM w{p}
     )""")
-    selects = "\n      UNION ALL ".join(
-        f"SELECT CAST({i} AS INTEGER) AS merge_idx, pair, merged, n FROM b{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return (
-        "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT merge_idx, pair, merged, n FROM ({selects})\n    ORDER BY merge_idx"
-    )
+    return ctes
 
 
 @register(
@@ -507,6 +514,29 @@ def bpe_merges_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline).  Single-symbol lines are filtered before
     sequence(1, size-1): Spark's sequence steps DOWNWARD when
     stop < start (the bpe_merge_pairs trap)."""
+    return spark.createDataFrame(
+        _bpe_learn(spark, sf_dir, 5),
+        "merge_idx int, pair string, merged string, n long",
+    )
+
+
+def _bpe_framed_chars(col) -> "F.Column":
+    """Encode a word as its framed symbol line: every char as
+    TAB+char+SPACE (see bpe_merges_n for why this framing makes literal
+    replace equal greedy merge)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(col, ""), lambda c: F.concat(F.lit("\t"), c, F.lit(" "))
+        ),
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge-learning loop shared by bpe_merges_n (reports the
+    sequence) and bpe_apply_merges (applies it to the corpus)."""
     from hadoop_20_spark.functions import ensure_parallelism
 
     docs = _t(spark, sf_dir, "documents")
@@ -515,21 +545,12 @@ def bpe_merges_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(_fn_tokens(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.split("w", ""),
-                    lambda c: F.concat(F.lit("\t"), c, F.lit(" ")),
-                ),
-            ).alias("syms"),
-            "freq",
-        )
+        .select(_bpe_framed_chars(F.col("w")).alias("syms"), "freq")
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words
-    for it in range(1, 6):
+    for it in range(1, n_merges + 1):
         arr = F.filter(
             F.transform(F.split(F.col("syms"), "\t"), lambda x: F.trim(x)),
             lambda x: x != "",
@@ -566,9 +587,7 @@ def bpe_merges_n(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"\t{merged} "),
             ),
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_idx int, pair string, merged string, n long"
-    )
+    return merges
 
 
 def _neardup_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,4 +663,92 @@ def leakage_safe_split_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("source", "split")
+    )
+
+
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """Oracle for bpe_apply_merges: learn the same N merges, then apply
+    them in order to every token occurrence in the corpus and report
+    per-source fertility (symbols per word) and compression."""
+    enc = ("array_to_string(list_transform(range(1, length(w) + 1),"
+           " i -> chr(9) || w[i] || ' '), '')")
+    for i in range(1, n_merges + 1):
+        enc = (f"replace({enc},\n"
+               f"          chr(9) || replace((SELECT pair FROM b{i}), ' ', ' ' || chr(9)) || ' ',\n"
+               f"          chr(9) || (SELECT merged FROM b{i}) || ' ')")
+    ctes = _bpe_cte_chain(n_merges) + [
+        r"""tok AS (
+      SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS w
+      FROM documents
+    )""",
+        f"""enc AS (
+      SELECT source, length(w) AS n_chars,
+             length({enc}) - length(replace({enc}, chr(9), '')) AS n_syms
+      FROM tok
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word,
+           ROUND(CAST(SUM(n_syms) AS DOUBLE) / SUM(n_chars), 6) AS compression
+    FROM enc GROUP BY source ORDER BY source"""
+    )
+
+
+@register(
+    "bpe_apply_merges",
+    _bpe_apply_oracle_sql(5),
+    note="tokenizer APPLICATION: encode the whole corpus with the 5 learned BPE merges and report per-source fertility (tokens per word) and compression vs characters — the induce->apply pipeline closed end-to-end",
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the tokenizer pipeline: take the merge table
+    `bpe_merges_n` learned and ENCODE the corpus with it, reporting how
+    the tokenizer behaves per source — fertility (symbols per word) and
+    compression vs raw characters, the signals that decide whether a
+    vocabulary suits a data mixture.
+
+    Scale plan: learning runs on the vocabulary-sized distinct-word
+    table (see `_bpe_learn`); application is embarrassingly parallel —
+    each of the N merges is one row-local literal replace on the framed
+    symbol line, symbols are counted by counting TAB frames (no split,
+    no explode), and the only shuffle is the final tiny per-source
+    aggregate.  At 100 TB the merge table rides the closure (a few
+    string literals), the corpus is touched exactly once."""
+    merges = _bpe_learn(spark, sf_dir, 5)
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_fn_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    syms = _bpe_framed_chars(F.col("w"))
+    for _idx, pair, merged, _n in merges:
+        l_sym, r_sym = pair.split(" ", 1)
+        syms = F.replace(
+            syms, F.lit(f"\t{l_sym} \t{r_sym} "), F.lit(f"\t{merged} ")
+        )
+    enc = tok.select(
+        "source",
+        F.length("w").alias("n_chars"),
+        (
+            F.length(syms) - F.length(F.replace(syms, F.lit("\t"), F.lit("")))
+        ).alias("n_syms"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.sum("n_chars"), 6
+            ).alias("compression"),
+        )
+        .orderBy("source")
     )
