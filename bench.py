@@ -61,6 +61,7 @@ DUCKDB_COMPARABLE = (
     "b10c_tfidf",
     "b11_snowflake_join",
     "b13_stream_join",  # anchor = the BATCH time-range self-join oracle
+    "b14_interval_sample",
 )
 
 BENCH_QUERIES = {
@@ -101,6 +102,11 @@ BENCH_QUERIES = {
     # pass covers micro-batch scheduling + watermark state + join state,
     # and the DuckDB anchor is the batch time-range self-join oracle.
     "b13_stream_join": "streaming_stream_join",
+    # b14: the round-6 fix — bucketed two-pass global rank (every-100th
+    # row in key order) replacing the single-partition window.  In the
+    # bench so a regression back to Exchange SinglePartition shows up
+    # as a wall-clock step, not just a plan-test failure.
+    "b14_interval_sample": "interval_sample",
 }
 
 
