@@ -58,6 +58,9 @@ QUERIES = {
     "resample_ffill": "grid = sequence explode off the per-user range agg; fill = last-ignorenulls over one user window — grid and events merged, no per-point as-of join",
     "grouped_ols_trend": "five decimal sufficient statistics in ONE partial-agg'd shuffle on the group key; slope/intercept = fixed double expression over the agg row",
     "leakage_safe_split": "dup-group representative = MIN window over md5(text) (narrow projected rows); split = row-local md5 arithmetic; report on the tiny source×split grid",
+    "interval_sample": "distributed_global_rank: row-local quantile bucket, broadcast offset join, per-bucket window — NO Exchange SinglePartition on the fact path (was the last global-window scale-killer)",
+    "bpe_apply_merges": "learned merges applied as N row-local literal replaces on the framed symbol line; symbols counted by counting TAB frames — corpus touched once, only shuffle is the per-source agg",
+    "leakage_safe_split_neardup": "cluster labels (near-dup docs only) broadcast back to documents; split stays row-local md5 arithmetic on the component representative",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
