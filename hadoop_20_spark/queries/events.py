@@ -352,3 +352,116 @@ def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    grid AS (
+      SELECT event_type AS from_type, next_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM grid ORDER BY from_type, to_type
+    """,
+    note="per-user event-type transition matrix (first-order Markov counts + row-normalized probabilities): LEAD over the user stream, aggregate on the tiny type x type grid",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What follows what: per user (ordered by ts, event_id for a total
+    order), count event_type -> next event_type transitions and
+    normalize per source type — the first-order Markov behavior model
+    behind next-action prediction and bot detection.
+
+    Scale plan: LEAD rides ONE user_id hash shuffle (the same single
+    fact shuffle as the rest of this family); the transition grid is
+    |event_types|² rows, so the normalizing window and sort are free.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grid = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return grid.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "daily_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nd,
+             CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(n_events AS DECIMAL(18,0))
+                      * CAST(n_events AS DECIMAL(18,0))) AS DOUBLE) AS ss
+      FROM daily GROUP BY event_type
+    ),
+    scored AS (
+      SELECT d.event_type, d.day, d.n_events,
+             (d.n_events - s / nd) / sqrt((ss - s * s / nd) / (nd - 1)) AS z
+      FROM daily d JOIN stats st ON st.event_type = d.event_type
+      WHERE nd >= 2 AND (ss - s * s / nd) > 0
+    )
+    SELECT event_type, day, n_events, ROUND(z, 6) AS z
+    FROM scored WHERE ABS(z) >= 2
+    ORDER BY event_type, day
+    """,
+    note="per-type daily volume anomalies: z-score of each day's event count against that type's day distribution (decimal-exact sufficient statistics), |z| >= 2 flagged — the pipeline-health alarm query",
+)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which days look wrong: per event type, each day's count scored
+    against the type's mean/sample-stddev of daily counts; |z| >= 2
+    rows surface — the ingest-monitoring readout that catches a dropped
+    Scribe category or a double-delivered day.
+
+    Scale plan: one (type, day) partial-agg'd shuffle builds the daily
+    relation (types x days — tiny); mean/stddev come from DECIMAL n/
+    Σx/Σx² sufficient statistics over it (order-independent, the
+    grouped_ols_trend discipline — builtin stddev float-accumulates);
+    the z expression and threshold are row-local over the tiny grid,
+    and the |z| cut compares UNROUNDED doubles computed identically
+    from identical integers on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    dec = F.col("n_events").cast("decimal(18,0)")
+    stats = daily.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    nd, s, ss = F.col("nd"), F.col("s"), F.col("ss")
+    z = (F.col("n_events") - s / nd) / F.sqrt((ss - s * s / nd) / (nd - 1))
+    return (
+        daily.join(
+            F.broadcast(stats), daily.event_type == stats.s_type
+        )
+        .filter((nd >= 2) & ((ss - s * s / nd) > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2)
+        .select("event_type", "day", "n_events", F.round("z", 6).alias("z"))
+        .orderBy("event_type", "day")
+    )

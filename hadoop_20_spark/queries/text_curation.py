@@ -752,3 +752,85 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS w
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+    FROM tok GROUP BY w
+    HAVING COUNT(*) * 50 > (SELECT n FROM tot)
+    ORDER BY n_occurrences DESC, w
+    """,
+    note="exact heavy hitters (tokens with >1/50 of all occurrences) via the two-pass candidate+recount discipline: per-partition local-share candidates (mapInPandas, NO shuffle), broadcast-restricted exact recount — result provably identical to the full groupBy at any partitioning",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens holding more than 1/50 of all token occurrences, with
+    EXACT counts — the frequent-items readout (stopword discovery,
+    boilerplate detection) computed the way it must be at 100 TB:
+
+      pass 1 (no shuffle): each partition emits tokens whose LOCAL
+        share exceeds the global threshold (local_cnt * 50 > local_n),
+        plus its local token total.  Averaging argument: a token with
+        global share > 1/50 must exceed 1/50 in at least one partition,
+        so the union of local candidates is a SUPERSET of the true
+        heavy hitters at any partitioning — and at most 49 candidates
+        can qualify per partition, so the candidate relation is
+        O(49 x partitions) rows regardless of corpus size.
+      pass 2: exact recount of ONLY the candidates (broadcast semi
+        join) + integer threshold cnt * 50 > n_total — no float
+        threshold, no approximation in the OUTPUT.  A plain
+        groupBy(token) shuffles the full term table; this shuffles
+        candidate occurrences only.
+
+    The oracle is the naive full GROUP BY ... HAVING — equality proves
+    the sketch exact end-to-end."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from hadoop_20_spark.functions import ensure_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = ensure_parallelism(docs).select(
+        F.explode(_fn_tokens(F.lower(F.col("text")))).alias("w")
+    )
+
+    def local_candidates(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        counts: Counter = Counter()
+        n_local = 0
+        for pdf in batches:
+            counts.update(pdf["w"])
+            n_local += len(pdf)
+        cands = [w for w, c in counts.items() if c * 50 > n_local]
+        yield pd.DataFrame(
+            {"w": cands + [None], "n_part": [0] * len(cands) + [n_local]}
+        )
+
+    side = tok.mapInPandas(
+        local_candidates, "w string, n_part long"
+    ).localCheckpoint()
+    n_total = side.agg(F.sum("n_part").alias("n")).first()["n"] or 0
+    cands = side.filter(F.col("w").isNotNull()).select("w").distinct()
+    return (
+        tok.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * 50 > F.lit(n_total))
+        .select(
+            "w",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.lit(n_total).cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_occurrences"), "w")
+    )

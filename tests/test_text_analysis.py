@@ -226,3 +226,33 @@ def test_neardup_split_isolates_planted_near_duplicates(spark, tmp_path):
         .collect()
     )
     assert per_cluster and all(r["k"] == 1 for r in per_cluster)
+
+
+def test_heavy_hitter_sketch_equals_naive_groupby(spark):
+    """The two-pass candidate+recount result must be IDENTICAL to the
+    naive full groupBy-HAVING at any partitioning (superset property +
+    exact recount)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.functions import tokens
+    from hadoop_20_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["w"], r["n_occurrences"])
+        for r in REGISTRY["heavy_hitter_tokens"].fn(spark, sf).collect()
+    }
+    from hadoop_20_spark import load_table
+
+    tok = load_table(spark, "documents", sf).select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    n = tok.count()
+    naive = {
+        (r["w"], r["n"])
+        for r in tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") * 50 > n)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
