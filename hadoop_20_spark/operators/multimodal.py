@@ -78,8 +78,14 @@ def _pool_feature(px, w: int, h: int) -> list[float]:
 
 
 def _decode_ppm(payload: bytes) -> tuple[int, int, list[float]]:
+    w, h, px = _decode_ppm_px(payload)
+    return w, h, _pool_feature(px, w, h)
+
+
+def _decode_ppm_px(payload: bytes):
     """Binary PPM (P6): ASCII header (magic, width, height, maxval, with
-    ``#`` comments) then raw RGB triples.  No compression, no deps."""
+    ``#`` comments) then raw RGB triples.  No compression, no deps.
+    Returns (w, h, (h,w,3) uint8 RGB array)."""
     import numpy as np
 
     if not payload.startswith(b"P6"):
@@ -100,13 +106,18 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, list[float]]:
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return w, h, _pool_feature(px.reshape(h, w, 3), w, h)
+    return w, h, px.reshape(h, w, 3)
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    w, h, px = _decode_bmp_px(payload)
+    return w, h, _pool_feature(px, w, h)
+
+
+def _decode_bmp_px(payload: bytes):
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER): little-endian header,
     BGR rows padded to 4 bytes, stored bottom-up (top-down when height
-    is negative).  No compression, no deps."""
+    is negative).  No compression, no deps.  Returns (w, h, RGB array)."""
     import struct
 
     import numpy as np
@@ -127,13 +138,18 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     if bottom_up:
         rows = rows[::-1]
     # BGR -> RGB
-    return w, h, _pool_feature(rows[:, :, ::-1], w, h)
+    return w, h, rows[:, :, ::-1]
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    w, h, px = _decode_png_px(payload)
+    return w, h, _pool_feature(px, w, h)
+
+
+def _decode_png_px(payload: bytes):
     """8-bit truecolor PNG (color type 2 RGB / 6 RGBA, no interlace)
     via the stdlib only: chunk walk → concatenated IDAT → zlib inflate →
     per-scanline unfilter (None/Sub/Up/Average/Paeth, RFC 2083 §6) →
@@ -214,7 +230,7 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
         out[y * stride : (y + 1) * stride] = row
         prev = row
     px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, bpp)[:, :, :3]
-    return w, h, _pool_feature(px, w, h)
+    return w, h, px
 
 
 def _builtin_decoder(payload: bytes):
@@ -226,6 +242,25 @@ def _builtin_decoder(payload: bytes):
     if payload.startswith(_PNG_MAGIC):
         return _decode_png
     return None
+
+
+def _builtin_pixel_decoder(payload: bytes):
+    """Pixel-level twin of _builtin_decoder (for transforms that need
+    the raster, not the pooled feature — resize, crops)."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm_px
+    if payload.startswith(b"BM"):
+        return _decode_bmp_px
+    if payload.startswith(_PNG_MAGIC):
+        return _decode_png_px
+    return None
+
+
+def _encode_ppm(px) -> bytes:
+    """Re-encode an (h, w, 3) uint8 RGB array as binary PPM (P6) — the
+    dependency-free interchange format the decoders round-trip."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
 
 
 def _real_decoder():
@@ -350,24 +385,73 @@ def frame_sample(media: DataFrame, stride: int = 2, fake: bool = True) -> DataFr
     return media.mapInPandas(run, "media_id long, frame_idx int, frame_md5 string")
 
 
-def resize_stub(media: DataFrame, max_side: int = 512, fake: bool = True) -> DataFrame:
-    """Resize plumbing: same mapInPandas shape, emits payload unchanged
-    with new declared dims (a real resizer would transform bytes)."""
+def _resize_nn(px, max_side: int):
+    """Nearest-neighbor downscale of an (h, w, 3) array so the longer
+    side is max_side (no-op if already within bounds).  Pixel-center
+    sampling: src index = floor((i + 0.5) * src / dst) — the standard
+    NN kernel, deterministic, pure integer index math."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if max(w, h) <= max_side:
+        return px
+    scale = max_side / max(w, h)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    xs = ((np.arange(nw) + 0.5) * w / nw).astype("int64").clip(0, w - 1)
+    ys = ((np.arange(nh) + 0.5) * h / nh).astype("int64").clip(0, h - 1)
+    return px[ys][:, xs]
+
+
+def resize_image(
+    media: DataFrame, max_side: int = 512, fake: bool = True
+) -> DataFrame:
+    """REAL image resize for the built-in formats (PPM/BMP/PNG →
+    nearest-neighbor downscale → PPM re-encode), as Arrow mapInPandas:
+    decode the raster, resample, emit the RESIZED BYTES with the new
+    dims.  Unsupported formats raise (the decoders' ValueError
+    contract); fake=True keeps the metadata-only pseudo-decode path for
+    media-shaped tables whose payloads aren't real images (dims scaled,
+    payload passed through) — same schema either way, so pipelines swap
+    paths with one flag."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["payload"].map(lambda b: _decode_bytes(bytes(b), fake))
-            scale = decoded.map(lambda d: min(1.0, max_side / max(d[0], d[1])))
+            out_payload, widths, heights = [], [], []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                if fake:
+                    w, h, _ = _decode_bytes(raw, fake=True)
+                    s = min(1.0, max_side / max(w, h))
+                    out_payload.append(raw)
+                    widths.append(int(w * s))
+                    heights.append(int(h * s))
+                else:
+                    dec = _builtin_pixel_decoder(raw)
+                    if dec is None:
+                        raise NotImplementedError(
+                            "resize supports the built-in raster formats "
+                            "(PPM/BMP/PNG) in this environment"
+                        )
+                    _, _, px = dec(raw)
+                    small = _resize_nn(px, max_side)
+                    out_payload.append(_encode_ppm(small))
+                    widths.append(small.shape[1])
+                    heights.append(small.shape[0])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],
-                    "width": [int(d[0] * s) for d, s in zip(decoded, scale)],
-                    "height": [int(d[1] * s) for d, s in zip(decoded, scale)],
+                    "payload": out_payload,
+                    "width": widths,
+                    "height": heights,
                 }
             )
 
     return media.mapInPandas(run, "media_id long, payload binary, width int, height int")
+
+
+# Back-compat name from when the real path didn't exist; fake=True is
+# byte-identical to the old stub behavior.
+resize_stub = resize_image
 
 
 # --- audio: real PCM WAV decode, no deps ------------------------------------

@@ -515,3 +515,54 @@ def test_extract_audio_features_real_decode_through_spark(spark):
     assert got[2]["sample_rate"] == 16000 and got[2]["n_samples"] == 2000
     assert abs(got[1]["duration_s"] - 0.25) < 1e-6
     assert len(got[1]["feature"]) == 8
+
+
+def test_resize_image_real_roundtrip(spark):
+    """Real resize path: a 16x8 PNG with a known left/right pattern is
+    NN-downscaled to 8x4, re-encoded as PPM, and the output bytes
+    decode back to the same pattern at the new dims."""
+    rows = [
+        [(0, 0, 0)] * 8 + [(255, 255, 255)] * 8 for _ in range(8)
+    ]
+    payload = _make_png(16, 8, rows, filters=[0, 1, 2, 3, 4, 0, 1, 2])
+    media = spark.createDataFrame(
+        [(7, bytearray(payload), "image/png", ("a.png", None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_image(media, max_side=8, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (8, 4)
+    w, h, px = multimodal._decode_ppm_px(bytes(r["payload"]))
+    assert (w, h) == (8, 4)
+    # left half black, right half white survives the resample exactly
+    assert px[:, :4].max() == 0 and px[:, 4:].min() == 255
+
+
+def test_resize_image_noop_within_bounds(spark):
+    """An image already within max_side passes through the real path
+    with identical pixel content (re-encoded, dims unchanged)."""
+    rows = [[(9, 8, 7)] * 4 for _ in range(3)]
+    media = spark.createDataFrame(
+        [(1, bytearray(_make_ppm(4, 3, rows)), "image/x-ppm", ("a.ppm", None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.resize_image(media, max_side=512, fake=False).collect()[0]
+    assert (r["width"], r["height"]) == (4, 3)
+    w, h, px = multimodal._decode_ppm_px(bytes(r["payload"]))
+    assert px.tolist() == [[[9, 8, 7]] * 4] * 3
+
+
+def test_resize_nn_matches_python_model():
+    """NN kernel against a brute pixel-center model on odd sizes."""
+    import numpy as np
+
+    px = np.arange(7 * 5 * 3, dtype="uint8").reshape(5, 7, 3)
+    small = multimodal._resize_nn(px, 3)
+    # longer side 7 -> 3, so h: 5*(3/7) -> 2
+    assert small.shape == (2, 3, 3)
+    for y in range(2):
+        for x in range(3):
+            sy = int((y + 0.5) * 5 / 2)
+            sx = int((x + 0.5) * 7 / 3)
+            assert (small[y, x] == px[sy, sx]).all()
