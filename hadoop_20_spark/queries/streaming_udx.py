@@ -594,3 +594,40 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "image_resize_dims",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(64 + ('0x' || substr(md5(text), 1, 4))::INT % 1920 AS INT) AS w,
+             CAST(64 + ('0x' || substr(md5(text), 5, 4))::INT % 1920 AS INT) AS h
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(FLOOR(w * LEAST(1.0, 128.0 / GREATEST(w, h))) AS INT) AS width,
+           CAST(FLOOR(h * LEAST(1.0, 128.0 / GREATEST(w, h))) AS INT) AS height
+    FROM m ORDER BY media_id
+    """,
+    note="image-resize plumbing (max_side=128): Arrow mapInPandas resize_image over the media table — fake codec scales md5-derived dims; the REAL pixel path (PPM/BMP/PNG decode -> NN resample -> PPM re-encode) drops in via fake=False and is pixel-tested",
+)
+def image_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over a media-shaped table: emits per-item post-resize
+    dimensions (longer side capped at 128, aspect preserved, floor
+    semantics identical in Python float and SQL double — both compute
+    the same IEEE product).  The fake codec makes the whole mapInPandas
+    row-shape and dim arithmetic oracle-checkable; `resize_image
+    (fake=False)` swaps in the real raster path (nearest-neighbor
+    downscale + PPM re-encode, pixel-asserted in
+    test_resize_image_real_roundtrip) with the same schema."""
+    from hadoop_20_spark.operators import multimodal
+
+    media = multimodal.to_media_table(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return (
+        multimodal.resize_image(media, max_side=128, fake=True)
+        .select("media_id", "width", "height")
+        .orderBy("media_id")
+    )
