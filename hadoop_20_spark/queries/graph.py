@@ -1,0 +1,138 @@
+"""Graph analytics over relational edges (round 6).
+
+Iterative numeric fixpoints are the third loop discipline in the repo
+(label propagation: `dedup_clusters`; centroid fitting:
+`kmeans_centroids`); PageRank adds mass propagation — and, like the
+others, it is driven by a bounded driver loop with localCheckpoint per
+round and certified by an unrolled oracle.
+
+Determinism: ranks are INTEGER mass units (1e12 total) and every
+operation is integer floor arithmetic (`DIV` in Spark, `//` in DuckDB —
+identical on non-negatives), so the fixpoint is bit-identical across
+engines and partitionings; float PageRank would drift with addition
+order.  All magnitudes stay < 2^53 but the math never leaves BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.queries._base import (  # noqa: F401
+    REGISTRY,
+    Query,
+    _t,
+    register,
+)
+
+_SCALE = 1_000_000_000_000  # total rank mass, in units
+_TELEPORT = 150_000_000_000  # 0.15 * _SCALE
+_ITER = 3
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS (SELECT node, CAST({_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, _ITER + 1):
+        p = i - 1
+        ctes.append(f"""r{i} AS (
+      SELECT d2.node,
+             CAST({_TELEPORT} // (SELECT n FROM nn)
+                  + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM deg d2 LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.r // deg.d) AS contrib
+        FROM edges e
+        JOIN r{p} r ON r.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst) c ON c.node = d2.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           r AS rank_units
+    FROM r{_ITER}
+    ORDER BY rank_units DESC, node LIMIT 20"""
+    )
+
+
+@register(
+    "pagerank_top20",
+    _pagerank_oracle(),
+    note="integer-exact PageRank (3 iterations, damping 0.85) over the customer<->supplier purchase graph: rank mass in BIGINT units with floor division everywhere, so the fixpoint is bit-identical across engines/partitionings; top-20 nodes",
+)
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite who-buys-from-whom graph (edges both
+    directions — an undirected random walk), 3 iterations at damping
+    0.85, reporting the top-20 nodes.
+
+    Scale plan: per iteration ONE shuffle pattern — edges join ranks on
+    src (both sides partitioned by node key; deg is joined alongside on
+    the same key) then aggregate contributions by dst; the driver loop
+    localCheckpoints each round (flat lineage, the dedup_clusters
+    discipline).  No dangling-mass pass is needed: every node here has
+    out-edges by construction.  Rank arithmetic is INTEGER (floor
+    division mirrors the oracle's `//`) — float PageRank drifts with
+    partial-agg addition order and could never hash-match an oracle.
+    Top-20 is TakeOrderedAndProject.  At 100 TB the edge list is the
+    fact table: pre-partition edges and ranks on node key once and
+    every iteration reuses the co-partitioning."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint()
+    n_nodes = deg.count()
+    ranks = deg.select("node", F.lit(_SCALE // n_nodes).cast("long").alias("r"))
+    base = _TELEPORT // n_nodes
+    for _ in range(_ITER):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "d_node"), F.col("src") == F.col("d_node"))
+            .select("dst", F.expr("r DIV d").alias("share"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(contrib, 0) DIV 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node DIV 2").cast("long").alias("node_key"),
+            F.col("r").alias("rank_units"),
+            "node",
+        )
+        .orderBy(F.desc("rank_units"), "node")
+        .limit(20)
+        .drop("node")
+    )

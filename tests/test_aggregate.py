@@ -74,3 +74,55 @@ def test_with_counters_observe(spark, tables):
     df.write.format("noop").mode("overwrite").save()
     got = obs.get
     assert got["n_rows"] == tables["lineitem"].count()
+
+
+def test_pagerank_matches_integer_model(spark, tmp_path):
+    """pagerank_top20 against a plain-Python integer-arithmetic model on
+    a small planted purchase graph (including a hub supplier)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_spark.registry import REGISTRY
+
+    # orders: order o belongs to customer c; lineitem: order o bought
+    # from supplier s.  Supplier 1 is a hub (every customer buys there).
+    pairs = [(c, 1) for c in range(1, 6)] + [(2, 2), (3, 2), (4, 3)]
+    orders = pa.table(
+        {
+            "o_orderkey": list(range(len(pairs))),
+            "o_custkey": [c for c, _ in pairs],
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": list(range(len(pairs))),
+            "l_suppkey": [s for _, s in pairs],
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+
+    got = [
+        (r["node_type"], r["node_key"], r["rank_units"])
+        for r in REGISTRY["pagerank_top20"].fn(spark, str(tmp_path)).collect()
+    ]
+
+    # model: same integer floor arithmetic
+    e0 = sorted({(c * 2, s * 2 + 1) for c, s in pairs})
+    edges = e0 + [(d, s) for s, d in e0]
+    nodes = sorted({s for s, _ in edges})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    n = len(nodes)
+    r = {u: 10**12 // n for u in nodes}
+    for _ in range(3):
+        contrib = {u: 0 for u in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // deg[s]
+        r = {u: 150_000_000_000 // n + (85 * contrib[u]) // 100 for u in nodes}
+    exp = sorted(((u, r[u]) for u in nodes), key=lambda t: (-t[1], t[0]))[:20]
+    exp = [
+        ("customer" if u % 2 == 0 else "supplier", u // 2, ru) for u, ru in exp
+    ]
+    assert got == exp
+    # the hub supplier must outrank everything
+    assert got[0][0] == "supplier" and got[0][1] == 1
