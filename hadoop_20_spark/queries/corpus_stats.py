@@ -1,0 +1,352 @@
+"""Corpus-level sketch and distribution analytics (round 6).
+
+The training-data counterpart of the optimizer-stats family in
+queries/stats.py: instead of table statistics for join planning, these
+are corpus statistics for tokenizer/curation planning — a count-min
+sketch with an exact audit twin, Zipf mass coverage, vocabulary growth
+(Heaps' law readout), and first-occurrence novelty attribution.
+
+Determinism: every sketch hash is the engine-portable md5_long family
+(never murmur3/xxhash — SURVEY §7.4), so the DuckDB oracle RECONSTRUCTS
+the identical sketch cell-for-cell and the readout is exact-hash
+comparable, unlike tolerance-contract estimators (approx_distinct).
+
+Reference anchors (public hadoop-20): the ValueAggregator histogram
+family (mapred/lib/aggregate/ValueHistogram.java) is the exact-count
+ancestor of these readouts; the sketch form is the 100 TB-scale
+replacement the reference never had.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.functions import md5_long, ngrams as _fn_ngrams, tokens as _fn_tokens
+from hadoop_20_spark.queries._base import (  # noqa: F401
+    _TOKENS,
+    REGISTRY,
+    Query,
+    _sql_md5_long,
+    _t,
+    register,
+)
+
+# Count-min sketch geometry.  W=64 is deliberately SMALL relative to the
+# synthetic vocabulary so bucket collisions actually occur at test scale
+# and the overcount column is a live signal; at 100 TB widen W (the plan
+# shape — one (d, bucket)-keyed partial-agg shuffle of D*W cells — is
+# unchanged, that is the whole point of the sketch).
+_CMS_D = 4
+_CMS_W = 64
+_HH_PHI = 50  # heavy hitter = tokens holding > 1/50 of all occurrences
+
+
+def _cms_bucket_sql(wexpr: str, rexpr: str) -> str:
+    inner = wexpr + " || '#' || CAST(" + rexpr + " AS VARCHAR)"
+    return f"{_sql_md5_long(inner)} % {_CMS_W}"
+
+
+@register(
+    "cms_heavy_hitters",
+    rf"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS.format(col='text')}) AS w FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    cells AS (
+      SELECT cnt.w, cnt.c, t.r, {_cms_bucket_sql('cnt.w', 't.r')} AS bucket
+      FROM cnt CROSS JOIN range(0, {_CMS_D}) t(r)
+    ),
+    sketch AS (SELECT r, bucket, SUM(c) AS sc FROM cells GROUP BY r, bucket),
+    est AS (
+      SELECT cells.w, cells.c, MIN(sketch.sc) AS est
+      FROM cells JOIN sketch ON sketch.r = cells.r AND sketch.bucket = cells.bucket
+      GROUP BY cells.w, cells.c
+    )
+    SELECT w AS token,
+           CAST(est AS BIGINT) AS est_count,
+           CAST(c AS BIGINT) AS exact_count,
+           CAST(est - c AS BIGINT) AS overcount,
+           CAST(CASE WHEN c * {_HH_PHI} >= (SELECT n FROM tot) THEN 1 ELSE 0 END AS INT) AS is_true_hh
+    FROM est
+    WHERE est * {_HH_PHI} >= (SELECT n FROM tot)
+    ORDER BY est_count DESC, token
+    """,
+    note=(
+        "count-min sketch heavy hitters (D=4 rows, W=64 buckets, md5 hash family) with the "
+        "exact-count audit column: the sketch is deterministic so the oracle reconstructs it "
+        "cell-for-cell — estimate >= exact always (one-sided error), no true heavy hitter missed"
+    ),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via a count-min sketch, audited against
+    exact counts (the estimator-quality pattern of
+    minhash_estimate_quality): report every token whose ESTIMATE clears
+    phi=1/50 of total occurrences, with its exact count, the sketch
+    overcount, and whether it is a true heavy hitter.  CMS guarantees
+    est >= exact, so no true heavy hitter is ever missed — only false
+    positives are possible, and the flag makes them visible.
+
+    Scale plan: the sketch build is the 100 TB path — each token
+    occurrence emits D=4 (row, bucket) cells and Spark's map-side
+    partial aggregation collapses every partition to <= D*W = 256 cells
+    BEFORE the shuffle, so the sketch shuffle is O(partitions * 256)
+    regardless of corpus size.  The readout joins candidates against
+    the 256-row sketch by BROADCAST.  The exact-count audit pass is one
+    token-keyed shuffle — at 100 TB you drop that pass and keep only
+    the sketch (the audit is what certifies the sketch at test scale).
+    Hashing is md5_long (engine-portable) so the DuckDB oracle builds
+    the byte-identical sketch.  W=64 is sized to force collisions at
+    test scale; widening W changes no plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_fn_tokens("text")).alias("w"))
+    rows = F.array(*[F.lit(r) for r in range(_CMS_D)])
+    bucket = (
+        md5_long(F.concat(F.col("w"), F.lit("#"), F.col("r").cast("string"))) % _CMS_W
+    ).alias("bucket")
+    # sketch build: the true streaming form — one cell per (occurrence,
+    # row), collapsed by map-side combine to <= D*W keys per partition
+    sketch = (
+        tok.select("w", F.explode(rows).alias("r"))
+        .select("r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("sc"))
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    est = (
+        cnt.select("w", "c", F.explode(rows).alias("r"))
+        .select("w", "c", "r", bucket)
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("w", "c")
+        .agg(F.min("sc").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .where(F.col("est") * _HH_PHI >= F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("est").cast("long").alias("est_count"),
+            F.col("c").cast("long").alias("exact_count"),
+            (F.col("est") - F.col("c")).cast("long").alias("overcount"),
+            F.when(F.col("c") * _HH_PHI >= F.col("n"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_true_hh"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+    )
+
+
+@register(
+    "zipf_coverage",
+    rf"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS.format(col='text')}) AS w FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    top AS (
+      SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 100
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
+           w AS token,
+           CAST(c AS BIGINT) AS cnt,
+           ROUND(CAST(SUM(c) OVER (ORDER BY c DESC, w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS cum_share
+    FROM top
+    ORDER BY rank
+    """,
+    note=(
+        "Zipf mass coverage: cumulative share of total token occurrences held by the top-100 "
+        "tokens (rank-ordered, token tie-break) — the 'how top-heavy is this corpus' signal that "
+        "sizes stopword lists and sketch widths"
+    ),
+)
+def zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage of the top-100 tokens: rank,
+    count, and running share of ALL token occurrences — the Zipf
+    readout that decides how large a stopword/vocab head captures most
+    of the corpus.  Scale plan: one token-keyed partial-agg shuffle for
+    counts, top-100 via TakeOrderedAndProject (per-partition heaps,
+    never a global sort), the corpus total as a broadcast 1-row
+    aggregate; the ONLY window runs over the post-limit 100-row
+    relation (single tiny task by construction — the
+    token_length_histogram discipline, not a fact-table window)."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_fn_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("n"))
+    top = cnt.orderBy(F.desc("c"), "w").limit(100)
+    w_cum = Window.orderBy(F.desc("c"), "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("c"), "w")).cast("long").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("c").cast("long").alias("cnt"),
+            F.round(F.sum("c").over(w_cum).cast("double") / F.col("n"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+2], ' ')))) AS w
+      FROM tok
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    first_seen AS (SELECT w, MIN(doc_id) AS first_doc FROM g GROUP BY w),
+    per AS (
+      SELECT CAST((first_doc * 10) // (SELECT m FROM mx) AS BIGINT) AS decile,
+             COUNT(*) AS new_tokens
+      FROM first_seen GROUP BY decile
+    )
+    SELECT decile,
+           CAST(new_tokens AS BIGINT) AS new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+    FROM per ORDER BY decile
+    """,
+    note=(
+        "shingle-vocabulary growth (Heaps' law readout): new distinct 3-gram shingles first "
+        "seen in each doc-id decile of the corpus, with the cumulative shingle vocabulary — "
+        "the 'is the corpus still contributing new content' signal for training-set sizing"
+    ),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-vocabulary growth by corpus position: bucket each
+    distinct 3-gram shingle's FIRST occurrence (min doc_id) into doc-id
+    deciles and report new shingles plus the cumulative vocabulary per
+    decile.  A flattening curve means later docs mostly restate earlier
+    content (stop ingesting); a linear one means the tail is still
+    novel.  (3-gram shingles, not single tokens: the synthetic token
+    vocabulary saturates within the first docs, while the shingle space
+    keeps growing — the same reason MinHash shingles, not tokens.)
+    Scale plan: one shingle-keyed shuffle (min doc_id — partial-agg'd),
+    decile assignment is row-local integer floor-division against a
+    broadcast 1-row max, the second aggregate has a <= 10-value key,
+    and the cumulative window runs over <= 10 post-aggregate rows (tiny
+    by construction).  All arithmetic is integer — bit-identical across
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(_fn_ngrams("text", 3))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    per = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .select(F.expr("(first_doc * 10) DIV m").cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        F.col("new_tokens").cast("long").alias("new_tokens"),
+        F.sum("new_tokens").over(w_cum).cast("long").alias("cum_vocab"),
+    ).orderBy("decile")
+
+
+@register(
+    "ngram_novelty",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+4], ' ')))) AS ng
+      FROM tok
+    ),
+    first_seen AS (SELECT ng, MIN(doc_id) AS first_doc FROM g GROUP BY ng),
+    per_doc AS (
+      SELECT g.doc_id, g.source,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM g JOIN first_seen f ON f.ng = g.ng
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh), 6) AS novelty_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    note=(
+        "per-source first-occurrence novelty: share of each source's distinct 5-gram shingles "
+        "whose corpus-FIRST occurrence (min doc_id) is in that doc — the 'which source adds new "
+        "content vs restates earlier docs' attribution signal (complements dup_ngram_fraction's "
+        "order-free dup share)"
+    ),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty attribution: a shingle 'belongs' to the
+    doc with the smallest doc_id containing it (deterministic corpus
+    order); each source's novelty rate is the share of its docs'
+    distinct 5-gram shingles that are first occurrences.  Unlike
+    dup_ngram_fraction (order-free duplicated-share per doc), this is
+    the ingest-priority signal: a low-novelty source mostly restates
+    what earlier docs already contributed.  Scale plan: two
+    shingle-keyed shuffles (min-doc aggregate, then the join back lands
+    on the SAME key so it co-partitions), one doc-keyed and one tiny
+    source-keyed aggregate; never a doc x doc join.  At 100 TB hash
+    shingles to md5_long 8-byte keys to shrink both shuffles (the
+    dup_ngram_fraction note)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_fn_ngrams("text", 5))).alias("ng"),
+    )
+    first_seen = sh.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "ng")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(F.sum("n_novel").cast("double") / F.sum("n_sh"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -465,3 +465,82 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n_events", F.round("z", 6).alias("z"))
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "peak_concurrency_daily",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    pts AS (
+      SELECT day, user_id, s AS t, 1 AS d FROM spans
+      UNION ALL
+      SELECT day, user_id, e AS t, -1 AS d FROM spans
+    ),
+    run AS (
+      SELECT day,
+             SUM(d) OVER (PARTITION BY day ORDER BY t, d DESC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM pts
+    )
+    SELECT p.day,
+           CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+           CAST(p.peak_concurrent AS BIGINT) AS peak_concurrent
+    FROM (SELECT day, MAX(c) AS peak_concurrent FROM run GROUP BY day) p
+    JOIN (SELECT day, COUNT(*) AS n_sessions FROM spans GROUP BY day) ns
+      ON ns.day = p.day
+    ORDER BY p.day
+    """,
+    note=(
+        "sweep-line peak concurrency per day: user-day activity spans become +1/-1 boundary "
+        "events, a day-partitioned running sum finds the maximum number of simultaneously "
+        "active users — the capacity-planning readout (starts sort before ends at the same "
+        "instant, so touching spans count as concurrent)"
+    ),
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous activity per day via the classic sweep-line:
+    each user-day's activity span [first event, last event] contributes
+    a +1 at its start and a -1 at its end; the day's peak concurrency
+    is the maximum of the running sum over boundary points.  Tie rule:
+    at equal timestamps, starts (+1) sort before ends (-1) — touching
+    spans count as concurrent — and user_id completes a TOTAL order, so
+    the running sum is deterministic.
+
+    Scale plan: spans come from one (user_id, day) partial-agg'd
+    shuffle that collapses the raw event volume to TWO boundary rows
+    per user-day BEFORE any window; the sweep window partitions by day,
+    so each task orders only that day's boundary points (2 x daily
+    active users — thousands, not the raw event billions), never the
+    fact table; the final per-day aggregate is a tiny date-keyed
+    reduce.  No global window, no single-partition exchange anywhere on
+    the fact path."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = spans.select(
+        "day", "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select("day", "user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w_sweep = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("d").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("d").over(w_sweep).alias("c"))
+    n_sessions = spans.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        run.groupBy("day")
+        .agg(F.max("c").cast("long").alias("peak_concurrent"))
+        .join(n_sessions, "day")
+        .select(
+            "day",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            "peak_concurrent",
+        )
+        .orderBy("day")
+    )

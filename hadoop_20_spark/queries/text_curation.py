@@ -834,3 +834,105 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), "w")
     )
+
+
+@register(
+    "quality_gate_adaptive",
+    """
+    WITH h AS (
+      SELECT source, n_chars, COUNT(*) AS k
+      FROM documents GROUP BY source, n_chars
+    ),
+    cdf AS (
+      SELECT source, n_chars,
+             SUM(k) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(k) OVER (PARTITION BY source) AS tot
+      FROM h
+    ),
+    thr AS (
+      SELECT source, MIN(n_chars) AS threshold
+      FROM cdf WHERE cum * 4 >= tot GROUP BY source
+    )
+    SELECT d.source,
+           CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_rate,
+           ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN d.n_chars ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END), 6) AS avg_kept_chars
+    FROM documents d JOIN thr t ON t.source = d.source
+    GROUP BY d.source, t.threshold ORDER BY d.source
+    """,
+    note=(
+        "adaptive per-source quality gate: the keep threshold is each source's own 25th-"
+        "percentile doc length, computed as an integer-exact discrete percentile from a "
+        "per-source CDF over the (source, n_chars) histogram — no interpolated-quantile "
+        "float ever enters the filter, so the gate is bit-identical across engines"
+    ),
+)
+def quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive length gate: drop each source's shortest
+    quartile, where the threshold is that source's DISCRETE 25th
+    percentile of n_chars (smallest value whose CDF reaches 25%).
+    Discrete-by-construction: interpolated quantiles (percentile /
+    quantile_cont) produce doubles whose last bits differ between
+    engines' interpolation expressions, and a knife-edge doc would flip
+    the gate — the CDF form keeps every comparison integer.
+
+    Scale plan: the histogram is one (source, n_chars) partial-agg'd
+    shuffle (bounded domain: sources x distinct lengths); the CDF
+    windows partition by source over that AGGREGATED relation (rows =
+    distinct lengths per source, not docs); thresholds (one row per
+    source) broadcast back to the doc scan, and the verdict is one
+    source-keyed reduce.  The fact table is touched twice, windowed
+    never."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("k"))
+    from pyspark.sql import Window
+
+    w_cdf = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    cdf = h.select(
+        "source",
+        "n_chars",
+        F.sum("k").over(w_cdf).alias("cum"),
+        F.sum("k").over(w_tot).alias("tot"),
+    )
+    thr = (
+        cdf.where(F.col("cum") * 4 >= F.col("tot"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("threshold"))
+    )
+    kept = F.when(F.col("n_chars") >= F.col("threshold"), 1).otherwise(0)
+    kept_chars = F.when(
+        F.col("n_chars") >= F.col("threshold"), F.col("n_chars")
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias(
+                "kept_rate"
+            ),
+            F.round(F.sum(kept_chars).cast("double") / F.sum(kept), 6).alias(
+                "avg_kept_chars"
+            ),
+        )
+        .select(
+            "source",
+            F.col("threshold").cast("long").alias("threshold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "kept_rate",
+            "avg_kept_chars",
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,146 @@
+"""Corpus-stats family: CMS guarantees, growth-curve invariants,
+novelty conservation, sweep-line model check, discrete-percentile gate."""
+
+import duckdb
+import pytest
+
+from hadoop_20_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _oracle_rows(sql: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_cms_one_sided_error_and_no_false_negatives(spark):
+    """Count-min guarantees: estimate >= exact for every reported
+    token, and every TRUE heavy hitter appears in the output (the
+    sketch can only overcount, so est >= exact >= threshold)."""
+    out = REGISTRY["cms_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert out, "heavy hitters must exist in the skewed token corpus"
+    for r in out:
+        assert r["overcount"] >= 0, r
+        assert r["est_count"] == r["exact_count"] + r["overcount"]
+    reported = {r["token"] for r in out}
+    true_hh = {
+        w
+        for (w,) in _oracle_rows(
+            r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        t -> t <> '')) AS w
+              FROM documents)
+            SELECT w FROM tok GROUP BY w
+            HAVING COUNT(*) * 50 >= (SELECT COUNT(*) FROM tok)
+            """
+        )
+    }
+    assert true_hh <= reported, true_hh - reported
+    # the flag marks exactly the true set
+    assert {r["token"] for r in out if r["is_true_hh"] == 1} == true_hh
+
+
+def test_zipf_coverage_monotone(spark):
+    rows = REGISTRY["zipf_coverage"].fn(spark, SF_DIR).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] <= 1.000001
+    counts = [r["cnt"] for r in rows]
+    assert all(b <= a for a, b in zip(counts, counts[1:]))  # rank order
+
+
+def test_vocab_growth_cum_matches_distinct_shingles(spark):
+    rows = REGISTRY["vocab_growth_curve"].fn(spark, SF_DIR).collect()
+    cums = [r["cum_vocab"] for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert sum(r["new_tokens"] for r in rows) == cums[-1]
+    (n_distinct,) = _oracle_rows(
+        r"""
+        WITH tok AS (
+          SELECT list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+          FROM documents)
+        SELECT COUNT(DISTINCT ng) FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                       i -> array_to_string(toks[i:i+2], ' '))) AS ng
+          FROM tok)
+        """
+    )[0]
+    assert cums[-1] == n_distinct
+
+
+def test_ngram_novelty_conservation(spark):
+    """Every distinct shingle is 'novel' in exactly one doc (its min
+    doc_id), so the novel counts across sources sum to the corpus
+    distinct-shingle count."""
+    rows = REGISTRY["ngram_novelty"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert r["n_novel"] <= r["n_shingles"]
+    (n_distinct,) = _oracle_rows(
+        r"""
+        WITH tok AS (
+          SELECT list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+          FROM documents)
+        SELECT COUNT(DISTINCT ng) FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                                       i -> array_to_string(toks[i:i+4], ' '))) AS ng
+          FROM tok)
+        """
+    )[0]
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    """Brute-force model: replay the sweep in plain Python per day and
+    compare peaks (catches tie-rule or frame regressions)."""
+    spans = _oracle_rows(
+        "SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e "
+        "FROM events GROUP BY user_id, CAST(ts AS DATE)"
+    )
+    by_day: dict = {}
+    for user_id, day, s, e in spans:
+        by_day.setdefault(day, []).append((user_id, s, e))
+    expect = {}
+    for day, items in by_day.items():
+        pts = [(s, -1, u) for u, s, e in items] + [(e, 1, u) for u, s, e in items]
+        # starts first at equal t: d=-1 encodes +1 so it sorts before ends
+        pts.sort()
+        cur = peak = 0
+        for _, d, _u in pts:
+            cur += 1 if d == -1 else -1
+            peak = max(peak, cur)
+        expect[day] = (len(items), peak)
+    rows = REGISTRY["peak_concurrency_daily"].fn(spark, SF_DIR).collect()
+    got = {r["day"]: (r["n_sessions"], r["peak_concurrent"]) for r in rows}
+    assert got == expect
+
+
+def test_quality_gate_discrete_percentile(spark):
+    """The threshold must be the exact discrete 25th percentile (smallest
+    n_chars whose CDF reaches 25%) and the gate keeps >= 75% per source."""
+    lengths = _oracle_rows("SELECT source, n_chars FROM documents")
+    per_source: dict = {}
+    for source, n in lengths:
+        per_source.setdefault(source, []).append(n)
+    rows = REGISTRY["quality_gate_adaptive"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(per_source)
+    for r in rows:
+        vals = sorted(per_source[r["source"]])
+        n = len(vals)
+        # smallest value with cum count * 4 >= n
+        thr = next(v for i, v in enumerate(vals) if (i + 1) * 4 >= n)
+        assert r["threshold"] == thr, (r["source"], thr, r["threshold"])
+        assert r["n_kept"] == sum(1 for v in vals if v >= thr)
+        assert r["kept_rate"] >= 0.75

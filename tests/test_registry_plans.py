@@ -277,3 +277,35 @@ def test_vocab_topk_uses_take_ordered_not_global_window(spark):
     plan = physical_plan(REGISTRY["vocab_oov_rate"].fn(spark, PLAN_SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cms_sketch_readout_is_broadcast(spark):
+    """The <=256-row sketch must join candidates by broadcast, and no
+    fact-path exchange may be single-partition (the only exchanges are
+    token/cell-keyed hash partitionings)."""
+    plan = physical_plan(REGISTRY["cms_heavy_hitters"].fn(spark, PLAN_SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_window_is_day_partitioned(spark):
+    """The sweep window must partition by day — never a global running
+    sum (single-partition) over the boundary points."""
+    plan = physical_plan(REGISTRY["peak_concurrency_daily"].fn(spark, PLAN_SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(day" in plan
+
+
+def test_quality_gate_thresholds_broadcast_no_global_window(spark):
+    """CDF windows partition by source over the aggregated histogram;
+    the per-source thresholds come back via broadcast join."""
+    plan = physical_plan(REGISTRY["quality_gate_adaptive"].fn(spark, PLAN_SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_novelty_and_growth_no_cartesian(spark):
+    for name in ("ngram_novelty", "vocab_growth_curve"):
+        plan = physical_plan(REGISTRY[name].fn(spark, PLAN_SF))
+        assert "CartesianProduct" not in plan, name
