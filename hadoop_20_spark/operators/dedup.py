@@ -411,6 +411,81 @@ def incremental_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle: int = 1,
+) -> DataFrame:
+    """DIRECTED set-containment join: pairs ``(id_a, id_b)``, a ≠ b,
+    with ``|A ∩ B| / |A| >= num/den`` over distinct token/shingle sets
+    — the asymmetric twin of :func:`jaccard_pairs`.  Containment
+    catches what Jaccard misses: a short doc fully quoted inside a much
+    longer one has high containment but low Jaccard (the union is
+    dominated by the long doc), which is exactly the
+    quote-expansion/boilerplate-inclusion case a dedup pipeline must
+    see.
+
+    Prefix filter (lossless, SSJoin/PPJoin family): order shingles by
+    (document frequency, value) rarest-first; if fewer than
+    ``|A| - ceil(t*|A|) + 1`` of A's rarest shingles are probed, a pair
+    with containment ≥ t cannot be missed — if NONE of A's first k
+    shingles hit B, at most |A|-k can, so k ≤ |A| - ceil(t|A|) still
+    admits the pair.  Candidates join A's PREFIX postings against B's
+    FULL postings (asymmetric: only the probe side prunes); the prefix
+    holds A's rarest shingles, so the join fans out by RARE-shingle df,
+    never by stopword df.  Verification is exact intersection over
+    full sets.
+
+    The threshold is a RATIONAL num/den and every comparison is
+    integer (``den*|A∩B| >= num*|A|``; the ceil is integer too):
+    ``ceil(0.8*sz)`` in IEEE doubles rounds UP for many sz (0.8*10 =
+    8.000000000000002 → ceil 9), silently shortening the prefix and
+    losing pairs — the integer form cannot."""
+    base = _shingle_postings(df, id_col, text_col, shingle)
+    from pyspark.sql import Window
+
+    freq = base.groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
+    w = Window.partitionBy("did").orderBy("_fr", "sh")
+    ranked = base.join(freq, "sh").select(
+        "did",
+        "sh",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("did")).alias("_sz"),
+    )
+    # prefix length = sz - ceil(num*sz/den) + 1, all-integer
+    ceil_t = F.expr(
+        f"({threshold_num} * _sz + {threshold_den} - 1) DIV {threshold_den}"
+    )
+    prefix = ranked.filter(F.col("_pos") <= F.col("_sz") - ceil_t + 1)
+    cand = (
+        prefix.select(F.col("did").alias("id_a"), "sh")
+        .join(base.select(F.col("did").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = (
+        base.groupBy("did")
+        .agg(F.sort_array(F.collect_set("sh")).alias("shs"))
+    )
+    a = sets.select(F.col("did").alias("id_a"), F.col("shs").alias("_shs_a"))
+    b = sets.select(F.col("did").alias("id_b"), F.col("shs").alias("_shs_b"))
+    inter = F.size(F.array_intersect(F.col("_shs_a"), F.col("_shs_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_i", inter)
+        .filter(
+            F.col("_i") * threshold_den >= F.size("_shs_a") * threshold_num
+        )
+        .withColumn("containment", F.round(F.col("_i") / F.size("_shs_a"), 6))
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # --- simhash ----------------------------------------------------------------
 
 def simhash(col: Column | str, bits: int = 16) -> Column:

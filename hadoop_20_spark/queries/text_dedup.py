@@ -1533,3 +1533,62 @@ REGISTRY["minhash_estimate_quality"] = Query(
     note=REGISTRY["minhash_estimate_quality"].note,
 )
 
+
+
+@register(
+    "containment_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      FROM tok
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM g a JOIN g b ON b.sh = a.sh AND b.doc_id <> a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) AS containment
+    FROM common c JOIN sz sa ON sa.doc_id = c.id_a
+    WHERE 5 * c.c >= 4 * sa.s
+    ORDER BY id_a, id_b
+    """,
+    note=(
+        "directed set-containment join (|A∩B|/|A| >= 4/5 over 3-gram shingles): the asymmetric "
+        "dedup case Jaccard misses — a short doc quoted inside a long one; lossless rarest-first "
+        "prefix filter on the probe side only, rational threshold so every comparison is integer "
+        "(oracle = brute-force all-pairs, bit-identical by the prefix theorem)"
+    ),
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-expansion dedup: directed pairs where ≥ 80% of doc A's
+    distinct 3-gram shingles also appear in doc B.  Jaccard cannot see
+    these when |B| >> |A| (the union swamps the intersection), yet they
+    are exactly the contained-duplicate class (quoted posts, boilerplate
+    inclusion, doc-plus-appendix) a pretraining pipeline prunes.
+
+    Scale plan: the probe side indexes only each doc's
+    ``sz - ceil(0.8*sz) + 1`` RAREST shingles (df-order prefix —
+    provably lossless for containment ≥ 0.8), so the candidate join
+    fans out by rare-shingle document frequency, never stopword df; the
+    verify stage is |candidates| rows through two doc-id hash joins.
+    The threshold is the rational 4/5 and all pruning/filter
+    comparisons are integer — ``ceil(0.8*sz)`` in doubles rounds up for
+    many sz and would silently shorten the prefix (lossy).  Oracle is
+    the brute-force all-pairs form: the prefix theorem says the outputs
+    are identical."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold_num=4,
+        threshold_den=5,
+        shingle=3,
+    ).orderBy("id_a", "id_b")

@@ -423,3 +423,27 @@ def stateful_running_totals_tws(events: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def run_available_now_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming query with Trigger.AvailableNow — the bounded
+    BACKFILL discipline: process everything already in the source
+    (honoring per-batch rate limits like maxFilesPerTrigger, unlike the
+    deprecated Trigger.Once which swallowed the backlog in one batch),
+    then terminate on its own.  This is how a production pipeline
+    catches up a lagging stream or replays history into a fresh
+    checkpoint: same query, same sink, no always-on cluster.
+
+    awaitTermination() (not processAllAvailable) — AvailableNow ends the
+    query itself once the planned offsets are consumed."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -403,3 +403,82 @@ def test_semantic_dedup_no_corpus_cross_join(spark, tables):
     emb = tables["embeddings"].select("vec_id", "embedding")
     plan = physical_plan(similarity.semantic_dedup(emb))
     assert "CartesianProduct" not in plan
+
+
+def test_containment_finds_quote_expansion_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    (A in B) = 1.0, but Jaccard is far below 0.8 — the asymmetric case
+    the directed join exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        ["doc_id", "text"],
+    )
+    out = dedup.containment_pairs(
+        df, "doc_id", "text", threshold_num=4, threshold_den=5, shingle=3
+    ).collect()
+    directed = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+    assert directed.get((1, 2)) == 1.0  # every 3-gram of the short doc is in the long one
+    assert (2, 1) not in directed  # the long doc is NOT contained in the short
+    jac = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.8, shingle=3).collect()
+    assert jac == []  # Jaccard at the same threshold cannot see the pair
+
+
+def test_containment_prefix_filter_matches_python_model(spark):
+    """Fuzz the lossless-prefix claim: random small corpora, compare the
+    prefix-filtered output against a plain-Python brute force."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 18))))
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", threshold_num=3, threshold_den=5, shingle=2
+        ).collect()
+    }
+
+    def shingles(text, n=2):
+        toks = text.split()
+        if len(toks) <= n:
+            return {" ".join(toks[:max(len(toks), 1)])} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    expect = {}
+    for a, b in itertools.permutations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        if 5 * inter >= 3 * len(sets[a]):
+            expect[(a, b)] = round(inter / len(sets[a]), 6)
+    assert got == expect
+
+
+def test_streaming_backfill_equals_batch(spark):
+    """AvailableNow backfill must be row-identical to the batch
+    aggregate (exactly-once over the staged backlog)."""
+    from hadoop_20_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+    from hadoop_20_spark.catalog import load_table
+
+    got = sorted(
+        (str(r["day"]), r["n_events"], round(r["sum_value"], 6))
+        for r in REGISTRY["streaming_backfill_totals"].fn(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        (str(r["day"]), r["n_events"], round(r["sum_value"], 6))
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == batch

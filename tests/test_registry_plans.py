@@ -309,3 +309,11 @@ def test_novelty_and_growth_no_cartesian(spark):
     for name in ("ngram_novelty", "vocab_growth_curve"):
         plan = physical_plan(REGISTRY[name].fn(spark, PLAN_SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_containment_no_cartesian_prefix_probe(spark):
+    """Candidates must come from a shingle equi-join (prefix postings x
+    full postings), never an all-pairs product."""
+    plan = physical_plan(REGISTRY["containment_pairs"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(sh" in plan  # the postings equi-join key
