@@ -61,6 +61,14 @@ QUERIES = {
     "interval_sample": "distributed_global_rank: row-local quantile bucket, broadcast offset join, per-bucket window — NO Exchange SinglePartition on the fact path (was the last global-window scale-killer)",
     "bpe_apply_merges": "learned merges applied as N row-local literal replaces on the framed symbol line; symbols counted by counting TAB frames — corpus touched once, only shuffle is the per-source agg",
     "leakage_safe_split_neardup": "cluster labels (near-dup docs only) broadcast back to documents; split stays row-local md5 arithmetic on the component representative",
+    "cms_heavy_hitters": "sketch build collapses to ≤256 (r,bucket) cells per partition before the shuffle; readout joins the sketch by broadcast; exact-audit pass is one token shuffle",
+    "zipf_coverage": "token counts partial-agg'd; top-100 via TakeOrderedAndProject; cumulative window only over the post-limit 100 rows",
+    "vocab_growth_curve": "shingle→min-doc aggregate is the only fact shuffle; decile bucket row-local vs broadcast 1-row max; ≤10-row cumulative window",
+    "ngram_novelty": "min-doc aggregate then join back on the SAME shingle key (co-partitioned); per-doc and per-source aggregates on shrinking keys",
+    "containment_pairs": "prefix postings (rarest shingles only) equi-join FULL postings on sh; verify = |candidates| rows through two doc-id joins — no CartesianProduct",
+    "peak_concurrency_daily": "raw events collapse to 2 boundary rows per user-day BEFORE the sweep; running-sum window partitioned by day — no global window",
+    "quality_gate_adaptive": "CDF windows partition by source over the (source,n_chars) HISTOGRAM; thresholds broadcast back; verdict one source-keyed reduce",
+    "pagerank_top20": "per iteration: edges⋈ranks⋈deg on the node key then contribution agg by dst; localCheckpoint per round; top-20 TakeOrderedAndProject",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
