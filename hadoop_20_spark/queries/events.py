@@ -544,3 +544,101 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+      FROM events
+    ),
+    purchases AS (
+      SELECT CAST(ts AS DATE) AS day,
+             value,
+             CASE WHEN last_view_ts IS NOT NULL
+                       AND ts - last_view_ts <= INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS attributed
+      FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+           ROUND(CAST(SUM(attributed) AS DOUBLE) / COUNT(*), 6) AS attribution_rate,
+           CAST(SUM(CASE WHEN attributed = 1
+                         THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS attributed_value
+    FROM purchases GROUP BY day ORDER BY day
+    """,
+    note=(
+        "last-touch marketing attribution: each purchase credited to the user's most recent "
+        "prior 'view' within a 7-day lookback (conditional last-ignorenulls over ONE user "
+        "window); per-day attribution rate and decimal-exact attributed value"
+    ),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution over the raw event stream: carry each
+    user's most recent 'view' timestamp forward (conditional
+    last-ignorenulls — the resample_ffill discipline applied to a
+    TYPE-FILTERED carry), then flag purchases whose carried view is
+    within a 7-day lookback, and report per-day purchase counts,
+    attribution rate, and decimal-exact attributed revenue.
+
+    Scale plan: ONE user_id hash shuffle carries the whole query — the
+    window orders each user's events once (the funnel discipline), the
+    carry is rows-frame so ties resolve by (ts, event_id) total order;
+    the per-day aggregate runs on the tiny date keyspace.  No as-of
+    join, no second pass over events.  Value sums aggregate in DECIMAL
+    (order-independent) and cast to double only for emission."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_view_ts"),
+    )
+    # microsecond-exact lookback: cast("long") floors to whole seconds,
+    # so a purchase 7d+0.5s after its view would flip between engines;
+    # unix_micros matches the oracle's INTERVAL comparison bit-for-bit
+    attributed = F.when(
+        F.col("last_view_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view_ts"))
+            <= 7 * 86400 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    purchases = ordered.where(F.col("event_type") == "purchase").select(
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        attributed.alias("attributed"),
+    )
+    return (
+        purchases.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("attributed").cast("long").alias("n_attributed"),
+            F.round(
+                F.sum("attributed").cast("double") / F.count(F.lit(1)), 6
+            ).alias("attribution_rate"),
+            F.sum(
+                F.when(
+                    F.col("attributed") == 1, F.col("value").cast("decimal(18,3)")
+                )
+            )
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("day")
+    )

@@ -1661,3 +1661,61 @@ def window_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     )
 
+
+
+@register(
+    "copurchase_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+    FROM pairs ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+    note=(
+        "market-basket pair counting (top-20 co-purchased part pairs): per-order part sets "
+        "built in one orderkey shuffle, C(k,2) pairs generated ROW-LOCALLY from each set "
+        "(the map-side idiom — no postings self-join), pair counts partial-agg'd; oracle is "
+        "the naive self-join, identical by construction"
+    ),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs bought together in the same order — the
+    A-Priori/market-basket pair-counting workload the reference ran as
+    a canonical two-job MapReduce chain.  Spark plan: ONE l_orderkey
+    shuffle builds each order's sorted distinct part set; the C(k,2)
+    pair expansion is a row-local higher-order expression (slice
+    against the per-row array — no self-join, so a hot part's postings
+    never fan out against each other); pair counts ride a partial-agg'd
+    shuffle on the (part_a, part_b) key and top-20 is
+    TakeOrderedAndProject.  Per-order fan-out is C(order size, 2) —
+    bounded by basket size, not by part popularity, which is what makes
+    this shape survive 100 TB where the postings self-join (the oracle
+    spelling) blows up on popular parts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    # row-local C(k,2): for element i, pair with every later element
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -144,3 +144,56 @@ def test_quality_gate_discrete_percentile(spark):
         assert r["threshold"] == thr, (r["source"], thr, r["threshold"])
         assert r["n_kept"] == sum(1 for v in vals if v >= thr)
         assert r["kept_rate"] >= 0.75
+
+
+def test_copurchase_matches_python_model(spark):
+    import itertools
+
+    rows = _oracle_rows("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    orders: dict = {}
+    for ok, pk in rows:
+        orders.setdefault(ok, set()).add(pk)
+    counts: dict = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    expect = sorted(
+        ((n, a, b) for (a, b), n in counts.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [
+        (r["n_orders"], r["part_a"], r["part_b"])
+        for r in REGISTRY["copurchase_pairs"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_last_touch_planted_lookback(spark):
+    """A purchase 1 hour after a view attributes; one 8 days after the
+    only view does not; one with no prior view does not."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 100, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 100, "purchase", 5.0, "{}"),
+        (3, t0, 200, "view", 0.0, "{}"),
+        (4, t0 + dt.timedelta(days=8), 200, "purchase", 7.0, "{}"),
+        (5, t0 + dt.timedelta(hours=2), 300, "purchase", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="lta_fixture_")
+    # only events.parquet is needed — the query reads no other table
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        str(r["day"]): (r["n_purchases"], r["n_attributed"])
+        for r in REGISTRY["last_touch_attribution"].fn(spark, d).collect()
+    }
+    assert out == {
+        "2024-03-01": (2, 1),  # user 100 attributed, user 300 not (no view)
+        "2024-03-09": (1, 0),  # 8-day-old view is outside the lookback
+    }

@@ -317,3 +317,19 @@ def test_containment_no_cartesian_prefix_probe(spark):
     plan = physical_plan(REGISTRY["containment_pairs"].fn(spark, PLAN_SF))
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(sh" in plan  # the postings equi-join key
+
+
+def test_copurchase_no_join_takeordered(spark):
+    """Pair generation must be row-local (no postings self-join): the
+    plan contains NO join operator at all, and top-20 is
+    TakeOrderedAndProject."""
+    plan = physical_plan(REGISTRY["copurchase_pairs"].fn(spark, PLAN_SF))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_last_touch_single_user_shuffle(spark):
+    """The conditional carry + purchase filter + day aggregate must ride
+    ONE user_id hash exchange (the funnel discipline)."""
+    plan = physical_plan(REGISTRY["last_touch_attribution"].fn(spark, PLAN_SF))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
