@@ -531,3 +531,77 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, threshold=0.45)
+
+
+@register(
+    "ivf_recall_audit",
+    f"""
+    WITH {_kmeans_ctes(16, 3)},
+         cent AS (SELECT cent_id, c_vec FROM c3),
+         corpus AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT neighbor_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT neighbor_id, n_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         qa AS (SELECT query_id, q_vec, cent_id, {_sql_cos('q_vec', 'c_vec')} AS sim FROM q, cent),
+         qcells AS (SELECT query_id, q_vec, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cent_id) AS rk FROM qa)
+            WHERE rk <= 4),
+         ivf_scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS s
+            FROM qcells JOIN cells USING (cell) WHERE neighbor_id <> query_id),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+            FROM ivf_scored) WHERE rank <= 5),
+         brute_scored AS (SELECT query_id, neighbor_id, {_sql_cos('q_vec', 'n_vec')} AS s
+            FROM q, corpus WHERE neighbor_id <> query_id),
+         brute AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+            FROM brute_scored) WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6) AS recall
+    FROM brute b LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+    note=(
+        "ANN recall@5 audit: per-query overlap of IVF top-5 (real k-means quantizer, nprobe=4) "
+        "with the brute-force top-5 — the estimator-quality twin for the ANN family (every "
+        "approximate path ships with an exact audit); the oracle unrolls k-means AND both "
+        "retrievals, so the recall number itself is hash-checked"
+    ),
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against exact brute-force retrieval,
+    per query — the acceptance metric a pipeline owner reads before
+    swapping brute force for IVF at scale.  Both retrievals are
+    deterministic (4dp-rounded cosines, id tie-breaks), so recall is a
+    stable integer count, not a flaky estimate.
+
+    Scale plan: the IVF side probes nprobe/16 of the corpus via the
+    cell equi-join (centroids broadcast); the brute side is the guarded
+    baseline — at 100 TB you run the audit on a SAMPLED query set
+    (recall estimates converge fast in query count) while the IVF path
+    serves production traffic.  The hit join keys on (query_id,
+    neighbor_id) — |queries| x 5 rows on each side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.kmeans_centroids(emb, k=16, iterations=3)
+    ivf = similarity.ivf_topk(
+        emb, queries, k=5, nprobe=4, centroids=cents
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    brute = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / 5, 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -333,3 +333,48 @@ def test_last_touch_single_user_shuffle(spark):
     ONE user_id hash exchange (the funnel discipline)."""
     plan = physical_plan(REGISTRY["last_touch_attribution"].fn(spark, PLAN_SF))
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_ivf_recall_is_perfect_or_near(spark):
+    """Recall@5 of IVF vs brute force must be high on the fixture (the
+    quantizer works) and every value a multiple of 0.2 (integer hits)."""
+    rows = REGISTRY["ivf_recall_audit"].fn(spark, PLAN_SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
+    assert sum(r["n_hits"] for r in rows) >= 40  # >= 0.8 mean recall
+
+
+def test_triangle_count_matches_python_model(spark):
+    """Ordered two-hop join vs a plain-Python triangle walk at sf0.001."""
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    edges = set(
+        con.execute(
+            f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM read_parquet('{PLAN_SF}/lineitem.parquet')),
+        p AS (SELECT a.l_partkey pa, b.l_partkey pb
+              FROM items a JOIN items b
+                ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT pa, pb FROM p"""
+        ).fetchall()
+    )
+    con.close()
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    n_tri = sum(
+        1
+        for a, nbrs in adj.items()
+        for b, c in itertools.combinations(sorted(nbrs), 2)
+        if c in adj.get(b, ())
+    )
+    row = REGISTRY["copurchase_triangles"].fn(spark, PLAN_SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == n_tri
