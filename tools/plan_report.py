@@ -69,6 +69,10 @@ QUERIES = {
     "peak_concurrency_daily": "raw events collapse to 2 boundary rows per user-day BEFORE the sweep; running-sum window partitioned by day — no global window",
     "quality_gate_adaptive": "CDF windows partition by source over the (source,n_chars) HISTOGRAM; thresholds broadcast back; verdict one source-keyed reduce",
     "pagerank_top20": "per iteration: edges⋈ranks⋈deg on the node key then contribution agg by dst; localCheckpoint per round; top-20 TakeOrderedAndProject",
+    "copurchase_pairs": "per-order part sets in ONE orderkey shuffle; C(k,2) pair expansion row-local (no self-join); pair counts partial-agg'd; top-20 TakeOrderedAndProject",
+    "last_touch_attribution": "conditional last-ignorenulls carry + purchase filter + day agg all on ONE user_id exchange; lookback compared in unix_micros",
+    "ivf_recall_audit": "IVF probe join (broadcast centroids, cell equi-join) vs brute broadcast-NL scoring; hit join on (query_id, neighbor_id) — |queries|x5 rows per side",
+    "copurchase_triangles": "edge list is the aggregated >=2 pair relation (localCheckpoint, feeds 3 join sides); ordered two-hop joins on part keys; 1-row aggregates broadcast cross-joined",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
