@@ -642,3 +642,67 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "repeat_purchase_interval",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) // 86400000000 AS gap_days
+      FROM p
+    )
+    SELECT CAST(LEAST(gap_days, 10) AS BIGINT) AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM gaps WHERE gap_days IS NOT NULL), 6) AS share
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY gap_bucket ORDER BY gap_bucket
+    """,
+    note=(
+        "repeat-purchase cadence: whole-day gaps between consecutive purchases per user "
+        "(lag over ONE user window, integer micros floor-division), bucketed 0..10+ with "
+        "corpus share — the retention-cadence readout"
+    ),
+)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a user's consecutive purchases: lag
+    each purchase against the previous one per user, floor the gap to
+    whole days (integer microsecond arithmetic — no float duration),
+    cap the bucket at 10+, and report counts with corpus share.
+
+    Scale plan: events filter to purchases BEFORE the shuffle (predicate
+    pushed to the scan), then ONE user_id window computes the lag; the
+    histogram aggregate has an 11-value key and the share denominator
+    is a broadcast 1-row count.  First purchases (no predecessor) are
+    excluded via IS NOT NULL in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = p.select(
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    tot = gaps.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        gaps.groupBy(F.least(F.col("gap_days"), F.lit(10)).cast("long").alias("gap_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            F.round(F.col("n_gaps").cast("double") / F.col("n_tot"), 6).alias("share"),
+        )
+        .orderBy("gap_bucket")
+    )

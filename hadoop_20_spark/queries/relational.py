@@ -1719,3 +1719,97 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "part_affinity_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    pc AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_ab
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT part_a, part_b, c_ab,
+             CAST(c_ab * (SELECT n_orders FROM n) AS DOUBLE)
+               / CAST(ca.c * cb.c AS DOUBLE) AS lift
+      FROM pairs
+      JOIN pc ca ON ca.l_partkey = part_a
+      JOIN pc cb ON cb.l_partkey = part_b
+    )
+    SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS n_orders, ROUND(lift, 6) AS lift
+    FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+    note=(
+        "association-rule lift (P(a,b)/(P(a)P(b))) for co-purchased part pairs with support "
+        ">= 2: the market-basket METRIC on top of copurchase_pairs' counting — lift computed "
+        "as one double expression over exact integer counts (identical in both engines), "
+        "ordered unrounded, emitted rounded"
+    ),
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by association lift: how much more often two
+    parts are bought together than independence predicts.  Counts are
+    exact integers (pair counts from the row-local basket expansion,
+    per-part counts and the order total from the same items relation),
+    so the lift double is computed identically from identical integers
+    on both engines; ranking uses the UNROUNDED value with (part_a,
+    part_b) tie-break, and only the emitted column is rounded.
+
+    Scale plan: one orderkey shuffle (basket sets + the distinct-order
+    count), row-local C(k,2) expansion, pair counts partial-agg'd; the
+    per-part count relation is dim-sized and joins the pair relation
+    twice (AQE broadcasts it from runtime stats); top-20 is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    n = sets.agg(F.count(F.lit(1)).alias("n_orders_tot"))
+    pc = (
+        sets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    ca = pc.select(F.col("p").alias("part_a"), F.col("c").alias("_ca"))
+    cb = pc.select(F.col("p").alias("part_b"), F.col("c").alias("_cb"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("n_orders"),
+            (
+                (F.col("c_ab") * F.col("n_orders_tot")).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double")
+            ).alias("_lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_lift"), "part_a", "part_b")
+        .limit(20)
+        .select("part_a", "part_b", "n_orders", F.round("_lift", 6).alias("lift"))
+    )

@@ -336,3 +336,118 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "metric", F.round("amount", 6).alias("amount"))
         .orderBy("l_returnflag", "metric")
     )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             COUNT(*) AS f,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS m_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS s FROM orders),
+    c2 AS (
+      SELECT o_custkey,
+             date_diff('day', last_d, (SELECT s FROM snap)) AS r,
+             f, CAST(m_dec AS DOUBLE) AS m, m_dec
+      FROM cust
+    ),
+    b AS (
+      SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.50) AS r2, quantile_cont(r, 0.75) AS r3,
+             quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.50) AS f2, quantile_cont(f, 0.75) AS f3,
+             quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.50) AS m2, quantile_cont(m, 0.75) AS m3
+      FROM c2
+    ),
+    scored AS (
+      SELECT CAST(m_dec * 1000000 AS BIGINT) AS m_units,
+             5 - (1 + CASE WHEN r > b.r1 THEN 1 ELSE 0 END
+                    + CASE WHEN r > b.r2 THEN 1 ELSE 0 END
+                    + CASE WHEN r > b.r3 THEN 1 ELSE 0 END) AS r_score,
+             1 + CASE WHEN f > b.f1 THEN 1 ELSE 0 END
+               + CASE WHEN f > b.f2 THEN 1 ELSE 0 END
+               + CASE WHEN f > b.f3 THEN 1 ELSE 0 END AS f_score,
+             1 + CASE WHEN m > b.m1 THEN 1 ELSE 0 END
+               + CASE WHEN m > b.m2 THEN 1 ELSE 0 END
+               + CASE WHEN m > b.m3 THEN 1 ELSE 0 END AS m_score
+      FROM c2 CROSS JOIN b
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m_units) // COUNT(*) AS BIGINT) AS avg_monetary_micros
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    note=(
+        "RFM customer segmentation: recency/frequency/monetary quartile scores (1-4 each, "
+        "segment = RFM digits) with quartile boundaries from ONE exact-percentile aggregate "
+        "broadcast back — boundaries-then-score, never a per-dimension NTILE window; monetary "
+        "sums ride DECIMAL"
+    ),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation over orders: per customer, recency
+    (days since last order at the corpus snapshot), frequency (order
+    count) and monetary (decimal-exact total spend) are each scored
+    into quartiles (recency reversed — recent is good), and customers
+    roll up into the 3-digit RFM segments with counts and FLOORED
+    integer-micros average spend (a 6dp ROUND of the average lands on
+    exact decimal .5 ties — sums of 6dp decimals divided by small
+    counts — where engines round differently; the floor of an exact
+    integer quotient cannot diverge: the SCALE.md rounding-trap rule).
+
+    Scale plan: ONE custkey shuffle builds the per-customer triple; the
+    nine quartile boundaries come from a single percentile aggregate
+    (the equi_depth_histogram discipline — `approx_percentile` is the
+    documented 100 TB swap with the identical plan) broadcast back as
+    one row; scoring is row-local strict-> comparisons (boundary ties
+    to the lower quartile in both engines); the final aggregate has a
+    <= 64-value key.  No window anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("m_dec"),
+    )
+    snap = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("s"))
+    c2 = cust.crossJoin(F.broadcast(snap)).select(
+        F.datediff(F.col("s"), F.col("last_d")).alias("r"),
+        "f",
+        F.col("m_dec").cast("double").alias("m"),
+        "m_dec",
+    )
+    bounds = c2.agg(
+        *[F.percentile("r", p).alias(f"r{i}") for i, p in enumerate((0.25, 0.5, 0.75), 1)],
+        *[F.percentile("f", p).alias(f"f{i}") for i, p in enumerate((0.25, 0.5, 0.75), 1)],
+        *[F.percentile("m", p).alias(f"m{i}") for i, p in enumerate((0.25, 0.5, 0.75), 1)],
+    )
+
+    def quartile(col: str) -> F.Column:
+        e = F.lit(1)
+        for i in (1, 2, 3):
+            e = e + F.when(F.col(col) > F.col(f"{col}{i}"), 1).otherwise(0)
+        return e
+
+    scored = c2.crossJoin(F.broadcast(bounds)).select(
+        (F.col("m_dec") * 1000000).cast("long").alias("m_units"),
+        (F.lit(5) - quartile("r")).alias("r_score"),
+        quartile("f").alias("f_score"),
+        quartile("m").alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr("CAST(SUM(m_units) DIV COUNT(1) AS BIGINT)").alias(
+                "avg_monetary_micros"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -197,3 +197,58 @@ def test_last_touch_planted_lookback(spark):
         "2024-03-01": (2, 1),  # user 100 attributed, user 300 not (no view)
         "2024-03-09": (1, 0),  # 8-day-old view is outside the lookback
     }
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Every customer lands in exactly one segment; scores stay in 1-4
+    per digit; the floored-micros average is integer-exact."""
+    rows = REGISTRY["rfm_segments"].fn(spark, SF_DIR).collect()
+    (n_cust,) = _oracle_rows("SELECT COUNT(DISTINCT o_custkey) FROM orders")[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        seg = r["segment"]
+        rs, fs, ms = seg // 100, (seg // 10) % 10, seg % 10
+        assert 1 <= rs <= 4 and 1 <= fs <= 4 and 1 <= ms <= 4, seg
+        assert r["avg_monetary_micros"] > 0
+
+
+def test_repeat_purchase_shares_sum_to_one(spark):
+    rows = REGISTRY["repeat_purchase_interval"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture users repeat-purchase"
+    assert all(0 <= r["gap_bucket"] <= 10 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    (n_gaps,) = _oracle_rows(
+        """SELECT COUNT(*) - COUNT(DISTINCT user_id) FROM events
+           WHERE event_type = 'purchase'"""
+    )[0]
+    assert sum(r["n_gaps"] for r in rows) == n_gaps
+
+
+def test_affinity_lift_matches_python_model(spark):
+    import itertools
+
+    rows = _oracle_rows("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+    orders: dict = {}
+    part_c: dict = {}
+    for ok, pk in rows:
+        orders.setdefault(ok, set()).add(pk)
+    for parts in orders.values():
+        for p in parts:
+            part_c[p] = part_c.get(p, 0) + 1
+    n = len(orders)
+    pair_c: dict = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_c[(a, b)] = pair_c.get((a, b), 0) + 1
+    scored = [
+        (c * n / (part_c[a] * part_c[b]), a, b, c)
+        for (a, b), c in pair_c.items()
+        if c >= 2
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [(a, b, c, round(l, 6)) for l, a, b, c in scored[:20]]
+    got = [
+        (r["part_a"], r["part_b"], r["n_orders"], r["lift"])
+        for r in REGISTRY["part_affinity_lift"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == expect

@@ -378,3 +378,17 @@ def test_triangle_count_matches_python_model(spark):
     row = REGISTRY["copurchase_triangles"].fn(spark, PLAN_SF).collect()[0]
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == n_tri
+
+
+def test_rfm_no_window_no_single_partition(spark):
+    """Boundaries-then-score: the RFM plan must contain no window
+    operator and no single-partition exchange on the fact path (the
+    only SinglePartition carries the 1-row percentile aggregate)."""
+    plan = physical_plan(REGISTRY["rfm_segments"].fn(spark, PLAN_SF))
+    assert "WindowExec" not in plan and "Window " not in plan
+
+
+def test_affinity_lift_take_ordered(spark):
+    plan = physical_plan(REGISTRY["part_affinity_lift"].fn(spark, PLAN_SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
