@@ -62,6 +62,8 @@ DUCKDB_COMPARABLE = (
     "b11_snowflake_join",
     "b13_stream_join",  # anchor = the BATCH time-range self-join oracle
     "b14_interval_sample",
+    "b15_cms_sketch",
+    "b16_copurchase",
 )
 
 BENCH_QUERIES = {
@@ -107,6 +109,14 @@ BENCH_QUERIES = {
     # bench so a regression back to Exchange SinglePartition shows up
     # as a wall-clock step, not just a plan-test failure.
     "b14_interval_sample": "interval_sample",
+    # b15/b16: round-6 additions with genuinely new plan shapes — the
+    # CMS sketch build (map-side combine to <=256 cells before the
+    # shuffle + broadcast readout) and the market-basket row-local
+    # C(k,2) expansion (no postings self-join).  In the bench so a
+    # regression to a widened sketch shuffle or a join-based pair
+    # expansion shows up as wall-clock, not just a plan-test failure.
+    "b15_cms_sketch": "cms_heavy_hitters",
+    "b16_copurchase": "copurchase_pairs",
 }
 
 

@@ -392,3 +392,27 @@ def test_affinity_lift_take_ordered(spark):
     plan = physical_plan(REGISTRY["part_affinity_lift"].fn(spark, PLAN_SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_key_join_conservation(spark):
+    """The CDC diff must be one full-outer join on the snapshot key (no
+    cartesian, no single-partition exchange), and the four change
+    classes must conserve both snapshots' row counts."""
+    plan = physical_plan(REGISTRY["snapshot_diff"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    rows = {r["change_type"]: r["n_rows"]
+            for r in REGISTRY["snapshot_diff"].fn(spark, PLAN_SF).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    md5g = "(('0x' || substr(md5('{p}' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 20 <> 0"
+    n_cur, n_prev = con.execute(
+        f"""SELECT SUM(CASE WHEN {md5g.format(p='ins_')} THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN {md5g.format(p='del_')} THEN 1 ELSE 0 END)
+            FROM read_parquet('{PLAN_SF}/orders.parquet')"""
+    ).fetchone()
+    con.close()
+    # exact conservation: each class partitions cur/prev membership
+    assert rows["inserted"] + rows["changed"] + rows["unchanged"] == n_cur
+    assert rows["deleted"] + rows["changed"] + rows["unchanged"] == n_prev

@@ -73,6 +73,9 @@ QUERIES = {
     "last_touch_attribution": "conditional last-ignorenulls carry + purchase filter + day agg all on ONE user_id exchange; lookback compared in unix_micros",
     "ivf_recall_audit": "IVF probe join (broadcast centroids, cell equi-join) vs brute broadcast-NL scoring; hit join on (query_id, neighbor_id) — |queries|x5 rows per side",
     "copurchase_triangles": "edge list is the aggregated >=2 pair relation (localCheckpoint, feeds 3 join sides); ordered two-hop joins on part keys; 1-row aggregates broadcast cross-joined",
+    "rfm_segments": "one custkey shuffle for the RFM triple; nine quartile bounds from ONE percentile agg broadcast back; row-local scoring; <=64-key final agg — windowless",
+    "part_affinity_lift": "basket sets one orderkey shuffle; row-local pair expansion; part-count relation joins pair relation twice (AQE broadcast); TakeOrderedAndProject",
+    "snapshot_diff": "both snapshots hash-partition on o_orderkey for ONE full-outer join; md5 fingerprint comparison row-local; 4-key verdict agg",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
