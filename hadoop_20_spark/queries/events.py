@@ -706,3 +706,129 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_bucket")
     )
+
+
+@register(
+    "error_rate_sli",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS err_rate,
+           ROUND(AVG(CAST(n_errors AS DOUBLE) / n_events) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS err_rate_7d
+    FROM daily ORDER BY day
+    """,
+    note=(
+        "SLI error-rate series: daily error share plus the 7-day trailing average — the "
+        "availability readout; the trailing window runs over the tiny daily grid (one row "
+        "per day), never the event stream"
+    ),
+)
+def error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate SLI with a 7-day trailing mean: one (day)-keyed
+    partial-agg'd shuffle collapses events to the daily grid; the
+    trailing window then orders ~365 rows/year — a deliberately global
+    window over a BOUNDED post-aggregate relation (the
+    cumulative_distinct_users precedent), never the raw events.  The
+    trailing mean averages ≤7 doubles in frame order — identical
+    sequential arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.round(rate, 6).alias("err_rate"),
+        F.round(F.avg(rate).over(w7), 6).alias("err_rate_7d"),
+    ).orderBy("day")
+
+
+@register(
+    "touch_depth",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    carried AS (
+      SELECT event_type,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS touches
+      FROM e
+    ),
+    purchases AS (
+      SELECT LEAST(touches, 10) AS touch_bucket FROM carried
+      WHERE event_type = 'purchase'
+    )
+    SELECT CAST(touch_bucket AS BIGINT) AS touch_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM purchases), 6) AS share
+    FROM purchases GROUP BY touch_bucket ORDER BY touch_bucket
+    """,
+    note=(
+        "multi-touch depth: views in the 7-day RANGE window before each purchase (value-"
+        "bounded event-time frame over one user window), bucketed 0..10+ with share — how "
+        "many touches a conversion takes, the attribution-model sizing input"
+    ),
+)
+def touch_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many view-touches precede each purchase: a RANGE-framed
+    window (value bounds in integer event-time microseconds — the
+    event-time analog of a rows frame, and ties at equal timestamps
+    are frame-equivalent by definition in both engines) counts views in
+    the 7 days up to each event; purchases keep their count and roll
+    into an 11-bucket histogram with corpus share.
+
+    Scale plan: ONE user_id shuffle carries the window (the funnel /
+    last_touch discipline); the frame is value-bounded so state per
+    user is the 7-day slice, not the full history; the histogram key
+    has 11 values and the share denominator is a broadcast 1-row
+    count."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604800000000, Window.currentRow)
+    )
+    carried = e.select(
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).over(w).alias("touches"),
+    )
+    purchases = carried.where(F.col("event_type") == "purchase").select(
+        F.least(F.col("touches"), F.lit(10)).alias("touch_bucket")
+    )
+    tot = purchases.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        purchases.groupBy(F.col("touch_bucket").cast("long").alias("touch_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "touch_bucket",
+            "n_purchases",
+            F.round(F.col("n_purchases").cast("double") / F.col("n_tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("touch_bucket")
+    )

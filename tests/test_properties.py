@@ -263,3 +263,88 @@ def test_incremental_jaccard_matches_python_model(spark, ex_texts, ba_texts, thr
             if union and len(bs & es) / len(union) >= threshold:
                 expected.add((b, e))
     assert got == expected
+
+
+# --- containment join (directed) --------------------------------------------
+
+_doc_text = st.lists(
+    st.sampled_from([f"t{i}" for i in range(8)]), min_size=2, max_size=12
+).map(" ".join)
+
+
+@given(texts=st.lists(_doc_text, min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_containment_pairs_match_model(spark, texts):
+    """Prefix-filtered containment == brute-force model on ANY corpus
+    (the lossless-prefix theorem, fuzzed)."""
+    from itertools import permutations
+
+    from hadoop_20_spark.operators.dedup import containment_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold_num=3, threshold_den=4, shingle=2
+        ).collect()
+    }
+
+    def sh(text, n=2):
+        toks = text.split()
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(t) for i, t in docs}
+    expect = {}
+    for a, b in permutations(sets, 2):
+        inter = len(sets[a] & sets[b])
+        if 4 * inter >= 3 * len(sets[a]):
+            expect[(a, b)] = round(inter / len(sets[a]), 6)
+    assert got == expect
+
+
+# --- count-min sketch --------------------------------------------------------
+
+@given(
+    tokens=st.lists(
+        st.sampled_from([f"w{i}" for i in range(30)]), min_size=1, max_size=120
+    )
+)
+@settings(**SETTINGS)
+def test_cms_estimate_never_undercounts(spark, tokens):
+    """CMS one-sided error on arbitrary token streams: for EVERY token,
+    min-over-rows of its bucket sums >= its true count (with equality
+    unless it collides in all D rows)."""
+    from hadoop_20_spark.functions import md5_long
+
+    D, W = 4, 16  # tiny W forces collisions
+    df = spark.createDataFrame([(t,) for t in tokens], ["w"])
+    rows = F.array(*[F.lit(r) for r in range(D)])
+    bucket = (
+        md5_long(F.concat(F.col("w"), F.lit("#"), F.col("r").cast("string"))) % W
+    ).alias("bucket")
+    sketch = (
+        df.select("w", F.explode(rows).alias("r"))
+        .select("r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("sc"))
+    )
+    cnt = df.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    est = {
+        r["w"]: (r["est"], r["c"])
+        for r in cnt.select("w", "c", F.explode(rows).alias("r"))
+        .select("w", "c", "r", bucket)
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("w", "c")
+        .agg(F.min("sc").alias("est"))
+        .collect()
+    }
+    import collections
+
+    true = collections.Counter(tokens)
+    assert set(est) == set(true)
+    for w, (e, c) in est.items():
+        assert c == true[w]
+        assert e >= c, (w, e, c)

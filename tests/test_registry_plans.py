@@ -416,3 +416,19 @@ def test_snapshot_diff_single_key_join_conservation(spark):
     # exact conservation: each class partitions cur/prev membership
     assert rows["inserted"] + rows["changed"] + rows["unchanged"] == n_cur
     assert rows["deleted"] + rows["changed"] + rows["unchanged"] == n_prev
+
+
+def test_touch_depth_single_user_shuffle_range_frame(spark):
+    """The event-time RANGE window rides one user_id exchange; the
+    histogram + share stages add no event-scale shuffle."""
+    plan = physical_plan(REGISTRY["touch_depth"].fn(spark, PLAN_SF))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_error_rate_trailing_mean_matches_model(spark):
+    """7-day trailing mean re-derived in Python from the daily rates."""
+    rows = REGISTRY["error_rate_sli"].fn(spark, PLAN_SF).collect()
+    rates = [r["n_errors"] / r["n_events"] for r in rows]
+    for i, r in enumerate(rows):
+        window = rates[max(0, i - 6) : i + 1]
+        assert abs(r["err_rate_7d"] - sum(window) / len(window)) < 1e-6

@@ -76,6 +76,8 @@ QUERIES = {
     "rfm_segments": "one custkey shuffle for the RFM triple; nine quartile bounds from ONE percentile agg broadcast back; row-local scoring; <=64-key final agg — windowless",
     "part_affinity_lift": "basket sets one orderkey shuffle; row-local pair expansion; part-count relation joins pair relation twice (AQE broadcast); TakeOrderedAndProject",
     "snapshot_diff": "both snapshots hash-partition on o_orderkey for ONE full-outer join; md5 fingerprint comparison row-local; 4-key verdict agg",
+    "touch_depth": "event-time RANGE frame (integer micros bounds) over ONE user_id exchange; 11-key histogram; broadcast 1-row denominator",
+    "error_rate_sli": "events collapse to the daily grid in one (day) shuffle; trailing mean windows the tiny post-agg relation",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
