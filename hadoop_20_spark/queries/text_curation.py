@@ -936,3 +936,171 @@ def quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS k
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_groups,
+           CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS BIGINT) AS n_exposed_docs,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS exposed_share,
+           CAST(MIN(k) AS BIGINT) AS min_group_size
+    FROM g WHERE k < 5
+    """,
+    note=(
+        "k-anonymity audit (k=5) over the quasi-identifier (lang, source, 100-char length "
+        "bucket): how many equivalence classes are smaller than k and how many docs they "
+        "expose — the re-identification risk readout before releasing a corpus"
+    ),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit: group documents by the
+    quasi-identifier tuple (lang, source, coarse length bucket) and
+    report the equivalence classes smaller than k=5 — the groups whose
+    members a release would expose — with the exposed-document share.
+
+    Scale plan: ONE partial-agg'd shuffle on the quasi-identifier key
+    (bounded domain: langs x sources x length buckets); the risk
+    verdict aggregates the small-group rows only and the denominator is
+    a broadcast 1-row count.  At 100 TB the same two passes hold for
+    any quasi-identifier set with bounded cross-cardinality; generalize
+    buckets (coarsen) until the audit returns zero before release."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", "source", F.expr("n_chars DIV 100").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    small = g.where(F.col("k") < 5)
+    return (
+        small.agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_groups"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_exposed_docs"),
+            F.min("k").cast("long").alias("min_group_size"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_small_groups",
+            "n_exposed_docs",
+            F.round(F.col("n_exposed_docs").cast("double") / F.col("n"), 6).alias(
+                "exposed_share"
+            ),
+            "min_group_size",
+        )
+    )
+
+
+@register(
+    "corpus_datacard",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_toks,
+             md5(text) AS fp
+      FROM documents
+    ),
+    dup AS (
+      SELECT SUM(cnt - 1) AS n_dup_docs FROM (
+        SELECT COUNT(*) AS cnt FROM tok GROUP BY fp) WHERE cnt > 1
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM tok
+      UNION ALL SELECT 'n_tokens', CAST(SUM(n_toks) AS BIGINT) FROM tok
+      UNION ALL SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM tok
+      UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM tok
+      UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM tok
+      UNION ALL SELECT 'n_exact_dup_docs', CAST(COALESCE((SELECT n_dup_docs FROM dup), 0) AS BIGINT)
+      UNION ALL SELECT 'median_doc_tokens',
+        CAST((SELECT MIN(n_toks) FROM (
+          SELECT n_toks,
+                 SUM(1) OVER (ORDER BY n_toks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                 COUNT(*) OVER () AS t
+          FROM tok) WHERE c * 2 >= t) AS BIGINT)
+    ) ORDER BY metric
+    """,
+    note=(
+        "corpus datacard: the release-notes summary row set (docs/tokens/chars/sources/langs/"
+        "exact-dup count/discrete median length) assembled from small aggregates — the "
+        "what-is-in-this-dataset readout"
+    ),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset release card: corpus size (docs/tokens/chars),
+    source and language breadth, exact-duplicate volume (md5 groups),
+    and the DISCRETE median document length — seven (metric, value)
+    rows a dataset README quotes verbatim.
+
+    Scale plan: one narrow scan feeds independent small aggregates
+    (token counts row-local; dup counting one 32-byte-md5 shuffle;
+    distinct source/lang partial-agg'd).  The median is discrete via
+    the CDF trick over the (n_toks) HISTOGRAM — implemented here as a
+    groupBy(n_toks) + cumulative window over the aggregated relation
+    (bounded by distinct lengths), matching the quality_gate_adaptive
+    discipline rather than sorting raw docs through one task.  All
+    outputs integer — nothing to round."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_fn_tokens("text")).alias("n_toks"),
+        F.md5("text").alias("fp"),
+    )
+    base = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    dup = (
+        tok.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_dup"))
+    )
+    # discrete median over the length HISTOGRAM (CDF over aggregated
+    # rows — the quality_gate_adaptive discipline, no raw-doc window)
+    from pyspark.sql import Window
+
+    h = tok.groupBy("n_toks").agg(F.count(F.lit(1)).alias("k"))
+    w_cdf = Window.orderBy("n_toks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        h.select(
+            "n_toks",
+            F.sum("k").over(w_cdf).alias("c"),
+            F.sum("k").over(w_tot).alias("t"),
+        )
+        .where(F.col("c") * 2 >= F.col("t"))
+        .agg(F.min("n_toks").alias("median_toks"))
+    )
+    wide = base.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(med))
+    metrics = [
+        ("n_docs", "n_docs"),
+        ("n_tokens", "n_tokens"),
+        ("n_chars", "n_chars"),
+        ("n_sources", "n_sources"),
+        ("n_langs", "n_langs"),
+        ("n_exact_dup_docs", "n_dup"),
+        ("median_doc_tokens", "median_toks"),
+    ]
+    rows = [
+        F.struct(F.lit(name).alias("metric"), F.col(col).cast("long").alias("value"))
+        for name, col in metrics
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.metric", "s.value")
+        .orderBy("metric")
+    )

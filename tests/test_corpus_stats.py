@@ -252,3 +252,30 @@ def test_affinity_lift_matches_python_model(spark):
         for r in REGISTRY["part_affinity_lift"].fn(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+def test_k_anonymity_audit_matches_python_model(spark):
+    rows = _oracle_rows(
+        "SELECT lang, source, n_chars // 100, COUNT(*) FROM documents GROUP BY 1,2,3"
+    )
+    small = [k for *_qi, k in rows if k < 5]
+    (n_docs,) = _oracle_rows("SELECT COUNT(*) FROM documents")[0]
+    r = REGISTRY["k_anonymity_audit"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_small_groups"] == len(small)
+    assert r["n_exposed_docs"] == sum(small)
+    assert abs(r["exposed_share"] - sum(small) / n_docs) < 1e-6
+    assert r["min_group_size"] == (min(small) if small else None)
+
+
+def test_corpus_datacard_invariants(spark):
+    rows = {r["metric"]: r["value"]
+            for r in REGISTRY["corpus_datacard"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "n_docs", "n_tokens", "n_chars", "n_sources", "n_langs",
+        "n_exact_dup_docs", "median_doc_tokens",
+    }
+    (n_docs,) = _oracle_rows("SELECT COUNT(*) FROM documents")[0]
+    assert rows["n_docs"] == n_docs
+    assert rows["n_tokens"] > rows["n_docs"]  # multi-token docs
+    assert 0 <= rows["n_exact_dup_docs"] < rows["n_docs"]
+    assert rows["median_doc_tokens"] > 0

@@ -78,6 +78,8 @@ QUERIES = {
     "snapshot_diff": "both snapshots hash-partition on o_orderkey for ONE full-outer join; md5 fingerprint comparison row-local; 4-key verdict agg",
     "touch_depth": "event-time RANGE frame (integer micros bounds) over ONE user_id exchange; 11-key histogram; broadcast 1-row denominator",
     "error_rate_sli": "events collapse to the daily grid in one (day) shuffle; trailing mean windows the tiny post-agg relation",
+    "k_anonymity_audit": "one bounded-domain quasi-identifier shuffle; small-group verdict agg; broadcast 1-row denominator",
+    "corpus_datacard": "one narrow scan feeds independent small aggregates; median via CDF over the length histogram; 1-row unpivot",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
