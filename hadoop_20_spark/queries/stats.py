@@ -451,3 +451,191 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "chi2_contingency",
+    """
+    WITH o0 AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(obs) AS r FROM o0 GROUP BY lang),
+    ct AS (SELECT source, SUM(obs) AS c FROM o0 GROUP BY source),
+    n AS (SELECT SUM(obs) AS n FROM o0),
+    o AS (
+      -- COMPLETE grid: zero cells contribute (0-E)^2/E = E to chi2 and
+      -- omitting them both understates the statistic and breaks the
+      -- expected-sums-to-marginal identity
+      SELECT g.lang, g.source, COALESCE(o0.obs, 0) AS obs
+      FROM (SELECT rt.lang, ct.source FROM rt CROSS JOIN ct) g
+      LEFT JOIN o0 ON o0.lang = g.lang AND o0.source = g.source
+    ),
+    cells AS (
+      SELECT o.lang, o.source, o.obs,
+             CAST(rt.r * ct.c AS DOUBLE) / (SELECT n FROM n) AS expected
+      FROM o JOIN rt ON rt.lang = o.lang JOIN ct ON ct.source = o.source
+    )
+    SELECT lang, source,
+           CAST(obs AS BIGINT) AS observed,
+           ROUND(expected, 6) AS expected,
+           ROUND((obs - expected) * (obs - expected) / expected, 6) AS chi2_term
+    FROM cells ORDER BY lang, source
+    """,
+    note=(
+        "chi-square contingency grid (lang x source): observed vs independence-expected "
+        "counts and per-cell chi2 contribution — the distribution-shift audit (is language "
+        "mix independent of source?); expected values one double expression over exact "
+        "integer marginals"
+    ),
+)
+def chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence audit: the lang x source grid
+    with observed counts, expected-under-independence counts (row
+    total x column total / n — exact integer marginals, one double
+    expression), and each cell's chi-square contribution.  A cell with
+    a large term is a source whose language mix diverges from the
+    corpus — the drift signal that reweights or quarantines a source.
+
+    Scale plan: one (lang, source) partial-agg'd shuffle builds the
+    observed grid (bounded domain); marginals re-aggregate the GRID,
+    not the corpus (langs + sources rows); the expected/chi2 math is
+    row-local against broadcast marginal joins on the tiny relations.
+    All inputs to the double expressions are exact integers, so both
+    engines compute bit-identical doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    o0 = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o0.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o0.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o0.agg(F.sum("obs").alias("n"))
+    # complete grid incl. zero cells — they contribute E to chi2
+    o = (
+        rt.select("lang")
+        .crossJoin(ct.select("source"))
+        .join(o0, ["lang", "source"], "left")
+        .select("lang", "source", F.coalesce(F.col("obs"), F.lit(0)).alias("obs"))
+    )
+    expected = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("expected", expected)
+    )
+    term = (F.col("obs") - F.col("expected")) ** 2 / F.col("expected")
+    return cells.select(
+        "lang",
+        "source",
+        F.col("obs").cast("long").alias("observed"),
+        F.round("expected", 6).alias("expected"),
+        F.round(term, 6).alias("chi2_term"),
+    ).orderBy("lang", "source")
+
+
+@register(
+    "ks_drift_audit",
+    """
+    WITH h_all AS (
+      SELECT n_chars, COUNT(*) AS k FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT SUM(k) AS t FROM h_all),
+    cum_all AS (
+      SELECT n_chars,
+             SUM(k) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      FROM h_all
+    ),
+    h_src AS (
+      SELECT source, n_chars, COUNT(*) AS k FROM documents GROUP BY source, n_chars
+    ),
+    tot_src AS (SELECT source, SUM(k) AS ts FROM h_src GROUP BY source),
+    grid AS (
+      SELECT s.source, v.n_chars, COALESCE(h.k, 0) AS k
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN (SELECT n_chars FROM h_all) v
+      LEFT JOIN h_src h ON h.source = s.source AND h.n_chars = v.n_chars
+    ),
+    cum_src AS (
+      SELECT source, n_chars,
+             SUM(k) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM grid
+    ),
+    diffs AS (
+      SELECT c.source,
+             ABS(c.cs * (SELECT t FROM tot) - a.ca * ts.ts) AS num,
+             ts.ts * (SELECT t FROM tot) AS den
+      FROM cum_src c
+      JOIN cum_all a ON a.n_chars = c.n_chars
+      JOIN tot_src ts ON ts.source = c.source
+    )
+    SELECT source,
+           CAST(MAX(num) AS BIGINT) AS ks_num,
+           ROUND(CAST(MAX(num) AS DOUBLE) / MAX(den), 6) AS ks_stat
+    FROM diffs GROUP BY source ORDER BY source
+    """,
+    note=(
+        "Kolmogorov-Smirnov drift audit: per-source KS statistic of the doc-length "
+        "distribution vs the whole corpus — sup|CDF_s - CDF_all| evaluated at every corpus "
+        "value point with INTEGER cross-multiplied numerators (the argmax is exact; only the "
+        "emitted ratio is a double) — the distribution-shift quarantine signal"
+    ),
+)
+def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS statistic against the corpus length distribution:
+    sup |CDF_source(v) - CDF_corpus(v)|, evaluated at every corpus
+    value point (both step functions only change there, so the sup is
+    attained).  The comparison is integer-exact: |cs*T - ca*Ts| keeps
+    the numerator integral and the max is taken BEFORE the one double
+    division, so no float ordering ambiguity can flip the argmax.
+
+    Scale plan: two bounded-domain histograms (corpus and per-source
+    length counts); the evaluation grid is sources x distinct lengths
+    (aggregated relations cross-joined — thousands of rows, not docs);
+    CDF windows partition by source over the grid; the corpus CDF
+    window runs over the distinct-length relation (tiny by
+    construction, the token_length_histogram discipline).  At 100 TB
+    bucket n_chars (coarsen the grid) with the identical plan."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h_all = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("k"))
+    tot = h_all.agg(F.sum("k").alias("t"))
+    w_all = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_all = h_all.select("n_chars", F.sum("k").over(w_all).alias("ca"))
+    h_src = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("k"))
+    tot_src = h_src.groupBy("source").agg(F.sum("k").alias("ts"))
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(h_all.select("n_chars"))
+        .join(h_src, ["source", "n_chars"], "left")
+        .select("source", "n_chars", F.coalesce(F.col("k"), F.lit(0)).alias("k"))
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_src = grid.select(
+        "source", "n_chars", F.sum("k").over(w_src).alias("cs")
+    )
+    diffs = (
+        cum_src.join(F.broadcast(cum_all), "n_chars")
+        .join(F.broadcast(tot_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.abs(F.col("cs") * F.col("t") - F.col("ca") * F.col("ts")).alias("num"),
+            (F.col("ts") * F.col("t")).alias("den"),
+        )
+    )
+    return (
+        diffs.groupBy("source")
+        .agg(
+            F.max("num").cast("long").alias("ks_num"),
+            F.round(F.max("num").cast("double") / F.max("den"), 6).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )

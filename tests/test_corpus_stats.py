@@ -279,3 +279,45 @@ def test_corpus_datacard_invariants(spark):
     assert rows["n_tokens"] > rows["n_docs"]  # multi-token docs
     assert 0 <= rows["n_exact_dup_docs"] < rows["n_docs"]
     assert rows["median_doc_tokens"] > 0
+
+
+def test_chi2_terms_conserve_marginals(spark):
+    """Observed counts must reproduce the corpus row count and each
+    row/column's expected values must sum back to its marginal."""
+    rows = REGISTRY["chi2_contingency"].fn(spark, SF_DIR).collect()
+    (n_docs,) = _oracle_rows("SELECT COUNT(*) FROM documents")[0]
+    assert sum(r["observed"] for r in rows) == n_docs
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], [0, 0.0])
+        by_lang[r["lang"]][0] += r["observed"]
+        by_lang[r["lang"]][1] += r["expected"]
+    for lang, (obs, exp) in by_lang.items():
+        assert abs(obs - exp) < 0.01, lang  # expected sums to the marginal
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_ks_drift_matches_python_model(spark):
+    """KS per source re-derived with a plain-Python CDF walk."""
+    pairs = _oracle_rows("SELECT source, n_chars FROM documents")
+    all_vals = sorted({v for _, v in pairs})
+    per_src: dict = {}
+    for s, v in pairs:
+        per_src.setdefault(s, []).append(v)
+    n_all = len(pairs)
+    got = {
+        r["source"]: (r["ks_num"], r["ks_stat"])
+        for r in REGISTRY["ks_drift_audit"].fn(spark, SF_DIR).collect()
+    }
+    import bisect
+
+    corpus_sorted = sorted(v for _, v in pairs)
+    for s, vals in per_src.items():
+        vs = sorted(vals)
+        best = 0
+        for v in all_vals:
+            cs = bisect.bisect_right(vs, v)
+            ca = bisect.bisect_right(corpus_sorted, v)
+            best = max(best, abs(cs * n_all - ca * len(vs)))
+        assert got[s][0] == best, s
+        assert abs(got[s][1] - best / (len(vs) * n_all)) < 1e-6

@@ -80,6 +80,8 @@ QUERIES = {
     "error_rate_sli": "events collapse to the daily grid in one (day) shuffle; trailing mean windows the tiny post-agg relation",
     "k_anonymity_audit": "one bounded-domain quasi-identifier shuffle; small-group verdict agg; broadcast 1-row denominator",
     "corpus_datacard": "one narrow scan feeds independent small aggregates; median via CDF over the length histogram; 1-row unpivot",
+    "chi2_contingency": "observed grid one bounded shuffle; marginals re-aggregate the GRID; complete cross-product via tiny cross join; chi2 math row-local",
+    "ks_drift_audit": "two bounded histograms; evaluation grid = sources x distinct lengths; CDF windows over the grid; integer numerators, one double division at the end",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
