@@ -1903,3 +1903,41 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "basket_size_histogram",
+    """
+    WITH b AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(LEAST(n_parts, 10) AS BIGINT) AS basket_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_parts * (n_parts - 1) // 2) AS BIGINT) AS n_pairs
+    FROM b GROUP BY basket_bucket ORDER BY basket_bucket
+    """,
+    note=(
+        "order basket-size histogram with per-bucket C(k,2) pair volume — the cost model "
+        "for copurchase_pairs' row-local expansion (pair fan-out is basket-bounded, and this "
+        "is the readout that proves the bound on a given corpus)"
+    ),
+)
+def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of distinct parts per order, with each bucket's
+    total C(k,2) pair volume — the planning input for the market-basket
+    expansion: pair fan-out is Σ C(k,2), and this query measures it
+    before you run it.  Scale plan: one (orderkey) partial-agg'd
+    shuffle (the distinct count is per-order, co-keyed), then an
+    11-value-key aggregate; all integer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    return (
+        b.groupBy(F.least(F.col("n_parts"), F.lit(10)).cast("long").alias("basket_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr("n_parts * (n_parts - 1) DIV 2")).cast("long").alias("n_pairs"),
+        )
+        .orderBy("basket_bucket")
+    )

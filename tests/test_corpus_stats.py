@@ -321,3 +321,25 @@ def test_ks_drift_matches_python_model(spark):
             best = max(best, abs(cs * n_all - ca * len(vs)))
         assert got[s][0] == best, s
         assert abs(got[s][1] - best / (len(vs) * n_all)) < 1e-6
+
+
+def test_join_cardinality_estimate_consistency(spark):
+    r = REGISTRY["join_cardinality_estimate"].fn(spark, SF_DIR).collect()[0]
+    (exact,) = _oracle_rows(
+        "SELECT COUNT(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    )[0]
+    assert r["exact_rows"] == exact
+    assert r["estimated_rows"] % 10 == 0  # 10x a sampled count
+    assert abs(r["rel_error"] - abs(r["estimated_rows"] - exact) / exact) < 1e-6
+    assert r["rel_error"] < 0.5  # universe sampling, not p^2 row sampling
+
+
+def test_basket_histogram_pair_volume_conserved(spark):
+    rows = REGISTRY["basket_size_histogram"].fn(spark, SF_DIR).collect()
+    (total_pairs,) = _oracle_rows(
+        """SELECT SUM(n * (n - 1) // 2) FROM (
+             SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem GROUP BY l_orderkey)"""
+    )[0]
+    assert sum(r["n_pairs"] for r in rows) == total_pairs
+    (n_orders,) = _oracle_rows("SELECT COUNT(DISTINCT l_orderkey) FROM lineitem")[0]
+    assert sum(r["n_orders"] for r in rows) == n_orders

@@ -348,3 +348,68 @@ def test_cms_estimate_never_undercounts(spark, tokens):
     for w, (e, c) in est.items():
         assert c == true[w]
         assert e >= c, (w, e, c)
+
+
+# --- sweep-line concurrency ---------------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),    # user_id
+        st.integers(min_value=0, max_value=2),    # day offset
+        st.integers(min_value=0, max_value=86399),  # second of day
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=_events)
+@settings(**SETTINGS)
+def test_peak_concurrency_sweep_matches_model(spark, evs):
+    """Day-partitioned sweep == plain-Python interval overlap count on
+    arbitrary event sets (ties, single-event spans, multi-day users)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from hadoop_20_spark.registry import REGISTRY
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(days=d, seconds=sec),
+            uid,
+            "view",
+            0.0,
+            "{}",
+        )
+        for i, (uid, d, sec) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    tmp = tempfile.mkdtemp(prefix="sweep_prop_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {
+        str(r["day"]): (r["n_sessions"], r["peak_concurrent"])
+        for r in REGISTRY["peak_concurrency_daily"].fn(spark, tmp).collect()
+    }
+    spans: dict = {}
+    for _i, ts, uid, *_ in rows:
+        key = (ts.date(), uid)
+        s, e = spans.get(key, (ts, ts))
+        spans[key] = (min(s, ts), max(e, ts))
+    by_day: dict = {}
+    for (day, _uid), (s, e) in spans.items():
+        by_day.setdefault(day, []).append((s, e))
+    expect = {}
+    for day, items in by_day.items():
+        pts = [(s, 0) for s, _ in items] + [(e, 1) for _, e in items]
+        pts.sort()  # starts (0) before ends (1) at equal instants
+        cur = peak = 0
+        for _, kind in pts:
+            cur += 1 if kind == 0 else -1
+            peak = max(peak, cur)
+        expect[str(day)] = (len(items), peak)
+    assert got == expect

@@ -82,6 +82,8 @@ QUERIES = {
     "corpus_datacard": "one narrow scan feeds independent small aggregates; median via CDF over the length histogram; 1-row unpivot",
     "chi2_contingency": "observed grid one bounded shuffle; marginals re-aggregate the GRID; complete cross-product via tiny cross join; chi2 math row-local",
     "ks_drift_audit": "two bounded histograms; evaluation grid = sources x distinct lengths; CDF windows over the grid; integer numerators, one double division at the end",
+    "join_cardinality_estimate": "md5 sample gate row-local on the key; sampled pass touches ~10% of fact rows; exact pass is the audit",
+    "basket_size_histogram": "one orderkey partial-agg'd shuffle (distinct co-keyed); 11-value-key aggregate",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
