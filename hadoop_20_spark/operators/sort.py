@@ -241,6 +241,69 @@ def distributed_global_rank(
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    keys: list[str],
+    weight_col: str,
+    cum_col: str = "cum",
+    num_buckets: int | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Global INCLUSIVE cumulative sum of ``weight_col`` in ``keys``
+    order without an ``Exchange SinglePartition`` — the
+    :func:`distributed_global_rank` discipline generalized from
+    counting rows to summing a weight: per-bucket WEIGHT TOTALS (not
+    row counts) become the broadcast offsets, and the per-bucket window
+    runs a running sum instead of row_number.  Same bucket-agreement
+    argument, same B-parallel-groups plan; weights must be
+    non-negative integers (the offsets stay exact longs).
+
+    This is the primitive under weighted systematic / PPS sampling and
+    size-balanced output splitting (cut points every ``stride`` units
+    of cumulative weight)."""
+    lead = keys[0]
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.approxQuantile(lead, probs, relative_error))) if probs else []
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__cs_bucket", bucket)
+
+    sums = {
+        r["__cs_bucket"]: r["wsum"]
+        for r in bucketed.groupBy("__cs_bucket")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("wsum"))
+        .collect()
+    }
+    offsets, running = [], 0
+    for i in range(len(bounds) + 1):
+        offsets.append((i, running))
+        running += int(sums.get(i) or 0)
+    offsets_df = spark.createDataFrame(offsets, ["__cs_bucket", "__cs_offset"])
+
+    w = (
+        Window.partitionBy("__cs_bucket")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets_df), "__cs_bucket")
+        .withColumn(
+            cum_col,
+            (
+                F.col("__cs_offset")
+                + F.sum(F.col(weight_col).cast("long")).over(w)
+            ).cast("long"),
+        )
+        .drop("__cs_bucket", "__cs_offset")
+    )
+
+
 # --- sampling ---------------------------------------------------------------
 
 def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:

@@ -1941,3 +1941,60 @@ def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basket_bucket")
     )
+
+
+@register(
+    "pps_systematic_sample",
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    ),
+    t AS (SELECT GREATEST(SUM(n_chars) // 50, 1) AS stride FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, CAST(cum AS BIGINT) AS cum
+    FROM c, t
+    WHERE cum // stride > (cum - n_chars) // stride
+    ORDER BY doc_id
+    """,
+    note=(
+        "weighted systematic (PPS) sample: select a doc whenever the global cumulative "
+        "weight crosses a stride boundary (~50 cut points) — inclusion probability "
+        "proportional to n_chars, all-integer selection rule; the cumulative weight comes "
+        "from the bucketed two-pass distributed_cumsum, never a single-partition window"
+    ),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: walk the
+    corpus in doc_id order, select every doc whose span of cumulative
+    weight (n_chars) crosses a stride boundary (stride = total/50) —
+    the classic PPS design whose Horvitz-Thompson estimator of total
+    weight is n_selected x stride, within one stride of truth by
+    construction.  Long docs are proportionally more likely to be
+    drawn — the length-balanced eval-sample design.
+
+    Scale plan: the global cumulative weight is
+    ``sort_ops.distributed_cumsum`` — approx-quantile buckets, exact
+    per-bucket weight totals broadcast as offsets, per-bucket running-
+    sum windows (B parallel groups, NO Exchange SinglePartition on the
+    doc path — the interval_sample discipline generalized from rank to
+    weighted cumsum).  Selection is a row-local integer rule; the
+    stride is a broadcast 1-row aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = sort_ops.distributed_cumsum(docs, ["doc_id"], "n_chars", cum_col="cum")
+    tot = docs.agg(
+        F.greatest(F.expr("SUM(n_chars) DIV 50"), F.lit(1)).alias("stride")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr("cum DIV stride") > F.expr("(cum - n_chars) DIV stride")
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("cum").cast("long").alias("cum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -432,3 +432,22 @@ def test_error_rate_trailing_mean_matches_model(spark):
     for i, r in enumerate(rows):
         window = rates[max(0, i - 6) : i + 1]
         assert abs(r["err_rate_7d"] - sum(window) / len(window)) < 1e-6
+
+
+def test_pps_sample_no_single_partition(spark):
+    """The weighted cumsum must ride the bucketed two-pass plan — no
+    Exchange SinglePartition on the documents path; and the selection
+    count equals total_weight DIV stride exactly (every stride boundary
+    crossed once)."""
+    df = REGISTRY["pps_systematic_sample"].fn(spark, PLAN_SF)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    import duckdb
+
+    con = duckdb.connect()
+    (total,) = con.execute(
+        f"SELECT SUM(n_chars) FROM read_parquet('{PLAN_SF}/documents.parquet')"
+    ).fetchone()
+    con.close()
+    stride = max(total // 50, 1)
+    assert df.count() == total // stride

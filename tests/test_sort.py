@@ -181,3 +181,22 @@ def test_distributed_global_rank_single_bucket_degenerate(spark):
     assert [(r["k"], r["rn"]) for r in out.orderBy("rn").collect()] == [
         (1, 1), (2, 2), (3, 3),
     ]
+
+
+def test_distributed_cumsum_matches_naive(spark):
+    """Bucketed two-pass cumulative weight == a plain single-partition
+    running sum, element for element."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "w"]).repartition(7)
+    got = {
+        r["k"]: r["cum"]
+        for r in sort_ops.distributed_cumsum(df, ["k"], "w").collect()
+    }
+    running = 0
+    for k, w in sorted(rows):
+        running += w
+        assert got[k] == running, k
