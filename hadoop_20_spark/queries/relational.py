@@ -1998,3 +1998,55 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "balanced_shards",
+    """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    ),
+    t AS (SELECT SUM(n_chars) // 8 + 1 AS stride FROM documents)
+    SELECT CAST((cum - 1) // stride AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM c, t GROUP BY shard ORDER BY shard
+    """,
+    note=(
+        "size-balanced shard assignment: cut the doc_id-ordered corpus every total/8 units "
+        "of cumulative n_chars — contiguous shards within ~1 max-doc of equal byte size (the "
+        "training-shard writer layout), shard id a pure function of the distributed cumsum"
+    ),
+)
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to 8 contiguous, byte-balanced shards: shard =
+    (cumulative n_chars - 1) DIV stride with stride = total/8 + 1 — the
+    training-shard writer's layout decision (equal-SIZE shards, not
+    equal-count, so no shard stalls the loader on a run of long docs).
+    Shards are contiguous in doc_id order and each is within one
+    maximum document of the target size, by construction.
+
+    Scale plan: the cumulative weight is ``sort_ops.distributed_cumsum``
+    (bucketed two-pass, no single-partition exchange on the doc path);
+    shard assignment is row-local integer arithmetic against a
+    broadcast 1-row stride; the report aggregate has an 8-value key.
+    The real writer would ``partitionBy(shard)`` the same column."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = sort_ops.distributed_cumsum(docs, ["doc_id"], "n_chars", cum_col="cum")
+    tot = docs.agg((F.expr("SUM(n_chars) DIV 8") + 1).alias("stride"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("(cum - 1) DIV stride").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -343,3 +343,20 @@ def test_basket_histogram_pair_volume_conserved(spark):
     assert sum(r["n_pairs"] for r in rows) == total_pairs
     (n_orders,) = _oracle_rows("SELECT COUNT(DISTINCT l_orderkey) FROM lineitem")[0]
     assert sum(r["n_orders"] for r in rows) == n_orders
+
+
+def test_balanced_shards_contiguous_and_balanced(spark):
+    rows = REGISTRY["balanced_shards"].fn(spark, SF_DIR).collect()
+    assert [r["shard"] for r in rows] == list(range(len(rows)))
+    (n_docs, total, max_doc) = _oracle_rows(
+        "SELECT COUNT(*), SUM(n_chars), MAX(n_chars) FROM documents"
+    )[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_chars"] for r in rows) == total
+    # contiguity: each shard's doc range follows the previous
+    for a, b in zip(rows, rows[1:]):
+        assert b["first_doc"] == a["last_doc"] + 1
+    # balance: every shard within one max-doc of the stride target
+    stride = total // 8 + 1
+    for r in rows:
+        assert r["total_chars"] <= stride + max_doc

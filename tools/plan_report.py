@@ -85,6 +85,7 @@ QUERIES = {
     "join_cardinality_estimate": "md5 sample gate row-local on the key; sampled pass touches ~10% of fact rows; exact pass is the audit",
     "basket_size_histogram": "one orderkey partial-agg'd shuffle (distinct co-keyed); 11-value-key aggregate",
     "pps_systematic_sample": "distributed_cumsum: quantile buckets, exact per-bucket weight totals broadcast, per-bucket running-sum windows; row-local integer stride-crossing rule",
+    "balanced_shards": "distributed cumsum + row-local integer shard id vs broadcast stride; 8-key report aggregate",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
