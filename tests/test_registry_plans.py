@@ -451,3 +451,22 @@ def test_pps_sample_no_single_partition(spark):
     con.close()
     stride = max(total // 50, 1)
     assert df.count() == total // stride
+
+
+def test_new_fact_queries_prune_columns(spark):
+    """Basket/lift/cumsum queries touch wide tables but must read only
+    the columns they use — a scan that reads all of lineitem for a
+    2-column expansion is wrong at any scale."""
+    cases = {
+        "copurchase_pairs": ("l_extendedprice", "l_shipdate"),
+        "part_affinity_lift": ("l_extendedprice", "l_returnflag"),
+        "basket_size_histogram": ("l_extendedprice", "l_discount"),
+        "pps_systematic_sample": ("text", "lang"),
+        "balanced_shards": ("text", "source"),
+    }
+    for name, forbidden in cases.items():
+        plan = physical_plan(REGISTRY[name].fn(spark, PLAN_SF))
+        for section in plan.split("ReadSchema")[1:]:
+            head = section[:400]
+            for col in forbidden:
+                assert col not in head, (name, col)
