@@ -678,3 +678,84 @@ def streaming_backfill_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = stream_ops.run_available_now_to_memory(agg, "q_backfill_totals")
     return table.orderBy("day")
+
+
+@register(
+    "cogroup_order_reconcile",
+    """
+    SELECT o.o_orderkey,
+           CAST(FLOOR(o.o_totalprice * 1000000) AS BIGINT) AS header_micros,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                                  AS BIGINT)), 0) AS BIGINT) AS lines_micros
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_orderkey
+    """,
+    note=(
+        "cogrouped-pandas reconciliation (groupBy.cogroup.applyInPandas): both relations' "
+        "rows for a key delivered to ONE Python function — the reference's reduce-side "
+        "tagged-join contract made explicit; all money in floor-micros integers (identical "
+        "IEEE multiply order on both engines, then exact integer sums)"
+    ),
+)
+def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-header vs line-detail reconciliation via COGROUPED pandas:
+    for each orderkey, one Python function receives the header rows AND
+    the line rows (the CompositeInputFormat / tagged reduce-side join
+    contract — both tagged inputs of a key in one reduce call) and
+    emits header total, line count, and line-value total.
+
+    This is the one UD* shape the registry had not yet exercised:
+    grouped map (applyInPandas) and UDTF see ONE relation per key;
+    cogroup delivers TWO.  Use it when per-key logic genuinely needs
+    both sides materialized together (mismatched-schema reconciliation,
+    master-detail validation); for anything expressible as join+agg,
+    the declarative form wins (this query's oracle IS that form).
+
+    Determinism: money is floored to integer MICROS inside the UDF with
+    the same left-associated IEEE multiply the oracle uses
+    (p * (1 - d) * 1e6) — the sums are then exact integers, immune to
+    pandas row order.  Scale plan: cogroup hash-partitions BOTH inputs
+    on the key (two co-keyed shuffles, Arrow-batched transfer); per-key
+    state is one order's rows, never unbounded."""
+    import math
+
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            # line rows whose order header is absent: nothing to
+            # reconcile against (oracle's LEFT JOIN keeps orders only)
+            return pd.DataFrame(
+                columns=["o_orderkey", "header_micros", "n_lines", "lines_micros"]
+            )
+        header = math.floor(float(odf["o_totalprice"].iloc[0]) * 1000000)
+        lv = 0
+        for p, d in zip(ldf["l_extendedprice"], ldf["l_discount"]):
+            lv += math.floor(float(p) * (1 - float(d)) * 1000000)
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderkey": int(key[0]),
+                    "header_micros": header,
+                    "n_lines": len(ldf),
+                    "lines_micros": lv,
+                }
+            ]
+        )
+
+    out = (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, header_micros long, n_lines long, lines_micros long",
+        )
+    )
+    return out.orderBy("o_orderkey")

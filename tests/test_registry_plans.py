@@ -470,3 +470,12 @@ def test_new_fact_queries_prune_columns(spark):
             head = section[:400]
             for col in forbidden:
                 assert col not in head, (name, col)
+
+
+def test_cogroup_plan_uses_cogrouped_pandas(spark):
+    """The reconcile must actually be the cogrouped-pandas operator
+    (FlatMapCoGroupsInPandas) over two co-keyed exchanges — not a join
+    rewrite."""
+    plan = physical_plan(REGISTRY["cogroup_order_reconcile"].fn(spark, PLAN_SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan

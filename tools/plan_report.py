@@ -86,6 +86,7 @@ QUERIES = {
     "basket_size_histogram": "one orderkey partial-agg'd shuffle (distinct co-keyed); 11-value-key aggregate",
     "pps_systematic_sample": "distributed_cumsum: quantile buckets, exact per-bucket weight totals broadcast, per-bucket running-sum windows; row-local integer stride-crossing rule",
     "balanced_shards": "distributed cumsum + row-local integer shard id vs broadcast stride; 8-key report aggregate",
+    "cogroup_order_reconcile": "FlatMapCoGroupsInPandas over two co-keyed exchanges (Arrow-batched); per-key state = one order's rows",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
