@@ -95,3 +95,44 @@ def term_counts_udtf():
                     yield t, n
 
     return TermCounts
+
+
+def embedding_norm_pudf():
+    """Scalar Arrow ``pandas_udf``: vectorized L2 norm of an
+    ``array<float>`` column via numpy — the batch-at-a-time Python
+    kernel shape (one Arrow batch in, one numpy op, one batch out).
+
+    When to use which Python boundary:
+
+    - Column expressions (``F.aggregate``/``sqrt``): bit-exact,
+      codegen, zero Python — the default; the repo's similarity
+      operators all use it.
+    - Scalar ``pandas_udf`` (THIS): a numeric kernel numpy has and
+      Spark lacks (special functions, FFTs, model inference).  ~10-100x
+      a row-at-a-time ``F.udf`` because the loop runs in C over Arrow
+      batches.  CAVEAT: numpy reductions use pairwise/SIMD summation —
+      results match builtin sequential sums only to float tolerance,
+      so a pandas_udf must NEVER sit on an exact-oracle path (the
+      tolerance test in test_rowops documents the gap).
+    - ``mapInPandas``/``applyInPandas``/``cogroup``: when row count or
+      schema changes, or per-group state is needed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            # widen BEFORE the reduction: np.dot over a float32 array
+            # accumulates in float32 (~1e-8 relative error vs the
+            # double-sum builtin); float64 leaves only summation-order
+            # noise (~1e-15)
+            a = np.asarray(v, dtype=np.float64)
+            return float(np.sqrt(np.dot(a, a)))
+
+        return pd.Series([one(v) for v in vecs])
+
+    return l2_norm

@@ -141,3 +141,29 @@ def test_stratified_sample_deterministic(spark, tables):
     langs = {r["lang"] for r in text_ops.stratified_sample(docs, "doc_id", "lang", rates).collect()}
     assert "zh" not in langs  # rate 0 and default 0 exclude everything else
     assert langs <= {"en"}
+
+
+def test_pandas_udf_norm_matches_builtin_within_tolerance(spark, tables):
+    """Scalar pandas_udf (numpy kernel over Arrow batches) vs the
+    builtin sequential-sum expression: equal to float tolerance, NOT
+    bit-exact (numpy's pairwise summation reorders additions) — which
+    is exactly why pandas_udf kernels stay OFF exact-oracle paths."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.udx import embedding_norm_pudf
+
+    emb = tables["embeddings"].limit(200)
+    l2 = embedding_norm_pudf()
+    builtin = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    rows = emb.select(
+        l2(F.col("embedding")).alias("pudf"), builtin.alias("ref")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["pudf"] - r["ref"]) <= 1e-12 * max(1.0, abs(r["ref"]))
