@@ -260,18 +260,31 @@ def distributed_cumsum(
 
     This is the primitive under weighted systematic / PPS sampling and
     size-balanced output splitting (cut points every ``stride`` units
-    of cumulative weight)."""
+    of cumulative weight).
+
+    The input feeds THREE actions (approxQuantile, the per-bucket weight
+    totals, and the consumer's own plan), so it is persisted up front —
+    the localCheckpoint discipline the other multi-consumer relations
+    (pagerank, triangles) follow; persist keeps the lineage visible to
+    plan/pruning tests where a checkpoint would truncate it.  Rows with
+    a NULL leading key are routed to bucket 0, matching Spark's
+    ascending NULLS FIRST sort order (they rank before every non-null
+    key instead of being silently dropped by the offsets join)."""
     lead = keys[0]
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    df = df.persist()
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(df.approxQuantile(lead, probs, relative_error))) if probs else []
 
     bucket = F.lit(0)
     for b in bounds:
-        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
+        # NULL > b is NULL — coalesce to 0 so NULL keys land in bucket 0
+        # (Spark sorts NULLS FIRST ascending) rather than a NULL bucket
+        # that the inner offsets join would drop.
+        bucket = bucket + F.coalesce((F.col(lead) > F.lit(b)).cast("int"), F.lit(0))
     bucketed = df.withColumn("__cs_bucket", bucket)
 
     sums = {

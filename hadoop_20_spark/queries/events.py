@@ -686,14 +686,17 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = p.select(
-        (
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
-            / F.lit(86400000000)
+    gaps = (
+        p.select(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.unix_micros(F.lag("ts").over(w)).alias("prev_us"),
         )
-        .cast("long")
-        .alias("gap_days")
-    ).where(F.col("gap_days").isNotNull())
+        .where(F.col("prev_us").isNotNull())
+        # integer DIV, matching the oracle's // exactly — the module's
+        # all-integer-micros discipline (gaps are non-negative, so DIV
+        # and floor coincide and no float quotient ever exists)
+        .select(F.expr("(us - prev_us) DIV 86400000000").alias("gap_days"))
+    )
     tot = gaps.agg(F.count(F.lit(1)).alias("n_tot"))
     return (
         gaps.groupBy(F.least(F.col("gap_days"), F.lit(10)).cast("long").alias("gap_bucket"))

@@ -352,14 +352,40 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 AS (
       SELECT o_custkey,
              date_diff('day', last_d, (SELECT s FROM snap)) AS r,
-             f, CAST(m_dec AS DOUBLE) AS m, m_dec
+             f, m_dec
       FROM cust
     ),
+    u AS (
+      SELECT 'r' AS dim, CAST(r AS DECIMAL(38,6)) AS val FROM c2
+      UNION ALL SELECT 'f', CAST(f AS DECIMAL(38,6)) FROM c2
+      UNION ALL SELECT 'm', CAST(m_dec AS DECIMAL(38,6)) FROM c2
+    ),
+    h AS (SELECT dim, val, COUNT(*) AS k FROM u GROUP BY 1, 2),
+    cdf AS (
+      SELECT dim, val,
+             SUM(k) OVER (PARTITION BY dim ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(k) OVER (PARTITION BY dim) AS tot
+      FROM h
+    ),
+    thr AS (
+      SELECT dim,
+             MIN(CASE WHEN cum * 4 >= tot THEN val END) AS t1,
+             MIN(CASE WHEN cum * 2 >= tot THEN val END) AS t2,
+             MIN(CASE WHEN cum * 4 >= tot * 3 THEN val END) AS t3
+      FROM cdf GROUP BY dim
+    ),
     b AS (
-      SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.50) AS r2, quantile_cont(r, 0.75) AS r3,
-             quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.50) AS f2, quantile_cont(f, 0.75) AS f3,
-             quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.50) AS m2, quantile_cont(m, 0.75) AS m3
-      FROM c2
+      SELECT MAX(CASE WHEN dim = 'r' THEN t1 END) AS r1,
+             MAX(CASE WHEN dim = 'r' THEN t2 END) AS r2,
+             MAX(CASE WHEN dim = 'r' THEN t3 END) AS r3,
+             MAX(CASE WHEN dim = 'f' THEN t1 END) AS f1,
+             MAX(CASE WHEN dim = 'f' THEN t2 END) AS f2,
+             MAX(CASE WHEN dim = 'f' THEN t3 END) AS f3,
+             MAX(CASE WHEN dim = 'm' THEN t1 END) AS m1,
+             MAX(CASE WHEN dim = 'm' THEN t2 END) AS m2,
+             MAX(CASE WHEN dim = 'm' THEN t3 END) AS m3
+      FROM thr
     ),
     scored AS (
       SELECT CAST(m_dec * 1000000 AS BIGINT) AS m_units,
@@ -369,9 +395,9 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + CASE WHEN f > b.f1 THEN 1 ELSE 0 END
                + CASE WHEN f > b.f2 THEN 1 ELSE 0 END
                + CASE WHEN f > b.f3 THEN 1 ELSE 0 END AS f_score,
-             1 + CASE WHEN m > b.m1 THEN 1 ELSE 0 END
-               + CASE WHEN m > b.m2 THEN 1 ELSE 0 END
-               + CASE WHEN m > b.m3 THEN 1 ELSE 0 END AS m_score
+             1 + CASE WHEN m_dec > b.m1 THEN 1 ELSE 0 END
+               + CASE WHEN m_dec > b.m2 THEN 1 ELSE 0 END
+               + CASE WHEN m_dec > b.m3 THEN 1 ELSE 0 END AS m_score
       FROM c2 CROSS JOIN b
     )
     SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
@@ -381,9 +407,10 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     note=(
         "RFM customer segmentation: recency/frequency/monetary quartile scores (1-4 each, "
-        "segment = RFM digits) with quartile boundaries from ONE exact-percentile aggregate "
-        "broadcast back — boundaries-then-score, never a per-dimension NTILE window; monetary "
-        "sums ride DECIMAL"
+        "segment = RFM digits) with DISCRETE-CDF quartile boundaries (smallest value whose "
+        "cumulative count reaches the quantile, all comparisons decimal/integer-exact) — "
+        "boundaries-then-score, never a per-dimension NTILE window; monetary rides DECIMAL "
+        "end to end, no interpolated quantile anywhere"
     ),
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,13 +424,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — where engines round differently; the floor of an exact
     integer quotient cannot diverge: the SCALE.md rounding-trap rule).
 
+    Quartile boundaries are DISCRETE percentiles (smallest value whose
+    per-dimension CDF reaches 25/50/75%), the quality_gate_adaptive
+    discipline: interpolated quantiles (F.percentile vs DuckDB
+    quantile_cont) compute ``(1-d)*lo+d*hi`` vs ``lo+d*(hi-lo)`` —
+    expressions that can differ by 1 ulp on the double monetary axis
+    and flip a knife-edge customer's quartile.  Here every boundary is
+    an actual data value carried as DECIMAL(28,6), every comparison is
+    exact, and boundary ties go to the lower quartile in both engines.
+
     Scale plan: ONE custkey shuffle builds the per-customer triple; the
-    nine quartile boundaries come from a single percentile aggregate
-    (the equi_depth_histogram discipline — `approx_percentile` is the
-    documented 100 TB swap with the identical plan) broadcast back as
-    one row; scoring is row-local strict-> comparisons (boundary ties
-    to the lower quartile in both engines); the final aggregate has a
-    <= 64-value key.  No window anywhere."""
+    three dimensions stack into a (dim, val) histogram whose CDF
+    windows partition by dim over the AGGREGATED relation (r/f domains
+    are small; monetary distinct values approach customer count — at
+    100 TB swap that dimension to `approx_percentile` or a
+    `distributed_cumsum`-bucketed CDF, same boundary semantics);
+    boundaries pivot to ONE broadcast row; scoring is row-local
+    strict-> decimal comparisons; the final aggregate has a <= 64-value
+    key.  No window ever touches the orders fact path."""
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
@@ -414,26 +452,52 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = cust.crossJoin(F.broadcast(snap)).select(
         F.datediff(F.col("s"), F.col("last_d")).alias("r"),
         "f",
-        F.col("m_dec").cast("double").alias("m"),
         "m_dec",
     )
-    bounds = c2.agg(
-        *[F.percentile("r", p).alias(f"r{i}") for i, p in enumerate((0.25, 0.5, 0.75), 1)],
-        *[F.percentile("f", p).alias(f"f{i}") for i, p in enumerate((0.25, 0.5, 0.75), 1)],
-        *[F.percentile("m", p).alias(f"m{i}") for i, p in enumerate((0.25, 0.5, 0.75), 1)],
+    u = c2.selectExpr(
+        # the decimal SUM widens to (38,6); stack needs one exact type
+        "stack(3, 'r', CAST(r AS DECIMAL(38,6)),"
+        " 'f', CAST(f AS DECIMAL(38,6)),"
+        " 'm', CAST(m_dec AS DECIMAL(38,6))) AS (dim, val)"
+    )
+    h = u.groupBy("dim", "val").agg(F.count(F.lit(1)).alias("k"))
+    from pyspark.sql import Window as W
+
+    w_cdf = (
+        W.partitionBy("dim")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = h.select(
+        "dim",
+        "val",
+        F.sum("k").over(w_cdf).alias("cum"),
+        F.sum("k").over(W.partitionBy("dim")).alias("tot"),
+    )
+    thr = cdf.groupBy("dim").agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("tot"), F.col("val"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("val"))).alias("t2"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("tot") * 3, F.col("val"))).alias("t3"),
+    )
+    bounds = thr.agg(
+        *[
+            F.max(F.when(F.col("dim") == d, F.col(f"t{i}"))).alias(f"{d}{i}")
+            for d in ("r", "f", "m")
+            for i in (1, 2, 3)
+        ]
     )
 
-    def quartile(col: str) -> F.Column:
+    def quartile(col: str, pfx: str) -> F.Column:
         e = F.lit(1)
         for i in (1, 2, 3):
-            e = e + F.when(F.col(col) > F.col(f"{col}{i}"), 1).otherwise(0)
+            e = e + F.when(F.col(col) > F.col(f"{pfx}{i}"), 1).otherwise(0)
         return e
 
     scored = c2.crossJoin(F.broadcast(bounds)).select(
         (F.col("m_dec") * 1000000).cast("long").alias("m_units"),
-        (F.lit(5) - quartile("r")).alias("r_score"),
-        quartile("f").alias("f_score"),
-        quartile("m").alias("m_score"),
+        (F.lit(5) - quartile("r", "r")).alias("r_score"),
+        quartile("f", "f").alias("f_score"),
+        quartile("m_dec", "m").alias("m_score"),
     )
     return (
         scored.groupBy(

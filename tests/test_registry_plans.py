@@ -437,20 +437,37 @@ def test_error_rate_trailing_mean_matches_model(spark):
 def test_pps_sample_no_single_partition(spark):
     """The weighted cumsum must ride the bucketed two-pass plan — no
     Exchange SinglePartition on the documents path; and the selection
-    count equals total_weight DIV stride exactly (every stride boundary
-    crossed once)."""
+    count matches a Python replay of the selection rule (a doc is drawn
+    once per run of stride boundaries its weight span crosses, so
+    ``total DIV stride`` only equals the count when no doc outweighs
+    the stride — the model, not that fixture-shape assumption, is the
+    ground truth here)."""
     df = REGISTRY["pps_systematic_sample"].fn(spark, PLAN_SF)
     plan = physical_plan(df)
     assert "Exchange SinglePartition" not in plan
     import duckdb
 
     con = duckdb.connect()
-    (total,) = con.execute(
-        f"SELECT SUM(n_chars) FROM read_parquet('{PLAN_SF}/documents.parquet')"
-    ).fetchone()
+    weights = [
+        w
+        for (w,) in con.execute(
+            "SELECT n_chars FROM read_parquet("
+            f"'{PLAN_SF}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    ]
     con.close()
+    total = sum(weights)
     stride = max(total // 50, 1)
-    assert df.count() == total // stride
+    expected, cum = 0, 0
+    for w in weights:
+        cum += w
+        if cum // stride > (cum - w) // stride:
+            expected += 1
+    assert df.count() == expected
+    # the fixture happens to satisfy the one-selection-per-boundary
+    # precondition today; if this trips, the model above still holds
+    if max(weights) < stride:
+        assert expected == total // stride
 
 
 def test_new_fact_queries_prune_columns(spark):
