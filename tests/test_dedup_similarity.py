@@ -482,3 +482,76 @@ def test_streaming_backfill_equals_batch(spark):
         .collect()
     )
     assert got == batch
+
+
+def test_paragraph_dedup_planted_boilerplate(spark):
+    """A boilerplate paragraph planted in three documents survives only
+    at its first (doc_id, pos) occurrence; documents are reconstructed
+    from their remaining paragraphs in original order."""
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (1, f"alpha body one\n\n{boiler}\n\nalpha tail"),
+        (2, f"{boiler}\n\nbeta body two"),
+        (3, f"gamma opening\n\ngamma middle\n\n{boiler}"),
+        (4, "delta unique only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(
+            df, "doc_id", "text", delimiter_regex=r"\n{2,}", joiner="\n\n"
+        ).collect()
+    }
+    # doc 1 holds the first occurrence — nothing removed, order intact
+    assert out[1]["n_paras_removed"] == 0
+    assert out[1]["text_dedup"] == f"alpha body one\n\n{boiler}\n\nalpha tail"
+    # later docs lose exactly the boilerplate paragraph
+    assert out[2]["n_paras_removed"] == 1
+    assert out[2]["text_dedup"] == "beta body two"
+    assert out[3]["n_paras_removed"] == 1
+    assert out[3]["text_dedup"] == "gamma opening\n\ngamma middle"
+    assert out[4]["n_paras_removed"] == 0
+    assert out[4]["text_dedup"] == "delta unique only"
+
+
+def test_paragraph_dedup_normalized_match_reconstructs_original(spark):
+    """Reformatted boilerplate (case/whitespace) hashes equal after
+    normalization, but reconstruction keeps each doc's ORIGINAL text."""
+    df = spark.createDataFrame(
+        [
+            (1, "Same  Paragraph Here\n\nkeep one"),
+            (2, "same paragraph   here\n\nkeep two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(
+            df, "doc_id", "text", delimiter_regex=r"\n{2,}", joiner="\n\n"
+        ).collect()
+    }
+    assert out[1]["text_dedup"] == "Same  Paragraph Here\n\nkeep one"
+    assert out[2]["n_paras_removed"] == 1
+    assert out[2]["text_dedup"] == "keep two"
+
+
+def test_paragraph_dedup_intra_doc_repeat(spark):
+    """A paragraph repeated WITHIN one document keeps only its first
+    position — duplicates are positional, not per-document."""
+    df = spark.createDataFrame(
+        [(7, "loop para\n\nmiddle\n\nloop para")], ["doc_id", "text"]
+    )
+    (r,) = dedup.paragraph_dedup(
+        df, "doc_id", "text", delimiter_regex=r"\n{2,}", joiner="\n\n"
+    ).collect()
+    assert r["n_paras"] == 3 and r["n_paras_removed"] == 1
+    assert r["text_dedup"] == "loop para\n\nmiddle"
+
+
+def test_segment_paragraphs_block_mode_shapes(spark):
+    """Block mode: ceil(n/W) blocks, last block ragged, order row-local."""
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = dedup.segment_paragraphs(
+        df, "doc_id", "text", block_words=2
+    ).orderBy("pno").collect()
+    assert [r["para"] for r in rows] == ["a b", "c d", "e"]
