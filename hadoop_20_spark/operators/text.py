@@ -445,3 +445,91 @@ def cdc_chunks(
             F.col("c.nt").alias("n_tokens"),
         )
     )
+
+
+# --- unicode normalization head (curation step 0) ---------------------------
+
+# Control chars (minus \t\n\r), DEL, zero-width space/joiners, BOM — the
+# characters a corpus pass strips before anything else hashes or gates.
+# Kept as ONE class so the Spark (Java regex) and oracle (RE2) spellings
+# provably cover the same code points.
+_CTRL_ZW_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B-\\u200D\\uFEFF]"
+_CTRL_ZW_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]"
+
+# Mojibake signature: UTF-8 bytes decoded as Latin-1 turn every
+# non-ASCII char into a pair starting with Ã (U+00C3) or Â (U+00C2) —
+# counting those lead bytes is the standard cheap detector.
+_MOJIBAKE_CLASS = "[ÃÂ]"
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalization.  Spark SQL has no unicode
+    normalization built-in (the ONE genuinely inexpressible step in the
+    curation head), so this is the documented Pandas-UDF exception.
+    The kernel is Python ``unicodedata.normalize`` behind an
+    ``str.isascii()`` fast path — ASCII rows (the overwhelming majority
+    of a real corpus, and 100% of the fixture) short-circuit at C
+    speed, so the per-row Python cost is paid only where normalization
+    can matter.  (pyarrow's ``utf8_normalize`` would be the vectorized
+    choice, but the container's build returns DECOMPOSED output for
+    form='NFC' — verified broken, composed 'café' comes back 5 code
+    points — so unicodedata, which matches DuckDB's ``nfc_normalize``
+    codepoint-for-codepoint, is the correct kernel.)"""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        def one(x):
+            if x.isascii():
+                return x
+            return unicodedata.normalize("NFC", x)
+
+        return s.map(one, na_action="ignore")
+
+    return _nfc
+
+
+def mojibake_hits(col: Column | str) -> Column:
+    """Count of UTF-8-decoded-as-Latin-1 signature lead chars (Ã/Â) in
+    the ORIGINAL text — detection only; repairing mojibake is a
+    re-decode decision a pipeline makes upstream, not a string edit."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, _MOJIBAKE_CLASS, ""))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str = "text_norm",
+    mojibake_col: str = "mojibake_hits",
+) -> DataFrame:
+    """The curation head every real corpus pass runs BEFORE quality
+    gating, dedup and splitting: NFC unicode normalization (composes
+    combining sequences so 'café' hashes one way, not two), control /
+    zero-width char strip, whitespace collapse + trim, and a mojibake
+    hit count on the original text.  Everything except NFC is row-local
+    Column codegen; NFC rides one Arrow-vectorized batch UDF (see
+    :func:`nfc_normalize_udf`).
+
+    Pipeline order matters: normalize → quality gate → dedup → split;
+    hashing un-normalized text lets the same paragraph slip dedup under
+    two unicode spellings, and gating before stripping zero-width chars
+    miscounts lengths.
+
+    Reference anchor: contrib/streaming's byte-level text protocol
+    (``streaming/PipeMapper.java``) is where the reference normalized
+    encodings; Unicode normalization itself is new surface."""
+    nfc = nfc_normalize_udf()
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.col(text_col)), _CTRL_ZW_JAVA, ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(mojibake_col, mojibake_hits(text_col)).withColumn(
+        out_col, cleaned
+    )

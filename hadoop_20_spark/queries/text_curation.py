@@ -1104,3 +1104,68 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.metric", "s.value")
         .orderBy("metric")
     )
+
+
+@register(
+    "normalization_report",
+    r"""
+    WITH n AS (
+      SELECT source, text,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                  '', 'g'), '\s+', ' ', 'g')) AS text_norm,
+             length(text) - length(regexp_replace(text, '[ÃÂ]', '', 'g'))
+               AS moji
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text_norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(SUM(CASE WHEN moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake_docs,
+           CAST(SUM(moji) AS BIGINT) AS mojibake_hits,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+           CAST(SUM(length(text_norm)) AS BIGINT) AS chars_after
+    FROM n GROUP BY source ORDER BY source
+    """,
+    note=(
+        "text-normalization curation head: NFC unicode normalization (Arrow-vectorized "
+        "pyarrow utf8_normalize — the one inexpressible-in-Columns step — vs DuckDB "
+        "nfc_normalize, same Unicode algorithm), control/zero-width strip, whitespace "
+        "collapse, mojibake (UTF-8-as-Latin-1) detection; per-source changed-doc and "
+        "char before/after report — the step the curation chain runs BEFORE quality/dedup"
+    ),
+)
+def normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readout of the normalization head: how many documents
+    change under NFC + control-char strip + whitespace collapse, how
+    many carry mojibake signatures, and the char counts before/after —
+    the report that decides whether a feed needs re-decoding before it
+    enters the corpus.  (The synthetic fixture is clean ASCII, so the
+    changed counts are zero by construction — the query proves the
+    no-op; the planted-unicode pytest proves the transforms.)
+
+    Scale plan: everything is row-local (one Arrow batch UDF for NFC,
+    Columns for the rest); the only shuffle is the per-source partial
+    agg.  Curation chain order: normalize → quality gate → dedup →
+    split (see operators/text.normalize_text)."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    from hadoop_20_spark.operators import text as text_ops
+
+    n = text_ops.normalize_text(docs, "text")
+    changed = (F.col("text_norm") != F.col("text")).cast("int")
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(changed).cast("long").alias("n_docs_changed"),
+            F.sum((F.col("mojibake_hits") > 0).cast("int"))
+            .cast("long")
+            .alias("n_mojibake_docs"),
+            F.sum("mojibake_hits").cast("long").alias("mojibake_hits"),
+            F.sum(F.length("text")).cast("long").alias("chars_before"),
+            F.sum(F.length("text_norm")).cast("long").alias("chars_after"),
+        )
+        .orderBy("source")
+    )

@@ -256,3 +256,56 @@ def test_heavy_hitter_sketch_equals_naive_groupby(spark):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_normalize_text_planted_unicode(spark):
+    """NFC composes combining sequences, control/zero-width chars are
+    stripped, whitespace collapses, mojibake lead bytes are counted on
+    the ORIGINAL text — cross-checked against a Python unicodedata
+    model of the same pipeline."""
+    import re
+    import unicodedata
+
+    from hadoop_20_spark.operators.text import normalize_text
+
+    cases = [
+        (1, "café society"),          # decomposed é → composed
+        (2, "tab\x07bell\x00 and​zw"),  # control + zero-width
+        (3, "   spaced\t\tout\n\nlines  "),  # whitespace collapse+trim
+        (4, "mojibake Ã© and Â« here"),      # 2 lead-byte hits
+        (5, "plain ascii stays put"),
+    ]
+    df = spark.createDataFrame(cases, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in normalize_text(df, "text").collect()}
+
+    def model(s: str) -> str:
+        s = unicodedata.normalize("NFC", s)
+        s = re.sub(
+            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​-‍﻿]", "", s
+        )
+        return re.sub(r"\s+", " ", s).strip()
+
+    for doc_id, text in cases:
+        assert out[doc_id]["text_norm"] == model(text), doc_id
+    assert out[1]["text_norm"] == "café society"
+    assert len(out[1]["text_norm"]) == len("café society")  # composed
+    assert out[2]["text_norm"] == "tabbell andzw"
+    assert out[3]["text_norm"] == "spaced out lines"
+    assert [out[i]["mojibake_hits"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 2, 0]
+
+
+def test_normalize_then_dedup_catches_unicode_twins(spark):
+    """The chain-order rationale: the same text under two unicode
+    spellings dedups ONLY after normalization."""
+    from hadoop_20_spark.operators import dedup
+    from hadoop_20_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café menu"), (2, "café menu")], ["doc_id", "text"]
+    )
+    raw = dedup.exact_dedup(df, "doc_id", "text")
+    assert raw.count() == 2  # unnormalized: two "distinct" docs
+    normed = dedup.exact_dedup(
+        normalize_text(df, "text"), "doc_id", "text_norm"
+    )
+    assert normed.count() == 1  # normalized: one
