@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_20_spark.queries._base import REGISTRY, Query, register  # noqa: F401
 from hadoop_20_spark.queries import relational  # noqa: F401,E402
+from hadoop_20_spark.queries import sampling  # noqa: F401,E402
 from hadoop_20_spark.queries import stats  # noqa: F401,E402
 from hadoop_20_spark.queries import tpch  # noqa: F401,E402
 from hadoop_20_spark.queries import text_dedup  # noqa: F401,E402

@@ -380,12 +380,18 @@ def test_triangle_count_matches_python_model(spark):
     assert row["n_triangles"] == n_tri
 
 
-def test_rfm_no_window_no_single_partition(spark):
-    """Boundaries-then-score: the RFM plan must contain no window
-    operator and no single-partition exchange on the fact path (the
-    only SinglePartition carries the 1-row percentile aggregate)."""
+def test_rfm_windows_only_on_dim_histogram(spark):
+    """Boundaries-then-score with discrete-CDF boundaries: every window
+    in the RFM plan must run over the (dim, val) HISTOGRAM partitioned
+    by dim — never an unpartitioned window over the orders fact path.
+    (The 1-row boundary/snapshot aggregates legitimately plan
+    Exchange SinglePartition; the fact path must not.)"""
+    import re
+
     plan = physical_plan(REGISTRY["rfm_segments"].fn(spark, PLAN_SF))
-    assert "WindowExec" not in plan and "Window " not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, "expected the discrete-CDF histogram windows"
+    assert all(s == "dim" for s in specs), specs
 
 
 def test_affinity_lift_take_ordered(spark):
