@@ -64,6 +64,7 @@ DUCKDB_COMPARABLE = (
     "b14_interval_sample",
     "b15_cms_sketch",
     "b16_copurchase",
+    "b17_paragraph_dedup",
 )
 
 BENCH_QUERIES = {
@@ -117,6 +118,12 @@ BENCH_QUERIES = {
     # expansion shows up as wall-clock, not just a plan-test failure.
     "b15_cms_sketch": "cms_heavy_hitters",
     "b16_copurchase": "copurchase_pairs",
+    # b17: round-7 — sub-document exact dedup with reconstruction
+    # (segment -> 32-byte-hash first-occurrence shuffle -> keeper join
+    # -> doc-keyed rebuild).  The body-carrying keeper join is the cost
+    # center; in the bench so a regression to a window-based keeper or
+    # an unpruned body shuffle shows up as wall-clock.
+    "b17_paragraph_dedup": "paragraph_dedup",
 }
 
 

