@@ -167,3 +167,135 @@ def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _zorder_audit_oracle() -> str:
+    from hadoop_20_spark.operators.layout import morton_interleave_sql
+
+    z = morton_interleave_sql(["sx", "sy"], bits=16)
+    prune = "maxx < 24576 OR minx > 32767 OR maxy < 24576 OR miny > 32767"
+    return f"""
+    WITH base AS (SELECT l_partkey, l_suppkey FROM lineitem),
+    mm AS (SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx,
+                  MIN(l_suppkey) AS mny, MAX(l_suppkey) AS mxy FROM base),
+    scaled AS (
+      SELECT ((l_partkey - mnx) * 65535) // greatest(mxx - mnx, 1) AS sx,
+             ((l_suppkey - mny) * 65535) // greatest(mxy - mny, 1) AS sy
+      FROM base CROSS JOIN mm
+    ),
+    keyed AS (
+      SELECT sx, sy, ({z}) >> 26 AS zorder_file, sx >> 10 AS linear_file
+      FROM scaled
+    ),
+    m AS (SELECT COUNT(*) AS rows_matching FROM keyed
+          WHERE sx BETWEEN 24576 AND 32767 AND sy BETWEEN 24576 AND 32767),
+    zs AS (SELECT zorder_file AS f, COUNT(*) AS n, MIN(sx) AS minx, MAX(sx) AS maxx,
+                  MIN(sy) AS miny, MAX(sy) AS maxy FROM keyed GROUP BY 1),
+    ls AS (SELECT linear_file AS f, COUNT(*) AS n, MIN(sx) AS minx, MAX(sx) AS maxx,
+                  MIN(sy) AS miny, MAX(sy) AS maxy FROM keyed GROUP BY 1),
+    za AS (SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+                  SUM(CASE WHEN NOT ({prune}) THEN 1 ELSE 0 END) AS files_scanned,
+                  SUM(CASE WHEN NOT ({prune}) THEN n ELSE 0 END) AS rows_scanned
+           FROM zs),
+    la AS (SELECT 'linear' AS layout, COUNT(*) AS n_files,
+                  SUM(CASE WHEN NOT ({prune}) THEN 1 ELSE 0 END) AS files_scanned,
+                  SUM(CASE WHEN NOT ({prune}) THEN n ELSE 0 END) AS rows_scanned
+           FROM ls)
+    SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+           CAST(files_scanned AS BIGINT) AS files_scanned,
+           CAST(rows_scanned AS BIGINT) AS rows_scanned,
+           CAST((SELECT rows_matching FROM m) AS BIGINT) AS rows_matching
+    FROM (SELECT * FROM za UNION ALL SELECT * FROM la)
+    ORDER BY layout
+    """
+
+
+@register(
+    "zorder_layout_audit",
+    _zorder_audit_oracle(),
+    note=(
+        "Z-order vs linear layout pruning audit (the OPTIMIZE ZORDER decision, made "
+        "measurable): Morton-interleave two uniformly-filtered keys into 64 z-range files "
+        "vs 64 first-key-sorted files, then count how many files' min/max bounding boxes "
+        "survive a both-dims box predicate — the z-layout scans ~1/64 of files where the "
+        "linear layout scans ~1/8; all-integer bit arithmetic, bit-identical oracle"
+    ),
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Should this table be Z-ordered?  Assign every lineitem row to a
+    file under two layouts — 64 Morton-key (l_partkey, l_suppkey)
+    z-ranges vs 64 linear first-key ranges — and measure min/max-stat
+    file pruning under a representative two-dimensional box predicate
+    (the middle eighth of both scaled key ranges).  The readout a
+    lakehouse OPTIMIZE decision needs: files scanned and rows scanned
+    per layout for the same matching rows.
+
+    Exactness: scaling is integer min-max (`(x-min)*65535 DIV span`),
+    the Morton key is 32 shift/mask terms, file ids are top-bit
+    shifts — every operation BIGINT in both engines, so file
+    assignments and therefore pruning counts are bit-identical.
+
+    Scale plan: ONE broadcast 1-row min/max aggregate, then the key
+    computation is row-local codegen; each layout's file stats are one
+    64-key partial-agg'd shuffle over a persisted keyed projection
+    (three consumers: two stats passes + the selectivity count); the
+    real writer would repartitionByRange(zorder_file) and write
+    per-file stats — this query IS the audit of that decision."""
+    from hadoop_20_spark.operators import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    a = (
+        layout_ops.zorder_file_assignment(
+            li, ["l_partkey", "l_suppkey"], bits=16, file_bits=6
+        )
+        .select(
+            F.col("__s_l_partkey").alias("sx"),
+            F.col("__s_l_suppkey").alias("sy"),
+            "zorder_file",
+            "linear_file",
+        )
+        .persist()
+    )
+    LO, HI = 24576, 32767
+    in_box = (
+        (F.col("sx") >= LO)
+        & (F.col("sx") <= HI)
+        & (F.col("sy") >= LO)
+        & (F.col("sy") <= HI)
+    )
+    match = a.where(in_box).agg(
+        F.count(F.lit(1)).cast("long").alias("rows_matching")
+    )
+
+    def layout_stats(file_col: str, name: str) -> DataFrame:
+        st = a.groupBy(F.col(file_col).alias("f")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("sx").alias("minx"),
+            F.max("sx").alias("maxx"),
+            F.min("sy").alias("miny"),
+            F.max("sy").alias("maxy"),
+        )
+        scanned = ~(
+            (F.col("maxx") < LO)
+            | (F.col("minx") > HI)
+            | (F.col("maxy") < LO)
+            | (F.col("miny") > HI)
+        )
+        return st.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(scanned.cast("int")).cast("long").alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    out = layout_stats("zorder_file", "zorder").union(
+        layout_stats("linear_file", "linear")
+    )
+    return (
+        out.crossJoin(F.broadcast(match))
+        .select(
+            "layout", "n_files", "files_scanned", "rows_scanned", "rows_matching"
+        )
+        .orderBy("layout")
+    )

@@ -502,3 +502,68 @@ def test_cogroup_plan_uses_cogrouped_pandas(spark):
     plan = physical_plan(REGISTRY["cogroup_order_reconcile"].fn(spark, PLAN_SF))
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_plan_pruned_and_partitioned(spark):
+    """Sub-document dedup: the documents scan must not read unused
+    columns (lang), and no stage may funnel the corpus through a single
+    partition or a cartesian product."""
+    df = REGISTRY["paragraph_dedup"].fn(spark, PLAN_SF)
+    plan = physical_plan(df)
+    assert "lang" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_normalization_report_plan_arrow_and_pruned(spark):
+    """The NFC step must ride ONE Arrow-batched python stage, and the
+    scan must read only (source, text) — doc_id/lang/n_chars pruned."""
+    df = REGISTRY["normalization_report"].fn(spark, PLAN_SF)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan
+    for col in ("doc_id", "lang", "n_chars"):
+        assert col not in plan, col
+
+
+def test_perplexity_mix_windows_only_on_source_histogram(spark):
+    """The tercile CDF windows must partition by source over the
+    aggregated histogram — never an unpartitioned window on the token
+    or document fact paths."""
+    import re
+
+    plan = physical_plan(REGISTRY["perplexity_bucket_mix"].fn(spark, PLAN_SF))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, "expected the tercile CDF windows"
+    assert all(s == "source" for s in specs), specs
+
+
+def test_pagerank_converged_stop_rule(spark):
+    """The convergence loop must stop at the first iteration whose
+    max-delta halves from iteration 1 (scale-free integer rule), within
+    the cap, and report a consistent (n_iterations, max_delta_units)."""
+    rows = REGISTRY["pagerank_converged"].fn(spark, PLAN_SF).collect()
+    assert len(rows) == 20
+    n_iter = {r["n_iterations"] for r in rows}
+    delta = {r["max_delta_units"] for r in rows}
+    assert len(n_iter) == 1 and len(delta) == 1  # constant across rows
+    (ni,), (d,) = n_iter, delta
+    assert 1 <= ni <= 10
+    assert d >= 0
+    # top-20 ordering invariant: ranks non-increasing
+    ranks = [r["rank_units"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_gate_log_has_no_unpartitioned_window_warnings(spark):
+    """zipf_coverage / vocab_growth_curve carry non-foldable constant
+    partition keys: their executed plans must show a PARTITIONED window
+    spec (the no-partition WindowExec warning would otherwise mask a
+    real fact-path regression someday)."""
+    import re
+
+    for name in ("zipf_coverage", "vocab_growth_curve"):
+        plan = physical_plan(REGISTRY[name].fn(spark, PLAN_SF))
+        # every windowspecdefinition must lead with a partition expr
+        # (reference like _w0#123) rather than the order column directly
+        for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+            assert spec.startswith("_w"), (name, spec)

@@ -200,3 +200,48 @@ def test_distributed_cumsum_matches_naive(spark):
     for k, w in sorted(rows):
         running += w
         assert got[k] == running, k
+
+
+def test_morton_interleave_matches_python_model(spark):
+    """The 32-term shift/mask Morton key must equal a Python bit-model
+    (interleave x's bit b to position 2b, y's to 2b+1), and be
+    order-preserving within each axis-aligned power-of-two block."""
+    from hadoop_20_spark.operators.layout import morton_interleave
+    from pyspark.sql import functions as F
+
+    pts = [(x, y) for x in (0, 1, 2, 3, 255, 32767, 65535)
+           for y in (0, 1, 5, 128, 65535)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.select(
+        "x", "y",
+        morton_interleave([F.col("x"), F.col("y")], bits=16).alias("z"),
+    ).collect()
+
+    def model(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == model(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_prunes_at_least_as_well_as_linear(spark):
+    """The audit's invariant: under a both-dims box predicate the
+    z-layout never scans more rows than the linear layout, and both
+    layouts' scanned rows cover all matching rows."""
+    from hadoop_20_spark.registry import REGISTRY
+
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["zorder_layout_audit"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    z, l = rows["zorder"], rows["linear"]
+    assert z["rows_matching"] == l["rows_matching"]
+    assert z["rows_scanned"] <= l["rows_scanned"]
+    assert z["rows_scanned"] >= z["rows_matching"]
+    assert l["rows_scanned"] >= l["rows_matching"]
