@@ -344,3 +344,84 @@ def compose(expr: str, tables: dict[str, DataFrame], on: str | Sequence[str]) ->
     if op == "override":
         return override_join(parts, on)
     raise ValueError(f"unknown join op {op!r}")
+
+
+# --- bloom-filter semi join (runtime-filter discipline) ---------------------
+
+BLOOM_OFFSETS = (0, 8, 16)  # three md5 substrings = three hash functions
+
+
+def bloom_filter_build(
+    keys: DataFrame, key_col: str, m_bits: int = 2048
+) -> DataFrame:
+    """Build an ``m_bits``-bit Bloom filter over a key column as ONE
+    row holding an ``array<long>`` of 32-bit words (a 64-bit shift of 63 overflows signed BIGINT in DuckDB — 32-bit words keep every shift oracle-portable) — the engine-portable
+    form of the runtime filter a 100 TB join pushes into the probe-side
+    scan (Spark's own InjectRuntimeFilter does this with
+    BloomFilterAggregate; parquet bloom filters do it at file level —
+    this is the same structure built from the md5 hash family, so every
+    bit is DuckDB-reproducible).
+
+    k = 3 hash functions are three disjoint 15-hex-char substrings of
+    ONE md5 digest (``functions.md5_long`` offsets 0/8/16): one md5
+    pass per key, not three.  The build is an explode → distinct →
+    bit_or word aggregate (≤ m/64 rows shuffled), densified against a
+    ``spark.range`` spine and collapsed to a single broadcastable row.
+
+    Reference anchor: ``core/util/bloom/BloomFilter.java`` (the
+    reference shipped Bloom filters for MapFile membership —
+    ``io/BloomMapFile.java``); this is that structure rebuilt as a
+    relational aggregate."""
+    from hadoop_20_spark.functions import md5_long
+
+    spark = keys.sparkSession
+    n_words = m_bits // 32
+    c = F.col(key_col).cast("string")
+    pos = keys.select(
+        F.explode(
+            F.array(*[(md5_long(c, off) % m_bits).alias(f"h{i}")
+                      for i, off in enumerate(BLOOM_OFFSETS)])
+        ).alias("pos")
+    ).distinct()
+    words = pos.select(
+        F.expr("pos DIV 32").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    ).groupBy("w").agg(F.bit_or("bit").alias("word"))
+    dense = (
+        spark.range(n_words)
+        .withColumnRenamed("id", "w")
+        .join(words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0)).cast("long").alias("word"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))),
+            lambda x: x["word"],
+        ).alias("bloom_bits")
+    )
+
+
+def bloom_probe_passes(key_col: str, m_bits: int = 2048) -> "F.Column":
+    """Row-local membership test against a broadcast ``bloom_bits``
+    array column: all k bit positions set.  Pure codegen — the filter
+    the probe-side scan evaluates before any shuffle."""
+    cond = F.lit(True)
+    for off in BLOOM_OFFSETS:
+        pos = _probe_pos_sql(key_col, off, m_bits)
+        cond = cond & (
+            F.expr(
+                f"shiftright(element_at(bloom_bits, "
+                f"CAST({pos} DIV 32 AS INT) + 1), "
+                f"CAST({pos} % 32 AS INT)) & 1"
+            )
+            == 1
+        )
+    return cond
+
+
+def _probe_pos_sql(key_col: str, offset: int, m_bits: int) -> str:
+    """SQL fragment for one bloom hash position (md5_long analog)."""
+    return (
+        f"(CAST(conv(substring(md5(CAST({key_col} AS STRING)), {1 + offset}, 15), "
+        f"16, 10) AS BIGINT) % {m_bits})"
+    )

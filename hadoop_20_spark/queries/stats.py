@@ -773,3 +773,110 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@register(
+    "bloom_semi_join_audit",
+    """
+    WITH keys AS (SELECT p_partkey FROM part WHERE p_size < 5),
+    pos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([
+          (('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT) % 16384,
+          (('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 9, 15))::BIGINT) % 16384,
+          (('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 17, 15))::BIGINT) % 16384
+        ]) AS pos FROM keys)
+    ),
+    words AS (
+      SELECT pos // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ),
+    dense AS (
+      SELECT i AS w, COALESCE(word, 0) AS word
+      FROM generate_series(0, 511) t(i) LEFT JOIN words ON words.w = i
+    ),
+    bits AS (SELECT list(word ORDER BY w) AS b FROM dense),
+    probe AS (
+      SELECT l_partkey,
+        (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT) % 16384 AS h0,
+        (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 9, 15))::BIGINT) % 16384 AS h1,
+        (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 17, 15))::BIGINT) % 16384 AS h2
+      FROM lineitem
+    ),
+    tested AS (
+      SELECT l_partkey,
+             CASE WHEN ((b[CAST(h0 // 32 AS INTEGER) + 1] >> CAST(h0 % 32 AS INTEGER)) & 1) = 1
+                   AND ((b[CAST(h1 // 32 AS INTEGER) + 1] >> CAST(h1 % 32 AS INTEGER)) & 1) = 1
+                   AND ((b[CAST(h2 // 32 AS INTEGER) + 1] >> CAST(h2 % 32 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END AS pass
+      FROM probe CROSS JOIN bits
+    ),
+    tm AS (SELECT COUNT(*) AS n_true FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM keys))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
+           CAST((SELECT n_true FROM tm) AS BIGINT) AS n_true_match,
+           CAST(SUM(pass) - (SELECT n_true FROM tm) AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(pass) - (SELECT n_true FROM tm) AS DOUBLE)
+                 / GREATEST(COUNT(*) - (SELECT n_true FROM tm), 1), 6) AS fp_rate
+    FROM tested
+    """,
+    note=(
+        "explicit Bloom-filter semi-join audit (the runtime-filter pushdown discipline): "
+        "16384-bit filter over the selective dim keys (k=3 md5-substring hashes, one digest "
+        "pass), built as a bit_or word aggregate and broadcast as ONE array<long> row; the "
+        "probe side tests bits row-locally BEFORE any shuffle; reports pass/true-match/"
+        "false-positive counts and the measured fp rate — every bit oracle-reproducible"
+    ),
+)
+def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter join discipline, made explicit and auditable:
+    build a 16384-bit Bloom filter over the selective build side (parts
+    with p_size < 5), broadcast it as one array<long> row, and evaluate
+    membership row-locally on the probe side (lineitem) — the filter a
+    100 TB join pushes below the shuffle so non-matching fact rows die
+    at the scan.  The audit reports how many probe rows pass, how many
+    truly match (exact semi-join), and the realized false-positive
+    rate — the number that decides whether m_bits is sized right
+    (Spark's InjectRuntimeFilter and parquet's file-level bloom are
+    this same structure; here every bit is md5-deterministic so the
+    DuckDB oracle reproduces the filter verbatim).
+
+    Scale plan: the build is an explode->distinct->bit_or aggregate
+    over <= m/64 words, densified on a range spine and collapsed to ONE
+    broadcast row; probing is pure codegen (three substrings of one md5
+    digest per row); the exact-match count is a broadcast-able semi
+    join.  Nothing about the filter itself ever shuffles the fact
+    table."""
+    from hadoop_20_spark.operators import joins as join_ops
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = part.where(F.col("p_size") < 5).select("p_partkey")
+    bloom = join_ops.bloom_filter_build(keys, "p_partkey", m_bits=16384)
+    tested = li.crossJoin(F.broadcast(bloom)).select(
+        join_ops.bloom_probe_passes("l_partkey", m_bits=16384)
+        .cast("int")
+        .alias("pass")
+    )
+    counts = tested.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("pass").cast("long").alias("n_pass_bloom"),
+    )
+    tm = (
+        li.join(F.broadcast(keys), li.l_partkey == keys.p_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_match"))
+    )
+    return counts.crossJoin(F.broadcast(tm)).select(
+        "n_probe",
+        "n_pass_bloom",
+        "n_true_match",
+        (F.col("n_pass_bloom") - F.col("n_true_match"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass_bloom") - F.col("n_true_match")).cast("double")
+            / F.greatest(F.col("n_probe") - F.col("n_true_match"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

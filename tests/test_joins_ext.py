@@ -83,3 +83,44 @@ def test_grouped_reduce_matches_window(spark, tables):
     for r in exp.collect():
         assert got[r["user_id"]]["n_events"] == r["n"]
         assert abs(got[r["user_id"]]["max_gap_s"] - r["mx"]) < 1e-6
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """The Bloom contract: every key that went into the build MUST pass
+    the probe (zero false negatives, any m_bits); non-members may pass
+    only as explicit false positives."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_probe_passes,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_filter_build(members, "k", m_bits=4096)
+    probed = (
+        spark.range(0, 2000)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(bloom))
+        .select("k", bloom_probe_passes("k", m_bits=4096).alias("p"))
+    )
+    rows = {r["k"]: r["p"] for r in probed.collect()}
+    assert all(rows[k] for k in range(500)), "false negative!"
+    fp = sum(1 for k in range(500, 2000) if rows[k])
+    # 500 keys * 3 hashes in 4096 bits -> fill ~0.3, fp ~ 2.9%; assert
+    # a loose deterministic ceiling (the hash family is fixed, so this
+    # is a constant, not a flake)
+    assert fp / 1500 < 0.15, fp
+
+
+def test_bloom_audit_consistency(spark):
+    """pass >= true matches (no false negatives at query level) and the
+    fp accounting adds up."""
+    from hadoop_20_spark.registry import REGISTRY
+
+    (r,) = REGISTRY["bloom_semi_join_audit"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert r["n_pass_bloom"] >= r["n_true_match"]
+    assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
+    assert 0 <= r["fp_rate"] < 1
