@@ -413,3 +413,54 @@ def test_peak_concurrency_sweep_matches_model(spark, evs):
             peak = max(peak, cur)
         expect[str(day)] = (len(items), peak)
     assert got == expect
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+docs_texts = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=docs_texts, w=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_paragraph_dedup_matches_python_model(spark, texts, w):
+    """Block-mode paragraph dedup vs an independent Python model:
+    segment into W-word blocks, keep the global first (doc, pos)
+    occurrence of each normalized block, rebuild each doc."""
+    from hadoop_20_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    out = {
+        r[0]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            block_words=w,
+        )
+        .select("doc_id", "n_paras", "n_paras_removed", "text_dedup")
+        .collect()
+    }
+
+    seen: set[str] = set()
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        paras = [
+            " ".join(toks[i * w : (i + 1) * w])
+            for i in range((len(toks) + w - 1) // w)
+        ]
+        kept = []
+        removed = 0
+        for p in paras:
+            key = " ".join(p.lower().strip().split())
+            if key in seen:
+                removed += 1
+            else:
+                seen.add(key)
+                kept.append(p)
+        r = out[doc_id]
+        assert r["n_paras"] == len(paras), (doc_id, paras)
+        assert r["n_paras_removed"] == removed, (doc_id, paras)
+        assert r["text_dedup"] == " ".join(kept), (doc_id, paras)
