@@ -794,3 +794,72 @@ def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("o_orderkey")
+
+
+@register(
+    "streaming_incremental_dedup",
+    """
+    WITH f AS (
+      SELECT doc_id, source, md5(substr(text, 1, 40)) AS h FROM documents
+    ),
+    k AS (SELECT h, MIN(doc_id) AS keeper FROM f GROUP BY h)
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k.keeper = f.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(CASE WHEN k.keeper = f.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM f JOIN k ON k.h = f.h
+    GROUP BY f.source ORDER BY f.source
+    """,
+    note=(
+        "streaming keep-first ingest dedup (foreachBatch + persisted fingerprint index, "
+        "Trigger.AvailableNow over doc_id-ordered staged batches): per batch, fingerprint "
+        "-> within-batch min-doc_id keep -> anti-join vs index -> append; the streamed "
+        "keeper set equals the BATCH keep-min-doc_id oracle exactly because batches are "
+        "doc_id-contiguous ascending — per-source kept/dropped yield report"
+    ),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of corpus ingest dedup: documents replay in
+    ingest (doc_id) order as 4 micro-batches; each batch fingerprints
+    its docs (md5 of the 40-char head — the cheap crawl-spool key),
+    keeps first occurrences, anti-joins the persisted index, and
+    appends the survivors.  After the bounded drain, the report reads
+    the index back and emits per-source docs/kept/dropped — identical
+    to the batch keep-min-doc_id dedup because batches are
+    doc_id-contiguous ascending (the first batch holding a fingerprint
+    also holds its minimum doc_id).
+
+    This closes the streaming x curation corner: the same dedup
+    discipline the batch registry proves (dedup_exact,
+    incremental_dedup), running under checkpointed micro-batch
+    execution with state OUTSIDE the engine (a parquet index a restart
+    can resume against), not inside a state store — the shape a real
+    24/7 ingest pipeline ships.  Scale notes in
+    streaming.incremental_dedup_ingest."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    index_dir = tempfile.mkdtemp(prefix="dedup_index_") + "/idx"
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    stream = stream_ops.read_documents_stream(spark, sf_dir, n_files=4)
+    q = stream_ops.incremental_dedup_ingest(stream, index_dir, ckpt).start()
+    q.awaitTermination()
+
+    idx = spark.read.parquet(index_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = idx.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

@@ -447,3 +447,91 @@ def run_available_now_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def read_documents_stream(spark, sf_dir: str, n_files: int = 4):
+    """Stage the documents fixture as ``n_files`` doc_id-contiguous
+    parquet files with strictly increasing mtimes and read them as a
+    file stream, one file per micro-batch — a deterministic replay of
+    "documents arrive in ingest order" (FileStreamSource picks files in
+    mtime order; the staging pins both the split and the order, so
+    every run sees identical batches).
+
+    The doc_id-contiguous + ascending-batch property is what makes
+    streaming keep-first dedup equal the BATCH keep-min-doc_id oracle:
+    the first batch containing a fingerprint also contains its minimum
+    doc_id."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    now = time.time()
+    n = t.num_rows
+    per = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = t.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        p = os.path.join(d, f"docs_{i:03d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (now + 2 * i, now + 2 * i))
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("maxFileAge", "36500d")
+        .parquet(d)
+    )
+
+
+def incremental_dedup_ingest(docs_stream, index_dir: str, checkpoint_dir: str):
+    """Streaming keep-first ingest dedup via ``foreachBatch``: each
+    micro-batch fingerprints its documents (md5 of the 40-char head —
+    the crawler's cheap first-pass content key; swap in md5(text) for
+    byte-exact), keeps each fingerprint's minimum doc_id within the
+    batch, anti-joins against the PERSISTED corpus index, and appends
+    only genuinely new fingerprints — the pattern a 100 TB ingest
+    pipeline runs every few minutes against a crawl spool.
+
+    Exactly-once posture: the index append is per-batch and the stream
+    is checkpointed; a replayed batch re-appends rows that the
+    downstream min-doc_id aggregation collapses (idempotent by
+    construction — the read side groups by fingerprint).  Scale plan:
+    per batch, ONE 32-byte-key partial-agg'd shuffle + one anti-join
+    against the index (broadcast while small, shuffle join at corpus
+    scale — AQE decides); the index is append-only parquet partitioned
+    by nothing (at 100 TB: bucket it by fingerprint so the anti-join
+    is co-partitioned and shuffle-free)."""
+    from pyspark.sql import functions as F
+
+    def ingest(df, epoch_id: int) -> None:
+        spark = df.sparkSession
+        h = df.select(
+            F.md5(F.substring("text", 1, 40)).alias("h"), "doc_id", "source"
+        )
+        batch_keep = (
+            h.groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(h, ["h", "doc_id"])
+        )
+        try:
+            idx = spark.read.parquet(index_dir).select("h")
+            new = batch_keep.join(idx, "h", "left_anti")
+        except Exception:
+            new = batch_keep  # first batch: no index yet
+        new.select("h", "doc_id", "source").write.mode("append").parquet(
+            index_dir
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

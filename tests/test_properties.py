@@ -464,3 +464,49 @@ def test_paragraph_dedup_matches_python_model(spark, texts, w):
         assert r["n_paras"] == len(paras), (doc_id, paras)
         assert r["n_paras_removed"] == removed, (doc_id, paras)
         assert r["text_dedup"] == " ".join(kept), (doc_id, paras)
+
+
+# Alphabet exercising every normalization path: ASCII, combining accents
+# (NFC composition), control chars, zero-width chars, mojibake lead
+# bytes, and ASCII whitespace.  Unicode-exotic WHITESPACE is excluded on
+# purpose: Java/RE2 \s is the ASCII class (both engines agree), so the
+# Python model below pins re.ASCII to match the engine contract.
+_norm_alphabet = st.sampled_from(
+    list("abc XY.,!") + ["é", "́", "\x07", "\x00", "​",
+                         "﻿", "Ã", "Â", "é", "\t", "\n"]
+)
+_norm_texts = st.lists(
+    st.lists(_norm_alphabet, min_size=0, max_size=20).map("".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_norm_texts)
+@settings(**SETTINGS)
+def test_normalize_text_matches_unicodedata_model(spark, texts):
+    """normalize_text vs an independent Python model: NFC composition,
+    ASCII control/zero-width strip, ASCII-class whitespace collapse,
+    and mojibake lead-byte counting all agree on randomized text."""
+    import re
+    import unicodedata
+
+    from hadoop_20_spark.operators.text import normalize_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: r
+        for r in normalize_text(
+            spark.createDataFrame(rows, "doc_id long, text string"), "text"
+        ).collect()
+    }
+
+    ctrl = re.compile(
+        "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f​-‍﻿]"
+    )
+    for doc_id, t in rows:
+        expect = unicodedata.normalize("NFC", t)
+        expect = ctrl.sub("", expect)
+        expect = re.sub(r"\s+", " ", expect, flags=re.ASCII).strip()
+        assert out[doc_id]["text_norm"] == expect, repr(t)
+        assert out[doc_id]["mojibake_hits"] == t.count("Ã") + t.count("Â"), repr(t)

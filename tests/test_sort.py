@@ -245,3 +245,22 @@ def test_zorder_prunes_at_least_as_well_as_linear(spark):
     assert z["rows_scanned"] <= l["rows_scanned"]
     assert z["rows_scanned"] >= z["rows_matching"]
     assert l["rows_scanned"] >= l["rows_matching"]
+
+
+def test_distributed_cumsum_null_key_routes_to_bucket_zero(spark):
+    """A NULL leading key must not be silently dropped by the offsets
+    join: it sorts NULLS FIRST (Spark asc default), lands in bucket 0,
+    and its weight participates in the cumulative sum."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.sort import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(None, 5), (1, 10), (2, 20), (3, 30)], "k int, w int"
+    )
+    rows = distributed_cumsum(df, ["k"], "w", num_buckets=2).orderBy(
+        F.col("k").asc_nulls_first()
+    ).collect()
+    assert len(rows) == 4  # nothing dropped
+    assert rows[0]["k"] is None and rows[0]["cum"] == 5
+    assert [r["cum"] for r in rows] == [5, 15, 35, 65]

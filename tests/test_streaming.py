@@ -181,3 +181,80 @@ def test_stream_outer_join_sentinel_flush_drains_state(spark):
     # flush drained the real rows; at most the sentinels linger
     assert prog["state_rows_final"] <= 4
     assert prog["state_rows_final"] < prog["state_rows_peak"]
+
+
+def test_streaming_incremental_dedup_batch_split_invariant(spark):
+    """The streamed keeper set must be identical whether the corpus
+    arrives as 1 batch or 4 — the doc_id-contiguous staging guarantee
+    (first batch holding a fingerprint also holds its min doc_id)."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    def run(n_files: int):
+        idx = tempfile.mkdtemp(prefix=f"ded_idx_{n_files}_") + "/idx"
+        ckpt = tempfile.mkdtemp(prefix=f"ded_ck_{n_files}_")
+        s = stream_ops.read_documents_stream(
+            spark, "/root/testdata/sf0.001", n_files=n_files
+        )
+        q = stream_ops.incremental_dedup_ingest(s, idx, ckpt).start()
+        q.awaitTermination()
+        return {
+            tuple(r)
+            for r in spark.read.parquet(idx)
+            .select("h", "doc_id", "source")
+            .collect()
+        }
+
+    assert run(1) == run(4)
+
+
+def test_streaming_incremental_dedup_drops_cross_batch_duplicate(spark):
+    """A fingerprint seen in batch 1 must be dropped when it reappears
+    in a later batch — the persisted-index anti-join at work."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    d = tempfile.mkdtemp(prefix="planted_stream_")
+    now = time.time()
+    # batch 0: docs 1,2; batch 1: doc 3 duplicates doc 1's 40-char head
+    dup_head = "x" * 40
+    batches = [
+        [(1, dup_head + " original tail", "en", "srcA", 60),
+         (2, "something else entirely unique here", "en", "srcA", 35)],
+        [(3, dup_head + " different tail", "en", "srcB", 62)],
+    ]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+         ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    for i, rows in enumerate(batches):
+        p = os.path.join(d, f"docs_{i:03d}.parquet")
+        pq.write_table(
+            pa.table(
+                {f.name: [r[j] for r in rows] for j, f in enumerate(schema)},
+                schema=schema,
+            ),
+            p,
+        )
+        os.utime(p, (now + 2 * i, now + 2 * i))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("maxFileAge", "36500d")
+        .parquet(d)
+    )
+    idx = tempfile.mkdtemp(prefix="planted_idx_") + "/idx"
+    ckpt = tempfile.mkdtemp(prefix="planted_ck_")
+    q = stream_ops.incremental_dedup_ingest(stream, idx, ckpt).start()
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert kept == {1, 2}  # doc 3's fingerprint was already indexed
