@@ -61,6 +61,11 @@ QUERIES = {
     "interval_sample": "distributed_global_rank: row-local quantile bucket, broadcast offset join, per-bucket window — NO Exchange SinglePartition on the fact path (was the last global-window scale-killer)",
     "bpe_apply_merges": "learned merges applied as N row-local literal replaces on the framed symbol line; symbols counted by counting TAB frames — corpus touched once, only shuffle is the per-source agg",
     "leakage_safe_split_neardup": "cluster labels (near-dup docs only) broadcast back to documents; split stays row-local md5 arithmetic on the component representative",
+    "paragraph_dedup": "sub-document exact dedup: row-local block segmentation, 32-byte-md5 first-occurrence partial agg, co-keyed keeper join, ONE doc-keyed reconstruction shuffle",
+    "rfm_segments": "discrete-CDF quartile boundaries: histogram windows partitioned by dim over the AGGREGATED (dim,val) relation; scoring row-local decimal compares against ONE broadcast boundary row",
+    "perplexity_bucket_mix": "unigram CE per doc (term shuffle + AQE-broadcast vocab join), tercile CDF windows per source over the score HISTOGRAM, md5-gated keep row-local, sources x 3 final key",
+    "zorder_layout_audit": "ONE broadcast min/max row; Morton key = 32 shift/mask terms row-local; two 64-key partial-agg stats passes over a persisted keyed projection",
+    "bloom_semi_join_audit": "filter built as explode->distinct->bit_or word agg densified on a range spine, ONE broadcast array row; probe is pure codegen BEFORE any shuffle",
     "cms_heavy_hitters": "sketch build collapses to ≤256 (r,bucket) cells per partition before the shuffle; readout joins the sketch by broadcast; exact-audit pass is one token shuffle",
     "zipf_coverage": "token counts partial-agg'd; top-100 via TakeOrderedAndProject; cumulative window only over the post-limit 100 rows",
     "vocab_growth_curve": "shingle→min-doc aggregate is the only fact shuffle; decile bucket row-local vs broadcast 1-row max; ≤10-row cumulative window",
