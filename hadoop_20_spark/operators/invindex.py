@@ -1,0 +1,82 @@
+"""Inverted (positional) index build + phrase retrieval.
+
+Reference analog: ``src/contrib/index`` — hadoop-20 shipped a MapReduce
+Lucene index builder (one shard per reducer, documents mapped to
+(term, posting) pairs, reducers merging postings into index shards).
+Here the same structure is a relational aggregate: postings are rows
+``(term, doc_id, positions, tf)`` produced by ONE term-doc shuffle, and
+a phrase query is a k-way postings merge expressed as k-1 doc-keyed
+joins plus row-local positional-adjacency array logic — no scan of the
+corpus at query time.
+
+100 TB posture: persist postings parquet bucketed/partitioned by term
+(the per-reducer shard layout) so each query term's postings are a
+partition-pruned point read; the doc-keyed merge joins tiny per-term
+relations, never the corpus.  The build is the expensive pass and runs
+once per ingest batch — exactly the contrib/index job's economics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.functions import tokens
+
+
+def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional postings: one row per (term, doc) with the sorted
+    in-document positions (0-based) and term frequency.  ONE
+    partial-agg'd (term, doc) shuffle; tokenization and position
+    numbering are row-local."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    return tok.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+def phrase_match(
+    postings: DataFrame, phrase: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase retrieval over positional postings: start from the
+    first term's positions and filter to those whose +i successor
+    exists in term i's postings, for every following term — the
+    classic positional-postings merge, expressed as k-1 inner joins on
+    the doc id plus row-local array logic.  Returns
+    ``(doc_id, n_occurrences)`` for docs containing the phrase.
+
+    The joins are between PER-TERM relations (df(term) rows each) —
+    with term-partitioned postings these are partition-pruned point
+    reads; the corpus itself is never rescanned at query time."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    cur = (
+        postings.where(F.col("term") == phrase[0])
+        .select(F.col(id_col), F.col("positions").alias("q0"))
+    )
+    matched = F.col("q0")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.where(F.col("term") == term).select(
+            F.col(id_col), F.col("positions").alias(f"q{i}")
+        )
+        cur = cur.join(nxt, id_col)
+        qi = F.col(f"q{i}")
+        # keep phrase-start positions whose i-th successor exists in
+        # term i's posting list (single-parameter lambda — the pyspark
+        # two-parameter dispatch trap)
+        matched = _filter_adjacent(matched, qi, i)
+    return (
+        cur.select(F.col(id_col), F.size(matched).alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def _filter_adjacent(starts, successors, offset: int):
+    return F.filter(
+        starts, lambda p: F.array_contains(successors, p + F.lit(offset))
+    )

@@ -1674,3 +1674,54 @@ def paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "phrase_search_index",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, COUNT(*) AS n_occurrences
+      FROM tok, generate_series(1, 4096) s(i)
+      WHERE i + 2 <= len(t)
+        AND t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM m ORDER BY doc_id
+    """,
+    note=(
+        "positional inverted-index phrase retrieval (contrib/index, the MapReduce Lucene "
+        "builder, as a relational structure): postings built in ONE (term, doc) shuffle; "
+        "the 3-term phrase query is a k-way postings merge — two doc-keyed joins between "
+        "per-term relations + row-local positional adjacency — the corpus is never "
+        "rescanned at query time; oracle scans token positions directly"
+    ),
+)
+def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("slow hash batch") answered from a
+    positional inverted index instead of a corpus scan: build postings
+    (term, doc_id, sorted positions, tf) in one shuffle, then merge the
+    three query terms' posting lists with doc-keyed joins and
+    positional-adjacency array logic — occurrences = phrase-start
+    positions whose +1/+2 successors exist in the following terms'
+    lists.
+
+    Scale plan: see operators/invindex.py — persist postings bucketed
+    by term and each query term becomes a partition-pruned point read;
+    the merge joins df(term)-sized relations.  The oracle proves
+    retrieval-vs-scan equivalence: DuckDB answers the same phrase by
+    direct positional scan of the corpus."""
+    from hadoop_20_spark.operators import invindex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = invindex.inverted_postings(docs, "doc_id", "text")
+    return (
+        invindex.phrase_match(postings, ["slow", "hash", "batch"])
+        .select("doc_id", F.col("n_occurrences").cast("long"))
+        .orderBy("doc_id")
+    )

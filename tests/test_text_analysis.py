@@ -309,3 +309,35 @@ def test_normalize_then_dedup_catches_unicode_twins(spark):
         normalize_text(df, "text"), "doc_id", "text_norm"
     )
     assert normed.count() == 1  # normalized: one
+
+
+def test_phrase_match_planted_and_overlapping(spark):
+    """Positional phrase retrieval: finds planted phrases (including
+    overlapping occurrences and phrase-at-end), rejects docs with the
+    terms present but not adjacent, and repeated-term phrases work."""
+    from hadoop_20_spark.operators.invindex import (
+        inverted_postings,
+        phrase_match,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # one occurrence of 'b c'
+            (2, "b c b c b"),        # two occurrences of 'b c'
+            (3, "c b a"),            # terms present, wrong order
+            (4, "x y b c"),          # phrase at end
+            (5, "b b b"),            # repeated-term phrase 'b b' x2
+        ],
+        ["doc_id", "text"],
+    )
+    p = inverted_postings(df, "doc_id", "text")
+    bc = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(p, ["b", "c"]).collect()
+    }
+    assert bc == {1: 1, 2: 2, 4: 1}
+    bb = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(p, ["b", "b"]).collect()
+    }
+    assert bb == {5: 2}  # overlapping occurrences both count
