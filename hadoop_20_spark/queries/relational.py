@@ -1900,3 +1900,85 @@ def basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basket_bucket")
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           ROUND(MIN(o_totalprice), 6) AS min_price,
+           ROUND(MAX(o_totalprice), 6) AS max_price,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT))
+                // COUNT(*) AS BIGINT) AS avg_price_micros
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    note=(
+        "incremental materialized-view maintenance: the view's aggregate state (count, "
+        "decimal sum, min, max) is computed on a BASE partition and a DELTA batch "
+        "separately, then MERGED by the partial-aggregate algebra (counts/sums add, "
+        "min/max fold, avg re-derived from merged sum/count) — the oracle recomputes from "
+        "scratch, proving merge == recompute; the combine step a 100 TB incremental "
+        "pipeline runs instead of rescanning history"
+    ),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic view maintenance: maintain a per-priority order summary
+    under batch ingest WITHOUT rescanning history.  The corpus is split
+    deterministically into a base partition (90%) and a delta batch
+    (o_orderkey % 10 == 0); each side computes the same aggregate STATE
+    (count, DECIMAL sum, integer micros sum, min, max — all algebraic:
+    their partials combine associatively), and the published view is
+    the MERGE of the two states, with derived columns (average)
+    recomputed from merged state.  The oracle aggregates the whole table directly — the check
+    that merge-of-partials equals recompute, which is the entire
+    correctness argument for incremental pipelines.
+
+    Scale plan: this is literally Spark's partial/final aggregation
+    contract lifted to the pipeline level — each batch's state is one
+    partial-agg'd shuffle over THAT batch only; the merge aggregates
+    |priorities| x 2 state rows.  Averages must never be averaged:
+    avg merges only via (sum, count).  The micros sum is per-ROW
+    decimal-to-long (28-digit headroom, exact); multiplying the merged
+    DECIMAL(38,6) sum by 1e6 instead would exceed Spark's 38-digit cap
+    and silently ROUND under allowPrecisionLoss — measured as an
+    off-by-one in the floor quotient, which is why the integer state
+    column exists."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("s"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(28,6)") * 1000000)
+                .cast("long")
+            ).alias("s_micros"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = state(o.where(F.col("o_orderkey") % 10 != 0))
+    delta = state(o.where(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("s_micros").alias("s_micros"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("total_price"),
+        F.round("mn", 6).alias("min_price"),
+        F.round("mx", 6).alias("max_price"),
+        F.expr("s_micros DIV n").cast("long").alias("avg_price_micros"),
+    ).orderBy("o_orderpriority")
