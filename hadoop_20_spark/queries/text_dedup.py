@@ -1719,7 +1719,11 @@ def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_spark.operators import invindex
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    postings = invindex.inverted_postings(docs, "doc_id", "text")
+    # Build ONCE, query many: without the persist, each of the three
+    # per-term branches would re-derive postings from its own corpus
+    # scan + shuffle — the in-query stand-in for the persisted
+    # term-bucketed parquet a real deployment reads.
+    postings = invindex.inverted_postings(docs, "doc_id", "text").persist()
     return (
         invindex.phrase_match(postings, ["slow", "hash", "batch"])
         .select("doc_id", F.col("n_occurrences").cast("long"))

@@ -567,3 +567,41 @@ def test_gate_log_has_no_unpartitioned_window_warnings(spark):
         # (reference like _w0#123) rather than the order column directly
         for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
             assert spec.startswith("_w"), (name, spec)
+
+
+def test_phrase_search_builds_postings_once(spark):
+    """The phrase query must reuse ONE persisted postings build —
+    without the persist each per-term branch re-derives postings from
+    its own corpus scan + shuffle.  All three term branches must read
+    the cached relation (the plan-string scan count is unreliable
+    under AQE's repeated-subtree rendering, so the assertion is on the
+    cache reads)."""
+    df = REGISTRY["phrase_search_index"].fn(spark, PLAN_SF)
+    df.collect()  # populate the cache, finalize AQE
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+
+
+def test_zorder_audit_single_minmax_broadcast(spark):
+    """The layout audit's only corpus-wide aggregate is the 1-row
+    min/max broadcast; no cartesian product, no unpartitioned window."""
+    plan = physical_plan(REGISTRY["zorder_layout_audit"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_bloom_probe_is_prejoin_filter(spark):
+    """The bloom probe must evaluate as a row-local Filter against the
+    broadcast bits array — the probe side carries NO shuffle exchange
+    (the whole point of a runtime filter)."""
+    import re
+
+    plan = physical_plan(REGISTRY["bloom_semi_join_audit"].fn(spark, PLAN_SF))
+    # the probe branch feeds a final 1-row aggregate; fact-table
+    # hashpartitioning exchanges would mean the filter failed to stay
+    # row-local (the build side's tiny word agg legitimately shuffles
+    # on __cs-free keys; assert no exchange carries l_partkey)
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "l_partkey" not in m.group(1), m.group(0)
