@@ -1729,3 +1729,102 @@ def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_occurrences").cast("long"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    p AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      WHERE term IN ('slow', 'hash', 'batch')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(
+               ln((n - df + 0.5) / (df + 0.5) + 1)
+               * (CAST(tf AS DOUBLE)
+                  / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             AS DECIMAL(38,18))) AS DOUBLE) AS score
+      FROM p
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    note=(
+        "BM25 ranked retrieval (k1=1.2, b=0.75) from the positional inverted index: "
+        "per-term idf x saturated-tf scores summed in DECIMAL(38,18) (3-addend float "
+        "sums are addition-order-dependent — the unigram_logprob discipline), ranked "
+        "with doc_id tie-break; the per-term branches read ONE persisted postings build"
+    ),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the OR-query {slow, hash, batch} under
+    BM25 (Robertson/Sparck Jones; the +1 idf form that never goes
+    negative): score = Σ_t idf_t · tf/(tf + k1·(1−b+b·dl/avgdl)).
+    This is the ranked-retrieval half of contrib/index — the postings
+    table built once (persisted) serves both the exact-phrase merge
+    (phrase_search_index) and this scoring pass.
+
+    Determinism: idf/saturation arithmetic is the identical IEEE
+    expression in both engines; the per-doc sum over matched terms
+    rides DECIMAL(38,18) (a 3-addend double sum depends on addition
+    order — the exact trap unigram_logprob documents); ranking orders
+    the unrounded score with a doc_id tie-break and the emitted score
+    is rounded once.
+
+    Scale plan: tf rows for the 3 query terms come from the persisted
+    postings (term-pruned point reads at 100 TB); df is a 3-row
+    aggregate; doc lengths are one row-local pass joined on doc_id;
+    avgdl and N broadcast as a 1-row aggregate; top-10 is
+    TakeOrderedAndProject."""
+    from hadoop_20_spark.functions import tokens as _tok
+    from hadoop_20_spark.operators import invindex
+
+    terms = ["slow", "hash", "batch"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.select("doc_id", F.size(_tok("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        invindex.inverted_postings(docs, "doc_id", "text")
+        .where(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf")
+        .persist()
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    addend = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    ) * (
+        F.col("tf").cast("double")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", addend.cast("decimal(38,18)").alias("a"))
+        .groupBy("doc_id")
+        .agg(F.sum("a").cast("double").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

