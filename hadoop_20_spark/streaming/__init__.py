@@ -512,6 +512,8 @@ def incremental_dedup_ingest(docs_stream, index_dir: str, checkpoint_dir: str):
     from pyspark.sql import functions as F
 
     def ingest(df, epoch_id: int) -> None:
+        import os
+
         spark = df.sparkSession
         h = df.select(
             F.md5(F.substring("text", 1, 40)).alias("h"), "doc_id", "source"
@@ -521,11 +523,15 @@ def incremental_dedup_ingest(docs_stream, index_dir: str, checkpoint_dir: str):
             .agg(F.min("doc_id").alias("doc_id"))
             .join(h, ["h", "doc_id"])
         )
-        try:
+        # existence probe instead of a caught AnalysisException: the
+        # first batch has no index yet, and a stack trace in the stream
+        # log — even a handled one — reads as a failure.  (For a
+        # non-local index_dir, swap in a Hadoop-FS exists() call.)
+        if os.path.isdir(index_dir):
             idx = spark.read.parquet(index_dir).select("h")
             new = batch_keep.join(idx, "h", "left_anti")
-        except Exception:
-            new = batch_keep  # first batch: no index yet
+        else:
+            new = batch_keep
         new.select("h", "doc_id", "source").write.mode("append").parquet(
             index_dir
         )
