@@ -229,6 +229,10 @@ def main() -> None:
             ctx["b12_cents"].count()  # force the localCheckpoint chain
             d["train_secs"] = round(time.time() - t0, 3)
         times = [run_once(spark, name, ctx) for _ in range(3)]
+        # Per-query persists (postings builds, cumsum inputs) must not
+        # leak cache pressure into the next entry's timings.
+        if name != "b12_semantic_dedup":  # b12's trained centroids live in ctx
+            spark.catalog.clearCache()
         per_query[name] = round(statistics.median(times), 3)
         d["secs"] = per_query[name]
         d["secs_min"] = round(min(times), 3)

@@ -637,10 +637,11 @@ def paragraph_dedup(
     Normalization before hashing (lower + trim + whitespace collapse)
     catches reformatted boilerplate; reconstruction uses the ORIGINAL
     paragraph text.  Precondition: ``pno < 2^pos_bits`` (a million
-    paragraphs per document at the default — violated only by
-    pathological inputs, and then loudly: the position key would
-    collide across documents and the keeper choice would still be
-    deterministic, just not minimal-(doc, pos)).
+    paragraphs per document at the default) — ENFORCED: a violating row
+    raises at execution time rather than silently mis-encoding the key.
+    The doc id is cast to long before the shift so an IntegerType id
+    column cannot overflow int arithmetic (int*int stays int in Spark;
+    any id > 2^(31-pos_bits) would wrap, or throw under ANSI).
 
     Scale plan (the exact-dedup discipline below document granularity):
     segmentation is row-local; the first-occurrence aggregate shuffles
@@ -661,10 +662,25 @@ def paragraph_dedup(
         block_words=block_words,
     )
     norm = F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))
+    pk = (
+        F.when(
+            F.col("pno") < F.lit(1 << pos_bits),
+            F.col(id_col).cast("long") * F.lit(1 << pos_bits) + F.col("pno"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("paragraph_dedup: pno >= 2^pos_bits ("),
+                    F.col("pno").cast("string"),
+                    F.lit(f" >= {1 << pos_bits}); raise pos_bits"),
+                )
+            ).cast("long")
+        )
+    )
     keyed = paras.select(
         "*",
         F.md5(norm).alias("para_md5"),
-        (F.col(id_col) * F.lit(1 << pos_bits) + F.col("pno")).alias("__pk"),
+        pk.alias("__pk"),
     )
     firsts = keyed.groupBy("para_md5").agg(F.min("__pk").alias("__first_pk"))
     marked = keyed.join(firsts, "para_md5").withColumn(

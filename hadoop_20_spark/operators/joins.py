@@ -374,6 +374,12 @@ def bloom_filter_build(
     relational aggregate."""
     from hadoop_20_spark.functions import md5_long
 
+    if m_bits % 32 != 0:
+        raise ValueError(
+            f"m_bits must be a multiple of 32, got {m_bits}: a partial "
+            "last word would leave hash positions past the densified "
+            "array (element_at -> NULL -> false NEGATIVES)"
+        )
     spark = keys.sparkSession
     n_words = m_bits // 32
     c = F.col(key_col).cast("string")
@@ -404,24 +410,26 @@ def bloom_filter_build(
 def bloom_probe_passes(key_col: str, m_bits: int = 2048) -> "F.Column":
     """Row-local membership test against a broadcast ``bloom_bits``
     array column: all k bit positions set.  Pure codegen — the filter
-    the probe-side scan evaluates before any shuffle."""
-    cond = F.lit(True)
+    the probe-side scan evaluates before any shuffle.
+
+    The digest is let-bound once per row (the lambda-CSE rule,
+    ``functions.let``): the build side pays one md5 per key, so the
+    probe must too — three ``md5(key)`` spellings would rely on codegen
+    subexpression elimination collapsing them, which is not guaranteed
+    across every expression context."""
+    if m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    tests = []
     for off in BLOOM_OFFSETS:
-        pos = _probe_pos_sql(key_col, off, m_bits)
-        cond = cond & (
-            F.expr(
-                f"shiftright(element_at(bloom_bits, "
-                f"CAST({pos} DIV 32 AS INT) + 1), "
-                f"CAST({pos} % 32 AS INT)) & 1"
-            )
-            == 1
+        pos = (
+            f"(CAST(conv(substring(d, {1 + off}, 15), 16, 10) AS BIGINT)"
+            f" % {m_bits})"
         )
-    return cond
-
-
-def _probe_pos_sql(key_col: str, offset: int, m_bits: int) -> str:
-    """SQL fragment for one bloom hash position (md5_long analog)."""
-    return (
-        f"(CAST(conv(substring(md5(CAST({key_col} AS STRING)), {1 + offset}, 15), "
-        f"16, 10) AS BIGINT) % {m_bits})"
+        tests.append(
+            f"(shiftright(element_at(bloom_bits, CAST({pos} DIV 32 AS INT) + 1), "
+            f"CAST({pos} % 32 AS INT)) & 1) = 1"
+        )
+    return F.expr(
+        f"transform(array(md5(CAST({key_col} AS STRING))), "
+        f"d -> {' AND '.join(tests)})[0]"
     )

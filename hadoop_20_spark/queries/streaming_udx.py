@@ -847,7 +847,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_ops.incremental_dedup_ingest(stream, index_dir, ckpt).start()
     q.awaitTermination()
 
-    idx = spark.read.parquet(index_dir)
+    # Collapse the index to one row per fingerprint BEFORE counting:
+    # foreachBatch is at-least-once, so a replayed batch may re-append
+    # rows after a failure; min-(doc_id, source) per h makes the report
+    # idempotent — the documented contract of incremental_dedup_ingest.
+    idx = (
+        spark.read.parquet(index_dir)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "source")).alias("k"))
+        .select(F.col("k.source").alias("source"))
+    )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     kept = idx.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))

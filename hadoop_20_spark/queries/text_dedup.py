@@ -1601,11 +1601,15 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, n_chars, string_split(text, ' ') AS words
       FROM documents
     ),
-    idx AS (SELECT i FROM generate_series(0, 4095) AS t(i)),
+    p0 AS (
+      SELECT doc_id, source, n_chars, words,
+             unnest(range(0, CAST((len(words)+7)//8 AS BIGINT))) AS pno
+      FROM w
+    ),
     p AS (
-      SELECT doc_id, source, n_chars, i AS pno,
-             array_to_string(words[(i*8+1):((i+1)*8)], ' ') AS para
-      FROM w JOIN idx ON i*8 < len(words)
+      SELECT doc_id, source, n_chars, pno,
+             array_to_string(words[(pno*8+1):((pno+1)*8)], ' ') AS para
+      FROM p0
     ),
     k AS (
       SELECT *, md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS ph,
@@ -1684,11 +1688,13 @@ def paragraph_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
       FROM documents
     ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok
+    ),
     m AS (
       SELECT doc_id, COUNT(*) AS n_occurrences
-      FROM tok, generate_series(1, 4096) s(i)
-      WHERE i + 2 <= len(t)
-        AND t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'
+      FROM pos
+      WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'
       GROUP BY doc_id
     )
     SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences

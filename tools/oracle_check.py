@@ -87,6 +87,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # Queries that persist intermediates (distributed_cumsum,
+            # phrase/BM25 postings, zorder audit) cache for the session
+            # lifetime; across a 201-query gate run those accumulate.
+            # Clear between queries so cache pressure never leaks from
+            # one query's plan into another's timing or memory.
+            spark.catalog.clearCache()
         dt_spark = time.time() - t0
         if q.oracle is None:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({dt_spark:.1f}s)")
