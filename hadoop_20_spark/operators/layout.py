@@ -100,3 +100,78 @@ def zorder_file_assignment(
             "linear_file"
         ),
     ).drop(*[f"__min_{d}" for d in dims], *[f"__max_{d}" for d in dims])
+
+
+def write_clustered(
+    df: DataFrame,
+    dims: Sequence[str],
+    out_dir: str,
+    *,
+    layout: str = "zorder",
+    bits: int = 16,
+    file_bits: int = 6,
+) -> None:
+    """MATERIALIZE a clustered layout: assign every row its file id
+    (``zorder`` Morton ranges or ``linear`` first-dim ranges), range-
+    repartition so each output file holds one contiguous id range, and
+    write plain parquet — the footer min/max statistics of the ORIGINAL
+    dim columns then carry the bounding boxes that
+    ``zorder_layout_audit`` simulates, so pruning is measurable from
+    the filesystem, not a model.
+
+    Reference analog: TotalOrderPartitioner + MapFile
+    (``mapred/lib/TotalOrderPartitioner.java``, ``io/MapFile.java``)
+    wrote REAL sorted runs with real indexes; this is that discipline
+    with parquet footers as the index.  ``repartitionByRange`` over the
+    file id samples range boundaries, so each task writes one tight
+    Morton range; with default row-group sizing each file is one row
+    group and row-group pruning equals file pruning."""
+    file_col = {"zorder": "zorder_file", "linear": "linear_file"}[layout]
+    assigned = zorder_file_assignment(df, dims, bits=bits, file_bits=file_bits)
+    (
+        assigned.repartitionByRange(1 << file_bits, F.col(file_col))
+        .drop(*[f"__s_{d}" for d in dims], "zorder_file", "linear_file")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def parquet_file_boxes(out_dir: str, dims: Sequence[str]) -> list[dict]:
+    """Read back every parquet footer under ``out_dir`` and return the
+    REAL per-file min/max bounding box of ``dims`` — the filesystem
+    truth the simulated audit must agree with.  Driver-side metadata
+    read only (footers, never data pages): exactly what a lakehouse
+    manifest stores."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out_dir, name))
+        lo = {d: None for d in dims}
+        hi = {d: None for d in dims}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                d = col.path_in_schema
+                if d not in lo:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo[d] = st.min if lo[d] is None else min(lo[d], st.min)
+                hi[d] = st.max if hi[d] is None else max(hi[d], st.max)
+        boxes.append(
+            {
+                "file": name,
+                "n_row_groups": md.num_row_groups,
+                "n_rows": md.num_rows,
+                **{f"min_{d}": lo[d] for d in dims},
+                **{f"max_{d}": hi[d] for d in dims},
+            }
+        )
+    return boxes

@@ -97,3 +97,44 @@ def validate_conservation(before: DataFrame, after: DataFrame, numeric_col: str)
     return conservation_stats(before, numeric_col) == conservation_stats(
         after, numeric_col
     )
+
+
+def executed_scan_metrics(df: DataFrame) -> list[dict]:
+    """EXECUTE ``df`` and return the runtime SQL metrics of every file
+    scan leaf — the filesystem truth behind a pruning claim: with
+    parquet predicate pushdown, the scan's ``numOutputRows`` is the
+    rows DECODED from surviving row groups (record-level filtering is
+    off by default), so a clustered layout must show a smaller number
+    than a poorly-clustered one for the same query answer.
+
+    Reference analog: the per-task HDFS_BYTES_READ counter
+    (``mapred/Counters.java``) every hadoop-20 job report printed —
+    the number an engineer actually checked to see whether an
+    IndexedMapFile lookup avoided a full scan."""
+    df.collect()
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        # AQE wraps materialized stages in QueryStageExec leaves; the
+        # real operators (and their runtime metrics) live in .plan()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in name:
+            walk(node.plan())
+            return
+        if "Scan" in name and node.children().isEmpty():
+            metrics = {}
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                kv = mit.next()
+                metrics[kv._1()] = kv._2().value()
+            out.append({"node": name, **metrics})
+            return
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

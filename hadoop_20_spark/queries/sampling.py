@@ -239,8 +239,10 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation is row-local codegen; each layout's file stats are one
     64-key partial-agg'd shuffle over a persisted keyed projection
     (three consumers: two stats passes + the selectivity count); the
-    real writer would repartitionByRange(zorder_file) and write
-    per-file stats — this query IS the audit of that decision."""
+    real writer is layout.write_clustered — tests/test_layout_write.py
+    materializes BOTH layouts and re-proves this audit's decision from
+    parquet footer boxes and Spark's runtime scan metrics (4 vs 9
+    surviving files, 3.8k vs 8.4k decoded rows at sf0.01)."""
     from hadoop_20_spark.operators import layout as layout_ops
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
