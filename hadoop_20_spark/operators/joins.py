@@ -433,3 +433,44 @@ def bloom_probe_passes(key_col: str, m_bits: int = 2048) -> "F.Column":
         f"transform(array(md5(CAST({key_col} AS STRING))), "
         f"d -> {' AND '.join(tests)})[0]"
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    build_key: str | None = None,
+    *,
+    m_bits: int = 16384,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``keys`` behind an explicit Bloom runtime
+    filter: build the m-bit filter over the (deduplicated) build keys,
+    broadcast it as ONE ``array<long>`` row, kill non-passing fact rows
+    with row-local codegen BEFORE any join machinery, then exact
+    ``left_semi`` the survivors to remove the false positives.
+
+    This is the engine-portable form of Spark's InjectRuntimeFilter for
+    the cases that rule does not cover — a pre-aggregated build side
+    (keys from a HAVING), a non-equi derivation, or any engine without
+    the rule: the probe side pays one md5 per row at the scan and only
+    passing rows (true matches + the measured ~1-2% fp at sane sizing)
+    reach the exact join.  Semantics are EXACTLY ``left_semi`` —
+    Bloom filters have no false negatives (bloom_filter_build validates
+    the word-alignment precondition that could break that).
+
+    Reference anchor: ``core/util/bloom/BloomFilter.java`` +
+    ``io/BloomMapFile.java#get`` (probe the bloom before touching the
+    data file)."""
+    build_key = build_key or fact_key
+    bloom = bloom_filter_build(keys, build_key, m_bits=m_bits)
+    survivors = (
+        fact.crossJoin(F.broadcast(bloom))
+        .where(bloom_probe_passes(fact_key, m_bits=m_bits))
+        .drop("bloom_bits")
+    )
+    uniq = keys.select(F.col(build_key).alias("__bsj_k")).distinct()
+    return survivors.join(
+        broadcast_if_small(uniq),
+        F.col(fact_key) == F.col("__bsj_k"),
+        "left_semi",
+    )

@@ -889,3 +889,129 @@ def bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+@register(
+    "bloom_pruned_frequent_buyers",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+    keys AS (SELECT o_custkey FROM c WHERE n >= 15),
+    pos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([
+          (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) % 16384,
+          (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 15))::BIGINT) % 16384,
+          (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 15))::BIGINT) % 16384
+        ]) AS pos FROM keys)
+    ),
+    words AS (
+      SELECT pos // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ),
+    dense AS (
+      SELECT i AS w, COALESCE(word, 0) AS word
+      FROM generate_series(0, 511) t(i) LEFT JOIN words ON words.w = i
+    ),
+    bits AS (SELECT list(word ORDER BY w) AS b FROM dense),
+    probe AS (
+      SELECT o_custkey,
+        (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) % 16384 AS h0,
+        (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 15))::BIGINT) % 16384 AS h1,
+        (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 15))::BIGINT) % 16384 AS h2
+      FROM orders
+    ),
+    audit AS (
+      SELECT COUNT(*) AS n_fact,
+             SUM(CASE WHEN ((b[CAST(h0 // 32 AS INTEGER) + 1] >> CAST(h0 % 32 AS INTEGER)) & 1) = 1
+                       AND ((b[CAST(h1 // 32 AS INTEGER) + 1] >> CAST(h1 % 32 AS INTEGER)) & 1) = 1
+                       AND ((b[CAST(h2 // 32 AS INTEGER) + 1] >> CAST(h2 % 32 AS INTEGER)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS n_pass_bloom
+      FROM probe CROSS JOIN bits
+    ),
+    matched AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      FROM orders
+      WHERE o_custkey IN (SELECT o_custkey FROM keys)
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_orders) AS n_true FROM matched)
+    SELECT o_orderpriority,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev * 1000000 AS BIGINT) AS revenue_micros,
+           CAST((SELECT n_fact FROM audit) AS BIGINT) AS n_fact,
+           CAST((SELECT n_pass_bloom FROM audit) AS BIGINT) AS n_pass_bloom,
+           CAST((SELECT n_true FROM tot) AS BIGINT) AS n_true_match
+    FROM matched ORDER BY o_orderpriority
+    """,
+    note=(
+        "bloom_semi_join applied in a pipeline (not just audited): revenue by order "
+        "priority for frequent buyers (HAVING count >= 15 — a PRE-AGGREGATED build side, "
+        "exactly where Spark's InjectRuntimeFilter cannot create a runtime filter); the "
+        "fact probe dies row-locally at the scan against the broadcast 16384-bit filter "
+        "before the exact semi join removes the fp tail; result carries the probe-side "
+        "rows-in/rows-out audit columns"
+    ),
+)
+def bloom_pruned_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority restricted to FREQUENT buyers (>= 15
+    orders), computed through :func:`operators.joins.bloom_semi_join`:
+    the build side is a HAVING-filtered aggregate — the case Spark's
+    own InjectRuntimeFilter rule does not cover (it requires a
+    selective FILTER on the creation side, not an aggregate) — so the
+    engine-portable filter earns its keep: the fact scan drops
+    ~99% of rows row-locally before any join, and the exact left_semi
+    mops up the measured fp tail.
+
+    Result carries the audit columns the runtime-filter decision needs:
+    ``n_fact`` (probe rows in), ``n_pass_bloom`` (rows after the
+    bloom), ``n_true_match`` (rows after the exact join).
+
+    Scale plan: the build aggregate shuffles only the 8-byte custkey
+    column (column-pruned scan); the filter itself is <= 512 shuffled
+    words collapsed to ONE broadcast row; the probe is one md5 per fact
+    row at the scan; survivors (~1% + fp) reach a broadcast semi join.
+    The audit readout probes the fact a second time by design — it is
+    the certification pass, dropped in production once fp is sized."""
+    from hadoop_20_spark.operators import joins as join_ops
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    keys = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 15)
+        .select("o_custkey")
+    )
+    exact = join_ops.bloom_semi_join(o, keys, "o_custkey", m_bits=16384)
+    grouped = exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(28,6)")) * 1000000)
+        .cast("long")
+        .alias("revenue_micros"),
+    )
+    bloom = join_ops.bloom_filter_build(keys, "o_custkey", m_bits=16384)
+    audit = o.crossJoin(F.broadcast(bloom)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum(
+            join_ops.bloom_probe_passes("o_custkey", m_bits=16384).cast("int")
+        )
+        .cast("long")
+        .alias("n_pass_bloom"),
+    )
+    tot = grouped.agg(F.sum("n_orders").cast("long").alias("n_true_match"))
+    return (
+        grouped.crossJoin(F.broadcast(audit))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "revenue_micros",
+            "n_fact",
+            "n_pass_bloom",
+            "n_true_match",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -124,3 +124,43 @@ def test_bloom_audit_consistency(spark):
     assert r["n_pass_bloom"] >= r["n_true_match"]
     assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
     assert 0 <= r["fp_rate"] < 1
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    """bloom_semi_join is EXACTLY left_semi (no false negatives, fp
+    removed by the mop-up join), regardless of filter sizing — even a
+    saturated tiny filter only costs selectivity, never correctness."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.joins import bloom_semi_join
+
+    fact = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+    )
+    keys = spark.range(0, 900, 3).select(F.col("id").alias("k"))
+    expected = sorted(
+        r["k"] for r in fact.join(keys, "k", "left_semi").collect()
+    )
+    for m_bits in (64, 4096):  # saturated and sane
+        got = sorted(
+            r["k"] for r in bloom_semi_join(fact, keys, "k", m_bits=m_bits).collect()
+        )
+        assert got == expected, m_bits
+
+
+def test_bloom_m_bits_must_be_word_aligned(spark):
+    """A partial last word would index past the densified array and
+    produce false negatives — both build and probe must refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_probe_passes,
+    )
+
+    members = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_filter_build(members, "k", m_bits=100)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_probe_passes("k", m_bits=100)

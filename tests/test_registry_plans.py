@@ -622,3 +622,20 @@ def test_boundaries_then_score_persists_scored_relation(spark):
         plan = physical_plan(df)
         assert plan.count(base) <= 2, (name, plan.count(base))
         assert "InMemoryRelation" in plan, name
+
+
+def test_bloom_semi_join_probe_before_exchange(spark):
+    """bloom_pruned_frequent_buyers: the fact probe must die at the
+    scan — the md5 bloom test appears as a row-local filter (one
+    let-bound digest), every join is broadcast (no SortMergeJoin), and
+    no exchange ever carries the full-width fact row (o_totalprice):
+    only the 8-byte custkey build column and the pruned survivors'
+    group keys shuffle."""
+    import re
+
+    plan = physical_plan(REGISTRY["bloom_pruned_frequent_buyers"].fn(spark, PLAN_SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("LeftSemi") >= 1
+    assert "transform(array(md5(" in plan.replace(" ", ""), "probe filter missing"
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "o_totalprice" not in m.group(1), m.group(0)
