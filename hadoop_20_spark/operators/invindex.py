@@ -40,6 +40,37 @@ def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def merge_postings(
+    base: DataFrame, delta: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge a delta batch's postings into a base index — the
+    contrib/index shard-merge economics (``src/contrib/index``'s
+    reducer merged new postings into persisted Lucene shards) as a
+    relational operation: a document present in the delta REPLACES all
+    its base postings (doc-level replacement, not per-(term, doc)
+    upsert — a re-indexed doc may have LOST terms, and a row-level
+    merge would leave those stale rows behind); documents absent from
+    the delta keep their base postings untouched.
+
+    ``merged == rebuilt-from-scratch`` over the effective corpus is the
+    whole correctness contract (the incremental_agg_maintenance
+    discipline applied to postings) — proven by the
+    ``postings_delta_merge`` oracle and the equality test.
+
+    Scale plan: ONE anti-join of the base against the delta's doc-id
+    set (broadcast while the batch is small — the common case: a crawl
+    batch vs a corpus index) plus a union; with term-partitioned
+    persisted postings both sides stay partition-aligned and the merge
+    never touches the corpus text."""
+    from hadoop_20_spark.operators.joins import broadcast_if_small
+
+    delta_docs = delta.select(id_col).distinct()
+    kept = base.join(broadcast_if_small(delta_docs), id_col, "left_anti")
+    # a USING join moves the key column first; restore the base schema
+    # order so merged output is drop-in for the base index
+    return kept.unionByName(delta).select(*base.columns)
+
+
 def phrase_match(
     postings: DataFrame, phrase: Sequence[str], id_col: str = "doc_id"
 ) -> DataFrame:

@@ -354,3 +354,42 @@ def test_bm25_ranking_sanity(spark):
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
     assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_merge_postings_equals_rebuild(spark):
+    """merge_postings must be ROW-IDENTICAL to a from-scratch rebuild
+    over the effective corpus — including doc-level replacement: a
+    re-indexed doc whose revision DROPPED a term must not keep that
+    term's stale base posting (the bug a per-(term,doc) upsert would
+    have)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.invindex import (
+        inverted_postings,
+        merge_postings,
+    )
+
+    rows = [
+        (1, "a b c a"),
+        (2, "b c d"),
+        (3, "e f"),
+        (4, "a e"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = inverted_postings(docs, "doc_id", "text")
+    # revision of docs 2 and 4: doc 2 drops 'd' entirely, doc 4 adds 'z'
+    upd_rows = [(2, "b c c"), (4, "a e z")]
+    upd = spark.createDataFrame(upd_rows, ["doc_id", "text"])
+    delta = inverted_postings(upd, "doc_id", "text")
+    merged = merge_postings(base, delta, "doc_id")
+
+    eff = spark.createDataFrame(
+        [r for r in rows if r[0] not in (2, 4)] + upd_rows, ["doc_id", "text"]
+    )
+    rebuilt = inverted_postings(eff, "doc_id", "text")
+    assert merged.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(merged).count() == 0
+    # the stale-posting trap, explicitly
+    assert (
+        merged.where((F.col("term") == "d") & (F.col("doc_id") == 2)).count() == 0
+    )
