@@ -1015,3 +1015,171 @@ def bloom_pruned_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "retraction_agg_maintenance",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             MIN(CAST(o_totalprice AS DECIMAL(28,6))) AS mn,
+             MAX(CAST(o_totalprice AS DECIMAL(28,6))) AS mx
+      FROM orders GROUP BY 1
+    ),
+    del AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(28,6)) AS p
+      FROM orders
+      WHERE o_orderkey % 13 = 0
+         OR (o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0)
+    ),
+    hit AS (
+      SELECT d.o_orderpriority,
+             MAX(CASE WHEN d.p = b.mn OR d.p = b.mx THEN 1 ELSE 0 END) AS rec
+      FROM del d JOIN base b USING (o_orderpriority)
+      GROUP BY 1
+    ),
+    eff AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 17 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(28,6)) + 100
+                  ELSE CAST(o_totalprice AS DECIMAL(28,6)) END AS p
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT e.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(p * 1000000 AS BIGINT)) AS BIGINT) AS total_micros,
+           CAST(MIN(p) * 1000000 AS BIGINT) AS min_micros,
+           CAST(MAX(p) * 1000000 AS BIGINT) AS max_micros,
+           CASE WHEN MAX(h.rec) = 1 THEN 'recompute' ELSE 'algebraic' END
+             AS minmax_path
+    FROM eff e LEFT JOIN hit h USING (o_orderpriority)
+    GROUP BY 1 ORDER BY 1
+    """,
+    note=(
+        "RETRACTION-safe view maintenance (CDC deletes + updates, not just inserts): "
+        "counts/sums maintain with signed deltas; min/max detects the retract-the-extremum "
+        "case per group and falls back to recompute FOR THOSE GROUPS ONLY, emitting which "
+        "path each group took — the oracle recomputes the whole view from the effective "
+        "table, proving maintain == recompute under deletes"
+    ),
+)
+def retraction_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View maintenance when the delta batch can RETRACT: the CDC batch
+    deletes ``o_orderkey % 13 == 0`` and updates ``% 17 == 0`` (delete
+    old price, insert price + 100) against the maintained per-priority
+    summary.  Counts and sums absorb signed deltas algebraically
+    (count += Σsign, sum += Σ sign·price — always safe); min/max is NOT
+    retractable algebra: a deleted row equal to the stored extremum
+    invalidates the state, so the maintainer detects that per group
+    (one broadcast of the 5-row base state into the CDC aggregate) and
+    recomputes min/max from the effective table for FLAGGED groups
+    only, folding inserts algebraically everywhere else.  The published
+    view carries ``minmax_path`` so the consumer sees which groups paid
+    the recompute.
+
+    Exactness: prices ride DECIMAL(28,6) end-to-end (the extremum-hit
+    equality test must be exact — doubles would flip it at the 15th
+    digit); sums are per-row integer micros.
+
+    Scale plan: base state and CDC state are each ONE partial-agg'd
+    shuffle keyed by the 5-value priority (the CDC batch is ~12% of the
+    fact here, and only IT is scanned at maintenance time in a real
+    pipeline — the base state is the stored view); the recompute
+    fallback rescans the effective table ONLY for flagged groups (a
+    semi-join-pruned scan, empty when no extremum is hit); the merge is
+    a 5-row broadcast join.  At 100 TB the recompute cost is the metric
+    this query publishes — a view whose extremes churn should maintain
+    a small top-k reservoir per group instead (documented trade)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(28,6)").alias("p"),
+    )
+    micros = (F.col("p") * 1000000).cast("long")
+
+    # the maintained state (what the stored view holds before the batch)
+    base_state = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros).alias("s_micros"),
+        F.min("p").alias("mn"),
+        F.max("p").alias("mx"),
+    )
+
+    # CDC batch: deletes (sign -1) + updates (delete old, insert new)
+    is_del = F.col("o_orderkey") % 13 == 0
+    is_upd = (F.col("o_orderkey") % 17 == 0) & ~is_del
+    deletes = o.where(is_del | is_upd).select(
+        "o_orderpriority", "p", F.lit(-1).alias("sign")
+    )
+    inserts = o.where(is_upd).select(
+        "o_orderpriority",
+        (F.col("p") + 100).alias("p"),
+        F.lit(1).alias("sign"),
+    )
+    cdc = deletes.unionByName(inserts)
+
+    # CDC state, with the retract-the-extremum detector: base mn/mx
+    # broadcast into the batch aggregate (5 rows)
+    cdc_state = (
+        cdc.join(
+            F.broadcast(base_state.select("o_orderpriority", "mn", "mx")),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * (F.col("p") * 1000000).cast("long")).alias(
+                "ds_micros"
+            ),
+            F.min(F.when(F.col("sign") == 1, F.col("p"))).alias("ins_mn"),
+            F.max(F.when(F.col("sign") == 1, F.col("p"))).alias("ins_mx"),
+            F.max(
+                (
+                    (F.col("sign") == -1)
+                    & ((F.col("p") == F.col("mn")) | (F.col("p") == F.col("mx")))
+                ).cast("int")
+            ).alias("hit"),
+        )
+    )
+
+    merged = base_state.join(cdc_state, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        (F.col("n") + F.coalesce("dn", F.lit(0))).cast("long").alias("n_orders"),
+        (F.col("s_micros") + F.coalesce("ds_micros", F.lit(0)))
+        .cast("long")
+        .alias("total_micros"),
+        F.least("mn", "ins_mn").alias("alg_mn"),
+        F.greatest("mx", "ins_mx").alias("alg_mx"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+
+    # recompute fallback: effective table scanned ONLY for flagged groups
+    flagged = merged.where(F.col("hit") == 1).select("o_orderpriority")
+    eff = o.where(~is_del).select(
+        "o_orderpriority",
+        F.when(is_upd, F.col("p") + 100).otherwise(F.col("p")).alias("p"),
+    )
+    recomputed = (
+        eff.join(F.broadcast(flagged), "o_orderpriority", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.min("p").alias("rec_mn"), F.max("p").alias("rec_mx"))
+    )
+
+    return (
+        merged.join(recomputed, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "total_micros",
+            (
+                F.coalesce("rec_mn", "alg_mn") * 1000000
+            ).cast("long").alias("min_micros"),
+            (
+                F.coalesce("rec_mx", "alg_mx") * 1000000
+            ).cast("long").alias("max_micros"),
+            F.when(F.col("hit") == 1, "recompute")
+            .otherwise("algebraic")
+            .alias("minmax_path"),
+        )
+        .orderBy("o_orderpriority")
+    )
