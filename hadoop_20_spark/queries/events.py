@@ -751,7 +751,8 @@ def error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_errors"),
     )
     rate = F.col("n_errors").cast("double") / F.col("n_events")
-    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    # constant key: daily aggregate rows only, not a fact path
+    w7 = Window.partitionBy(F.col("n_events") % 1).orderBy("day").rowsBetween(-6, Window.currentRow)
     return daily.select(
         "day",
         F.col("n_events").cast("long").alias("n_events"),

@@ -1504,7 +1504,10 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_trunc("day", F.col("ts"))).alias("d")
     )
     per_day = first_day.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # constant key: per-day aggregate (~bounded days), not a fact path
+    w = Window.partitionBy(F.col("n_new") % 1).orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return per_day.select(
         "d",
         "n_new",

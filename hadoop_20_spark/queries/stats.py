@@ -101,7 +101,10 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
     hist = per_key.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_keys_at"))
-    w = Window.partitionBy()
+    # non-foldable constant partition key (the corpus_stats `% 1`
+    # idiom; a bare lit is constant-folded back to an empty spec):
+    # aggregated-histogram relation, warning-free WindowExec log
+    w = Window.partitionBy(F.col("c") % 1)
     return (
         hist.select(
             F.col("c").alias("rows_per_key"),
@@ -673,7 +676,8 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     h_all = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("k"))
     tot = h_all.agg(F.sum("k").alias("t"))
-    w_all = Window.orderBy("n_chars").rowsBetween(
+    # constant key: aggregated length histogram, not a fact path
+    w_all = Window.partitionBy(F.col("n_chars") % 1).orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum_all = h_all.select("n_chars", F.sum("k").over(w_all).alias("ca"))

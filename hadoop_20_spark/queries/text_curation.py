@@ -126,7 +126,8 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("long").alias("n_tokens"),
     )
-    tot = F.sum("n_tokens").over(Window.partitionBy())
+    # constant key: 16-bucket histogram readout, not a fact path
+    tot = F.sum("n_tokens").over(Window.partitionBy(F.col("n_docs") % 1))
     return (
         hist.select(
             "bucket",
@@ -1070,10 +1071,11 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     h = tok.groupBy("n_toks").agg(F.count(F.lit(1)).alias("k"))
-    w_cdf = Window.orderBy("n_toks").rowsBetween(
+    # constant keys: CDF over the aggregated length histogram
+    w_cdf = Window.partitionBy(F.col("n_toks") % 1).orderBy("n_toks").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_tot = Window.rowsBetween(
+    w_tot = Window.partitionBy(F.col("n_toks") % 1).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     med = (
