@@ -206,6 +206,99 @@ def duckdb_compare(name: str) -> dict:
     return {"duckdb_secs": round(statistics.median(times), 3), "duckdb_rows": rows}
 
 
+# GridMix/MRBench analogs (src/benchmarks/gridmix2/, src/test/.../
+# MRBench.java): the reference's canonical PERFORMANCE harness was not a
+# serial suite — it was a MIX of concurrent jobs plus repeated small-job
+# latency.  g1 submits 2 waves of 4 diverse entries (scan-agg, global
+# sort, CPU-bound minhash, micro-batch stream join) simultaneously from
+# a thread pool against the SHARED session and reports per-job latency
+# percentiles + throughput vs the serial equivalent; g2 repeats a
+# q6-class small job 20x and reports the scheduling-floor percentiles.
+GRIDMIX_MIX = ("b1_agg_scan", "b3_global_sort", "b9a_minhash_dedup", "b13_stream_join")
+GRIDMIX_WAVES = 2
+SMALL_JOB = "q6_forecast_revenue"
+SMALL_JOB_REPS = 20
+
+
+def run_gridmix_concurrent(spark, serial_detail: dict) -> dict:
+    """Submit GRIDMIX_WAVES copies of each mix entry at once; each task
+    times its own noop-write run, then fingerprints its output so the
+    concurrent results are hash-checked against the serial runs (a
+    concurrency bug that corrupts shared state must shift a hash, not
+    just a latency)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name: str) -> dict:
+        t0 = time.time()
+        run_once(spark, name)
+        return {"name": name, "lat": round(time.time() - t0, 3)}
+
+    def check(name: str) -> dict:
+        rows, h = fingerprint(REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR))
+        return {"name": name, "rows": rows, "hash": h}
+
+    jobs = [n for n in GRIDMIX_MIX for _ in range(GRIDMIX_WAVES)]
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        t0 = time.time()
+        timed = list(pool.map(one, jobs))
+        wall = time.time() - t0
+        # hash checks still run CONCURRENTLY (a concurrency bug must
+        # shift a hash) but outside the timed wall
+        checks = list(pool.map(check, jobs))
+    results = [{**t, **c} for t, c in zip(timed, checks)]
+    spark.catalog.clearCache()
+
+    lats = sorted(r["lat"] for r in results)
+    per_entry: dict[str, dict] = {}
+    for name in GRIDMIX_MIX:
+        rs = [r for r in results if r["name"] == name]
+        per_entry[name] = {
+            "lats": [r["lat"] for r in rs],
+            "serial_secs": serial_detail[name]["secs"],
+            "hash_match": all(
+                r["hash"] == serial_detail[name]["hash"]
+                and r["rows"] == serial_detail[name]["rows"]
+                for r in rs
+            ),
+        }
+    serial_equiv = round(
+        sum(serial_detail[n]["secs"] for n in jobs), 3
+    )
+    return {
+        "n_jobs": len(jobs),
+        "wall_secs": round(wall, 3),
+        "serial_equiv_secs": serial_equiv,
+        "throughput_x": round(serial_equiv / wall, 2),
+        "p50_lat": lats[len(lats) // 2],
+        "p95_lat": lats[min(len(lats) - 1, int(len(lats) * 0.95))],
+        "per_entry": per_entry,
+        "all_hashes_match": all(e["hash_match"] for e in per_entry.values()),
+    }
+
+
+def run_gridmix_small_jobs(spark) -> dict:
+    """MRBench: the latency floor of a small job repeated 20x on the
+    shared session — scheduler + planning overhead, the number a
+    multi-tenant cluster's interactive users feel."""
+    lats = []
+    for _ in range(SMALL_JOB_REPS):
+        t0 = time.time()
+        REGISTRY[SMALL_JOB].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        lats.append(time.time() - t0)
+    lats.sort()
+    return {
+        "n": len(lats),
+        "query": SMALL_JOB,
+        "p50": round(lats[len(lats) // 2], 3),
+        "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
+        "min": round(lats[0], 3),
+        "max": round(lats[-1], 3),
+        "total_secs": round(sum(lats), 3),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     # warm-up: JVM + parquet footer caches
@@ -273,6 +366,17 @@ def main() -> None:
                 # compare ratios round-over-round, not raw seconds
                 d["ratio"] = round(d["secs"] / d["duckdb_secs"], 2)
         detail[name] = d
+
+    # GridMix concurrent mix + MRBench small-job latency (reference's
+    # canonical harness shape) — after the serial suite so the serial
+    # hashes exist to check the concurrent outputs against.
+    g1 = run_gridmix_concurrent(spark, detail)
+    g2 = run_gridmix_small_jobs(spark)
+    per_query["g1_concurrent_mix"] = g1["wall_secs"]
+    per_query["g2_small_job_p50"] = g2["p50"]
+    detail["g1_concurrent_mix"] = g1
+    detail["g2_small_job_p50"] = g2
+
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

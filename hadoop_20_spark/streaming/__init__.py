@@ -203,6 +203,17 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def _unique_sink_name(name: str) -> str:
+    """Suffix a memory-sink query name with a nonce: a fixed name makes
+    two CONCURRENT instances of the same query collide ('query with
+    that name is already active') — the GridMix concurrent-mix bench
+    runs exactly that shape.  The registered result table is tiny and
+    per-run; the caller reads it through the returned DataFrame."""
+    import uuid
+
+    return f"{name}_{uuid.uuid4().hex[:8]}"
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -215,6 +226,7 @@ def run_to_memory(
     streams, or use :func:`run_append_to_memory` /
     :func:`run_update_to_memory`.
     """
+    name = _unique_sink_name(name)
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -229,6 +241,7 @@ def run_to_memory(
 def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Update-mode memory sink (stateful operators emit per-batch state
     updates; the table accumulates one row per key per batch)."""
+    name = _unique_sink_name(name)
     q = (
         stream_df.writeStream.outputMode("update")
         .format("memory")
@@ -250,6 +263,7 @@ LAST_QUERY_PROGRESS: dict = {}
 
 
 def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    name = _unique_sink_name(name)
     q = (
         stream_df.writeStream.outputMode("append")
         .format("memory")
@@ -438,6 +452,7 @@ def run_available_now_to_memory(
 
     awaitTermination() (not processAllAvailable) — AvailableNow ends the
     query itself once the planned offsets are consumed."""
+    name = _unique_sink_name(name)
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
