@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import tokens
+from hadoop_20_spark.functions import md5_bucket, tokens
 
 
 def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -110,4 +110,52 @@ def phrase_match(
 def _filter_adjacent(starts, successors, offset: int):
     return F.filter(
         starts, lambda p: F.array_contains(successors, p + F.lit(offset))
+    )
+
+
+def write_postings_partitioned(
+    postings: DataFrame, out_dir: str, *, buckets: int = 64
+) -> None:
+    """MATERIALIZE the postings index term-partitioned — the
+    contrib/index shard layout (one Lucene shard per reducer) as a
+    parquet directory per md5 term bucket: a query term's postings
+    become a PARTITION-PRUNED point read (the scan lists only its
+    bucket's files), so phrase/BM25 retrieval at 100 TB reads
+    df(term)-sized data instead of touching the index.
+
+    One repartition on the bucket key co-locates each bucket into one
+    task -> one file per directory; `partitionBy` writes the
+    `term_bucket=N/` layout Spark prunes statically."""
+    bucketed = postings.withColumn("term_bucket", md5_bucket(F.col("term"), buckets))
+    (
+        bucketed.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(out_dir)
+    )
+
+
+def term_bucket_py(term: str, buckets: int = 64) -> int:
+    """Driver-side twin of functions.md5_bucket (same 15-hex-digit md5
+    prefix arithmetic) — computes a query term's partition so the read
+    filter is a LITERAL the scan prunes on."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % buckets
+
+
+def read_term_postings(
+    spark, out_dir: str, term: str, *, buckets: int = 64
+) -> DataFrame:
+    """Point-read one term's postings from the partitioned layout:
+    the literal bucket predicate prunes to ONE directory at plan time
+    (PartitionFilters), the term equality pushes into that bucket's
+    parquet scan."""
+    return (
+        spark.read.parquet(out_dir)
+        .where(
+            (F.col("term_bucket") == F.lit(term_bucket_py(term, buckets)))
+            & (F.col("term") == term)
+        )
+        .drop("term_bucket")
     )

@@ -102,3 +102,43 @@ def test_runtime_scan_decodes_fewer_rows_on_zorder(spark, layouts):
     assert 0 < answers["zorder"] <= decoded["zorder"]
     assert decoded["zorder"] * 2 <= decoded["linear"], decoded
     assert decoded["linear"] * 4 <= total_rows, (decoded, total_rows)
+
+
+def test_term_partitioned_postings_point_read(spark, tmp_path_factory):
+    """The phrase/BM25 100 TB story, materialized: postings written
+    term-partitioned (contrib/index shard layout) must answer a
+    term read through static partition pruning — the executed scan
+    lists ONE bucket's files, not the index — and return exactly the
+    rows the unpartitioned filter returns."""
+    from hadoop_20_spark.operators import invindex
+    from hadoop_20_spark.plans import physical_plan
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    postings = invindex.inverted_postings(docs, "doc_id", "text")
+    d = str(tmp_path_factory.mktemp("postings_idx"))
+    invindex.write_postings_partitioned(postings, d, buckets=16)
+
+    term = "batch"
+    pr = invindex.read_term_postings(spark, d, term, buckets=16)
+    plan = physical_plan(pr)
+    assert "PartitionFilters" in plan and "term_bucket" in plan, plan[:800]
+
+    expected = {
+        (r["doc_id"], r["tf"])
+        for r in postings.where(F.col("term") == term).collect()
+    }
+    got = {(r["doc_id"], r["tf"]) for r in pr.collect()}
+    assert got == expected and got, (len(got), len(expected))
+
+    # filesystem truth: the executed scan must touch ~1/16 of the files
+    scans = executed_scan_metrics(pr.groupBy().count())
+    total_files = sum(
+        s["numFiles"]
+        for s in executed_scan_metrics(
+            spark.read.parquet(d).groupBy().count()
+        )
+    )
+    pruned_files = sum(s["numFiles"] for s in scans)
+    assert pruned_files * 4 <= total_files, (pruned_files, total_files)
