@@ -700,3 +700,84 @@ def paragraph_dedup(
             joiner,
         ).alias("text_dedup"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 12,
+    carry_cols: tuple[str, ...] = (),
+    pos_bits: int = 20,
+) -> DataFrame:
+    """EXACT SUBSTRING duplicate spans (Lee et al. 2021's span modality
+    as windowed fingerprints, the distributed form of their suffix-array
+    scan): fingerprint every ``window_tokens``-token sliding window,
+    keep each fingerprint's globally-first occurrence (min encoded
+    ``(doc_id, pos)``), and merge the remaining duplicate window starts
+    into maximal per-document spans.  Returns one row per span:
+    ``(id, carry_cols…, span_start, span_toks)`` with ``span_start``
+    1-based in token positions.
+
+    Island rule for equal-length intervals: sorted starts open a new
+    span when the gap to the previous start is >= W (the running max of
+    span ends degenerates to ``lag(pos) + W - 1`` when every interval
+    has length W).
+
+    Scale plan: windowing is row-local (one md5 per token position);
+    the first-occurrence aggregate shuffles 32-byte keys with map-side
+    partials; the island window partitions by doc over DUPLICATE starts
+    only (empty for clean docs, bounded by tokens-per-doc otherwise).
+    Reference anchor: the MD5Hash fingerprint discipline
+    (core/io/MD5Hash.java) under the record-boundary scan, below
+    paragraph granularity."""
+    w = window_tokens
+    from pyspark.sql import Window
+
+    base = df.select(id_col, *carry_cols, tokens(text_col).alias("__t"))
+    win = base.select(
+        "*",
+        F.explode(
+            F.when(
+                F.size("__t") >= w, F.sequence(F.lit(1), F.size("__t") - w + 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    )
+    keyed = win.select(
+        id_col,
+        *carry_cols,
+        "pos",
+        F.md5(F.array_join(F.slice("__t", F.col("pos"), w), " ")).alias("wh"),
+        (F.col(id_col).cast("long") * F.lit(1 << pos_bits) + F.col("pos")).alias(
+            "__pk"
+        ),
+    )
+    firsts = keyed.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__pk").alias("__first_pk")
+    )
+    dups = (
+        keyed.join(firsts, "wh")
+        .where((F.col("__n") > 1) & (F.col("__pk") != F.col("__first_pk")))
+        .select(id_col, *carry_cols, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    isl = dups.select(
+        "*",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") - F.lag("pos").over(w_doc) >= w),
+            1,
+        )
+        .otherwise(0)
+        .alias("__ni"),
+    ).select(
+        "*",
+        F.sum("__ni")
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__iid"),
+    )
+    return isl.groupBy(id_col, *carry_cols, "__iid").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") - F.min("pos") + w).alias("span_toks"),
+    ).drop("__iid")

@@ -1354,3 +1354,126 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@register(
+    "dup_span_report",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, source, t, unnest(range(1, len(t) - 12 + 2)) AS pos
+      FROM tok
+    ),
+    h AS (
+      SELECT doc_id, source, pos,
+             md5(array_to_string(t[pos:pos+11], ' ')) AS wh,
+             doc_id * 1048576 + pos AS pk
+      FROM win
+    ),
+    firsts AS (SELECT wh, COUNT(*) AS n_occ, MIN(pk) AS min_pk FROM h GROUP BY 1),
+    dups AS (
+      SELECT h.doc_id, h.source, h.pos
+      FROM h JOIN firsts USING (wh)
+      WHERE n_occ > 1 AND pk <> min_pk
+    ),
+    isl AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w >= 12 THEN 1 ELSE 0 END AS ni
+      FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS iid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, source, iid,
+             MAX(pos) - MIN(pos) + 12 AS span_toks
+      FROM isl2 GROUP BY 1, 2, 3
+    ),
+    per_src AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs_affected,
+             COUNT(*) AS n_dup_spans, SUM(span_toks) AS dup_tokens
+      FROM spans GROUP BY 1
+    ),
+    tt AS (SELECT source, SUM(len(t)) AS total_tokens FROM tok GROUP BY 1)
+    SELECT tt.source,
+           CAST(COALESCE(n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / total_tokens, 6)
+             AS dup_share
+    FROM tt LEFT JOIN per_src USING (source)
+    ORDER BY source
+    """,
+    note=(
+        "EXACT SUBSTRING dedup report (Lee et al. 2021's span modality, the windowed-"
+        "fingerprint form of their suffix-array dedup): every 12-token window is md5-"
+        "fingerprinted; windows whose fingerprint occurs elsewhere in the corpus (keep-"
+        "first by min (doc_id, pos)) are duplicate span starts; overlapping starts merge "
+        "into maximal spans per doc (equal-length-interval islands) — per-source spans/"
+        "tokens-covered/share, the signal that catches duplicated PASSAGES neither "
+        "doc-level MinHash nor paragraph blocks can see"
+    ),
+)
+def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Lee-et-al dedup granularity (document > paragraph >
+    SUBSTRING): fingerprint every 12-token sliding window, keep the
+    globally-first occurrence of each fingerprint, merge the remaining
+    (duplicate) window starts into maximal per-doc spans, and report
+    per-source span counts and token coverage — the measurement pass of
+    exact substring dedup (the removal pass is paragraph_dedup's
+    reconstruction applied to span complements).
+
+    Merging uses the equal-length-interval island rule: window starts
+    sorted per doc start a new span when the gap >= W (a running max of
+    span ends degenerates to lag(pos)+W-1 when all intervals have
+    length W, so consecutive-start gaps decide islands exactly).
+
+    Scale plan: windowing is row-local (one md5 per token position —
+    the same cost class as winnowing, which shares the fixed-cost
+    story); the fingerprint aggregate shuffles 32-byte keys with
+    map-side partials; the island window partitions by doc_id over
+    DUPLICATE STARTS only (bounded by tokens-per-doc, and empty for
+    clean docs); the per-source rollup is a tiny-key aggregate.  The
+    corpus is scanned twice (window pass + the column-pruned
+    total-token pass) — cheaper than caching tokenized bodies.
+    Precondition pos < 2^20, same encoding as paragraph_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(
+        docs, "doc_id", "text", window_tokens=12, carry_cols=("source",)
+    )
+    per_src = spans.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_affected"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_toks").alias("dup_tokens"),
+    )
+    tt = (
+        docs.select("source", F.size(_fn_tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("total_tokens"))
+    )
+    return (
+        tt.join(per_src, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_docs_affected", F.lit(0)).cast("long").alias(
+                "n_docs_affected"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )

@@ -555,3 +555,28 @@ def test_segment_paragraphs_block_mode_shapes(spark):
         df, "doc_id", "text", block_words=2
     ).orderBy("pno").collect()
     assert [r["para"] for r in rows] == ["a b", "c d", "e"]
+
+
+def test_duplicate_spans_planted(spark):
+    """Exact-substring span semantics on planted docs: the globally
+    FIRST occurrence is kept (no span emitted), a copied passage in a
+    later doc becomes one span, and overlapping duplicate windows merge
+    into a single maximal span."""
+    from hadoop_20_spark.operators.dedup import duplicate_spans
+
+    run = " ".join(f"w{i}" for i in range(16))  # w0..w15, 16 tokens
+    rows = [
+        (1, run),                       # original: keeper, no spans
+        (2, "x y " + " ".join(f"w{i}" for i in range(12)) + " z q"),
+        # doc 2: w0..w11 at pos 3..14 -> ONE 12-token span at start 3
+        (3, run + " extra tail"),
+        # doc 3: windows pos 1..5 all duplicate doc 1 -> merge into ONE
+        # span start 1, length (5-1)+12 = 16 tokens
+        (4, "completely different tokens only here nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_toks"])
+        for r in duplicate_spans(docs, "doc_id", "text", window_tokens=12).collect()
+    }
+    assert spans == {2: (3, 12), 3: (1, 16)}, spans
