@@ -753,11 +753,22 @@ def duplicate_spans(
             "__pk"
         ),
     )
-    firsts = keyed.groupBy("wh").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("__pk").alias("__first_pk")
-    )
+    # occurrence count + global first per fingerprint as a WINDOW over
+    # the fingerprint key — ONE shuffle of the keyed relation (groups
+    # are fingerprint multiplicities, overwhelmingly 1-2 rows); the
+    # groupBy + join-back shape would shuffle the expensive window-hash
+    # relation twice (and its build side is fingerprint-cardinality, so
+    # never broadcastable)
+    w_h = Window.partitionBy("wh")
     dups = (
-        keyed.join(firsts, "wh")
+        keyed.select(
+            id_col,
+            *carry_cols,
+            "pos",
+            "__pk",
+            F.count(F.lit(1)).over(w_h).alias("__n"),
+            F.min("__pk").over(w_h).alias("__first_pk"),
+        )
         .where((F.col("__n") > 1) & (F.col("__pk") != F.col("__first_pk")))
         .select(id_col, *carry_cols, "pos")
     )

@@ -639,3 +639,13 @@ def test_bloom_semi_join_probe_before_exchange(spark):
     assert "transform(array(md5(" in plan.replace(" ", ""), "probe filter missing"
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "o_totalprice" not in m.group(1), m.group(0)
+
+
+def test_dup_span_report_two_scans_one_fingerprint_shuffle(spark):
+    """duplicate_spans must derive occurrence counts + global firsts as
+    a WINDOW over the fingerprint key — the groupBy+join-back shape
+    evaluated the expensive window-hash relation twice (3 corpus scans;
+    now 2: the window pass + the column-pruned token-count pass)."""
+    plan = physical_plan(REGISTRY["dup_span_report"].fn(spark, PLAN_SF))
+    assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
+    assert "SortMergeJoin" not in plan
