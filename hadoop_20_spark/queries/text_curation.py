@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
+from hadoop_20_spark.functions import let as _fn_let  # noqa: F401
 from hadoop_20_spark.functions import ngrams as _fn_ngrams  # noqa: F401
 from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
 from hadoop_20_spark.operators import dedup  # noqa: F401
@@ -1474,6 +1475,148 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total_tokens"),
                 6,
             ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dup_span_removal",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, source, t, unnest(range(1, len(t) - 12 + 2)) AS pos
+      FROM tok
+    ),
+    h AS (
+      SELECT doc_id, source, pos,
+             md5(array_to_string(t[pos:pos+11], ' ')) AS wh,
+             doc_id * 1048576 + pos AS pk
+      FROM win
+    ),
+    marked AS (
+      SELECT doc_id, source, pos,
+             COUNT(*) OVER (PARTITION BY wh) AS n_occ,
+             MIN(pk) OVER (PARTITION BY wh) AS min_pk, pk
+      FROM h
+    ),
+    dups AS (
+      SELECT doc_id, pos FROM marked WHERE n_occ > 1 AND pk <> min_pk
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + i AS cp
+      FROM dups, generate_series(0, 11) s(i)
+    ),
+    toks AS (
+      SELECT doc_id, source, len(t) AS n_tok, t,
+             unnest(range(1, len(t) + 1)) AS i
+      FROM tok
+    ),
+    rebuilt AS (
+      SELECT k.doc_id, k.source, MAX(k.n_tok) AS tokens_before,
+             COUNT(*) FILTER (c.cp IS NOT NULL) AS tokens_removed,
+             COALESCE(string_agg(CASE WHEN c.cp IS NULL THEN t[i] END,
+                                 ' ' ORDER BY i), '') AS text_clean
+      FROM toks k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.cp = k.i
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tokens_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_changed,
+           CAST(SUM(tokens_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(tokens_removed) AS BIGINT) AS tokens_removed,
+           CAST(SUM(tokens_before - tokens_removed) AS BIGINT) AS tokens_after,
+           CAST(SUM(length(text_clean)) AS BIGINT) AS chars_after
+    FROM rebuilt GROUP BY source ORDER BY source
+    """,
+    note=(
+        "exact-substring dedup REMOVAL pass (completes dup_span_report's measurement the "
+        "way paragraph_dedup completes paragraph counting): duplicate 12-token spans "
+        "(keep-first) are cut from each document and the text is REBUILT from surviving "
+        "tokens — per-source before/after token and char totals; the reconstruction is "
+        "hash-checked, not just counted"
+    ),
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove every duplicated 12-token span (keeping the corpus-first
+    occurrence) and reconstruct documents from the surviving tokens —
+    Lee et al.'s actual dedup action at span granularity.  The oracle
+    rebuilds the cleaned corpus independently and the value hash covers
+    ``chars_after``, so reconstruction correctness (not just span
+    arithmetic) is what passes.
+
+    Scale plan: spans come from :func:`operators.dedup.duplicate_spans`
+    (one window-hash shuffle); per-doc span lists join back doc-keyed
+    (spans exist only for affected docs — a left join whose right side
+    is the duplicate subset); token filtering and re-joining are pure
+    higher-order Columns (exists() over the bounded per-doc span list
+    per token position); the rollup is a tiny source-keyed aggregate.
+    Corpus scanned twice (span pass + rebuild pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", window_tokens=12)
+    span_lists = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_toks")).alias("spans")
+    )
+    base = docs.select("doc_id", "source", _fn_tokens("text").alias("t"))
+    joined = base.join(span_lists, "doc_id", "left")
+
+    def uncovered(i):
+        # token position i (1-based) survives unless some span covers it
+        return ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast("array<struct<span_start:int,span_toks:long>>"),
+            ),
+            lambda s: (i >= s["span_start"])
+            & (i < s["span_start"] + s["span_toks"]),
+        )
+
+    survivors = F.filter(
+        F.sequence(F.lit(1), F.size("t")), lambda i: uncovered(i)
+    )
+    # let-bind the O(tokens x spans) survivor filter ONCE per row
+    # (lambda-CSE house rule): size + rebuilt-length both read the bound
+    # array instead of re-running the exists() scan per consumer
+    packed = _fn_let(
+        survivors,
+        lambda sv: F.struct(
+            F.size(sv).alias("n"),
+            F.length(
+                F.array_join(
+                    F.transform(sv, lambda i: F.element_at("t", i)), " "
+                )
+            ).alias("c"),
+        ),
+    )
+    per_doc = joined.select(
+        "source", F.size("t").alias("tokens_before"), packed.alias("p")
+    ).select(
+        "source",
+        "tokens_before",
+        F.col("p.n").alias("tokens_after"),
+        F.col("p.c").alias("chars_after"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("tokens_after") < F.col("tokens_before")).cast("int")
+            )
+            .cast("long")
+            .alias("n_docs_changed"),
+            F.sum("tokens_before").cast("long").alias("tokens_before"),
+            F.sum(F.col("tokens_before") - F.col("tokens_after"))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.sum("tokens_after").cast("long").alias("tokens_after"),
+            F.sum("chars_after").cast("long").alias("chars_after"),
         )
         .orderBy("source")
     )

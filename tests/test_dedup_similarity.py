@@ -580,3 +580,21 @@ def test_duplicate_spans_planted(spark):
         for r in duplicate_spans(docs, "doc_id", "text", window_tokens=12).collect()
     }
     assert spans == {2: (3, 12), 3: (1, 16)}, spans
+
+
+def test_span_report_matches_removal(spark):
+    """dup_span_report measures what dup_span_removal removes: the
+    merged-span token coverage must equal the removed-token count per
+    source (both are the union of duplicate windows)."""
+    from hadoop_20_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rep = {
+        r["source"]: r["dup_tokens"]
+        for r in REGISTRY["dup_span_report"].fn(spark, sf).collect()
+    }
+    rem = {
+        r["source"]: r["tokens_removed"]
+        for r in REGISTRY["dup_span_removal"].fn(spark, sf).collect()
+    }
+    assert rep == rem and sum(rep.values()) > 0
