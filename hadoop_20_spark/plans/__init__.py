@@ -138,3 +138,115 @@ def executed_scan_metrics(df: DataFrame) -> list[dict]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def diagnose(df: DataFrame) -> list[dict]:
+    """Rule-based physical-plan postmortem — the contrib/vaidya analog
+    (hadoop-20 shipped a rule engine that read a finished job's
+    counters/config and emitted findings like "too many spills" or
+    "reduces started too early"; here the rules read the physical plan
+    and emit the 100 TB smells this repo's SCALE.md bans).  Returns
+    findings ``{rule, severity, detail}``; severity ``high`` = the plan
+    would not survive a 100x scale-up, ``info`` = verify by hand.
+
+    Rules:
+    - ``cartesian_product`` (high): CartesianProductExec — both sides
+      unbroadcast; quadratic work with no bound.  (BroadcastNestedLoop
+      with a broadcast build is NOT flagged: the blessed 1-row scalar
+      attach.)
+    - ``single_partition_window_or_sort`` (high): an Exchange
+      SinglePartition feeding a Window/Sort — the whole relation
+      through one task (final 1-row aggregates are fine and excluded).
+    - ``unpartitioned_window`` (high): a WindowExec with an empty
+      partition spec (same smell, caught even when AQE elides the
+      visible exchange).
+    - ``python_row_udf`` (high): BatchEvalPython — row-at-a-time SCALAR
+      Python in the plan; the Arrow path (ArrowEvalPython) is not
+      flagged, and Python UDTFs (row-based by API design) downgrade to
+      ``python_udtf`` (info).
+    - ``scan_filter_not_pushed`` (info): a parquet scan carrying
+      DataFilters with empty PushedFilters — the filter runs post-scan.
+    """
+    findings: list[dict] = []
+
+    def walk(node, parent_name: str = "") -> None:
+        name = node.getClass().getSimpleName()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.initialPlan(), parent_name)
+            return
+        if "QueryStageExec" in name:
+            walk(node.plan(), parent_name)
+            return
+        if "InMemoryTableScan" in name:
+            rel = node.relation().cachedPlan()
+            walk(rel, name)
+            return
+        if name.startswith("CartesianProduct"):
+            findings.append(
+                {
+                    "rule": "cartesian_product",
+                    "severity": "high",
+                    "detail": node.simpleStringWithNodeId()
+                    if hasattr(node, "simpleStringWithNodeId")
+                    else name,
+                }
+            )
+        if name.startswith("WindowExec") or name.startswith("WindowGroupLimit"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    findings.append(
+                        {
+                            "rule": "unpartitioned_window",
+                            "severity": "high",
+                            "detail": f"{name} with empty partition spec",
+                        }
+                    )
+            except Exception:
+                pass
+        if name.startswith("ShuffleExchange"):
+            part = node.outputPartitioning().toString()
+            # parent must be a real Sort/Window, NOT SortAggregateExec
+            # (the blessed 1-row final-aggregate pattern)
+            if "SinglePartition" in part and (
+                parent_name.startswith("Window")
+                or parent_name == "SortExec"
+            ):
+                findings.append(
+                    {
+                        "rule": "single_partition_window_or_sort",
+                        "severity": "high",
+                        "detail": f"SinglePartition exchange under {parent_name}",
+                    }
+                )
+        if name.startswith("BatchEvalPython"):
+            # UDTFs are row-based by API design (arrow UDTF is opt-in);
+            # a row-at-a-time SCALAR udf in a plan is the real smell
+            is_udtf = "UDTF" in name
+            findings.append(
+                {
+                    "rule": "python_udtf" if is_udtf else "python_row_udf",
+                    "severity": "info" if is_udtf else "high",
+                    "detail": f"row-at-a-time Python ({name})",
+                }
+            )
+        if name.startswith("FileSourceScan"):
+            s = node.toString().splitlines()[0]
+            if "DataFilters: [" in s:
+                import re as _re
+
+                dm = _re.search(r"DataFilters: \[([^\]]*)\]", s)
+                pm = _re.search(r"PushedFilters: \[([^\]]*)\]", s)
+                if dm and dm.group(1).strip() and pm is not None and not pm.group(1).strip():
+                    findings.append(
+                        {
+                            "rule": "scan_filter_not_pushed",
+                            "severity": "info",
+                            "detail": s[:160],
+                        }
+                    )
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), name)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return findings
