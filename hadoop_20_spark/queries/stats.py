@@ -988,6 +988,10 @@ def bloom_pruned_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 15)
         .select("o_custkey")
+        # consumed by three subtrees (semi-join build, exact mop-up,
+        # audit build) — persist the ~1%-of-customers key set so the
+        # custkey aggregate runs once, not per consumer
+        .persist()
     )
     exact = join_ops.bloom_semi_join(o, keys, "o_custkey", m_bits=16384)
     grouped = exact.groupBy("o_orderpriority").agg(

@@ -383,13 +383,23 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # The quality+exact-dedup keep-list feeds BOTH the near-dup pass and
+    # the final output; persist the SMALL id/quality/token relation (not
+    # the text bodies) so downstream consumers rebuild `kept` with one
+    # cheap docs join instead of re-running the quality gate + keeper
+    # shuffle per consumer (this plan scanned documents 28x before).
+    kept_ids = (
+        qpass.select("doc_id", "quality", "n_tokens")
+        .join(keepers, "doc_id", "left_semi")
+        .persist()
+    )
     # keepers/drop are per-doc aggregates that grow with the corpus —
     # no forced hint; AQE broadcasts them at runtime only when small.
-    kept = qpass.join(keepers, "doc_id", "left_semi")
+    kept = docs.select("doc_id", "text").join(kept_ids.select("doc_id"), "doc_id")
     near = dedup.jaccard_pairs(kept, "doc_id", "text", threshold=0.5, shingle=3)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     return (
-        kept.join(drop, "doc_id", "left_anti")
+        kept_ids.join(drop, "doc_id", "left_anti")
         .select("doc_id", "quality", "n_tokens")
         .orderBy("doc_id")
     )
