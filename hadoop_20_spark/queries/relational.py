@@ -1333,10 +1333,14 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same stages in nested windows over a single user shuffle and
     emits the long-form conversion table."""
     ev = _t(spark, sf_dir, "events")
+    # each stage table feeds the NEXT stage's join and its own count —
+    # persist the small per-user stage relations so a stage's
+    # conditional-min shuffle runs once, not once per consumer
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .persist()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1344,6 +1348,7 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -579,7 +579,13 @@ def chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     All inputs to the double expressions are exact integers, so both
     engines compute bit-identical doubles."""
     docs = _t(spark, sf_dir, "documents")
-    o0 = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    # the bounded observed grid feeds four consumers (both marginals,
+    # the total, the completed grid) — persist so the corpus shuffles once
+    o0 = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()
+    )
     rt = o0.groupBy("lang").agg(F.sum("obs").alias("r"))
     ct = o0.groupBy("source").agg(F.sum("obs").alias("c"))
     n = o0.agg(F.sum("obs").alias("n"))
@@ -674,17 +680,24 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    h_all = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("k"))
+    # both bounded histograms feed 2-3 consumers each — persist them so
+    # the fact is scanned once per histogram, and derive the source
+    # list and corpus total from the histograms instead of re-scanning
+    h_all = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("k")).persist()
     tot = h_all.agg(F.sum("k").alias("t"))
     # constant key: aggregated length histogram, not a fact path
     w_all = Window.partitionBy(F.col("n_chars") % 1).orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum_all = h_all.select("n_chars", F.sum("k").over(w_all).alias("ca"))
-    h_src = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("k"))
+    h_src = (
+        docs.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
     tot_src = h_src.groupBy("source").agg(F.sum("k").alias("ts"))
     grid = (
-        docs.select("source")
+        h_src.select("source")
         .distinct()
         .crossJoin(h_all.select("n_chars"))
         .join(h_src, ["source", "n_chars"], "left")

@@ -649,3 +649,33 @@ def test_dup_span_report_two_scans_one_fingerprint_shuffle(spark):
     plan = physical_plan(REGISTRY["dup_span_report"].fn(spark, PLAN_SF))
     assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
     assert "SortMergeJoin" not in plan
+
+
+def test_shared_subtree_persists_cap_base_scans(spark):
+    """Round-8 sweep: queries whose small shared relations (bounded
+    histograms, stage tables, key sets) feed multiple consumers must
+    persist them — pins the structural scan ceilings so a dropped
+    persist (or a new consumer re-deriving the subtree) fails here."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_report import node_counts
+
+    ceilings = {
+        "ks_drift_audit": 2,
+        "chi2_contingency": 1,
+        "funnel_analysis": 3,
+        "bloom_pruned_frequent_buyers": 4,
+        "corpus_curation": 12,
+    }
+    for name, cap in ceilings.items():
+        jp = (
+            REGISTRY[name]
+            .fn(spark, PLAN_SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+        )
+        n = node_counts(jp)
+        scans = n.get("scan", 0) + n.get("cached.scan", 0)
+        assert scans <= cap, (name, scans, cap)
+        spark.catalog.clearCache()
