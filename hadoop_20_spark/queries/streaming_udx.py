@@ -872,3 +872,61 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "streaming_cdc_view",
+    """
+    WITH eff AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+               AS p_micros
+      FROM orders
+      WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 4 IN (0, 1, 2))
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p_micros) AS BIGINT) AS total_micros
+    FROM eff GROUP BY 1 ORDER BY 1
+    """,
+    note=(
+        "STREAMING retraction-safe view maintenance (the CDC/upsert corner: round 7's "
+        "streaming ingest was insert-only, round 8's batch retraction was offline): a "
+        "4-batch change stream (inserts + delete rows retracting the previous batch's "
+        "%5 keys) maintains a per-priority count/sum view via foreachBatch signed merges "
+        "into an epoch-fenced parquet state (replays skipped — the idempotent-sink "
+        "discipline); the oracle recomputes the view from the effective table"
+    ),
+)
+def streaming_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-priority (count, integer-micros sum) view under a
+    RETRACTING change stream and publish the final state — the
+    streaming twin of ``retraction_agg_maintenance`` restricted to the
+    always-mergeable algebra (counts/sums with signed deltas; min/max
+    under deletes belongs to the batch recompute path, documented in
+    streaming.cdc_view_maintenance).
+
+    The CDC replay is deterministic: batch k inserts the
+    ``o_orderkey % 4 == k`` slice; batches 1-3 also retract the
+    previous slice's ``% 5 == 0`` orders.  The state table carries the
+    last applied epoch, so an at-least-once replay of a batch is
+    skipped rather than double-applied — asserted by the idempotency
+    test."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    stream = stream_ops.stage_cdc_order_batches(spark, sf_dir, n_batches=4)
+    q = stream_ops.cdc_view_maintenance(stream, state_dir, ckpt).start()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("s_micros").cast("long").alias("total_micros"),
+        )
+        .orderBy("o_orderpriority")
+    )

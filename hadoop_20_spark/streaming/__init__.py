@@ -556,3 +556,118 @@ def incremental_dedup_ingest(docs_stream, index_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stage_cdc_order_batches(spark, sf_dir: str, n_batches: int = 4):
+    """Stage a deterministic CDC replay of the orders fixture:
+    batch k carries the INSERTS of slice ``o_orderkey % n == k`` plus,
+    for k >= 1, DELETE rows (sign -1) retracting the previous slice's
+    ``o_orderkey % 5 == 0`` orders — the change-stream shape a CDC
+    connector (Debezium-class) emits.  Files get strictly increasing
+    mtimes so FileStreamSource replays them in batch order."""
+    import os
+    import tempfile
+    import time
+
+    import duckdb
+
+    from hadoop_20_spark.catalog import table_path
+
+    d = tempfile.mkdtemp(prefix="cdc_orders_")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{table_path(sf_dir, 'orders')}')"
+    )
+    now = time.time()
+    for k in range(n_batches):
+        dels = (
+            f"""UNION ALL
+            SELECT o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+                     AS p_micros,
+                   -1 AS sign
+            FROM orders
+            WHERE o_orderkey % {n_batches} = {k - 1} AND o_orderkey % 5 = 0"""
+            if k >= 1
+            else ""
+        )
+        con.execute(
+            f"""COPY (
+              SELECT o_orderpriority,
+                     CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+                       AS p_micros,
+                     1 AS sign
+              FROM orders WHERE o_orderkey % {n_batches} = {k}
+              {dels}
+            ) TO '{d}/batch_{k:03d}.parquet' (FORMAT PARQUET)"""
+        )
+        os.utime(f"{d}/batch_{k:03d}.parquet", (now + 2 * k, now + 2 * k))
+    con.close()
+    return (
+        spark.readStream.schema("o_orderpriority string, p_micros long, sign int")
+        .option("maxFilesPerTrigger", 1)
+        .option("maxFileAge", "36500d")
+        .parquet(d)
+    )
+
+
+def cdc_view_maintenance(cdc_stream, state_dir: str, checkpoint_dir: str):
+    """Maintain a per-priority (count, sum) view under a RETRACTING
+    change stream via ``foreachBatch``: each micro-batch's signed
+    partial state merges into a persisted parquet state table.  The
+    retraction-safe algebra is counts/sums only (always mergeable with
+    signed deltas); min/max under deletes needs the per-group recompute
+    fallback, which is the BATCH query ``retraction_agg_maintenance``'s
+    job — a streaming view of churning extremes should maintain a
+    per-group top-k reservoir instead (documented trade, SCALE.md).
+
+    Exactly-once across replays: foreachBatch is at-least-once, so the
+    state table carries the last applied ``epoch``; a replayed batch
+    (epoch <= stored) is SKIPPED — the idempotent-sink discipline a
+    transactional sink (Delta MERGE, JDBC upsert) gives you for free,
+    demonstrated here on plain parquet with an epoch fence.
+
+    Scale plan: per batch ONE priority-keyed partial agg over the batch
+    only (the stored view is |priorities| rows and never rescans
+    history); the state overwrite is |priorities| rows.  At 100 TB this
+    is the cheapest possible maintenance: batch-sized work per batch,
+    constant-size state."""
+    from pyspark.sql import functions as F
+
+    def ingest(df, epoch_id: int) -> None:
+        import os
+
+        spark = df.sparkSession
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            if state.agg(F.max("epoch")).first()[0] >= epoch_id:
+                return  # replayed batch: already applied (epoch fence)
+            prev = state.select("o_orderpriority", "n", "s_micros")
+        else:
+            prev = None
+        batch = df.groupBy("o_orderpriority").agg(
+            F.sum("sign").cast("long").alias("n"),
+            F.sum(F.col("sign") * F.col("p_micros")).cast("long").alias(
+                "s_micros"
+            ),
+        )
+        merged = (
+            prev.unionByName(batch) if prev is not None else batch
+        ).groupBy("o_orderpriority").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s_micros").cast("long").alias("s_micros"),
+        )
+        out = merged.select("*", F.lit(epoch_id).alias("epoch"))
+        # collect-then-rewrite: the state is |priorities| rows; writing
+        # via the driver avoids read/overwrite races on the same dir
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    return (
+        cdc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -258,3 +258,97 @@ def test_streaming_incremental_dedup_drops_cross_batch_duplicate(spark):
     q.awaitTermination()
     kept = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
     assert kept == {1, 2}  # doc 3's fingerprint was already indexed
+
+
+def test_cdc_view_batch_split_invariance(spark):
+    """The maintained CDC view must not depend on micro-batching: 2
+    batches and 4 batches of the same change stream produce identical
+    state (different delete schedules per staging, so compare each
+    against its own oracle-style recompute instead of each other)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark import streaming as stream_ops
+    from hadoop_20_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    for n_batches in (2, 4):
+        state = tempfile.mkdtemp(prefix=f"cdcs{n_batches}_") + "/state"
+        ckpt = tempfile.mkdtemp(prefix=f"cdck{n_batches}_")
+        stream = stream_ops.stage_cdc_order_batches(spark, sf, n_batches)
+        q = stream_ops.cdc_view_maintenance(stream, state, ckpt).start()
+        q.awaitTermination()
+        got = {
+            r["o_orderpriority"]: (r["n"], r["s_micros"])
+            for r in spark.read.parquet(state).collect()
+        }
+        o = load_table(spark, "orders", sf)
+        deleted = (F.col("o_orderkey") % 5 == 0) & (
+            F.col("o_orderkey") % n_batches < n_batches - 1
+        )
+        exp = {
+            r["o_orderpriority"]: (r["n"], r["s"])
+            for r in o.where(~deleted)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(28,6)") * 1000000)
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("s"),
+            )
+            .collect()
+        }
+        assert got == exp, (n_batches, got, exp)
+
+
+def test_cdc_view_replay_is_skipped(spark):
+    """The epoch fence: re-applying an already-applied batch must leave
+    the state bit-identical (foreachBatch is at-least-once; the sink is
+    what makes it exactly-once)."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    sf = "/root/testdata/sf0.001"
+    state = tempfile.mkdtemp(prefix="cdc_replay_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="cdc_replay_ck_")
+    stream = stream_ops.stage_cdc_order_batches(spark, sf, n_batches=3)
+    q = stream_ops.cdc_view_maintenance(stream, state, ckpt).start()
+    q.awaitTermination()
+    before = sorted(
+        (r["o_orderpriority"], r["n"], r["s_micros"], r["epoch"])
+        for r in spark.read.parquet(state).collect()
+    )
+    # replay the LAST batch manually (same epoch id): must be a no-op
+    import glob
+
+    cdc_dir = None
+    for p in sorted(glob.glob("/tmp/cdc_orders_*"), reverse=True):
+        if glob.glob(p + "/batch_002.parquet"):
+            cdc_dir = p
+            break
+    assert cdc_dir
+    # simulate at-least-once redelivery: run the public API again on
+    # the SAME state dir with a fresh checkpoint — its epochs restart
+    # at 0 <= stored max, so every batch must be fenced out
+    import hadoop_20_spark.streaming as s
+
+    ckpt2 = tempfile.mkdtemp(prefix="cdc_replay_ck2_")
+    stream2 = (
+        spark.readStream.schema(
+            "o_orderpriority string, p_micros long, sign int"
+        )
+        .option("maxFileAge", "36500d")
+        .parquet(cdc_dir)
+    )
+    q2 = s.cdc_view_maintenance(stream2, state, ckpt2).start()
+    q2.awaitTermination()
+    after = sorted(
+        (r["o_orderpriority"], r["n"], r["s_micros"], r["epoch"])
+        for r in spark.read.parquet(state).collect()
+    )
+    assert after == before
