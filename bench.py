@@ -65,6 +65,7 @@ DUCKDB_COMPARABLE = (
     "b15_cms_sketch",
     "b16_copurchase",
     "b17_paragraph_dedup",
+    "b18_span_dedup",
 )
 
 BENCH_QUERIES = {
@@ -124,6 +125,12 @@ BENCH_QUERIES = {
     # center; in the bench so a regression to a window-based keeper or
     # an unpruned body shuffle shows up as wall-clock.
     "b17_paragraph_dedup": "paragraph_dedup",
+    # b18: round-8 — exact-substring duplicate spans (windowed
+    # fingerprints + keep-first window + island merge).  One md5 per
+    # token position; the fingerprint window is the only fact-scale
+    # shuffle — in the bench so a regression back to the
+    # groupBy+join-back double shuffle shows up as wall-clock.
+    "b18_span_dedup": "dup_span_report",
 }
 
 
