@@ -80,3 +80,49 @@ def test_registry_lint_no_high_severity_smells(spark):
             flagged[name] = highs
         spark.catalog.clearCache()
     assert flagged == {}, flagged
+
+
+def test_executed_shuffle_skew_flags_hot_key(spark):
+    """Runtime skew truth from AQE map-output statistics: a planted
+    hot key (90% of a 100-char payload on one grouping key) must
+    produce a shuffle_partition_skew finding; the uniform twin must
+    not."""
+    from hadoop_20_spark.plans import executed_shuffle_skew
+
+    # the exchange must carry RAW rows (a groupBy's map-side partial
+    # agg would collapse the hot key before the shuffle and hide the
+    # skew) — repartition(col) is the raw-row shuffle shape.  The
+    # payload must be INCOMPRESSIBLE: bytesByPartitionId reports
+    # post-compression sizes and a constant string compresses to ~0.
+    pay = F.concat(
+        F.md5(F.col("id").cast("string")),
+        F.md5((F.col("id") + 1).cast("string")),
+        F.md5((F.col("id") + 2).cast("string")),
+    )
+    skewed = (
+        spark.range(200_000)
+        .select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            pay.alias("p"),
+        )
+        .repartition(16, "k")
+        .groupBy()
+        # consume p downstream so column pruning can't strip it from
+        # the exchange
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("p")).alias("b"))
+    )
+    found = executed_shuffle_skew(skewed, min_bytes=1 << 18)
+    assert any(f["rule"] == "shuffle_partition_skew" for f in found), found
+
+    uniform = (
+        spark.range(200_000)
+        .select(F.col("id").alias("k"), pay.alias("p"))
+        .repartition(16, "k")
+        .groupBy()
+        # consume p downstream so column pruning can't strip it from
+        # the exchange
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("p")).alias("b"))
+    )
+    assert executed_shuffle_skew(uniform, min_bytes=1 << 18) == []
