@@ -510,3 +510,97 @@ def test_normalize_text_matches_unicodedata_model(spark, texts):
         expect = re.sub(r"\s+", " ", expect, flags=re.ASCII).strip()
         assert out[doc_id]["text_norm"] == expect, repr(t)
         assert out[doc_id]["mojibake_hits"] == t.count("Ã") + t.count("Â"), repr(t)
+
+
+# round-8 operators: exact-substring spans + postings delta merge -----------
+
+doc_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=20
+)
+doc_sets = st.lists(doc_words, min_size=1, max_size=6)
+
+
+def _span_model(docs: list[tuple[int, str]], w: int) -> dict:
+    """Independent Python model of duplicate_spans: windowed
+    fingerprints, global keep-first by (doc, pos), equal-length-interval
+    island merge."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    toks = {i: t.split() if t else [] for i, t in docs}
+    for i, t in toks.items():
+        for p in range(1, len(t) - w + 2):
+            occ.setdefault(" ".join(t[p - 1 : p - 1 + w]), []).append((i, p))
+    dup_starts: dict[int, list[int]] = {}
+    for sites in occ.values():
+        if len(sites) > 1:
+            first = min(sites)
+            for s in sites:
+                if s != first:
+                    dup_starts.setdefault(s[0], []).append(s[1])
+    spans = {}
+    for i, starts in dup_starts.items():
+        starts.sort()
+        merged = []
+        for p in starts:
+            if merged and p - merged[-1][1] < w:
+                merged[-1][1] = p
+            else:
+                merged.append([p, p])
+        spans[i] = sorted((a, b - a + w) for a, b in merged)
+    return spans
+
+
+@given(docs=doc_sets)
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_model(spark, docs):
+    """Random tiny corpora (incl. empty docs, docs shorter than W,
+    all-same-token degenerates): the Spark spans must equal the
+    independent Python model exactly."""
+    from hadoop_20_spark.operators.dedup import duplicate_spans
+
+    W = 3
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got: dict[int, list] = {}
+    for r in duplicate_spans(df, "doc_id", "text", window_tokens=W).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_toks"]))
+    got = {k: sorted(v) for k, v in got.items()}
+    exp = _span_model([(i, " ".join(t)) for i, t in enumerate(docs)], W)
+    assert got == exp, (got, exp, rows)
+
+
+@given(docs=doc_sets, upd_mask=st.lists(st.booleans(), min_size=6, max_size=6))
+@settings(**SETTINGS)
+def test_merge_postings_matches_rebuild_random(spark, docs, upd_mask):
+    """Random corpora + random re-index subsets (with changed text):
+    merge_postings(base, delta) row-equals a from-scratch rebuild over
+    the effective corpus — including delta docs that DROP all tokens."""
+    from hadoop_20_spark.operators.invindex import (
+        inverted_postings,
+        merge_postings,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    updated = [
+        (i, " ".join(reversed(t)) + (" zz" if i % 2 == 0 else ""))
+        for i, t in enumerate(docs)
+        if upd_mask[i % len(upd_mask)]
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = inverted_postings(df, "doc_id", "text")
+    if not updated:
+        return
+    delta = inverted_postings(
+        spark.createDataFrame(updated, "doc_id int, text string"),
+        "doc_id",
+        "text",
+    )
+    merged = merge_postings(base, delta, "doc_id")
+    upd_ids = {i for i, _ in updated}
+    eff = [(i, t) for i, t in rows if i not in upd_ids] + updated
+    rebuilt = inverted_postings(
+        spark.createDataFrame(eff, "doc_id int, text string"), "doc_id", "text"
+    )
+    key = lambda r: (r["term"], r["doc_id"], tuple(r["positions"]), r["tf"])
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
