@@ -930,3 +930,79 @@ def streaming_cdc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "streaming_cdc_minmax",
+    """
+    WITH eff AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+               AS p_micros
+      FROM orders
+      WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 4 IN (0, 1, 2))
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(p_micros) AS BIGINT) AS min_micros,
+           CAST(MAX(p_micros) AS BIGINT) AS max_micros
+    FROM eff GROUP BY 1 ORDER BY 1
+    """,
+    note=(
+        "BOUNDED-STATE min/max under streaming retraction: per group a k=32 reservoir of "
+        "smallest/largest surviving values absorbs extremum deletes by promotion (no "
+        "history rescan); per batch the stream contributes only k smallest/largest "
+        "inserts + k+1 deletes per group; depletion or a truncation-boundary duplicate "
+        "flags the group (none flags on this corpus — test-asserted); oracle recomputes "
+        "min/max from the effective table"
+    ),
+)
+def streaming_cdc_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish per-priority min/max (integer micros) maintained by the
+    k-reservoir under the same retracting CDC replay as
+    ``streaming_cdc_view`` — the bounded-state answer to the
+    retract-the-extremum problem the batch query
+    (``retraction_agg_maintenance``) solves by per-group recompute.
+    Flagged groups (reservoir depleted — does not occur on this corpus;
+    the unit test forces it) fall back to recomputing from the
+    effective rows; the published result is min/max either way, so the
+    oracle is a plain recompute."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    state_dir = tempfile.mkdtemp(prefix="cdcmm_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="cdcmm_ckpt_")
+    stream = stream_ops.stage_cdc_order_batches(spark, sf_dir, n_batches=4)
+    q = stream_ops.cdc_minmax_maintenance(stream, state_dir, ckpt).start()
+    q.awaitTermination()
+    state = spark.read.parquet(state_dir)
+    ok = state.where(~F.col("flagged")).select(
+        "o_orderpriority",
+        F.element_at("bot", 1).alias("min_micros"),
+        F.element_at("top", 1).alias("max_micros"),
+    )
+    flagged = state.where(F.col("flagged")).select("o_orderpriority")
+    if flagged.count() > 0:
+        o = _t(spark, sf_dir, "orders")
+        eff = o.where(
+            ~((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 4 < 3))
+        ).select(
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(28,6)") * 1000000)
+            .cast("long")
+            .alias("p_micros"),
+        )
+        rec = (
+            eff.join(F.broadcast(flagged), "o_orderpriority", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.min("p_micros").alias("min_micros"),
+                F.max("p_micros").alias("max_micros"),
+            )
+        )
+        ok = ok.unionByName(rec)
+    return ok.select(
+        "o_orderpriority",
+        F.col("min_micros").cast("long").alias("min_micros"),
+        F.col("max_micros").cast("long").alias("max_micros"),
+    ).orderBy("o_orderpriority")

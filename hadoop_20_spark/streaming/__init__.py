@@ -671,3 +671,159 @@ def cdc_view_maintenance(cdc_stream, state_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def _reservoir_merge(
+    bot: list[int],
+    hi: int | None,
+    ins: list[int],
+    dels: list[int],
+    k: int,
+) -> tuple[list[int], int | None, bool]:
+    """Merge one batch into a bottom-k reservoir under retraction,
+    with an explicit HORIZON ``hi``: the invariant (when unflagged) is
+    that ``bot`` is the EXACT sorted multiset of surviving values
+    strictly below ``hi`` (None = +inf), so ``bot[:m]`` is the true
+    bottom-m and ``bot[0]`` the true min.  Truncation never silently
+    discards: dropping a value LOWERS the horizon to it, shrinking the
+    guaranteed region instead of corrupting it (the unsound variant —
+    truncate-and-forget — mis-reports the min once deletions eat the
+    tracked prefix; found by the randomized model test).
+
+    ``ins``/``dels`` are the batch's k+1 smallest inserted/deleted
+    values: a k+1-th entry proves the stream-side slice was truncated,
+    which lowers the horizon (inserts) or flags (deletes below the
+    horizon may be uncollected).  Deletions below the horizon must
+    match a tracked occurrence (else the state is inconsistent ->
+    flag); deletions at/above it cannot affect the guaranteed region.
+    Depletion of the tracked region -> flag (the true min now lies in
+    the untracked region).  Returns (reservoir, horizon, needs_recompute)."""
+    import bisect
+
+    INF = float("inf")
+    h = INF if hi is None else hi
+    flagged = False
+    if len(ins) > k:  # stream-side slice hit its cap: values above
+        h = min(h, ins[k])  # ins[k] may be uncollected -> lower horizon
+        ins = ins[:k]
+    vals = sorted([v for v in bot if v < h] + [v for v in ins if v < h])
+    if len(dels) > k:
+        if dels[k] < h:
+            flagged = True  # uncollected deletes below the horizon
+        dels = dels[:k]
+    for d in dels:
+        if d >= h:
+            continue  # untracked region: cannot affect the guarantee
+        i = bisect.bisect_left(vals, d)
+        if i < len(vals) and vals[i] == d:
+            vals.pop(i)
+        else:
+            flagged = True  # tracked-region delete with no tracked copy
+    if len(vals) > k:
+        h = vals[k]
+        # drop EVERYTHING at the new horizon: a duplicate of vals[k]
+        # inside the kept prefix would be a tracked copy of a value
+        # that also exists untracked — the boundary-duplicate hole
+        vals = [v for v in vals[:k] if v < h]
+    if not vals:
+        flagged = True
+    return vals, (None if h == INF else int(h)), flagged
+
+
+def cdc_minmax_maintenance(
+    cdc_stream, state_dir: str, checkpoint_dir: str, *, k: int = 32
+):
+    """Min/max view maintenance under a RETRACTING stream with BOUNDED
+    state — the upgrade over ``cdc_view_maintenance``'s documented
+    "min/max belongs to the batch recompute path": each group keeps a
+    k-value horizon-guarded reservoir of its smallest (and largest)
+    surviving values (see :func:`_reservoir_merge` for the exactness
+    invariant), so a delete of the current extremum promotes the next
+    reservoir value instead of forcing a history rescan; only reservoir
+    depletion or an uncollected tracked-region delete flags the group
+    for recompute — and the flag is carried in the state, so the
+    consumer knows exactly which groups to rescan.
+
+    Per batch the stream side contributes only the k+1 smallest/largest
+    inserted and deleted values per group (sorted-slice aggregates —
+    bounded regardless of batch size; the +1 entry is the truncation
+    signal that lowers the horizon); the merge itself runs driver-side
+    over |groups| rows.  Same epoch fence as cdc_view_maintenance."""
+    from pyspark.sql import functions as F
+
+    ins_val = F.when(F.col("sign") == 1, F.col("p_micros"))
+    del_val = F.when(F.col("sign") == -1, F.col("p_micros"))
+
+    def ingest(df, epoch_id: int) -> None:
+        import os
+
+        spark = df.sparkSession
+        prev: dict = {}
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            if state.agg(F.max("epoch")).first()[0] >= epoch_id:
+                return  # replay: epoch fence
+            prev = {r["o_orderpriority"]: r.asDict() for r in state.collect()}
+        rows = (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.slice(F.sort_array(F.collect_list(ins_val)), 1, k + 1).alias(
+                    "ins_bot"
+                ),
+                F.slice(
+                    F.sort_array(F.collect_list(ins_val), asc=False), 1, k + 1
+                ).alias("ins_top"),
+                F.slice(
+                    F.sort_array(F.collect_list(del_val)), 1, k + 1
+                ).alias("del_bot"),
+                F.slice(
+                    F.sort_array(F.collect_list(del_val), asc=False), 1, k + 1
+                ).alias("del_top"),
+            )
+            .collect()
+        )
+        out = dict(prev)
+        for r in rows:
+            g = r["o_orderpriority"]
+            st = prev.get(
+                g,
+                {"bot": [], "bot_hi": None, "top": [], "top_lo": None,
+                 "flagged": False},
+            )
+            bot, bot_hi, f1 = _reservoir_merge(
+                list(st["bot"]), st["bot_hi"],
+                list(r["ins_bot"]), list(r["del_bot"]), k,
+            )
+            neg_top, neg_lo, f2 = _reservoir_merge(
+                [-v for v in st["top"]],
+                None if st["top_lo"] is None else -st["top_lo"],
+                [-v for v in r["ins_top"]],
+                [-v for v in r["del_top"]],
+                k,
+            )
+            out[g] = {
+                "o_orderpriority": g,
+                "bot": bot,
+                "bot_hi": bot_hi,
+                "top": [-v for v in neg_top],
+                "top_lo": None if neg_lo is None else -neg_lo,
+                "flagged": bool(st["flagged"] or f1 or f2),
+            }
+        new_rows = [
+            (
+                g["o_orderpriority"], g["bot"], g["bot_hi"],
+                g["top"], g["top_lo"], g["flagged"], epoch_id,
+            )
+            for g in out.values()
+        ]
+        spark.createDataFrame(
+            new_rows,
+            "o_orderpriority string, bot array<long>, bot_hi long, "
+            "top array<long>, top_lo long, flagged boolean, epoch long",
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    return (
+        cdc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -352,3 +352,77 @@ def test_cdc_view_replay_is_skipped(spark):
         for r in spark.read.parquet(state).collect()
     )
     assert after == before
+
+
+def test_reservoir_merge_algebra():
+    """Pure-Python reservoir invariants under the HORIZON rule: when
+    unflagged, the reservoir is the EXACT multiset of survivors below
+    the horizon — so min (and bottom-m) are exact.  Randomized replay
+    against a full-multiset model; this model previously caught the
+    unsound truncate-and-forget variant (discarded values promoted to
+    min after deletions, unflagged)."""
+    import random
+
+    from hadoop_20_spark.streaming import _reservoir_merge
+
+    # promotion: delete the current min twice, no recompute needed
+    bot, hi, f = _reservoir_merge([10, 20, 30], None, [], [10, 20], k=3)
+    assert (bot, hi, f) == ([30], None, False)
+    # depletion: all tracked values retracted -> flagged
+    bot, hi, f = _reservoir_merge([10, 20], None, [], [10, 20], k=3)
+    assert f
+    # tracked-region delete with no tracked copy -> flagged
+    bot, hi, f = _reservoir_merge([10, 20, 30], None, [], [15], k=3)
+    assert f
+    # delete beyond the horizon is irrelevant
+    bot, hi, f = _reservoir_merge([10, 20, 30], 40, [], [99], k=3)
+    assert (bot, hi, f) == ([10, 20, 30], 40, False)
+    # truncation LOWERS the horizon instead of forgetting
+    bot, hi, f = _reservoir_merge([], None, [1, 2, 3, 4], [], k=3)
+    assert (bot, hi, f) == ([1, 2, 3], 4, False)
+
+    # randomized replay vs a full multiset model
+    rng = random.Random(8)
+    n_flagged = 0
+    for _ in range(200):
+        k = rng.choice([2, 3, 4, 8])
+        live: list[int] = []
+        bot, hi, flagged = [], None, False
+        for _batch in range(8):
+            ins = [rng.randrange(60) for _ in range(rng.randrange(8))]
+            dels = rng.sample(live, min(len(live), rng.randrange(5)))
+            for d in dels:
+                live.remove(d)
+            live += ins
+            ins_k = sorted(ins)[: k + 1]
+            del_k = sorted(dels)[: k + 1]
+            bot, hi, f = _reservoir_merge(bot, hi, ins_k, del_k, k)
+            flagged = flagged or f
+            if not flagged:
+                h = float("inf") if hi is None else hi
+                assert bot == sorted(v for v in live if v < h), (bot, hi, live)
+                if live:
+                    assert bot and bot[0] == min(live)
+            else:
+                n_flagged += 1
+                break
+    # both paths must actually be exercised by the replay
+    assert 0 < n_flagged < 200
+
+
+def test_cdc_minmax_no_flags_on_fixture(spark):
+    """The whole point of the reservoir: on the real CDC replay no
+    group ever needs the recompute path (k=32 absorbs every extremum
+    retraction by promotion)."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    state = tempfile.mkdtemp(prefix="cdcmm_t_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="cdcmm_tc_")
+    s = stream_ops.stage_cdc_order_batches(spark, "/root/testdata/sf0.001", 4)
+    q = stream_ops.cdc_minmax_maintenance(s, state, ckpt).start()
+    q.awaitTermination()
+    rows = spark.read.parquet(state).collect()
+    assert rows and all(not r["flagged"] for r in rows)
+    assert all(len(r["bot"]) >= 1 and r["bot"][0] <= r["top"][0] for r in rows)
