@@ -301,3 +301,109 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "temperature_source_mix",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+               FROM documents GROUP BY source),
+    s AS (SELECT source, n, chars,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          FROM c),
+    tot AS (SELECT SUM(w) AS tw FROM s),
+    r AS (
+      SELECT source, n, chars,
+             CAST((1000000 * w) // (SELECT tw FROM tot) AS BIGINT) AS rate_ppm
+      FROM s
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_sampled, SUM(d.n_chars) AS chars_sampled
+      FROM documents d JOIN r ON r.source = d.source
+      WHERE (('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+            % 1000000 < r.rate_ppm
+      GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_docs,
+           r.rate_ppm,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(k.chars_sampled, 0) AS BIGINT) AS chars_sampled
+    FROM r LEFT JOIN kept k USING (source)
+    ORDER BY r.source
+    """,
+    note=(
+        "temperature-based source mixing (the XLM-R/mT5 rebalancing recipe at alpha=0.5): "
+        "per-source sampling rate proportional to sqrt(count) — big sources down-weighted, "
+        "small sources up-weighted — realized with the md5 ppm gate (never a seeded RNG); "
+        "integer floor(sqrt) weights and an integer ppm quotient keep every rate "
+        "boundary-free in both engines"
+    ),
+)
+def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-based corpus rebalancing: sample each source at a rate
+    proportional to ``sqrt(n_docs)`` (temperature 2 — the multinomial
+    alpha=0.5 exponent of XLM-R's data recipe), realized as the
+    engine-portable md5 per-mille... per-MILLION gate.  The complement
+    of perplexity_bucket_mix: that query reweights by QUALITY within a
+    source, this one reweights the source SIZES themselves — together
+    they are the two axes of a pretraining mixture.
+
+    Exactness: weights are INTEGER floor(sqrt(n)) — sqrt of a modest
+    integer is a single correctly-rounded IEEE op (exact on perfect
+    squares), so the floor is engine-identical — and the rate is a pure
+    integer quotient (1e6*w DIV total).  The first cut computed the
+    ratio in doubles and FLOORED it: with a uniform corpus every rate
+    sits exactly on 1/n_sources, where a 1-ulp decimal-cast difference
+    flipped DuckDB to 49999 vs Spark's 50000 at sf0.1 — the SCALE.md
+    rounding trap, caught by the tri-scale gate.
+
+    Scale plan: ONE source-keyed count aggregate (tiny key domain), a
+    broadcast rate row back onto the corpus scan, row-local md5 gate;
+    the kept aggregate is another tiny-key reduce.  The corpus is
+    scanned twice (count pass + gate pass) — both column-pruned."""
+    from hadoop_20_spark.functions import md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    ).persist()  # feeds the weight/total pass and the rate join
+    s = c.select(
+        "source", "n",
+        F.floor(F.sqrt(F.col("n").cast("double"))).cast("long").alias("w"),
+    )
+    tot = s.agg(F.sum("w").alias("tw"))
+    r = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.expr("(1000000 * w) DIV tw").alias("rate_ppm"),
+        )
+    )
+    gate = md5_long(
+        F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))
+    ) % 1000000
+    kept = (
+        docs.join(F.broadcast(r.select("source", "rate_ppm")), "source")
+        .where(gate < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
+    return (
+        c.join(F.broadcast(r.select("source", "rate_ppm")), "source")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "rate_ppm",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("chars_sampled", F.lit(0))
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
