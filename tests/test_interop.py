@@ -240,3 +240,19 @@ def test_teragen_datasource_zero_rows(spark):
     spark.dataSource.register(TeraGenDataSource)
     df = spark.read.format("teragen").option("rows", 0).load()
     assert df.count() == 0
+
+
+def test_orc_roundtrip_with_codecs(spark, tables, tmp_path):
+    """ORC interop (the Hive-era columnar sibling Spark ships in-box):
+    write/read round-trip conserves counts and checksums across the
+    codec matrix, and predicate pushdown reaches the ORC scan."""
+    from hadoop_20_spark.plans import physical_plan, validate_conservation
+
+    o = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    for codec in ["snappy", "zlib", "zstd"]:
+        p = str(tmp_path / f"orc_{codec}")
+        o.write.option("compression", codec).mode("overwrite").orc(p)
+        back = spark.read.orc(p)
+        assert validate_conservation(o, back, "o_totalprice"), codec
+    q = spark.read.orc(str(tmp_path / "orc_snappy")).where("o_orderkey < 100")
+    assert "PushedFilters" in physical_plan(q)
