@@ -1118,13 +1118,15 @@ def retraction_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     micros = (F.col("p") * 1000000).cast("long")
 
-    # the maintained state (what the stored view holds before the batch)
+    # the maintained state (what the stored view holds before the batch);
+    # 5 rows feeding two consumers (the CDC detector join and the merge)
+    # — persist so the fact aggregate runs once
     base_state = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(micros).alias("s_micros"),
         F.min("p").alias("mn"),
         F.max("p").alias("mx"),
-    )
+    ).persist()
 
     # CDC batch: deletes (sign -1) + updates (delete old, insert new)
     is_del = F.col("o_orderkey") % 13 == 0
@@ -1163,7 +1165,8 @@ def retraction_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    merged = base_state.join(cdc_state, "o_orderpriority", "left").select(
+    # merged feeds the flagged-group selector AND the final projection
+    merged = base_state.join(cdc_state, "o_orderpriority", "left").persist().select(
         "o_orderpriority",
         (F.col("n") + F.coalesce("dn", F.lit(0))).cast("long").alias("n_orders"),
         (F.col("s_micros") + F.coalesce("ds_micros", F.lit(0)))
