@@ -744,14 +744,27 @@ def duplicate_spans(
             ).otherwise(F.array().cast("array<int>"))
         ).alias("pos"),
     )
+    pk = (
+        F.when(
+            F.col("pos") < F.lit(1 << pos_bits),
+            F.col(id_col).cast("long") * F.lit(1 << pos_bits) + F.col("pos"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("duplicate_spans: pos >= 2^pos_bits ("),
+                    F.col("pos").cast("string"),
+                    F.lit(f" >= {1 << pos_bits}); raise pos_bits"),
+                )
+            ).cast("long")
+        )
+    )
     keyed = win.select(
         id_col,
         *carry_cols,
         "pos",
         F.md5(F.array_join(F.slice("__t", F.col("pos"), w), " ")).alias("wh"),
-        (F.col(id_col).cast("long") * F.lit(1 << pos_bits) + F.col("pos")).alias(
-            "__pk"
-        ),
+        pk.alias("__pk"),
     )
     # occurrence count + global first per fingerprint as a WINDOW over
     # the fingerprint key — ONE shuffle of the keyed relation (groups

@@ -78,6 +78,12 @@ def zorder_file_assignment(
     behavior ``zorder_layout_audit`` compares.  Row-local except ONE
     broadcast 1-row min/max aggregate; the real writer would
     ``repartitionByRange(file_id)`` and write with per-file stats."""
+    if not (0 < file_bits <= bits):
+        raise ValueError(
+            f"file_bits must be in (0, bits={bits}], got {file_bits}: the "
+            "file id is a top-bits shift of the Morton key (and of the "
+            "first scaled dim for the linear layout)"
+        )
     mm = df.agg(
         *[F.min(d).cast("long").alias(f"__min_{d}") for d in dims],
         *[F.max(d).cast("long").alias(f"__max_{d}") for d in dims],

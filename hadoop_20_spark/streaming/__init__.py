@@ -701,6 +701,8 @@ def _reservoir_merge(
     import bisect
 
     INF = float("inf")
+    if sorted(ins) != list(ins) or sorted(dels) != list(dels):
+        raise ValueError("ins/dels must be ascending (k+1-smallest slices)")
     h = INF if hi is None else hi
     flagged = False
     if len(ins) > k:  # stream-side slice hit its cap: values above
