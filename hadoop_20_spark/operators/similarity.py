@@ -832,3 +832,103 @@ def semantic_dedup(
         .select("vec_id", "cell", "keeper_id", "cosine_sim")
         .orderBy("vec_id")
     )
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+) -> tuple[list[DataFrame], int]:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and train an independent deterministic k-means
+    codebook (``kmeans_centroids`` — lowest-id seeds, 4dp-rounded
+    cosine argmax, decimal-exact means) in each.  Returns the list of
+    per-subspace centroid tables and the subspace width.
+
+    This is the compression half of FAISS-style IVF-PQ: a vector is
+    represented by m small codes (here m=4 codes of 4 bits each — a
+    64-float vector becomes 2 bytes, 128x smaller), and retrieval
+    scores against RECONSTRUCTIONS assembled from codebook entries, so
+    the query path never touches the original vectors.  Cosine is used
+    as the subspace metric for consistency with the rest of the
+    similarity family (IP-family PQ)."""
+    seed = corpus.select(vec_col).first()
+    if seed is None:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(seed[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
+        )
+        books.append(
+            kmeans_centroids(sliced, id_col, vec_col, k=k, iterations=iterations)
+        )
+    return books, sub
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[DataFrame],
+    sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook ids (``code0..code{m-1}``)
+    — per subspace, the same 4dp-rounded cosine argmax (cent_id
+    tie-break) as ``assign_cells``, computed as a partial-aggregable
+    max(struct) against the broadcast codebook: row-local except one
+    per-id combine, no window, no shuffle of the vectors."""
+    out = corpus.select(id_col)
+    for s, cb in enumerate(books):
+        sv = F.slice(vec_col, s * sub + 1, sub)
+        a = (
+            corpus.select(F.col(id_col), sv.alias("_sv"))
+            .crossJoin(F.broadcast(cb.select("cent_id", "c_vec")))
+            .select(
+                id_col,
+                "cent_id",
+                F.round(cosine(F.col("_sv"), F.col("c_vec")), 4).alias("sim"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(F.col("sim"), (-F.col("cent_id")).alias("_neg"))
+                ).alias("_best")
+            )
+            .select(id_col, (-F.col("_best._neg")).alias(f"code{s}"))
+        )
+        out = out.join(a, id_col)
+    return out
+
+
+def pq_reconstruct(
+    codes: DataFrame, books: list[DataFrame], id_col: str = "vec_id"
+) -> DataFrame:
+    """Assemble each coded vector's reconstruction by concatenating its
+    m codebook entries — m broadcast joins against 16-row codebooks;
+    the original vectors are never read (the index IS codes +
+    codebooks)."""
+    rec = codes
+    parts = []
+    for s, cb in enumerate(books):
+        rec = rec.join(
+            F.broadcast(
+                cb.select(
+                    F.col("cent_id").alias(f"code{s}"),
+                    F.col("c_vec").alias(f"_cv{s}"),
+                )
+            ),
+            f"code{s}",
+        )
+        parts.append(F.col(f"_cv{s}"))
+    return rec.select(F.col(id_col), F.concat(*parts).alias("recon"))
