@@ -96,6 +96,9 @@ QUERIES = {
     "postings_delta_merge": "delta postings tokenize ONLY changed docs; doc-level replacement = anti-join on the delta doc set + union; df/tf report one term-keyed agg over the persisted term relation; top-15 TakeOrderedAndProject",
     "retraction_agg_maintenance": "base + CDC states one priority-keyed partial agg each; extremum-retract detector rides the 5-row broadcast of base min/max; recompute fallback semi-join-pruned to flagged groups",
     "dup_span_report": "12-token window fingerprints row-local (one md5/position); 32-byte first-occurrence partial agg; island window partitions by doc over DUPLICATE starts only; per-source tiny-key rollup",
+    "dup_span_removal": "span list joins back doc-keyed (right side = affected docs only); survivor filter let-bound and projected ONCE; rebuild + counts from the same projection",
+    "temperature_source_mix": "one tiny-key count agg persisted; integer floor(sqrt) weights, integer ppm quotient; broadcast rate join + row-local md5 gate",
+    "pq_recall_audit": "4 subspace codebooks trained on sliced vectors (broadcast argmax partial agg per iteration); encode = m broadcast argmax passes; ONE scored-reconstruction pass persisted serves top-10 AND the re-rank shortlist",
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
