@@ -264,3 +264,42 @@ def test_distributed_cumsum_null_key_routes_to_bucket_zero(spark):
     assert len(rows) == 4  # nothing dropped
     assert rows[0]["k"] is None and rows[0]["cum"] == 5
     assert [r["cum"] for r in rows] == [5, 15, 35, 65]
+
+
+def test_morton_interleave_three_dims(spark):
+    """morton_interleave generalizes past 2 dims: the 3-dim key must
+    equal the Python bit-model (dim j's bit b at position 3b + j), and
+    the SQL twin (morton_interleave_sql) must agree in DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.layout import (
+        morton_interleave,
+        morton_interleave_sql,
+    )
+
+    pts = [(1, 2, 3), (0, 0, 0), (255, 1, 128), (65535, 65535, 65535), (7, 1023, 4)]
+    df = spark.createDataFrame(pts, ["x", "y", "w"])
+    rows = df.select(
+        "x", "y", "w",
+        morton_interleave([F.col("x"), F.col("y"), F.col("w")], bits=16).alias("z"),
+    ).collect()
+
+    def model(x, y, w):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (3 * b)
+            z |= ((y >> b) & 1) << (3 * b + 1)
+            z |= ((w >> b) & 1) << (3 * b + 2)
+        return z
+
+    for r in rows:
+        assert r["z"] == model(r["x"], r["y"], r["w"]), tuple(r)
+
+    con = duckdb.connect()
+    frag = morton_interleave_sql(["x", "y", "w"], bits=16)
+    for x, y, w in pts:
+        (zd,) = con.execute(
+            f"SELECT {frag} FROM (SELECT {x}::BIGINT x, {y}::BIGINT y, {w}::BIGINT w)"
+        ).fetchone()
+        assert zd == model(x, y, w), (x, y, w)
