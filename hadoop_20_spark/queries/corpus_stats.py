@@ -366,3 +366,73 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "cms_sketch_merge",
+    rf"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS.format(col='text')}) AS w FROM documents
+    ),
+    cells AS (
+      SELECT t.r, {_cms_bucket_sql('w', 't.r')} AS bucket
+      FROM tok CROSS JOIN range(0, {_CMS_D}) t(r)
+    ),
+    sketch AS (SELECT r, bucket, COUNT(*) AS sc FROM cells GROUP BY r, bucket)
+    SELECT r,
+           CAST(COUNT(*) AS BIGINT) AS occupied_buckets,
+           CAST(SUM(sc) AS BIGINT) AS total_count,
+           CAST(SUM(sc * sc) AS BIGINT) AS sum_sq,
+           CAST(MAX(sc) AS BIGINT) AS max_cell
+    FROM sketch GROUP BY r ORDER BY r
+    """,
+    note=(
+        "count-min sketch MERGEABILITY, proven: the corpus streams in as 4 doc_id-keyed "
+        "batches, each contributing an independent sub-sketch; cell-wise addition merges "
+        "them (CMS is a linear sketch — the whole reason it works distributed), and the "
+        "oracle builds the sketch of the WHOLE corpus in one shot — merge == rebuild, per "
+        "row: occupancy, mass, collision energy (sum of squared cells), max cell"
+    ),
+)
+def cms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra under batch ingest: each of 4 deterministic
+    batches (doc_id % 4) builds its own CMS sub-sketch; the maintained
+    corpus sketch is their CELL-WISE SUM — no rescan of history, which
+    is the entire operational point of a linear sketch (and of
+    incremental_agg_maintenance's discipline applied to sketches).
+    The published per-row summary (occupancy, total mass, collision
+    energy, max cell) comes from the MERGED sketch; the oracle builds
+    the whole-corpus sketch directly, so any non-linearity bug in the
+    merge shifts the hash.
+
+    Scale plan: sub-sketches and the merge are ONE pass — tokens tagged
+    with their batch, partial aggregation collapses each partition to
+    <= batches * D * W cells before a bounded-domain shuffle; the merge
+    re-aggregate runs on <= 4 * 256 cells; the report on 256."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 4).alias("batch"),
+        F.explode(_fn_tokens("text")).alias("w"),
+    )
+    rows = F.array(*[F.lit(r) for r in range(_CMS_D)])
+    bucket = (
+        md5_long(F.concat(F.col("w"), F.lit("#"), F.col("r").cast("string")))
+        % _CMS_W
+    ).alias("bucket")
+    sub = (
+        tok.select("batch", "w", F.explode(rows).alias("r"))
+        .select("batch", "r", bucket)
+        .groupBy("batch", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("sc"))
+    )
+    merged = sub.groupBy("r", "bucket").agg(F.sum("sc").alias("sc"))
+    return (
+        merged.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occupied_buckets"),
+            F.sum("sc").cast("long").alias("total_count"),
+            F.sum(F.col("sc") * F.col("sc")).cast("long").alias("sum_sq"),
+            F.max("sc").cast("long").alias("max_cell"),
+        )
+        .orderBy("r")
+    )
