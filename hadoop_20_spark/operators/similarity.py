@@ -932,3 +932,111 @@ def pq_reconstruct(
         )
         parts.append(F.col(f"_cv{s}"))
     return rec.select(F.col(id_col), F.concat(*parts).alias("recon"))
+
+
+def truncation_recall_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation study: recall@k of PREFIX-TRUNCATED
+    cosine retrieval vs the full-dimension exact top-k, one row per
+    truncation width.
+
+    The operating question for a 100 TB embedding store: how many
+    leading coordinates must the scan actually read (column-pruned
+    prefix, 8× less I/O at dim 8) before ranking quality collapses?
+    The last entry of ``dims`` is the full dimension and serves as the
+    baseline — its recall row is the 1.0 sanity anchor.
+
+    Plan: queries broadcast (DistributedCache idiom, as cosine_topk);
+    the per-pair product array is materialized ONCE per candidate pair
+    and each truncated dot is a prefix ``slice`` of it — 1 zip_with +
+    len(dims) cheap prefix aggregates instead of len(dims) full dot
+    products, and norms are per-vector side-local projections.  The
+    dims axis explodes only AFTER scoring, so the corpus-sized scan is
+    paid once; the (dim, query) top-k window shuffles candidate rows
+    |dims|× — at 100 TB cut that with per-partition partial top-k
+    exactly as cosine_topk documents.  Determinism: sequential-order
+    double sums, 4dp rounding, neighbor-id tie-break (SURVEY §7.4)."""
+    full = dims[-1]
+    assert full == max(dims), "last dims entry must be the full dimension"
+
+    def _norms(df: DataFrame, vec: str, pfx: str) -> DataFrame:
+        for d in dims:
+            df = df.withColumn(f"_{pfx}{d}", norm(F.slice(F.col(vec), 1, d)))
+        return df
+
+    q = _norms(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+        "nq",
+    )
+    c = _norms(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+        "nc",
+    )
+    prods = F.zip_with(
+        F.col("q_vec"), F.col("c_vec"), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_p", prods)
+    )
+    sim_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.round(
+                    F.aggregate(
+                        F.slice(F.col("_p"), 1, d), F.lit(0.0), lambda a, v: a + v
+                    )
+                    / (F.col(f"_nq{d}") * F.col(f"_nc{d}")),
+                    4,
+                ).alias("cosine_sim"),
+            )
+            for d in dims
+        ]
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.explode(sim_structs).alias("e")
+    ).select("query_id", "neighbor_id", "e.dim", "e.cosine_sim")
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    base = (
+        topk.filter(F.col("dim") == full)
+        .select("query_id", "neighbor_id")
+        .withColumn("_in_full", F.lit(1))
+    )
+    # LEFT join + indicator (not a semi join) so a truncation width with
+    # ZERO overlap still emits its row — the oracle's LEFT JOIN shape.
+    return (
+        topk.join(F.broadcast(base), ["query_id", "neighbor_id"], "left")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("topk_pairs"),
+            F.sum(F.coalesce(F.col("_in_full"), F.lit(0))).cast("long").alias("_hits"),
+        )
+        .select(
+            F.col("dim").alias("trunc_dim"),
+            "topk_pairs",
+            F.col("_hits").alias("overlap_with_full"),
+            F.round(F.col("_hits") * F.lit(1.0) / F.col("topk_pairs"), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("trunc_dim")
+    )

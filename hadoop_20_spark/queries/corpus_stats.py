@@ -436,3 +436,204 @@ def cms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the mergeable DISTINCT sketch (round 8)
+# ---------------------------------------------------------------------------
+# Geometry: m = 64 buckets (p = 6), rho over the 32 bits above the bucket
+# index.  Like the CMS above, m is deliberately small so the estimator's
+# error is a live signal at test scale; widening m changes no plan shape.
+# All register math is INTEGER (CASE-ladder bit length, shift-based
+# harmonic sum) so the DuckDB oracle reproduces the sketch bit-for-bit —
+# the only float ops are one literal/bigint division and a ROUND, both
+# IEEE-identical across engines (SURVEY §7.4 determinism rules).
+_HLL_M = 64
+_HLL_RHO_BITS = 32
+# alpha_64 * m^2 * 2^(rho_bits+1): the scaled-estimate numerator.  Computed
+# once HERE and pasted as the identical double literal into both engines.
+_HLL_NUM = 0.709 * (_HLL_M**2) * float(1 << (_HLL_RHO_BITS + 1))
+
+
+def _bitlen32(v):
+    """Bit length of a 32-bit non-negative value as a pure CASE ladder —
+    no log2 (whose double rounding diverges between engines exactly at
+    the 2^k boundaries HLL cares about)."""
+    w = F.when(v >= F.lit(1 << 31), F.lit(32))
+    for k in range(31, 0, -1):
+        w = w.when(v >= F.lit(1 << (k - 1)), F.lit(k))
+    return w.otherwise(F.lit(0))
+
+
+def _sql_bitlen32(expr: str) -> str:
+    branches = " ".join(
+        f"WHEN ({expr}) >= {1 << (k - 1)} THEN {k}" for k in range(32, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+_HLL_V = f"(({_sql_md5_long('w')} >> 6) & 4294967295)"
+
+@register(
+    "hll_distinct_merge",
+    rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS.format(col='text')}) AS w FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             ({_sql_md5_long('w')} & 63) AS bucket,
+             {_HLL_RHO_BITS + 1} - {_sql_bitlen32(_HLL_V)} AS rho
+      FROM tok
+    ),
+    regs AS (SELECT source, bucket, MAX(rho) AS reg FROM cells GROUP BY 1, 2),
+    regs_all AS (  -- ONE-SHOT rebuild over the whole corpus (not via sub-sketches)
+      SELECT '__ALL__' AS source, bucket, MAX(rho) AS reg FROM cells GROUP BY 2
+    ),
+    stats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS occupied_buckets,
+             CAST(SUM(1::BIGINT << ({_HLL_RHO_BITS + 1} - reg)) AS BIGINT) AS s_present
+      FROM (SELECT * FROM regs UNION ALL SELECT * FROM regs_all) GROUP BY source
+    ),
+    ex AS (
+      SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+      FROM tok GROUP BY source
+      UNION ALL
+      SELECT '__ALL__', CAST(COUNT(DISTINCT w) AS BIGINT) FROM tok
+    ),
+    base AS (
+      SELECT stats.source,
+             occupied_buckets,
+             CAST({_HLL_M} - occupied_buckets AS BIGINT) AS zero_buckets,
+             CAST(s_present + ({_HLL_M} - occupied_buckets)
+                  * (1::BIGINT << {_HLL_RHO_BITS + 1}) AS BIGINT) AS s_scaled,
+             exact_distinct
+      FROM stats JOIN ex ON stats.source = ex.source
+    ),
+    est AS (
+      SELECT *, ROUND({_HLL_NUM!r} / s_scaled, 4) AS est_raw FROM base
+    ),
+    corr AS (  -- small-range (linear counting) correction, Flajolet et al. fig. 3
+      SELECT *,
+             CASE WHEN est_raw <= {2.5 * _HLL_M!r} AND zero_buckets > 0
+                  THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_buckets), 4)
+                  ELSE est_raw END AS est_hll,
+             CASE WHEN est_raw <= {2.5 * _HLL_M!r} AND zero_buckets > 0
+                  THEN 'linear' ELSE 'raw' END AS est_mode
+      FROM est
+    )
+    SELECT source, occupied_buckets, zero_buckets, s_scaled, est_raw, est_hll,
+           est_mode, exact_distinct,
+           ROUND(100.0 * ABS(est_hll / exact_distinct - 1.0), 2) AS rel_err_pct
+    FROM corr ORDER BY source
+    """,
+    note=(
+        "HyperLogLog MERGEABILITY, proven: each source builds its own 64-register "
+        "sub-sketch; the corpus sketch is their ELEMENT-WISE MAX (HLL registers form a "
+        "max-semilattice — the reason the sketch distributes), and the oracle builds the "
+        "whole-corpus registers in one shot — merge == rebuild.  Registers, occupancy and "
+        "the scaled harmonic sum are exact integers; the estimator (raw harmonic mean + "
+        "the standard small-range linear-counting correction, mode emitted per row) is "
+        "audited against the exact distinct count per row"
+    ),
+)
+def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vocabulary HyperLogLog with the merge==rebuild contract
+    of cms_sketch_merge lifted to the max-semilattice sketch: per-source
+    sub-sketches (register = max rho per bucket) merge by element-wise
+    MAX into the corpus sketch — no rescan of history, the operational
+    point of a mergeable sketch.  The oracle rebuilds the corpus
+    registers directly from every token, so any non-associativity bug
+    in the merge shifts the hash.  Every register column is integer
+    (CASE-ladder bit length instead of log2, shift-based harmonic sum
+    scaled by 2^33); the raw estimate is NUM/s_scaled — one IEEE
+    division of a shared literal by an exact bigint — and the standard
+    small-range correction (linear counting, m*ln(m/V) when the raw
+    estimate is under 2.5m with empty buckets present) kicks in exactly
+    where Flajolet et al. prescribe, with the chosen mode emitted per
+    row; the exact distinct count rides along as the per-row audit
+    (rel_err_pct: m=64 puts typical raw error near 1.04/sqrt(64) = 13%,
+    linear counting much tighter at tiny n).
+
+    Scale plan: the register build is ONE (source, bucket) partial-agg
+    shuffle — map-side combine collapses every partition to
+    <= sources * 64 cells before the exchange, so sketch cost is
+    O(partitions * 64) regardless of corpus size; the merge
+    re-aggregates <= sources * 64 rows; the exact-distinct audit is the
+    test-scale certificate you drop at 100 TB (same posture as
+    cms_heavy_hitters).  Reference anchor (public hadoop-20):
+    mapred/lib/aggregate/UniqValueCount.java — the exact-set ancestor
+    whose maxNumItems cap this sketch replaces with bounded state."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_fn_tokens("text")).alias("w"))
+    h = md5_long(F.col("w"))
+    v = F.shiftright(h, 6).bitwiseAND(F.lit((1 << 32) - 1))
+    cells = tok.select(
+        "source",
+        h.bitwiseAND(F.lit(63)).alias("bucket"),
+        (F.lit(_HLL_RHO_BITS + 1) - _bitlen32(v)).alias("rho"),
+    )
+    regs = cells.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
+    # the MERGE: corpus registers = element-wise max of the sub-sketches
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("__ALL__").alias("source"), "bucket", "reg")
+    )
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_BITS + 1} - reg)")
+    stats = (
+        regs.unionByName(merged)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occupied_buckets"),
+            F.sum(term).cast("long").alias("s_present"),
+        )
+    )
+    ex = (
+        tok.groupBy("source")
+        .agg(F.countDistinct("w").cast("long").alias("exact_distinct"))
+        .unionByName(
+            tok.agg(F.countDistinct("w").cast("long").alias("exact_distinct"))
+            .select(F.lit("__ALL__").alias("source"), "exact_distinct")
+        )
+    )
+    base = stats.join(ex, "source").select(
+        "source",
+        "occupied_buckets",
+        (F.lit(_HLL_M) - F.col("occupied_buckets")).cast("long").alias("zero_buckets"),
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("occupied_buckets"))
+            * F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
+        ).cast("long").alias("s_scaled"),
+        "exact_distinct",
+    )
+    est = base.withColumn("est_raw", F.round(F.lit(_HLL_NUM) / F.col("s_scaled"), 4))
+    # small-range (linear counting) correction: the raw harmonic-mean
+    # estimator biases high when n << m; below 2.5m with empty buckets
+    # present, m*ln(m/V) is the right estimator (Flajolet et al. fig. 3).
+    # ln() here is the ONE transcendental in the sketch — its output is
+    # irrational except ln(1) = 0 (exact in both engines), so the 4dp
+    # round is boundary-safe (SURVEY §7.4: only RATIONAL boundaries bite).
+    small = (F.col("est_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("zero_buckets") > 0)
+    lc = F.round(
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zero_buckets")), 4
+    )
+    corr = est.withColumn(
+        "est_hll", F.when(small, lc).otherwise(F.col("est_raw"))
+    ).withColumn("est_mode", F.when(small, F.lit("linear")).otherwise(F.lit("raw")))
+    return corr.select(
+        "source",
+        "occupied_buckets",
+        "zero_buckets",
+        "s_scaled",
+        "est_raw",
+        "est_hll",
+        "est_mode",
+        "exact_distinct",
+        F.round(
+            F.lit(100.0) * F.abs(F.col("est_hll") / F.col("exact_distinct") - F.lit(1.0)),
+            2,
+        ).alias("rel_err_pct"),
+    ).orderBy("source")

@@ -866,3 +866,62 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "mrl_truncation_audit",
+    r"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    scored AS (
+      SELECT d.dim, q.query_id, c.neighbor_id,
+             ROUND(
+               list_aggregate(list_transform(range(1, d.dim + 1),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, d.dim + 1),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, d.dim + 1),
+                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))),
+               4) AS cosine_sim
+      FROM q JOIN c ON c.neighbor_id <> q.query_id CROSS JOIN dims d
+    ),
+    topk AS (
+      SELECT dim, query_id, neighbor_id FROM (
+        SELECT dim, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored) WHERE rk <= 5
+    ),
+    base AS (SELECT query_id, neighbor_id FROM topk WHERE dim = 64)
+    SELECT t.dim AS trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS topk_pairs,
+           CAST(COUNT(b.neighbor_id) AS BIGINT) AS overlap_with_full,
+           ROUND(COUNT(b.neighbor_id) * 1.0 / COUNT(*), 4) AS recall_at_k
+    FROM topk t
+    LEFT JOIN base b
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY t.dim ORDER BY t.dim
+    """,
+    note=(
+        "Matryoshka truncation study: recall@5 of prefix-truncated cosine retrieval "
+        "(dims 8/16/32/64) vs the full-dim exact top-5 — the read-less-coordinates "
+        "accuracy/IO trade, measured; dim-64 row is the recall=1.0 sanity anchor.  "
+        "One corpus scan scores all widths (product array sliced per width); oracle "
+        "is the brute-force per-width ranking"
+    ),
+)
+def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation retrieval audit (the acceptance-metric pattern
+    of ivf_recall_audit/pq_recall_audit applied to dimensionality):
+    rank with only the first d coordinates and measure top-5 agreement
+    with the full vector.  At 100 TB the payoff is columnar I/O — a
+    parquet scan that materializes an 8-float prefix reads 1/8 the
+    bytes of the full 64-float column — and this query publishes the
+    recall each such prefix actually buys on this corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.truncation_recall_audit(
+        emb, emb.filter(F.col("vec_id") < 10), dims=(8, 16, 32, 64), k=5
+    )

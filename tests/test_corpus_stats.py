@@ -360,3 +360,26 @@ def test_balanced_shards_contiguous_and_balanced(spark):
     stride = total // 8 + 1
     for r in rows:
         assert r["total_chars"] <= stride + max_doc
+
+
+def test_hll_merge_dominance_and_error(spark):
+    """HLL invariants: the merged sketch dominates every sub-sketch
+    (registers are a max-semilattice, so occupancy only grows and the
+    scaled harmonic sum only shrinks), the small-range correction fires
+    exactly when its predicate holds, and the corrected estimator lands
+    within 30% of exact on the full corpus (the synthetic vocabulary is
+    tiny, so this exercises the linear-counting regime)."""
+    rows = {r["source"]: r for r in
+            REGISTRY["hll_distinct_merge"].fn(spark, SF_DIR).collect()}
+    assert "__ALL__" in rows and len(rows) >= 2
+    merged = rows.pop("__ALL__")
+    for src, r in list(rows.items()) + [("__ALL__", merged)]:
+        assert r["est_hll"] > 0 and r["exact_distinct"] > 0, src
+        # harmonic-sum bookkeeping: zero + occupied = m
+        assert r["occupied_buckets"] + r["zero_buckets"] == 64, src
+        want_linear = r["est_raw"] <= 160.0 and r["zero_buckets"] > 0
+        assert r["est_mode"] == ("linear" if want_linear else "raw"), src
+    for src, r in rows.items():
+        assert merged["occupied_buckets"] >= r["occupied_buckets"], src
+        assert merged["s_scaled"] <= r["s_scaled"], src
+    assert merged["rel_err_pct"] < 30.0, merged
