@@ -141,6 +141,59 @@ BENCH_QUERIES = {
 }
 
 
+def _max_stage_id(spark) -> int:
+    """Highest stage id the app status store has seen (-1 if the UI/REST
+    store is off).  Stage ids are globally monotone, so 'stages after
+    this mark' attributes work to one bench entry even if the store
+    evicts OLD stages (spark.ui.retainedStages)."""
+    stages = _stage_list(spark)
+    return max((s["stageId"] for s in stages), default=-1)
+
+
+def _stage_list(spark) -> list:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            return json.load(r)
+    except OSError:
+        return []
+
+
+def exec_metrics_since(spark, mark: int) -> dict:
+    """MEASURED executor metrics for every completed stage with id >
+    ``mark`` — shuffle bytes, spill, and scan input from Spark's own
+    status store (REST v1), not estimates.  This is the per-entry scale
+    evidence: a plan regression that doubles a shuffle shows up here in
+    bytes even when wall-clock noise hides it (the reference's job
+    counters — Map output bytes, spilled records — played this role in
+    every MapReduce job's summary)."""
+    done = [s for s in _stage_list(spark) if s["stageId"] > mark
+            and s["status"] == "COMPLETE"]
+    if not done:
+        return {}
+    mb = 1024.0 * 1024.0
+
+    def tot(key: str) -> float:
+        return round(sum(s.get(key, 0) for s in done) / mb, 3)
+
+    return {
+        "stages": len(done),
+        "tasks": sum(s.get("numCompleteTasks", 0) for s in done),
+        "input_mb": tot("inputBytes"),
+        "shuffle_write_mb": tot("shuffleWriteBytes"),
+        "shuffle_read_mb": tot("shuffleReadBytes"),
+        "spill_mem_mb": tot("memoryBytesSpilled"),
+        "spill_disk_mb": tot("diskBytesSpilled"),
+    }
+
+
 def run_once(spark, name: str, ctx: dict | None = None) -> float:
     t0 = time.time()
     if name == "b19_pq_retrieval" and ctx and "b19" in ctx:
@@ -344,6 +397,12 @@ def run_gridmix_small_jobs(spark) -> dict:
 
 
 def main() -> None:
+    # The bench runs with the UI status store ON (still headless — only
+    # the REST endpoint is consumed) so every entry records MEASURED
+    # shuffle/spill/input bytes alongside wall-clock.  Overhead is a
+    # listener-bus write per task, identical for every entry and every
+    # round, so ratios stay comparable.
+    os.environ.setdefault("SPARK_UI", "true")
     spark = get_spark("bench")
     # warm-up: JVM + parquet footer caches
     REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR).count()
@@ -378,7 +437,14 @@ def main() -> None:
                 b.count()  # force the localCheckpoint chains
             ctx["b19"] = (emb, books, sub)
             d["train_secs"] = round(time.time() - t0, 3)
-        times = [run_once(spark, name, ctx) for _ in range(3)]
+        # exec metrics bracket the LAST timed run only (one clean run's
+        # bytes, not a 3x sum)
+        times = [run_once(spark, name, ctx) for _ in range(2)]
+        mark = _max_stage_id(spark)
+        times.append(run_once(spark, name, ctx))
+        em = exec_metrics_since(spark, mark)
+        if em:
+            d["exec"] = em
         # Per-query persists (postings builds, cumsum inputs) must not
         # leak cache pressure into the next entry's timings.
         if name != "b12_semantic_dedup":  # b12's trained centroids live in ctx

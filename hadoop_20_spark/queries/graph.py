@@ -392,3 +392,87 @@ def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("node")
     )
+
+
+@register(
+    "entity_resolution",
+    """
+    WITH RECURSIVE
+    b AS (SELECT c_custkey, c_name,
+                 substr(c_name, 1, len(c_name) - 1) AS blk FROM customer),
+    p AS (
+      SELECT a.c_custkey AS ka, c.c_custkey AS kb
+      FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+      WHERE levenshtein(a.c_name, c.c_name) <= 1
+    ),
+    edges AS (SELECT ka AS s, kb AS d FROM p UNION SELECT kb, ka FROM p),
+    reach(s, d) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    lab AS (SELECT s AS c_custkey, MIN(d) AS entity_id FROM reach GROUP BY s),
+    sz AS (SELECT entity_id, COUNT(*) AS n_members FROM lab GROUP BY entity_id)
+    SELECT l.c_custkey, l.entity_id,
+           CAST(sz.n_members AS BIGINT) AS n_members,
+           CASE WHEN sz.n_members > 1 THEN 1 ELSE 0 END AS is_merged
+    FROM lab l JOIN sz USING (entity_id)
+    ORDER BY c_custkey
+    """,
+    note=(
+        "record-linkage entity resolution end to end: prefix blocking -> within-block "
+        "levenshtein<=1 edges -> connected components (min-label propagation, "
+        "operators/graph.py) -> every customer mapped to a canonical entity id "
+        "(smallest member key) with member count; oracle = recursive-CTE closure "
+        "seeded with ALL customers so singletons resolve to themselves"
+    ),
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full record-linkage pipeline composed from the repo's own
+    stages (blocking join = fuzzy_name_pairs discipline; components =
+    the extracted operators/graph.connected_components): resolve every
+    customer to a canonical entity.  Isolated customers keep their own
+    key via left-join + coalesce — the components operator only labels
+    nodes incident to an edge, so the mapping stays total without
+    feeding 150k singleton self-edges through the iteration.
+
+    Scale plan: the quadratic step is confined to within-block pairs
+    (largest block bounds the task); propagation rounds are bounded by
+    component diameter (<= block chains, shallow); the final size
+    window partitions on entity_id — no single-partition window, no
+    collect.  At 100 TB the blocking key is the knob: pick it so the
+    hottest block fits a task, or salt it (salted-join pattern)."""
+    from hadoop_20_spark.operators import graph as graph_ops
+
+    cust = _t(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("blk"),
+    )
+    a = b.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"), "blk")
+    d = b.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"), "blk")
+    edges = (
+        a.join(d, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+    )
+    comp = graph_ops.connected_components(edges)
+    lab = cust.join(comp, cust.c_custkey == comp.id, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("component"), F.col("c_custkey")).alias("entity_id"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id")
+    return (
+        lab.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            "c_custkey",
+            "entity_id",
+            "n_members",
+            (F.col("n_members") > 1).cast("int").alias("is_merged"),
+        )
+        .orderBy("c_custkey")
+    )

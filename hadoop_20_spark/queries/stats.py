@@ -1207,3 +1207,142 @@ def retraction_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "constraint_suite",
+    """
+    WITH o AS (SELECT * FROM orders), l AS (SELECT * FROM lineitem),
+    rep AS (
+      SELECT 'orders' AS table_name, 'custkey_complete' AS check_name,
+             'completeness' AS kind, 'o_custkey' AS col_name,
+             ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6) AS metric,
+             CASE WHEN COUNT(o_custkey) * 1000000 >= 1000000 * COUNT(*)
+                  THEN 1 ELSE 0 END AS passed
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'orderkey_complete', 'completeness', 'o_orderkey',
+             ROUND(COUNT(o_orderkey) * 1.0 / COUNT(*), 6),
+             CASE WHEN COUNT(o_orderkey) * 1000000 >= 1000000 * COUNT(*)
+                  THEN 1 ELSE 0 END
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'orderkey_unique', 'key_uniqueness', 'o_orderkey',
+             ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(o_orderkey), 6),
+             CASE WHEN COUNT(DISTINCT o_orderkey) * 1000000
+                       >= 1000000 * COUNT(o_orderkey) THEN 1 ELSE 0 END
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'priority_format', 'matches', 'o_orderpriority',
+             ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(o_orderpriority), 6),
+             CASE WHEN SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                               THEN 1 ELSE 0 END) * 1000000
+                       >= 1000000 * COUNT(o_orderpriority) THEN 1 ELSE 0 END
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'status_domain', 'isin', 'o_orderstatus',
+             ROUND(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(o_orderstatus), 6),
+             CASE WHEN SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                               THEN 1 ELSE 0 END) * 1000000
+                       >= 1000000 * COUNT(o_orderstatus) THEN 1 ELSE 0 END
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'totalprice_mean', 'mean_between', 'o_totalprice',
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(o_totalprice), 6),
+             CASE WHEN ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                             / COUNT(o_totalprice), 6) >= 1000.0
+                   AND ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                             / COUNT(o_totalprice), 6) <= 400000.0
+                  THEN 1 ELSE 0 END
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'totalprice_min', 'min_at_least', 'o_totalprice',
+             ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6),
+             CASE WHEN MIN(o_totalprice) >= 0.0 THEN 1 ELSE 0 END
+      FROM o
+      UNION ALL
+      SELECT 'lineitem', 'discount_max', 'max_at_most', 'l_discount',
+             ROUND(CAST(MAX(l_discount) AS DOUBLE), 6),
+             CASE WHEN MAX(l_discount) <= 0.1 THEN 1 ELSE 0 END
+      FROM l
+      UNION ALL
+      SELECT 'lineitem', 'quantity_min', 'min_at_least', 'l_quantity',
+             ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6),
+             CASE WHEN MIN(l_quantity) >= 1.0 THEN 1 ELSE 0 END
+      FROM l
+      UNION ALL
+      SELECT 'lineitem', 'quantity_max', 'max_at_most', 'l_quantity',
+             ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6),
+             CASE WHEN MAX(l_quantity) <= 50.0 THEN 1 ELSE 0 END
+      FROM l
+      UNION ALL
+      SELECT 'lineitem', 'shipdate_complete', 'completeness', 'l_shipdate',
+             ROUND(COUNT(l_shipdate) * 1.0 / COUNT(*), 6),
+             CASE WHEN COUNT(l_shipdate) * 1000000 >= 1000000 * COUNT(*)
+                  THEN 1 ELSE 0 END
+      FROM l
+      UNION ALL
+      SELECT 'lineitem', 'orderkey_fk', 'referential', 'l_orderkey',
+             CAST((SELECT COUNT(*) FROM l
+                   WHERE NOT EXISTS (SELECT 1 FROM o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE),
+             CASE WHEN (SELECT COUNT(*) FROM l
+                        WHERE NOT EXISTS (SELECT 1 FROM o
+                                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+                  THEN 1 ELSE 0 END
+    )
+    SELECT * FROM rep ORDER BY table_name, check_name
+    """,
+    note=(
+        "Deequ-style declarative quality gate: 11 single-table constraints compile into "
+        "ONE wide aggregate per table (completeness/uniqueness/domain/pattern/bounds as "
+        "conditional aggregates, unpivoted to the long report) + one FK anti-join — 3 "
+        "scans total for a 12-check suite vs the scan-per-check naive shape; pass/fail "
+        "on ratio checks is integer-ppm (never a floored double ratio)"
+    ),
+)
+def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-ingest quality gate as a DECLARATIVE suite
+    (operators/constraints.py — the Deequ 'unit tests for data' shape,
+    reference anchor SortValidator's one-pass RecordStats check): each
+    table's constraint list compiles to a single wide aggregate (one
+    scan regardless of check count — the property that matters when the
+    table is 100 TB), explodes into the (check, metric, passed) report,
+    and the FK check contributes its anti-join fragment.  Metrics are
+    exact integer ratios / decimal-sum means, so the whole report is
+    hash-comparable against the oracle."""
+    from hadoop_20_spark.operators import constraints as C
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    orders_checks = [
+        C.Check("custkey_complete", "completeness", "o_custkey"),
+        C.Check("orderkey_complete", "completeness", "o_orderkey"),
+        C.Check("orderkey_unique", "key_uniqueness", "o_orderkey"),
+        C.Check("priority_format", "matches", "o_orderpriority", pattern="^[1-5]-"),
+        C.Check("status_domain", "isin", "o_orderstatus", allowed=("O", "F", "P")),
+        C.Check(
+            "totalprice_mean", "mean_between", "o_totalprice",
+            bound=1000.0, bound_hi=400000.0,
+        ),
+        C.Check("totalprice_min", "min_at_least", "o_totalprice", bound=0.0),
+    ]
+    li_checks = [
+        C.Check("discount_max", "max_at_most", "l_discount", bound=0.1),
+        C.Check("quantity_min", "min_at_least", "l_quantity", bound=1.0),
+        C.Check("quantity_max", "max_at_most", "l_quantity", bound=50.0),
+        C.Check("shipdate_complete", "completeness", "l_shipdate"),
+    ]
+    rep = (
+        C.verify(orders, orders_checks, "orders")
+        .unionByName(C.verify(li, li_checks, "lineitem"))
+        .unionByName(
+            C.referential_check(
+                li, orders, "l_orderkey", "o_orderkey", "orderkey_fk", "lineitem"
+            )
+        )
+    )
+    return rep.orderBy("table_name", "check_name")

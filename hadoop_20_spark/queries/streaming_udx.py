@@ -1006,3 +1006,76 @@ def streaming_cdc_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_micros").cast("long").alias("min_micros"),
         F.col("max_micros").cast("long").alias("max_micros"),
     ).orderBy("o_orderpriority")
+
+
+def _streaming_cms_oracle() -> str:
+    from hadoop_20_spark.queries.corpus_stats import _CMS_D, _cms_bucket_sql
+
+    return rf"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS.format(col='text')}) AS w FROM documents
+    ),
+    cells AS (
+      SELECT t.r, {_cms_bucket_sql('w', 't.r')} AS bucket
+      FROM tok CROSS JOIN range(0, {_CMS_D}) t(r)
+    ),
+    sketch AS (SELECT r, bucket, COUNT(*) AS sc FROM cells GROUP BY r, bucket)
+    SELECT r,
+           CAST(COUNT(*) AS BIGINT) AS occupied_buckets,
+           CAST(SUM(sc) AS BIGINT) AS total_count,
+           CAST(SUM(sc * sc) AS BIGINT) AS sum_sq,
+           CAST(MAX(sc) AS BIGINT) AS max_cell
+    FROM sketch GROUP BY r ORDER BY r
+    """
+
+
+@register(
+    "streaming_cms_sketch",
+    None,  # oracle attached below (shared one-shot whole-corpus build)
+    note=(
+        "count-min sketch maintained ACROSS MICRO-BATCHES: each of 4 file-stream "
+        "batches appends its epoch-tagged sub-sketch cells (<= d*w rows per batch after "
+        "map-side combine) to append-only parquet state; the readout MAX-collapses per "
+        "(epoch,r,bucket) — idempotent under at-least-once replay — then SUMs across "
+        "epochs (CMS linearity).  Oracle = the whole-corpus sketch built in one shot: "
+        "streaming merge == batch rebuild, the cms_sketch_merge contract under "
+        "checkpointed micro-batch execution with state OUTSIDE the engine"
+    ),
+)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming third of the sketch-mergeability story: batch
+    (cms_sketch_merge) proved sub-sketch addition, HLL
+    (hll_distinct_merge) proved max-semilattice merge; this runs the
+    CMS build as a 24/7 ingest would — 4 checkpointed micro-batches,
+    each contributing an epoch-tagged sub-sketch to parquet state a
+    restart can resume against, merged exactly at read time.  Per-row
+    report (occupancy, mass, collision energy, max cell) is identical
+    to the one-shot corpus sketch because CMS is linear."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    state_dir = tempfile.mkdtemp(prefix="cms_state_") + "/cells"
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    stream = stream_ops.read_documents_stream(spark, sf_dir, n_files=4)
+    q = stream_ops.incremental_cms_ingest(stream, state_dir, ckpt).start()
+    q.awaitTermination()
+
+    merged = stream_ops.read_cms_state(spark, state_dir)
+    return (
+        merged.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occupied_buckets"),
+            F.sum("sc").cast("long").alias("total_count"),
+            F.sum(F.col("sc") * F.col("sc")).cast("long").alias("sum_sq"),
+            F.max("sc").cast("long").alias("max_cell"),
+        )
+        .orderBy("r")
+    )
+
+
+REGISTRY["streaming_cms_sketch"] = Query(
+    fn=REGISTRY["streaming_cms_sketch"].fn,
+    oracle=_streaming_cms_oracle(),
+    note=REGISTRY["streaming_cms_sketch"].note,
+)

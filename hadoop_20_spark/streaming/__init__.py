@@ -829,3 +829,70 @@ def cdc_minmax_maintenance(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def incremental_cms_ingest(
+    docs_stream, state_dir: str, checkpoint_dir: str, d: int = 4, w: int = 64
+):
+    """Streaming count-min sketch maintenance via ``foreachBatch``: each
+    micro-batch builds its own sub-sketch (d rows x w buckets, the
+    md5_long hash family of queries/corpus_stats) and APPENDS the cells
+    tagged with the epoch id; the corpus sketch is the (r, bucket) SUM
+    over all epochs at read time — CMS is linear, so merge-at-read is
+    exact and the state file never needs a read-modify-write cycle
+    (append-only parquet, restart-resumable, the
+    incremental_dedup_ingest posture).
+
+    At-least-once safety: a replayed batch re-appends the SAME
+    (epoch, r, bucket, sc) cells; the read side collapses duplicates
+    with MAX per (epoch, r, bucket) before the cross-epoch SUM, so the
+    readout is idempotent under any replay pattern (the same
+    collapse-before-count contract the dedup index documents).
+
+    Scale plan: each batch shuffles <= d*w cells after map-side combine
+    — O(partitions * 256) per batch regardless of batch size; state
+    grows by <= 256 rows per epoch (compact at read or periodically
+    re-base by writing the merged sketch as a new epoch and dropping
+    older files)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.functions import md5_long, tokens
+
+    def ingest(df, epoch_id: int) -> None:
+        tok = df.select(F.explode(tokens("text")).alias("w"))
+        rows = F.array(*[F.lit(r) for r in range(d)])
+        cells = (
+            tok.select("w", F.explode(rows).alias("r"))
+            .select(
+                "r",
+                (
+                    md5_long(F.concat(F.col("w"), F.lit("#"), F.col("r").cast("string")))
+                    % w
+                ).alias("bucket"),
+            )
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("sc"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        cells.write.mode("append").parquet(state_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_cms_state(spark, state_dir: str):
+    """Merged corpus sketch from the append-only epoch cells:
+    MAX-collapse per (epoch, r, bucket) — idempotent under replay —
+    then SUM across epochs (linearity)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("epoch", "r", "bucket")
+        .agg(F.max("sc").alias("sc"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("sc").alias("sc"))
+    )

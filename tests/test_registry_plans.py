@@ -679,3 +679,14 @@ def test_shared_subtree_persists_cap_base_scans(spark):
         scans = n.get("scan", 0) + n.get("cached.scan", 0)
         assert scans <= cap, (name, scans, cap)
         spark.catalog.clearCache()
+
+
+def test_constraint_suite_one_scan_per_table(spark):
+    """The Deequ-style verifier's whole point: an N-check suite costs
+    ONE wide aggregate per table, not N scans.  The full query may
+    scan each table at most twice (verify pass + the FK anti-join's
+    side), where the naive scan-per-check shape would need 8+ scans of
+    orders alone."""
+    plan = physical_plan(REGISTRY["constraint_suite"].fn(spark, PLAN_SF))
+    assert plan.count("orders.parquet") <= 2, plan.count("orders.parquet")
+    assert plan.count("lineitem.parquet") <= 2, plan.count("lineitem.parquet")

@@ -426,3 +426,36 @@ def test_cdc_minmax_no_flags_on_fixture(spark):
     rows = spark.read.parquet(state).collect()
     assert rows and all(not r["flagged"] for r in rows)
     assert all(len(r["bot"]) >= 1 and r["bot"][0] <= r["top"][0] for r in rows)
+
+
+def test_streaming_cms_batch_split_and_replay_invariance(spark):
+    """The merged streaming sketch must be identical whether the corpus
+    arrives as 1 batch or 4 (CMS linearity), and re-appending an
+    epoch's cells (an at-least-once replay) must not change the
+    readout (MAX-collapse per epoch before the cross-epoch SUM)."""
+    import tempfile
+
+    from hadoop_20_spark import streaming as stream_ops
+
+    def run(n_files: int):
+        state = tempfile.mkdtemp(prefix=f"cms_st_{n_files}_") + "/cells"
+        ckpt = tempfile.mkdtemp(prefix=f"cms_ck_{n_files}_")
+        s = stream_ops.read_documents_stream(
+            spark, "/root/testdata/sf0.001", n_files=n_files
+        )
+        q = stream_ops.incremental_cms_ingest(s, state, ckpt).start()
+        q.awaitTermination()
+        return state
+
+    def sketch(state):
+        return {
+            (r["r"], r["bucket"]): r["sc"]
+            for r in stream_ops.read_cms_state(spark, state).collect()
+        }
+
+    s1, s4 = run(1), run(4)
+    assert sketch(s1) == sketch(s4)
+    # simulate a replayed epoch: re-append epoch 2's cells verbatim
+    cells = spark.read.parquet(s4)
+    cells.filter("epoch = 2").write.mode("append").parquet(s4)
+    assert sketch(s4) == sketch(s1), "replay must be idempotent"
