@@ -66,6 +66,7 @@ DUCKDB_COMPARABLE = (
     "b16_copurchase",
     "b17_paragraph_dedup",
     "b18_span_dedup",
+    "b20_quality_gate",
 )
 
 BENCH_QUERIES = {
@@ -138,6 +139,12 @@ BENCH_QUERIES = {
     # query set.  The untimed fingerprint runs the FULL registry query
     # so the hash stays comparable to the gate oracle.
     "b19_pq_retrieval": "pq_recall_audit",
+    # b20: round-8 — the declarative quality gate (constraint suite).
+    # The recurring post-ingest job every production load runs; its
+    # whole cost model is "one wide aggregate per table" (3 scans for
+    # 12 checks), so a regression to scan-per-check shows up as a
+    # wall-clock multiple, not a subtle drift.
+    "b20_quality_gate": "constraint_suite",
 }
 
 

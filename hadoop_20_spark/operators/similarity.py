@@ -1011,10 +1011,14 @@ def truncation_recall_audit(
     w = Window.partitionBy("dim", "query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
+    # topk feeds TWO consumers (the full-dim baseline and the overlap
+    # join); persisted so the expensive score-everything subtree runs
+    # once — it is |dims| * |queries| * k rows, trivially cacheable.
     topk = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("dim", "query_id", "neighbor_id")
+        .persist()
     )
     base = (
         topk.filter(F.col("dim") == full)

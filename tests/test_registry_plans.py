@@ -690,3 +690,20 @@ def test_constraint_suite_one_scan_per_table(spark):
     plan = physical_plan(REGISTRY["constraint_suite"].fn(spark, PLAN_SF))
     assert plan.count("orders.parquet") <= 2, plan.count("orders.parquet")
     assert plan.count("lineitem.parquet") <= 2, plan.count("lineitem.parquet")
+
+
+def test_sketch_and_truncation_share_scans(spark):
+    """Round-8 additions follow the persist-the-shared-relation rule:
+    hll_distinct_merge derives registers AND both exact-distinct audits
+    from one persisted (source, token) distinct — a single documents
+    scan; mrl_truncation_audit persists its top-k so baseline + overlap
+    don't recompute the score-everything subtree (2 scans = the two
+    inherent sides of the query/corpus join)."""
+    plan = physical_plan(REGISTRY["hll_distinct_merge"].fn(spark, PLAN_SF))
+    assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()
+    plan = physical_plan(REGISTRY["mrl_truncation_audit"].fn(spark, PLAN_SF))
+    assert plan.count("embeddings.parquet") <= 2, plan.count("embeddings.parquet")
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()
