@@ -1,0 +1,168 @@
+"""Ingestion-robustness queries — the SkipBadRecords / skip-mode surface.
+
+The reference's answer to bad input records was runtime control flow:
+``mapred/SkipBadRecords.java`` re-ran failing task attempts in skip mode,
+binary-searching for the poison records and writing the skipped ranges as
+side files.  Spark-first, the same guarantee — a job survives malformed
+input AND reports exactly what it skipped — is declarative: PERMISSIVE
+parsing with a corrupt-record column turns "bad record" from an exception
+into DATA, so the quarantine is an ordinary DataFrame you can count,
+classify, and sink (MultipleOutputs-style demux on the status column).
+
+Determinism notes (SURVEY §7.4): corruption is PLANTED by md5 class (no
+RNG); both engines CLASSIFY from the rendered line itself (arity, field
+regexes) — the oracle never peeks at the plant rule, so a divergence
+between Spark's CSV parser semantics and the documented per-field
+contract (empty = NULL, type failure = corrupt row with other fields
+kept) would shift the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_spark import sources
+from hadoop_20_spark.functions import md5_long
+from hadoop_20_spark.queries._base import _sql_md5_long, _t, register
+
+# mangle class per order row: md5(o_orderkey) % 25 -> 4 corruption kinds
+# at 4% each, 84% clean.  Same literal arithmetic on both engines.
+_N_CLASSES = 25
+
+_PRICE_RE = r"^[0-9]+\.[0-9]{2}$"
+_DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+@register(
+    "bad_record_quarantine",
+    rf"""
+    WITH rendered AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS p_str,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_str,
+             {_sql_md5_long('CAST(o_orderkey AS VARCHAR)')} % {_N_CLASSES} AS m
+      FROM orders
+    ),
+    lines AS (
+      SELECT o_orderkey,
+             CASE m
+               WHEN 0 THEN o_orderkey || ',' || o_orderkey % 1000 || ',' || p_str || 'x,' || d_str || ',HIGH'
+               WHEN 1 THEN o_orderkey || ',' || o_orderkey % 1000 || ',' || p_str
+               WHEN 2 THEN o_orderkey || ',' || o_orderkey % 1000 || ',' || p_str || ',' || d_str || ',HIGH,EXTRA'
+               WHEN 3 THEN o_orderkey || ',' || o_orderkey % 1000 || ',' || p_str || ',never,HIGH'
+               ELSE o_orderkey || ',' || o_orderkey % 1000 || ',' || p_str || ',' || d_str || ',HIGH'
+             END AS line
+      FROM rendered
+    ),
+    classified AS (
+      SELECT line,
+             string_split(line, ',') AS parts,
+             len(string_split(line, ',')) AS n_fields
+      FROM lines
+    ),
+    labeled AS (
+      SELECT line, n_fields,
+             CASE
+               WHEN n_fields = 5
+                    AND regexp_matches(parts[3], '{_PRICE_RE}')
+                    AND regexp_matches(parts[4], '{_DATE_RE}')
+                 THEN 'ok'
+               WHEN n_fields < 5 THEN 'arity_short'
+               WHEN n_fields > 5 THEN 'arity_long'
+               WHEN NOT regexp_matches(parts[3], '{_PRICE_RE}') THEN 'bad_number'
+               ELSE 'bad_date'
+             END AS err_class,
+             TRY_CAST(parts[1] AS BIGINT) AS k,
+             TRY_CAST(parts[3] AS DECIMAL(12,2)) AS p
+      FROM classified
+    )
+    SELECT err_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(k) AS min_key,
+           MAX(k) AS max_key,
+           CAST(SUM(p) AS DOUBLE) AS recovered_value
+    FROM labeled GROUP BY err_class ORDER BY err_class
+    """,
+    note=(
+        "SkipBadRecords analog (mapred/SkipBadRecords.java): render orders to CSV "
+        "lines, plant 4 corruption kinds by md5 class (arity short/long, bad number, "
+        "bad date), parse PERMISSIVE with a corrupt-record column, classify and report "
+        "the quarantine — Spark classifies via the PARSER's corrupt column, the oracle "
+        "via per-field regex/TRY_CAST on the same lines, so the two engines cross-check "
+        "the malformed-record CONTRACT itself, not the plant rule"
+    ),
+)
+def bad_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine: the skip-mode counters as a DataFrame.
+
+    The reference re-ran failing attempts in skip mode and left the
+    skipped record ranges in side files (mapred/SkipBadRecords.java,
+    task-level binary search).  Here the whole remedy is one row-local
+    projection: ``sources.parse_csv_quarantine`` parses every rendered
+    line in PERMISSIVE mode; a row is quarantined iff the parser set the
+    corrupt column (wrong arity or a field failing its declared type —
+    empty fields are legal NULLs, verified semantics), and the raw line
+    survives verbatim for forensics.  The report classifies quarantined
+    rows from the LINE (field count, then which field's lexical form is
+    wrong), salvages the leading key even from bad rows, and sums the
+    recoverable price over every row whose price field parsed — Spark's
+    per-field PERMISSIVE semantics (bad rows keep their parseable
+    fields) against the oracle's TRY_CAST per part.
+
+    Scale plan: render + parse + classify are all row-local (one
+    FileScan, no shuffle until the ~5-row classify agg, map-side
+    partials); the quarantine path at 100 TB is the same projection
+    demuxed by status (sources.write_demux) — no retries, no job
+    restarts, no skipped-range side files."""
+    o = _t(spark, sf_dir, "orders")
+    m = (md5_long(F.col("o_orderkey").cast("string")) % _N_CLASSES).alias("m")
+    rendered = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderkey").cast("string").alias("k_str"),
+        (F.col("o_orderkey") % 1000).cast("string").alias("c_str"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("p_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("d_str"),
+        m,
+    )
+    clean = F.concat_ws(
+        ",", "k_str", "c_str", "p_str", "d_str", F.lit("HIGH")
+    )
+    line = (
+        F.when(F.col("m") == 0,
+               F.concat_ws(",", "k_str", "c_str",
+                           F.concat(F.col("p_str"), F.lit("x")),
+                           "d_str", F.lit("HIGH")))
+        .when(F.col("m") == 1, F.concat_ws(",", "k_str", "c_str", "p_str"))
+        .when(F.col("m") == 2,
+              F.concat_ws(",", "k_str", "c_str", "p_str", "d_str",
+                          F.lit("HIGH"), F.lit("EXTRA")))
+        .when(F.col("m") == 3,
+              F.concat_ws(",", "k_str", "c_str", "p_str",
+                          F.lit("never"), F.lit("HIGH")))
+        .otherwise(clean)
+    ).alias("line")
+    parsed = sources.parse_csv_quarantine(
+        rendered.select(line), "line",
+        "k bigint, c bigint, p decimal(12,2), d date, pr string",
+    )
+    parts = F.split(F.col("line"), ",")
+    n_fields = F.size(parts)
+    err_class = (
+        F.when(F.col("_corrupt").isNull(), F.lit("ok"))
+        .when(n_fields < 5, F.lit("arity_short"))
+        .when(n_fields > 5, F.lit("arity_long"))
+        .when(~parts.getItem(2).rlike(_PRICE_RE), F.lit("bad_number"))
+        .otherwise(F.lit("bad_date"))
+    ).alias("err_class")
+    return (
+        parsed.select(err_class, "k", "p")
+        .groupBy("err_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            F.sum("p").cast("double").alias("recovered_value"),
+        )
+        .orderBy("err_class")
+    )

@@ -380,3 +380,26 @@ def write_named_outputs(df, base_path: str, outputs: dict) -> dict:
     finally:
         cached.unpersist()
     return paths
+
+
+def parse_csv_quarantine(df: DataFrame, line_col: str, ddl_schema: str,
+                         corrupt_col: str = "_corrupt") -> DataFrame:
+    """SkipBadRecords analog (mapred/SkipBadRecords.java): the reference
+    SKIPPED ranges of bad records after task retries — a control-flow
+    remedy for a data problem.  Spark-first, the remedy is declarative:
+    parse every line in PERMISSIVE mode, keep good rows typed, and route
+    malformed rows to a quarantine with the RAW LINE preserved verbatim
+    (``corrupt_col``), so nothing is silently dropped and the bad subset
+    is itself queryable (the skip-mode counter files, as a DataFrame).
+
+    Returns the input columns plus the parsed fields plus ``corrupt_col``
+    (NULL == clean parse).  Malformed means wrong arity or a field that
+    fails its declared type; an EMPTY field is a legal NULL, not
+    corruption (verified from_csv semantics).  One row-local projection:
+    no shuffle, fully pipelined into the scan at 100 TB."""
+    parsed = F.from_csv(
+        F.col(line_col),
+        f"{ddl_schema}, {corrupt_col} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+    )
+    return df.withColumn("_p", parsed).select("*", "_p.*").drop("_p")
