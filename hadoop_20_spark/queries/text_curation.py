@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from hadoop_20_spark.functions import let as _fn_let  # noqa: F401
+from hadoop_20_spark.functions import md5_long as _fn_md5_long  # noqa: F401
 from hadoop_20_spark.functions import ngrams as _fn_ngrams  # noqa: F401
 from hadoop_20_spark.functions import tokens as _fn_tokens  # noqa: F401
 from hadoop_20_spark.operators import dedup  # noqa: F401
@@ -1619,4 +1620,160 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_after").cast("long").alias("chars_after"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (round 8)
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024  # hashed feature buckets (the paper uses 10k; plan-identical)
+
+
+@register(
+    "dsir_importance_sample",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, unnest({_TOKENS.format(col='text')}) AS term
+      FROM documents
+    ),
+    dcnt AS (
+      SELECT doc_id, lang, source,
+             {_sql_md5_long('term')} % {_DSIR_B} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct,
+             SUM(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS cr
+      FROM dcnt GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc),
+    lam AS (
+      SELECT bucket,
+             ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {_DSIR_B} AS DOUBLE))
+             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {_DSIR_B} AS DOUBLE)) AS lam
+      FROM bc CROSS JOIN tot
+    ),
+    pd AS (
+      SELECT doc_id, lang, source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(c * lam AS DECIMAL(38,18))) AS DOUBLE) AS w
+      FROM dcnt JOIN lam USING (bucket) GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT *,
+             w + (-ln(-ln((({_sql_md5_long('CAST(doc_id AS VARCHAR)')} % 1000000)
+                           + 0.5) / 1000000.0))) AS score
+      FROM pd
+    ),
+    k AS (SELECT GREATEST(COUNT(*) // 20, 1) AS kk FROM documents)
+    SELECT doc_id, lang, source, n_tokens,
+           ROUND(w, 6) AS iw_logratio, ROUND(score, 6) AS sel_score
+    FROM g CROSS JOIN k
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= kk
+    ORDER BY sel_score DESC, doc_id
+    """,
+    note=(
+        "DSIR importance resampling (Xie et al. 2023): hashed unigram features "
+        "(md5 % 1024), add-one-smoothed target (lang=en) vs raw bucket LMs, per-doc "
+        "importance weight = sum of count*log-ratio (DECIMAL-summed), Gumbel-top-k "
+        "selection with HASH-derived uniforms (deterministic, engine-portable — the "
+        "paper's sampler, not an RNG); selects top 5% of docs"
+    ),
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, the hashed-ngram form:
+    pick raw documents whose hashed token distribution looks like the
+    TARGET corpus (here lang='en') relative to the raw pool — the
+    pretraining-data selection step between quality filtering and
+    dedup in an LLM pipeline (completes the selection family:
+    quality_filter = rules, perplexity_bucket_mix = LM score,
+    temperature_source_mix = size rebalancing, this = distribution
+    matching).
+
+    Semantics faithful to the paper with determinism swapped in where
+    it needs an RNG: importance weight w(doc) = sum over hashed feature
+    buckets of count * (ln p_target(b) - ln p_raw(b)) with add-one
+    smoothing, and Gumbel-top-k resampling where the uniform behind
+    each Gumbel is md5(doc_id)-derived — same selection law, zero
+    nondeterminism (SURVEY §7.4; a seeded RNG would not be
+    engine-portable).  ln/division are single IEEE ops on exact
+    integers (identical cross-engine, unigram_logprob precedent); the
+    per-doc sum rides DECIMAL(38,18) so partitioning can't reorder fp
+    addition.
+
+    Scale plan: ONE documents scan -> one (doc, bucket) shuffle with
+    map-side partials (the hashed feature matrix, <= docs x 1024);
+    bucket log-ratios are a 1024-row derived aggregate joined back
+    (AQE broadcasts it); totals ride a 1-row broadcast; selection is
+    TakeOrderedAndProject (top-k, never a global sort); the only other
+    base-table touch is the count() that sizes k.  At 100 TB the
+    feature matrix is the one fact-sized shuffle, exactly DSIR's cost.
+
+    Reference anchor (public hadoop-20): mapred/lib/aggregate — the
+    histogram machinery this generalizes; the selection itself has no
+    MR-era analog (it predates LLM curation)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(_fn_tokens("text")).alias("term")
+    )
+    dcnt = (
+        tok.select(
+            "doc_id", "lang", "source",
+            (_fn_md5_long(F.col("term")) % _DSIR_B).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tgt = F.col("lang") == "en"
+    # bucket counts straight off the token stream (bounded-domain agg,
+    # map-side partials, NOT via dcnt) — giving dcnt a second consumer
+    # would re-run its doc-keyed fact shuffle, and caching it violates
+    # the persist rule (it scales with the corpus).  The extra
+    # column-pruned scan + re-tokenize is the cheap side of that trade
+    # (SCALE.md, jaccard-family precedent).
+    bc = (
+        tok.select(
+            "lang", (_fn_md5_long(F.col("term")) % _DSIR_B).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(tgt, F.lit(1)).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(F.col("lang") != "en", F.lit(1)).otherwise(F.lit(0))).alias("cr"),
+        )
+    )
+    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam = (
+        F.log((F.col("ct") + F.lit(1)).cast("double")
+              / (F.col("tt") + F.lit(_DSIR_B)).cast("double"))
+        - F.log((F.col("cr") + F.lit(1)).cast("double")
+                / (F.col("tr") + F.lit(_DSIR_B)).cast("double"))
+    ).alias("lam")
+    lam_b = bc.crossJoin(F.broadcast(tot)).select("bucket", lam)
+    pd = (
+        dcnt.join(lam_b, "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum((F.col("c") * F.col("lam")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("w"),
+        )
+    )
+    u = (
+        (_fn_md5_long(F.col("doc_id").cast("string")) % 1000000).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    g = pd.withColumn("score", F.col("w") + (-F.log(-F.log(u))))
+    k = max(docs.count() // 20, 1)
+    return (
+        g.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id", "lang", "source", "n_tokens",
+            F.round("w", 6).alias("iw_logratio"),
+            F.round("score", 6).alias("sel_score"),
+        )
+        .orderBy(F.desc("sel_score"), "doc_id")
     )

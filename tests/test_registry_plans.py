@@ -707,3 +707,25 @@ def test_sketch_and_truncation_share_scans(spark):
     assert plan.count("embeddings.parquet") <= 2, plan.count("embeddings.parquet")
     assert "InMemoryRelation" in plan
     spark.catalog.clearCache()
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR: one token-explode scan + the k-sizing count scan (<=2 base
+    scans), top-k as TakeOrderedAndProject (never a global sort), and
+    the bucket log-ratio join broadcast (1024-row derived aggregate)."""
+    plan = physical_plan(REGISTRY["dsir_importance_sample"].fn(spark, PLAN_SF))
+    # token scan for the feature matrix + token scan for the bucket LMs
+    # + the k-sizing count (persist rule: dcnt scales with the corpus,
+    # so the bucket counts re-derive from a column-pruned scan instead
+    # of caching or re-shuffling the doc-keyed feature matrix)
+    assert plan.count("documents.parquet") <= 3, plan.count("documents.parquet")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bad_record_quarantine_row_local_until_agg(spark):
+    """Quarantine parse is one scan, no shuffle until the ~5-row
+    classify aggregate (render + from_csv + classify all codegen)."""
+    plan = physical_plan(REGISTRY["bad_record_quarantine"].fn(spark, PLAN_SF))
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+    assert "Join" not in plan  # render/parse/classify are one projection
