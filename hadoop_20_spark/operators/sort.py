@@ -334,3 +334,61 @@ def sample_percent_deterministic(
     c = F.col(key) if isinstance(key, str) else key
     bucket = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
     return df.filter(bucket % frequency == 0)
+
+
+def exact_order_statistic(
+    df: DataFrame, col: str, k: int, width: int = 64, max_rounds: int = 16
+) -> tuple[int, int]:
+    """Exact k-th smallest of an INTEGER column without a global sort:
+    iterative range refinement (distributed selection).  Each round
+    buckets the surviving range into ``width`` equi-width cells, counts
+    per cell (bounded-domain aggregate, map-side partials), and recurses
+    into the cell containing rank k — ceil(log_width(range)) rounds,
+    each one column-pruned scan + a <= width-row collect.
+
+    Returns (value, rounds).
+
+    Scale: the 100 TB alternative — orderBy + offset — shuffles the
+    entire column through a RangePartitioner to answer ONE rank probe;
+    this runs O(log range) scans whose BETWEEN filter pushes into the
+    parquet scan, so round r reads only the row groups whose min/max
+    straddle a range that shrinks by 64x per round.  Driver traffic is
+    <= width counts per round (pagerank_converged's bounded-collect
+    discipline).  Reference anchor (public hadoop-20):
+    mapred/lib/InputSampler.java — sampled split points give
+    APPROXIMATE quantiles; this is the exact-answer path built from
+    the same count-histogram primitive.
+    """
+    if k < 1:
+        raise ValueError(f"rank k must be >= 1, got {k}")
+    c = F.col(col)
+    first = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
+    ).first()
+    lo, hi, n = first["lo"], first["hi"], first["n"]
+    if lo is None or k > n:
+        raise ValueError(f"rank {k} out of range (n={n})")
+    rounds = 0
+    rank = k
+    while lo < hi:
+        rounds += 1
+        if rounds > max_rounds:  # log_64 of any int64 range is <= 11
+            raise RuntimeError(f"no convergence after {max_rounds} rounds")
+        # ceil so width buckets always cover [lo, hi]
+        w = (hi - lo + width) // width
+        counts = dict(
+            df.filter(c.between(F.lit(lo), F.lit(hi)))
+            .select((c - F.lit(lo)).alias("_off"))
+            # integer DIV, not floor(double/) — a double quotient is only
+            # exact to 2^53 and this operator is generic over int64
+            .groupBy(F.expr(f"_off DIV {w}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        for b in range(width):
+            cnt = counts.get(b, 0)
+            if rank <= cnt:
+                lo, hi = lo + b * w, min(lo + (b + 1) * w - 1, hi)
+                break
+            rank -= cnt
+    return lo, rounds

@@ -1346,3 +1346,101 @@ def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rep.orderBy("table_name", "check_name")
+
+
+@register(
+    "exact_median_refinement",
+    r"""
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ks AS (
+      SELECT 'median' AS stat, (n + 1) // 2 AS k, n FROM n
+      UNION ALL
+      SELECT 'p90', (9 * n + 9) // 10, n FROM n
+    ),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk FROM v),
+    vals AS (
+      SELECT stat, k, n AS n_rows, r.c AS value_cents
+      FROM ks JOIN r ON r.rk = ks.k
+    )
+    SELECT stat, k, n_rows, value_cents,
+           CAST(value_cents AS DOUBLE) / 100.0 AS value_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE v.c < vals.value_cents) AS n_below,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE v.c = vals.value_cents) AS n_at
+    FROM vals ORDER BY stat
+    """,
+    note=(
+        "EXACT median + p90 of l_extendedprice by iterative range refinement "
+        "(distributed selection) — never a global sort: each round buckets the "
+        "surviving integer-cents range into 64 cells, counts (bounded agg, filter "
+        "pushed to the scan), recurses into the target cell; the oracle answers the "
+        "same ranks with ROW_NUMBER over a real sort, and per-row rank audits "
+        "(n_below < k <= n_below + n_at) certify exactness"
+    ),
+)
+def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics at fact scale without sorting the fact:
+    sort_ops.exact_order_statistic narrows an integer-cents range by
+    64-way count histograms — ceil(log64(range)) rounds (4 here), each
+    a column-pruned scan whose BETWEEN filter pushes into parquet (later
+    rounds skip most row groups via footer min/max) plus a <= 64-row
+    collect.  The orderBy alternative shuffles the whole column through
+    a RangePartitioner to read ONE offset; at 100 TB that's the
+    difference between a few filtered scans and a full-data shuffle.
+
+    Emits median and p90 rows with the selection's rank audits: value v
+    at rank k is exact iff n_below < k <= n_below + n_at, which the
+    driver compare enforces against the oracle's ROW_NUMBER answer.
+    All arithmetic is integer (cents via DECIMAL(12,2)*100; ranks via
+    integer ceil-division); value_price is one IEEE division of exact
+    integers, identical cross-engine (SURVEY §7.4).
+
+    Reference anchor (public hadoop-20): mapred/lib/InputSampler.java
+    (sampled split points = approximate quantiles for
+    TotalOrderPartitioner); this is the exact-rank path built from the
+    same count-histogram primitive, converging instead of sampling."""
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    n = cents.count()
+    targets = {"median": (n + 1) // 2, "p90": (9 * n + 9) // 10}
+    values = {
+        stat: sort_ops.exact_order_statistic(cents, "c", k)[0]
+        for stat, k in targets.items()
+    }
+    # one audit pass for both ranks: counts below/at each found value
+    audit = cents.agg(
+        *[
+            F.sum((F.col("c") < F.lit(v)).cast("long")).alias(f"below_{stat}")
+            for stat, v in values.items()
+        ],
+        *[
+            F.sum((F.col("c") == F.lit(v)).cast("long")).alias(f"at_{stat}")
+            for stat, v in values.items()
+        ],
+    ).first()
+    rows = [
+        (
+            stat,
+            targets[stat],
+            n,
+            values[stat],
+            float(values[stat]) / 100.0,
+            audit[f"below_{stat}"],
+            audit[f"at_{stat}"],
+        )
+        for stat in sorted(targets)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stat string, k bigint, n_rows bigint, value_cents bigint, "
+        "value_price double, n_below bigint, n_at bigint",
+    )

@@ -303,3 +303,35 @@ def test_morton_interleave_three_dims(spark):
             f"SELECT {frag} FROM (SELECT {x}::BIGINT x, {y}::BIGINT y, {w}::BIGINT w)"
         ).fetchone()
         assert zd == model(x, y, w), (x, y, w)
+
+
+def test_exact_order_statistic_model(spark):
+    """Refinement selection == sorted-list indexing, on adversarial data:
+    duplicates, negatives, a huge outlier (forces wide first range),
+    every rank of a small column."""
+    import random
+
+    rng = random.Random(8)
+    vals = (
+        [rng.randint(-500, 500) for _ in range(200)]
+        + [7] * 25                       # heavy duplicate run
+        + [10**12, -(10**12)]            # range >> 64^4 -> many rounds
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    ordered = sorted(vals)
+    from hadoop_20_spark.operators.sort import exact_order_statistic
+
+    for k in [1, 2, len(vals) // 2, len(vals) - 1, len(vals)]:
+        v, rounds = exact_order_statistic(df, "c", k)
+        assert v == ordered[k - 1], (k, v, ordered[k - 1])
+        assert rounds <= 16
+
+    # single-value and k-out-of-range edges
+    one = spark.createDataFrame([(42,)], "c long")
+    assert exact_order_statistic(one, "c", 1) == (42, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_order_statistic(one, "c", 2)
+    with _pytest.raises(ValueError):
+        exact_order_statistic(one, "c", 0)
