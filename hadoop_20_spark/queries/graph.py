@@ -476,3 +476,136 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reachability (round 8)
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        """v0 AS (
+      SELECT c_custkey * 2 AS node, 0 AS dist FROM customer
+      WHERE c_nationkey = 0
+        AND c_custkey * 2 IN (SELECT node FROM nodes)
+    )""",
+    ]
+    for i in range(1, _BFS_HOPS + 1):
+        p = i - 1
+        ctes.append(f"""n{i} AS (
+      SELECT DISTINCT e.dst AS node, {i} AS dist
+      FROM edges e JOIN v{p} f ON f.node = e.src AND f.dist = {p}
+      WHERE e.dst NOT IN (SELECT node FROM v{p})
+    )""")
+        ctes.append(f"v{i} AS (SELECT * FROM v{p} UNION ALL SELECT * FROM n{i})")
+    ctes.append(f"""labeled AS (
+      SELECT nodes.node,
+             COALESCE(v.dist, -1) AS dist
+      FROM nodes LEFT JOIN v{_BFS_HOPS} v ON v.node = nodes.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node
+    FROM labeled GROUP BY 1, 2 ORDER BY node_type, dist
+    """
+    )
+
+
+@register(
+    "bfs_khop_reach",
+    _bfs_oracle(),
+    note=(
+        "k-hop BFS (3 hops) over the customer-supplier graph from the nation-0 "
+        "customer seed set: per-round frontier expansion with visited anti-join and "
+        "localCheckpoint (the pagerank loop discipline applied to reachability); "
+        "reports nodes per (type, hop distance) incl. the unreached (-1) row; oracle "
+        "= 3 unrolled frontier CTEs"
+    ),
+)
+def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest hop distance, capped at 3 hops: seeds are
+    every customer in nation 0; each round expands the CURRENT frontier
+    one hop (edges join frontier on src — the same node-keyed shuffle
+    pattern as pagerank), discards already-visited nodes with an
+    anti-join, and localCheckpoints both relations so lineage stays
+    flat.  Completes the graph family's traversal quadrant (pagerank =
+    mass fixpoint, connected components = label fixpoint, triangles =
+    local counting, this = frontier traversal).
+
+    Only frontier rows join edges each round (not all visited nodes),
+    so round cost tracks the frontier boundary, not the reached set —
+    the property that makes BFS feasible when the reached set is the
+    whole graph.  All columns are integers; no arithmetic beyond
+    counting, so cross-engine determinism is structural.
+
+    Scale plan: per round ONE edges-side shuffle (edges pre-partitioned
+    by src at 100 TB get frontier co-location for free) + one anti-join
+    keyed the same way; driver traffic is one count per round (loop
+    control), never node data.  Unreached nodes surface as dist = -1
+    (never silently dropped).  Reference anchor (public hadoop-20):
+    iterative MR job chaining (mapred/jobcontrol/JobControl.java) — BFS
+    was the canonical chained-MR example; one lazy plan per round here."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    cust = _t(spark, sf_dir, "customer")
+    seeds = (
+        cust.filter(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .join(nodes, "node", "left_semi")  # seed must exist in the graph
+        .select("node", F.lit(0).alias("dist"))
+    )
+    visited = seeds.localCheckpoint()
+    frontier = visited
+    for i in range(1, _BFS_HOPS + 1):
+        if frontier.isEmpty():  # loop control: one bounded check per round
+            break
+        nxt = (
+            edges.join(frontier.select("node"), edges.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).alias("dist"))
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    labeled = nodes.join(visited, "node", "left").select(
+        "node", F.coalesce(F.col("dist"), F.lit(-1)).alias("dist")
+    )
+    node_type = F.when(F.col("node") % 2 == 0, F.lit("customer")).otherwise(
+        F.lit("supplier")
+    )
+    return (
+        labeled.groupBy(node_type.alias("node_type"), "dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("node_type", "dist")
+    )

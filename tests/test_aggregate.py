@@ -126,3 +126,47 @@ def test_pagerank_matches_integer_model(spark, tmp_path):
     assert got == exp
     # the hub supplier must outrank everything
     assert got[0][0] == "supplier" and got[0][1] == 1
+
+
+def test_bfs_khop_matches_python_model(spark):
+    """bfs_khop_reach vs a plain-Python BFS at sf0.001 (same edges,
+    same seeds, 3-hop cap, unreached = -1)."""
+    import collections
+
+    from hadoop_20_spark import load_table
+    from hadoop_20_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf).select("o_orderkey", "o_custkey")
+    pairs = {
+        (r["o_custkey"] * 2, r["l_suppkey"] * 2 + 1)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    }
+    adj = collections.defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    seeds = {
+        r["c_custkey"] * 2
+        for r in load_table(spark, "customer", sf)
+        .filter("c_nationkey = 0")
+        .collect()
+    } & set(adj)
+    dist = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for i in range(1, 4):
+        frontier = {
+            d for s in frontier for d in adj[s] if d not in dist
+        }
+        for n in frontier:
+            dist[n] = i
+    model = collections.Counter(
+        ("customer" if n % 2 == 0 else "supplier", dist.get(n, -1))
+        for n in adj
+    )
+    got = {
+        (r["node_type"], r["dist"]): r["n_nodes"]
+        for r in REGISTRY["bfs_khop_reach"].fn(spark, sf).collect()
+    }
+    assert got == dict(model), (got, dict(model))
