@@ -1444,3 +1444,137 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat string, k bigint, n_rows bigint, value_cents bigint, "
         "value_price double, n_below bigint, n_at bigint",
     )
+
+
+_HQ_W = 128  # equi-width histogram buckets (the mergeable quantile sketch)
+
+
+@register(
+    "histogram_quantile_merge",
+    rf"""
+    WITH v AS (
+      SELECT l_orderkey % 4 AS batch,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM lineitem
+    ),
+    bounds AS (SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    -- ONE-SHOT whole-corpus histogram (the rebuild; Spark merges 4
+    -- batch sub-histograms — any non-linearity shifts every cell)
+    cells AS (
+      SELECT (c - lo) // ((hi - lo + {_HQ_W}) // {_HQ_W}) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v CROSS JOIN bounds GROUP BY 1
+    ),
+    cdf AS (
+      SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS cum FROM cells
+    ),
+    ks AS (
+      SELECT 'median' AS stat, (n + 1) // 2 AS k FROM bounds
+      UNION ALL SELECT 'p90', (9 * n + 9) // 10 FROM bounds
+    ),
+    est AS (
+      SELECT stat, k,
+             (SELECT MIN(b) FROM cdf WHERE cum >= k) AS bk
+      FROM ks
+    ),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk FROM v),
+    sketch AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS occupied, MAX(cnt) AS max_cell,
+             CAST(SUM(cnt) AS BIGINT) AS total_mass FROM cells
+    )
+    SELECT stat, k,
+           lo + bk * ((hi - lo + {_HQ_W}) // {_HQ_W}) AS est_cents,
+           (SELECT c FROM r WHERE rk = k) AS exact_cents,
+           (SELECT c FROM r WHERE rk = k) - (lo + bk * ((hi - lo + {_HQ_W}) // {_HQ_W})) AS err_cents,
+           (hi - lo + {_HQ_W}) // {_HQ_W} AS bound_cents,
+           occupied, max_cell, total_mass
+    FROM est CROSS JOIN bounds CROSS JOIN sketch
+    ORDER BY stat
+    """,
+    note=(
+        "mergeable QUANTILE sketch completing the trilogy (CMS = counts, HLL = "
+        "distinct, this = ranks): 4 batch equi-width sub-histograms merged by "
+        "cell-wise SUM (linear, like CMS) vs the oracle's one-shot rebuild; quantile "
+        "estimate = bucket lower bound at the merged CDF's rank-k cell, with the "
+        "EXACT answer (sort-free range-refinement selection) and the deterministic "
+        "error bound 0 <= err < bucket width as audit columns"
+    ),
+)
+def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third mergeable sketch: a fixed-grid histogram answers rank
+    queries with error bounded by its bucket width, and sub-histograms
+    merge by cell-wise addition — the linearity that lets 1000
+    executors (or 1000 ingest batches) each sketch their shard and
+    combine without rescanning history (cms_sketch_merge's contract
+    lifted from point counts to ranks).
+
+    Spark builds FOUR batch sub-sketches and merges them; the oracle
+    builds the whole-corpus histogram in one shot, so merge == rebuild
+    is what the hash compares.  Estimates read the merged CDF (<= 128
+    rows; the window runs on an aggregated relation) at the median/p90
+    ranks; the exact answers ride along via the sort-free
+    range-refinement selection (exact_order_statistic), giving the
+    audit 0 <= exact - est < bucket width that certifies the sketch's
+    error contract on every run.  All arithmetic integer (cents, ceil
+    via `(range + W) DIV W`, ranks via integer ceil-division).
+
+    Scale plan: one fact scan -> (batch, bucket) partial agg (<= 4*128
+    cells cross the wire), merge on <= 512 rows, CDF window on <= 128;
+    the exact audit adds ceil(log64(range)) filtered scans (drop it in
+    production and the sketch is one pass).  Reference anchor (public
+    hadoop-20): mapred/lib/aggregate/ValueHistogram.java — the
+    reducer-side histogram this makes mergeable and rank-addressable."""
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_orderkey") % 4).alias("batch"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    b = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")).first()
+    lo, hi, n = b["lo"], b["hi"], b["n"]
+    w = (hi - lo + _HQ_W) // _HQ_W
+    sub = (
+        v.select("batch", F.expr(f"(c - {lo}) DIV {w}").alias("b"))
+        .groupBy("batch", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the MERGE: corpus cells = cell-wise sum of the batch sub-sketches
+    merged = sub.groupBy("b").agg(F.sum("cnt").cast("long").alias("cnt"))
+    from pyspark.sql import Window
+
+    # constant-key partitionBy (non-foldable `b % 1`) keeps the <=128-row
+    # window off the WindowExec single-partition warning path (round-8
+    # log-hygiene rule)
+    cdf = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(F.col("b") % 1)
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).persist()  # <=128 rows, three consumers (two rank probes + sketch stats)
+    targets = {"median": (n + 1) // 2, "p90": (9 * n + 9) // 10}
+    sk = cdf.agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.max("cnt").alias("max_cell"),
+        F.sum("cnt").cast("long").alias("total_mass"),
+    ).first()
+    rows = []
+    for stat in sorted(targets):
+        k = targets[stat]
+        bk = cdf.filter(F.col("cum") >= k).agg(F.min("b")).first()[0]
+        est = lo + bk * w
+        exact, _rounds = sort_ops.exact_order_statistic(v, "c", k)
+        rows.append(
+            (stat, k, est, exact, exact - est, w, sk["occupied"], sk["max_cell"], sk["total_mass"])
+        )
+    cdf.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "stat string, k bigint, est_cents bigint, exact_cents bigint, "
+        "err_cents bigint, bound_cents bigint, occupied bigint, "
+        "max_cell bigint, total_mass bigint",
+    )

@@ -383,3 +383,50 @@ def test_hll_merge_dominance_and_error(spark):
         assert merged["occupied_buckets"] >= r["occupied_buckets"], src
         assert merged["s_scaled"] <= r["s_scaled"], src
     assert merged["rel_err_pct"] < 30.0, merged
+
+
+def test_histogram_quantile_error_contract(spark):
+    """The sketch's whole point: 0 <= exact - est < bucket width, and the
+    merged mass conserves the row count, for both rank probes."""
+    from hadoop_20_spark.registry import REGISTRY
+
+    rows = REGISTRY["histogram_quantile_merge"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r["stat"] for r in rows} == {"median", "p90"}
+    for r in rows:
+        assert 0 <= r["err_cents"] < r["bound_cents"], dict(r.asDict())
+        assert r["total_mass"] == 6000  # sf0.001 lineitem rows
+        assert 1 <= r["occupied"] <= 128
+
+
+def test_histogram_merge_is_batch_count_invariant(spark):
+    """Cell-wise-sum merge == rebuild regardless of how rows were
+    batched: 2-way and 8-way sub-sketches merge to identical cells."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    v = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    b = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+    w = (b["hi"] - b["lo"] + 128) // 128
+
+    def merged_cells(n_batches):
+        sub = (
+            v.select((F.col("k") % n_batches).alias("batch"),
+                     F.expr(f"(c - {b['lo']}) DIV {w}").alias("b"))
+            .groupBy("batch", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return {
+            r["b"]: r["m"]
+            for r in sub.groupBy("b").agg(F.sum("cnt").alias("m")).collect()
+        }
+
+    assert merged_cells(2) == merged_cells(8)
