@@ -359,36 +359,87 @@ def exact_order_statistic(
     APPROXIMATE quantiles; this is the exact-answer path built from
     the same count-histogram primitive.
     """
-    if k < 1:
-        raise ValueError(f"rank k must be >= 1, got {k}")
+    values, rounds = exact_order_statistics(df, col, [k], width, max_rounds)
+    return values[k], rounds
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    col: str,
+    ks: Sequence[int],
+    width: int = 64,
+    max_rounds: int = 16,
+) -> tuple[dict[int, int], int]:
+    """Multi-rank form of :func:`exact_order_statistic`: refines EVERY
+    requested rank in the SAME scan each round — a row is tagged with
+    (target, bucket) for each target whose surviving range contains it
+    (targets' ranges overlap until they diverge, so the tagging is an
+    array-explode, never a first-match CASE), and one (target, bucket)
+    count aggregate feeds all the driver-side narrowing decisions.
+    N quantile probes cost the same scans as one.
+
+    ``col`` must be a plain column name (the bucket arithmetic uses
+    integer DIV via an expression over it).  Returns ({k: value},
+    rounds)."""
+    for k in ks:
+        if k < 1:
+            raise ValueError(f"rank k must be >= 1, got {k}")
     c = F.col(col)
     first = df.agg(
         F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
     ).first()
-    lo, hi, n = first["lo"], first["hi"], first["n"]
-    if lo is None or k > n:
-        raise ValueError(f"rank {k} out of range (n={n})")
+    lo0, hi0, n = first["lo"], first["hi"], first["n"]
+    if lo0 is None or max(ks) > n:
+        raise ValueError(f"rank {max(ks)} out of range (n={n})")
+    # per-target state: [lo, hi, rank-within-range]
+    st: dict[int, list[int]] = {k: [lo0, hi0, k] for k in set(ks)}
     rounds = 0
-    rank = k
-    while lo < hi:
+    while True:
+        active = {k: s for k, s in st.items() if s[0] < s[1]}
+        if not active:
+            break
         rounds += 1
         if rounds > max_rounds:  # log_64 of any int64 range is <= 11
             raise RuntimeError(f"no convergence after {max_rounds} rounds")
-        # ceil so width buckets always cover [lo, hi]
-        w = (hi - lo + width) // width
-        counts = dict(
-            df.filter(c.between(F.lit(lo), F.lit(hi)))
-            .select((c - F.lit(lo)).alias("_off"))
-            # integer DIV, not floor(double/) — a double quotient is only
-            # exact to 2^53 and this operator is generic over int64
-            .groupBy(F.expr(f"_off DIV {w}").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
+        order = sorted(active)
+        widths = {k: (s[1] - s[0] + width) // width for k, s in active.items()}
+        # tag each row with (target index, bucket) for every target
+        # range containing it; integer DIV, not floor(double/) — a
+        # double quotient is only exact to 2^53 and this is int64
+        tags = F.array(
+            *[
+                F.when(
+                    c.between(F.lit(active[k][0]), F.lit(active[k][1])),
+                    F.struct(
+                        F.lit(i).alias("t"),
+                        F.expr(
+                            f"({col} - {active[k][0]}) DIV {widths[k]}"
+                        ).alias("b"),
+                    ),
+                )
+                for i, k in enumerate(order)
+            ]
         )
-        for b in range(width):
-            cnt = counts.get(b, 0)
-            if rank <= cnt:
-                lo, hi = lo + b * w, min(lo + (b + 1) * w - 1, hi)
-                break
-            rank -= cnt
-    return lo, rounds
+        g_lo = min(s[0] for s in active.values())
+        g_hi = max(s[1] for s in active.values())
+        counts: dict[tuple[int, int], int] = {
+            (r["s"]["t"], r["s"]["b"]): r["cnt"]
+            for r in (
+                df.filter(c.between(F.lit(g_lo), F.lit(g_hi)))
+                .select(F.explode(F.filter(tags, lambda x: x.isNotNull())).alias("s"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+        }
+        for i, k in enumerate(order):
+            s = st[k]
+            lo, w = s[0], widths[k]
+            rank = s[2]
+            for b in range(width):
+                cnt = counts.get((i, b), 0)
+                if rank <= cnt:
+                    st[k] = [lo + b * w, min(lo + (b + 1) * w - 1, s[1]), rank]
+                    break
+                rank -= cnt
+    return {k: st[k][0] for k in ks}, rounds

@@ -1412,10 +1412,11 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = cents.count()
     targets = {"median": (n + 1) // 2, "p90": (9 * n + 9) // 10}
-    values = {
-        stat: sort_ops.exact_order_statistic(cents, "c", k)[0]
-        for stat, k in targets.items()
-    }
+    # multi-rank form: both probes share every refinement scan
+    by_rank, _rounds = sort_ops.exact_order_statistics(
+        cents, "c", list(targets.values())
+    )
+    values = {stat: by_rank[k] for stat, k in targets.items()}
     # one audit pass for both ranks: counts below/at each found value
     audit = cents.agg(
         *[
@@ -1562,12 +1563,14 @@ def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_cell"),
         F.sum("cnt").cast("long").alias("total_mass"),
     ).first()
+    # multi-rank exact audit: both probes share every refinement scan
+    exacts, _rounds = sort_ops.exact_order_statistics(v, "c", list(targets.values()))
     rows = []
     for stat in sorted(targets):
         k = targets[stat]
         bk = cdf.filter(F.col("cum") >= k).agg(F.min("b")).first()[0]
         est = lo + bk * w
-        exact, _rounds = sort_ops.exact_order_statistic(v, "c", k)
+        exact = exacts[k]
         rows.append(
             (stat, k, est, exact, exact - est, w, sk["occupied"], sk["max_cell"], sk["total_mass"])
         )

@@ -335,3 +335,21 @@ def test_exact_order_statistic_model(spark):
         exact_order_statistic(one, "c", 2)
     with _pytest.raises(ValueError):
         exact_order_statistic(one, "c", 0)
+
+
+def test_exact_order_statistics_multi_rank(spark):
+    """Multi-rank refinement == per-rank answers, including overlapping
+    ranges early on and all-equal ranks."""
+    import random
+
+    rng = random.Random(21)
+    vals = [rng.randint(0, 10**7) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    ordered = sorted(vals)
+    from hadoop_20_spark.operators.sort import exact_order_statistics
+
+    ks = [1, 100, 250, 250, 450, 500]
+    got, rounds = exact_order_statistics(df, "c", ks)
+    for k in ks:
+        assert got[k] == ordered[k - 1], (k, got[k], ordered[k - 1])
+    assert rounds <= 16
