@@ -181,3 +181,94 @@ def parquet_file_boxes(out_dir: str, dims: Sequence[str]) -> list[dict]:
             }
         )
     return boxes
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom sidecar: the BloomMapFile analog (round 8)
+# ---------------------------------------------------------------------------
+_BLOOM_OFFSETS = (0, 8, 16)  # k=3 hashes from ONE md5 digest (joins.py family)
+
+
+def write_bloom_sidecar(
+    spark, table_dir: str, key_col: str, m_bits: int = 4096
+) -> str:
+    """Build a per-FILE Bloom filter over ``key_col`` for every parquet
+    file under ``table_dir`` and persist it as a SPARSE sidecar table
+    ``(file, word_idx, word)`` at ``table_dir + "_bloom"`` — the
+    reference's ``io/BloomMapFile.java`` (MapFile + membership filter)
+    rebuilt as a relational aggregate over ``input_file_name()``.
+
+    Footer min/max stats (parquet_file_boxes) prune RANGE predicates;
+    they are useless for point lookups on a column the layout was NOT
+    clustered by — every file's [min, max] straddles most keys.  The
+    Bloom sidecar answers exactly that: "which files can contain THIS
+    key", with false positives bounded by sizing and false negatives
+    impossible (same md5 family on both sides).
+
+    One scan of the table; per (file, word) bit_or with map-side
+    partials — <= files * m_bits/32 cells cross the wire, sparse rows
+    only (a file's absent words are zero, and the probe treats a
+    missing row as bit-not-set).  At 100 TB this is a metadata build
+    alongside compaction, and the sidecar (KBs per file) lives where a
+    lakehouse manifest lives."""
+    from hadoop_20_spark.functions import md5_long
+
+    if m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    df = spark.read.parquet(table_dir).select(
+        F.input_file_name().alias("file"),
+        F.col(key_col).cast("string").alias("k"),
+    )
+    keys = df.distinct()
+    pos = F.explode(
+        F.array(*[md5_long(F.col("k"), o) % m_bits for o in _BLOOM_OFFSETS])
+    ).alias("pos")
+    words = (
+        keys.select("file", pos)
+        .select(
+            "file",
+            F.expr("pos DIV 32").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    out = table_dir.rstrip("/") + "_bloom"
+    words.write.mode("overwrite").parquet(out)
+    return out
+
+
+def bloom_lookup_files(
+    spark, sidecar_dir: str, key, m_bits: int = 4096
+) -> tuple[list[str], int]:
+    """Driver-side point-lookup planning against a Bloom sidecar:
+    compute the key's k=3 hash positions with the PYTHON twin of
+    ``functions.md5_long`` (same digest, same 15-hex-char substrings —
+    invindex.py's literal-bucket discipline), read only the <= k*files
+    sidecar rows at those word indexes, and return (files whose filter
+    passes all k bits, total files indexed).
+
+    The sidecar read is a tiny partition-pruned scan; the returned file
+    list becomes an explicit-paths parquet read, so the data-side scan
+    touches ONLY the surviving files — file-level pruning by CONTENT,
+    which footer ranges cannot express for point keys."""
+    import hashlib
+
+    digest = hashlib.md5(str(key).encode("utf-8")).hexdigest()
+    positions = [int(digest[o : o + 15], 16) % m_bits for o in _BLOOM_OFFSETS]
+    need = {(p // 32, 1 << (p % 32)) for p in positions}
+    side = spark.read.parquet(sidecar_dir)
+    rows = (
+        side.filter(F.col("word_idx").isin([w for w, _ in need]))
+        .collect()
+    )
+    all_files = {r["file"] for r in side.select("file").distinct().collect()}
+    by_file: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_file.setdefault(r["file"], {})[r["word_idx"]] = r["word"]
+    passing = [
+        f
+        for f in sorted(all_files)
+        if all(by_file.get(f, {}).get(w, 0) & bit for w, bit in need)
+    ]
+    return passing, len(all_files)

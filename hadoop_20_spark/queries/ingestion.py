@@ -166,3 +166,76 @@ def bad_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_class")
     )
+
+
+@register(
+    "bloom_indexed_point_read",
+    r"""
+    WITH k AS (
+      SELECT MIN(o_custkey) AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate
+    FROM orders CROSS JOIN k
+    WHERE o_custkey = k.key
+    ORDER BY o_orderkey
+    """,
+    note=(
+        "BloomMapFile analog end-to-end (io/BloomMapFile.java): orders are laid out "
+        "by DATE (16 files; footer ranges useless for a custkey point lookup), a "
+        "per-file Bloom sidecar is built once and existence-probed on later runs, "
+        "and the lookup reads ONLY the files whose filter passes — retrieval answers "
+        "must equal the oracle's full-scan filter (no false negatives, by "
+        "construction); file-pruning ratios are scan-metric-asserted in pytest"
+    ),
+)
+def bloom_indexed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through a per-file Bloom index instead of a table
+    scan: the layout is clustered by o_orderdate (what range queries
+    want), so a custkey probe gets nothing from footer min/max — the
+    Bloom sidecar (layout.write_bloom_sidecar) is the content-addressed
+    file index that says which files CAN hold the key, and the read
+    touches only those (layout.bloom_lookup_files -> explicit-paths
+    parquet read).
+
+    Build once, query many: the clustered table + sidecar persist under
+    /tmp keyed by the sf dir and are existence-probed on later runs
+    (the incremental_dedup_ingest discipline).  The oracle answers the
+    same key by full-scan filter, so a false NEGATIVE (a file wrongly
+    skipped) drops rows and shifts the hash — the contract
+    BloomMapFile's no-false-negative guarantee makes.
+
+    Scale plan: the sidecar is KBs/file of metadata built in one scan
+    (bit_or partial aggs); the lookup is a driver-side probe of <= k
+    word positions + a scan of the surviving files only.  At 100 TB
+    this is the manifest-level membership index a lakehouse pins next
+    to footer stats; false-positive rate is sized by m_bits per file."""
+    import os
+
+    from hadoop_20_spark.operators import layout
+
+    o = _t(spark, sf_dir, "orders")
+    key = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.min("o_custkey"))
+        .first()[0]
+    )
+    base = f"/tmp/hadoop20_bloom_idx/{os.path.basename(sf_dir.rstrip('/'))}"
+    tdir = base + "/orders_by_date"
+    if not os.path.isdir(tdir):
+        o.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(tdir)
+        layout.write_bloom_sidecar(spark, tdir, "o_custkey")
+    passing, _total = layout.bloom_lookup_files(spark, tdir + "_bloom", key)
+    return (
+        spark.read.parquet(*passing)
+        .filter(F.col("o_custkey") == key)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -146,3 +146,48 @@ def test_term_partitioned_postings_point_read(spark, tmp_path_factory):
     )
     pruned_files = sum(s["numFiles"] for s in scans)
     assert pruned_files * 4 <= total_files, (pruned_files, total_files)
+
+
+def test_bloom_sidecar_point_lookup(spark, tmp_path):
+    """BloomMapFile analog: a per-file Bloom sidecar prunes point
+    lookups on a column the layout is NOT clustered by — no false
+    negatives (every matching row found), real file-level pruning
+    (passing files << total), absent keys touch ~0 files."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark import load_table
+    from hadoop_20_spark.operators import layout
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    tdir = str(tmp_path / "orders_by_date")
+    # cluster by DATE: custkey point lookups get no help from footers
+    orders.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(tdir)
+    side = layout.write_bloom_sidecar(spark, tdir, "o_custkey")
+
+    # a real key: completeness vs the full-scan answer
+    key = orders.agg(F.min("o_custkey")).first()[0]
+    passing, total = layout.bloom_lookup_files(spark, side, key)
+    assert total == 16
+    assert 1 <= len(passing) < total, (len(passing), total)
+    got = sorted(
+        r["o_orderkey"]
+        for r in spark.read.parquet(*passing)
+        .filter(F.col("o_custkey") == key)
+        .collect()
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_custkey") == key).collect()
+    )
+    assert got == want and len(want) >= 1
+
+    # an absent key: bloom says (almost) nowhere; any survivors are
+    # false positives that the filter then empties
+    absent = orders.agg(F.max("o_custkey")).first()[0] * 13 + 7
+    p2, _ = layout.bloom_lookup_files(spark, side, absent)
+    assert len(p2) <= 2, p2  # fp-rate sized: (3*~90/4096 fill)^3 per file
+    if p2:
+        assert (
+            spark.read.parquet(*p2).filter(F.col("o_custkey") == absent).count()
+            == 0
+        )
