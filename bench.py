@@ -26,6 +26,7 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -67,6 +68,8 @@ DUCKDB_COMPARABLE = (
     "b17_paragraph_dedup",
     "b18_span_dedup",
     "b20_quality_gate",
+    "b21_dsir_select",
+    "b22_exact_median",
 )
 
 BENCH_QUERIES = {
@@ -145,6 +148,19 @@ BENCH_QUERIES = {
     # 12 checks), so a regression to scan-per-check shows up as a
     # wall-clock multiple, not a subtle drift.
     "b20_quality_gate": "constraint_suite",
+    # b21: round-8 — DSIR importance resampling, the data-selection
+    # pipeline shape: token explode -> hashed feature matrix (the one
+    # doc-keyed fact shuffle) -> 1024-row bucket LM join -> Gumbel
+    # top-k.  In the bench so a regression to a cached/re-shuffled
+    # feature matrix or a global sort for the top-k shows up as
+    # wall-clock.
+    "b21_dsir_select": "dsir_importance_sample",
+    # b22: round-8 — exact order statistics by iterative range
+    # refinement (4 filtered scans + bounded collects, NEVER a global
+    # sort).  A unique execution profile in the suite: driver-paced
+    # rounds whose BETWEEN filters push into the scan; a regression to
+    # a sort-based selection roughly doubles the entry.
+    "b22_exact_median": "exact_median_refinement",
 }
 
 
@@ -403,6 +419,116 @@ def run_gridmix_small_jobs(spark) -> dict:
     }
 
 
+SCHED_SMALL_REPS = 12
+SCHED_MONSTER = "b9a_minhash_dedup"
+SCHED_MONSTER_THREADS = 2  # overlap covers the driver-side gaps between runs
+
+
+def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) -> dict:
+    """Run SMALL_JOB x SCHED_SMALL_REPS while monster jobs loop in
+    background threads; latencies are what an interactive user feels on
+    a busy cluster.  Pool names are thread-local scheduler properties
+    (pinned-thread mode), None = default pool.  Each probe waits for an
+    ACTIVE monster job before submitting (status tracker poll), so the
+    measurement is contended by construction, not by race."""
+    import threading
+
+    stop = threading.Event()
+    monster_runs = [0]
+    lock = threading.Lock()
+
+    def monster():
+        if pool_bulk:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_bulk)
+        while not stop.is_set():
+            run_once(spark, SCHED_MONSTER)
+            with lock:
+                monster_runs[0] += 1
+
+    threads = [
+        threading.Thread(target=monster, daemon=True)
+        for _ in range(SCHED_MONSTER_THREADS)
+    ]
+    for th in threads:
+        th.start()
+    tracker = spark.sparkContext.statusTracker()
+    if pool_small:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_small)
+    lats = []
+    for _ in range(SCHED_SMALL_REPS):
+        deadline = time.time() + 10
+        while not tracker.getActiveJobsIds() and time.time() < deadline:
+            time.sleep(0.01)  # gate the probe on real contention
+        t0 = time.time()
+        REGISTRY[SMALL_JOB].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        lats.append(time.time() - t0)
+    stop.set()
+    for th in threads:
+        th.join()
+    if pool_small:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+    rows, h = fingerprint(REGISTRY[SMALL_JOB].fn(spark, SF_DIR))
+    lats.sort()
+    return {
+        "p50": round(lats[len(lats) // 2], 3),
+        "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
+        "monster_runs": monster_runs[0],
+        "rows": rows,
+        "hash": h,
+    }
+
+
+def run_scheduler_fairness(spark):
+    """FairScheduler analog (reference: src/contrib/fairscheduler — the
+    facebook fork's marquee scheduler, Corona's ancestor): small-job
+    latency UNDER CONTENTION, FIFO vs FAIR pools.  The FIFO phase runs
+    on the shared suite session; the FAIR phase needs
+    spark.scheduler.mode at context creation, so the session is
+    restarted (end of suite, nothing depends on the old one).  Pools
+    are created on demand via the thread-local spark.scheduler.pool
+    property — cross-pool scheduling is fair-share, so the interactive
+    pool gets task slots while the bulk pool's monster runs.  Returns
+    (report, new_session); the small job's output hash is checked in
+    both phases (a scheduler that corrupts results is worse than a slow
+    one)."""
+    fifo = _contended_small_jobs(spark, None, None)
+    spark.stop()
+    # real pool config (an allocation file, the fair-scheduler.xml
+    # analog): the interactive pool outweighs bulk 8:1 and holds a
+    # minShare, so probes get slots as soon as running tasks finish
+    alloc = os.path.join(tempfile.gettempdir(), "hadoop20_fair_pools.xml")
+    with open(alloc, "w") as fh:
+        fh.write(
+            "<allocations>"
+            "<pool name='interactive'><schedulingMode>FAIR</schedulingMode>"
+            "<weight>8</weight><minShare>8</minShare></pool>"
+            "<pool name='bulk'><schedulingMode>FIFO</schedulingMode>"
+            "<weight>1</weight><minShare>0</minShare></pool>"
+            "</allocations>"
+        )
+    spark = get_spark(
+        "bench-fair",
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            "spark.scheduler.allocation.file": alloc,
+        },
+    )
+    REGISTRY[SMALL_JOB].fn(spark, SF_DIR).count()  # warm the new JVM session
+    fair = _contended_small_jobs(spark, "interactive", "bulk")
+    report = {
+        "small_job": SMALL_JOB,
+        "monster": SCHED_MONSTER,
+        "reps": SCHED_SMALL_REPS,
+        "fifo": {k: fifo[k] for k in ("p50", "p95", "monster_runs")},
+        "fair": {k: fair[k] for k in ("p50", "p95", "monster_runs")},
+        "p95_speedup_x": round(fifo["p95"] / fair["p95"], 2) if fair["p95"] else None,
+        "hashes_match": fifo["hash"] == fair["hash"] and fifo["rows"] == fair["rows"],
+    }
+    return report, spark
+
+
 def main() -> None:
     # The bench runs with the UI status store ON (still headless — only
     # the REST endpoint is consumed) so every entry records MEASURED
@@ -506,6 +632,11 @@ def main() -> None:
     per_query["g2_small_job_p50"] = g2["p50"]
     detail["g1_concurrent_mix"] = g1
     detail["g2_small_job_p50"] = g2
+    # g3: small-job latency under contention, FIFO vs FAIR pools (the
+    # fairscheduler/Corona question; restarts the session for FAIR mode)
+    g3, spark = run_scheduler_fairness(spark)
+    per_query["g3_fair_small_p95"] = g3["fair"]["p95"]
+    detail["g3_scheduler_fairness"] = g3
 
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
