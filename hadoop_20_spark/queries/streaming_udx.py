@@ -1079,3 +1079,64 @@ REGISTRY["streaming_cms_sketch"] = Query(
     oracle=_streaming_cms_oracle(),
     note=REGISTRY["streaming_cms_sketch"].note,
 )
+
+
+@register(
+    "streaming_session_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+    note=(
+        "REAL streaming session windows (gap-merged dynamic intervals, 30m gap, "
+        "file microbatches, watermark, complete-mode memory sink) — the stateful "
+        "operator whose state is an OPEN interval per (user, session) that merges "
+        "as events arrive; oracle = the batch gap-detection cumsum (same SQL as "
+        "session_window_agg, proving stream == batch == lag/cumsum)"
+    ),
+)
+def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a live stream — the missing §2.10 twin of the
+    batch session_window_agg: same F.session_window operator, driven
+    through file-source microbatches with a watermark, so the state
+    store holds open sessions that MERGE when a new event lands inside
+    an existing gap (the semantics tumbling/sliding windows don't
+    exercise).  Complete-mode sink finalizes every session at
+    processAllAvailable, making the stream bit-comparable to the batch
+    oracle.  Scale plan: state is one open interval per active (user,
+    session) — bounded by the watermark horizon, evicted as it passes;
+    the shuffle is user-keyed like every other stateful op here."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    events = stream_ops.read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return stream_ops.run_to_memory(agg, "q_streaming_session")
