@@ -221,7 +221,10 @@ def bloom_indexed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("o_custkey"))
         .first()[0]
     )
-    base = f"/tmp/hadoop20_bloom_idx/{os.path.basename(sf_dir.rstrip('/'))}"
+    # dir keyed by (sf, row count): a regenerated fixture of different
+    # size can never silently serve a stale index (a same-size content
+    # change would still fail LOUDLY via the oracle hash)
+    base = f"/tmp/hadoop20_bloom_idx/{os.path.basename(sf_dir.rstrip('/'))}_{o.count()}"
     tdir = base + "/orders_by_date"
     if not os.path.isdir(tdir):
         o.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(tdir)
@@ -238,4 +241,82 @@ def bloom_indexed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").cast("string").alias("odate"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "schema_evolution_read",
+    rf"""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN {_sql_md5_long('CAST(o_orderkey AS VARCHAR)')} % 2 = 1
+                  THEN o_orderpriority END AS pr
+      FROM orders
+    )
+    SELECT COALESCE(pr, '__pre_evolution__') AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_key
+    FROM v GROUP BY 1 ORDER BY pr
+    """,
+    note=(
+        "schema evolution across file generations: v1 files (key, cents) and v2 "
+        "files (key, cents, priority) of the SAME table dir read back with "
+        "mergeSchema — v1 rows surface the added column as NULL (never dropped rows, "
+        "never a read error); the md5-split oracle reproduces the generation "
+        "assignment, so a wrong merge (dropped column, misaligned fields) shifts "
+        "the hash"
+    ),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading a table whose schema GREW mid-life: half the orders
+    (md5 parity) are written as generation-1 files without the priority
+    column, half as generation-2 files with it, into one directory; the
+    read uses parquet mergeSchema and the report groups by the evolved
+    column with v1 rows bucketed under a sentinel.
+
+    The reference's analog problem was versioned Writables
+    (core/io/VersionedWritable.java, record DDL evolution in
+    core/record/) — every reader had to carry explicit version
+    branches; columnar-with-mergeSchema makes the old files simply
+    project NULL for the new column, and this query pins that contract
+    (row conservation + value integrity across generations) against an
+    oracle that recreates the generation split arithmetically.
+
+    Scale plan: the write is a one-off demux; the read is a normal
+    scan — mergeSchema costs one footer pass across files (at 100 TB:
+    store the unified schema in the catalog instead of re-merging per
+    query, which is exactly what a metastore table does).  Staged under
+    /tmp keyed by sf dir, existence-probed (bloom_indexed_point_read
+    discipline)."""
+    import os
+
+    o = _t(spark, sf_dir, "orders")
+    base = f"/tmp/hadoop20_schema_evo/{os.path.basename(sf_dir.rstrip('/'))}_{o.count()}"
+    tdir = base + "/orders_gen"
+    gen2 = md5_long(F.col("o_orderkey").cast("string")) % 2 == 1
+    cents = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    if not os.path.isdir(tdir):
+        o.filter(~gen2).select("o_orderkey", cents).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+        o.filter(gen2).select(
+            "o_orderkey", cents, F.col("o_orderpriority").alias("pr")
+        ).write.mode("append").parquet(tdir)
+    evolved = spark.read.option("mergeSchema", "true").parquet(tdir)
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("pr"), F.lit("__pre_evolution__")).alias("pr")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("pr")
     )
