@@ -452,13 +452,32 @@ def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) 
     for th in threads:
         th.start()
     tracker = spark.sparkContext.statusTracker()
+
+    def fresh_wide_stage() -> bool:
+        # a wide monster stage that JUST started: >= 24 tasks running
+        # and under a quarter complete.  Gating every probe on this
+        # exact state pins the probe to the worst-case queue position —
+        # earlier gates (active job, saturated slots) left the probe's
+        # position within the stage to chance, and p95 flapped between
+        # 0.75x and 2.8x run-over-run on that roulette
+        for s in tracker.getActiveStageIds():
+            info = tracker.getStageInfo(s)
+            if (
+                info
+                and info.numTasks >= 24
+                and info.numActiveTasks >= 24
+                and info.numCompletedTasks <= info.numTasks // 4
+            ):
+                return True
+        return False
+
     if pool_small:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_small)
     lats = []
     for _ in range(SCHED_SMALL_REPS):
-        deadline = time.time() + 10
-        while not tracker.getActiveJobsIds() and time.time() < deadline:
-            time.sleep(0.01)  # gate the probe on real contention
+        deadline = time.time() + 15
+        while not fresh_wide_stage() and time.time() < deadline:
+            time.sleep(0.004)
         t0 = time.time()
         REGISTRY[SMALL_JOB].fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
@@ -493,6 +512,18 @@ def run_scheduler_fairness(spark):
     (report, new_session); the small job's output hash is checked in
     both phases (a scheduler that corrupts results is worse than a slow
     one)."""
+    # BOTH phases run on a fresh session with the same warm-up — the
+    # first harness compared a suite-warmed FIFO JVM against a cold
+    # FAIR restart, understating the FAIR win (cold-JIT monster stages
+    # run longer, and they sat on the FAIR side of the ledger)
+    def fresh(extra: dict | None) -> object:
+        s = get_spark("bench-sched", extra_conf=extra or {})
+        REGISTRY[SMALL_JOB].fn(s, SF_DIR).count()
+        run_once(s, SCHED_MONSTER)  # JIT-warm the monster path too
+        return s
+
+    spark.stop()
+    spark = fresh(None)
     fifo = _contended_small_jobs(spark, None, None)
     spark.stop()
     # real pool config (an allocation file, the fair-scheduler.xml
@@ -508,14 +539,12 @@ def run_scheduler_fairness(spark):
             "<weight>1</weight><minShare>0</minShare></pool>"
             "</allocations>"
         )
-    spark = get_spark(
-        "bench-fair",
-        extra_conf={
+    spark = fresh(
+        {
             "spark.scheduler.mode": "FAIR",
             "spark.scheduler.allocation.file": alloc,
-        },
+        }
     )
-    REGISTRY[SMALL_JOB].fn(spark, SF_DIR).count()  # warm the new JVM session
     fair = _contended_small_jobs(spark, "interactive", "bulk")
     report = {
         "small_job": SMALL_JOB,

@@ -272,3 +272,109 @@ def bloom_lookup_files(
         if all(by_file.get(f, {}).get(w, 0) & bit for w, bit in need)
     ]
     return passing, len(all_files)
+
+
+# ---------------------------------------------------------------------------
+# Incremental layout maintenance (round 8): OPTIMIZE without full rewrite
+# ---------------------------------------------------------------------------
+
+
+def assign_zorder_fixed(
+    df: DataFrame,
+    dims: Sequence[str],
+    bounds: dict[str, tuple[int, int]],
+    *,
+    bits: int = 16,
+    file_bits: int = 6,
+) -> DataFrame:
+    """Z-order file ids under FIXED dim bounds (literals, not a data
+    aggregate) — the invariant incremental maintenance needs: every
+    append must agree with the original write about which file id a row
+    belongs to, so the bounds are pinned at table creation and
+    out-of-range values CLAMP to the edge cells (least/greatest before
+    scaling).  Pure integer codegen, same Morton math as
+    zorder_file_assignment."""
+    scaled = [
+        F.expr(
+            f"((least(greatest({d}, {lo}), {hi}) - {lo}) * {(1 << bits) - 1})"
+            f" DIV greatest({hi} - {lo}, 1)"
+        )
+        for d, (lo, hi) in ((d, bounds[d]) for d in dims)
+    ]
+    z = morton_interleave(scaled, bits)
+    return df.select(
+        "*", F.shiftright(z, bits * len(dims) - file_bits).alias("zorder_file")
+    )
+
+
+def write_clustered_partitioned(
+    df: DataFrame,
+    dims: Sequence[str],
+    out_dir: str,
+    *,
+    bits: int = 16,
+    file_bits: int = 6,
+) -> dict[str, tuple[int, int]]:
+    """Clustered layout as ``zorder_file=K/`` partition DIRECTORIES —
+    the maintainable form of write_clustered's plain files (a directory
+    per Morton range is addressable for incremental rewrite; a plain
+    file is not).  Bounds are computed from the initial data, used to
+    assign ids, and RETURNED — the caller persists them (they are the
+    table's layout contract; optimize_incremental must reuse them).
+
+    Reference analog: io/MapFile.java directories (data + index per
+    reducer output) under a TotalOrderPartitioner split — the layout
+    the reference could append a new sorted run into."""
+    mm = df.agg(
+        *[F.min(d).cast("long").alias(f"lo_{d}") for d in dims],
+        *[F.max(d).cast("long").alias(f"hi_{d}") for d in dims],
+    ).first()
+    bounds = {d: (mm[f"lo_{d}"], mm[f"hi_{d}"]) for d in dims}
+    assigned = assign_zorder_fixed(df, dims, bounds, bits=bits, file_bits=file_bits)
+    assigned.write.mode("overwrite").partitionBy("zorder_file").parquet(out_dir)
+    return bounds
+
+
+def optimize_incremental(
+    spark,
+    out_dir: str,
+    batch: DataFrame,
+    dims: Sequence[str],
+    bounds: dict[str, tuple[int, int]],
+    *,
+    bits: int = 16,
+    file_bits: int = 6,
+) -> dict:
+    """Merge an appended batch into an existing clustered layout,
+    rewriting ONLY the partition directories the batch touches — the
+    incremental OPTIMIZE a 100 TB table needs (a full re-cluster
+    rewrites everything for a 0.1% append).  Batch rows get their file
+    ids under the table's PINNED bounds (out-of-range values clamp to
+    edge cells), and each affected ``zorder_file=K/`` directory is
+    rewritten as old-rows ∪ new-rows; untouched directories are never
+    read or written.
+
+    The merged relation is localCheckpoint'ed before the overwrite —
+    a lazy read would re-scan the directory it is about to replace.
+    Returns {"affected": [ids], "n_dirs": total} so callers can assert
+    the rewrite really was incremental."""
+    import os
+
+    assigned = assign_zorder_fixed(
+        batch, dims, bounds, bits=bits, file_bits=file_bits
+    ).localCheckpoint()
+    affected = sorted(
+        r["zorder_file"] for r in assigned.select("zorder_file").distinct().collect()
+    )
+    for fid in affected:
+        part_dir = os.path.join(out_dir, f"zorder_file={fid}")
+        new_rows = assigned.filter(F.col("zorder_file") == fid).drop("zorder_file")
+        if os.path.isdir(part_dir):
+            merged = spark.read.parquet(part_dir).unionByName(new_rows)
+        else:
+            merged = new_rows
+        merged.localCheckpoint().write.mode("overwrite").parquet(part_dir)
+    n_dirs = len(
+        [n for n in os.listdir(out_dir) if n.startswith("zorder_file=")]
+    )
+    return {"affected": affected, "n_dirs": n_dirs}

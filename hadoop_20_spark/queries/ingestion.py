@@ -320,3 +320,112 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pr")
     )
+
+
+def _opt_inc_oracle() -> str:
+    from hadoop_20_spark.operators.layout import morton_interleave_sql
+
+    key_md5 = _sql_md5_long("CAST(o_orderkey AS VARCHAR)")
+    return rf"""
+    WITH v AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             {key_md5} % 10 AS sp
+      FROM orders
+    ),
+    b AS (  -- bounds pinned at table creation: the INITIAL 90% only
+      SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2
+      FROM v WHERE sp <> 0
+    ),
+    s AS (
+      SELECT k, cents,
+             ((least(greatest(ck, lo1), hi1) - lo1) * 65535)
+               // greatest(hi1 - lo1, 1) AS s1,
+             ((least(greatest(cents, lo2), hi2) - lo2) * 65535)
+               // greatest(hi2 - lo2, 1) AS s2
+      FROM v CROSS JOIN b
+    ),
+    z AS (
+      SELECT k, cents,
+             ({morton_interleave_sql(['s1', 's2'], 16)}) >> 26 AS zorder_file
+      FROM s
+    )
+    SELECT CAST(zorder_file AS BIGINT) AS zorder_file,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(k) AS min_key
+    FROM z GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "incremental_optimize_audit",
+    _opt_inc_oracle(),
+    note=(
+        "incremental OPTIMIZE of a z-ordered layout: 90% of orders create the "
+        "clustered table (zorder_file=K/ dirs, bounds PINNED), the 10% batch merges "
+        "via optimize_incremental — only affected directories rewritten; the read-back "
+        "per-cell report must equal the oracle's arithmetic Morton model over the FULL "
+        "dataset (same pinned bounds, clamped batch values), i.e. incremental == "
+        "rebuild at the layout level"
+    ),
+)
+def incremental_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout maintenance without a full rewrite: a clustered table is
+    created from the initial load with PINNED dim bounds (the layout
+    contract), an appended batch is merged by rewriting only the Morton
+    cells it touches (layout.optimize_incremental), and the audit reads
+    the table BACK FROM DISK — per-cell row counts, mass, and min key
+    must match the oracle's pure-arithmetic assignment of every row
+    under the same bounds.  A wrong clamp, a drifted bound, or a lost/
+    duplicated row in the rewrite shifts the hash.
+
+    At 100 TB this is the nightly OPTIMIZE a lakehouse table runs: a
+    0.1% append touches O(batch) directories, never the table (the
+    reference's analog: appending a new sorted run into a MapFile
+    directory tree instead of re-running the TotalOrderPartitioner job
+    over everything).  Staged under /tmp keyed by (sf, row count) with
+    an _APPLIED marker so gate re-runs don't re-append (crash between
+    merge and marker fails LOUDLY via the oracle hash)."""
+    import json as _json
+    import os
+
+    from hadoop_20_spark.operators import layout
+
+    o = _t(spark, sf_dir, "orders")
+    sp = md5_long(F.col("o_orderkey").cast("string")) % 10
+    rows = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        sp.alias("sp"),
+    )
+    base = f"/tmp/hadoop20_opt_inc/{os.path.basename(sf_dir.rstrip('/'))}_{o.count()}"
+    tdir = base + "/orders_z"
+    marker = base + "/_APPLIED"
+    bounds_path = base + "/bounds.json"
+    if not os.path.isdir(tdir):
+        initial = rows.filter(F.col("sp") != 0).drop("sp")
+        bounds = layout.write_clustered_partitioned(initial, ["ck", "cents"], tdir)
+        os.makedirs(base, exist_ok=True)
+        with open(bounds_path, "w") as fh:
+            _json.dump({d: list(v) for d, v in bounds.items()}, fh)
+    if not os.path.exists(marker):
+        with open(bounds_path) as fh:
+            bounds = {d: tuple(v) for d, v in _json.load(fh).items()}
+        batch = rows.filter(F.col("sp") == 0).drop("sp")
+        layout.optimize_incremental(spark, tdir, batch, ["ck", "cents"], bounds)
+        open(marker, "w").close()
+    table = spark.read.parquet(tdir)
+    return (
+        table.groupBy(F.col("zorder_file").cast("bigint").alias("zorder_file"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("k").alias("min_key"),
+        )
+        .orderBy("zorder_file")
+    )

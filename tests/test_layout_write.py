@@ -191,3 +191,56 @@ def test_bloom_sidecar_point_lookup(spark, tmp_path):
             spark.read.parquet(*p2).filter(F.col("o_custkey") == absent).count()
             == 0
         )
+
+
+def test_optimize_incremental_rewrites_only_affected(spark, tmp_path):
+    """Incremental OPTIMIZE == full rebuild on content, while touching
+    only the partition dirs the batch maps into (mtime-checked)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark import load_table
+    from hadoop_20_spark.operators import layout
+
+    o = load_table(spark, "orders", "/root/testdata/sf0.001").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    initial = o.filter(F.col("k") % 10 != 0)
+    batch = o.filter(F.col("k") % 10 == 0)
+    inc_dir = str(tmp_path / "inc")
+    bounds = layout.write_clustered_partitioned(initial, ["ck", "cents"], inc_dir)
+
+    dirs = [d for d in os.listdir(inc_dir) if d.startswith("zorder_file=")]
+    mtimes_before = {d: os.path.getmtime(os.path.join(inc_dir, d)) for d in dirs}
+    report = layout.optimize_incremental(
+        spark, inc_dir, batch, ["ck", "cents"], bounds
+    )
+    assert 1 <= len(report["affected"]) <= report["n_dirs"]
+    # untouched dirs: same mtime; affected dirs: rewritten
+    affected_names = {f"zorder_file={i}" for i in report["affected"]}
+    for d in dirs:
+        after = os.path.getmtime(os.path.join(inc_dir, d))
+        if d in affected_names:
+            assert after >= mtimes_before[d]
+        else:
+            assert after == mtimes_before[d], f"untouched dir {d} was rewritten"
+
+    # content == full rebuild under the SAME pinned bounds
+    full_dir = str(tmp_path / "full")
+    layout.assign_zorder_fixed(o, ["ck", "cents"], bounds).write.partitionBy(
+        "zorder_file"
+    ).parquet(full_dir)
+    inc_rows = sorted(
+        (r["k"], r["cents"], r["zorder_file"])
+        for r in spark.read.parquet(inc_dir).collect()
+    )
+    full_rows = sorted(
+        (r["k"], r["cents"], r["zorder_file"])
+        for r in spark.read.parquet(full_dir).collect()
+    )
+    assert inc_rows == full_rows and len(inc_rows) == o.count()
