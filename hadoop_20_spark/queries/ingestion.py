@@ -1,13 +1,23 @@
-"""Ingestion-robustness queries — the SkipBadRecords / skip-mode surface.
+"""Ingestion-robustness & storage-layout lifecycle queries.
 
-The reference's answer to bad input records was runtime control flow:
-``mapred/SkipBadRecords.java`` re-ran failing task attempts in skip mode,
-binary-searching for the poison records and writing the skipped ranges as
-side files.  Spark-first, the same guarantee — a job survives malformed
-input AND reports exactly what it skipped — is declarative: PERMISSIVE
-parsing with a corrupt-record column turns "bad record" from an exception
-into DATA, so the quarantine is an ordinary DataFrame you can count,
-classify, and sink (MultipleOutputs-style demux on the status column).
+Four concerns a long-lived table meets between first load and year five,
+each with its reference-era counterpart:
+
+- **Malformed records** (`bad_record_quarantine`): the reference re-ran
+  failing attempts in skip mode (``mapred/SkipBadRecords.java``,
+  task-level binary search, skipped ranges as side files); here
+  PERMISSIVE parsing with a corrupt-record column turns "bad record"
+  from an exception into DATA — countable, classifiable, demuxable.
+- **Point lookups on a non-clustered column**
+  (`bloom_indexed_point_read`): ``io/BloomMapFile.java`` rebuilt as a
+  per-file Bloom sidecar + explicit-paths read.
+- **Schema growth across file generations** (`schema_evolution_read`):
+  the versioned-Writable problem (``core/io/VersionedWritable.java``),
+  answered columnar with mergeSchema.
+- **Layout maintenance under appends** (`incremental_optimize_audit`):
+  rewrite only the Morton cells a batch touches — the OPTIMIZE a
+  MapFile directory tree could absorb as a new sorted run, never a
+  full TotalOrderPartitioner re-run.
 
 Determinism notes (SURVEY §7.4): corruption is PLANTED by md5 class (no
 RNG); both engines CLASSIFY from the rendered line itself (arity, field

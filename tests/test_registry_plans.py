@@ -729,3 +729,34 @@ def test_bad_record_quarantine_row_local_until_agg(spark):
     plan = physical_plan(REGISTRY["bad_record_quarantine"].fn(spark, PLAN_SF))
     assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
     assert "Join" not in plan  # render/parse/classify are one projection
+
+
+def test_analyze_stats_feed_cbo_selectivity(spark):
+    """ANALYZE TABLE column stats drive CBO's cardinality estimates —
+    the optimizer-statistics loop the reference never had (it sized
+    reducers by hand).  Post-ANALYZE, a k=3 filter over a 7-value
+    column estimates ~1/7 of the rows; pre-ANALYZE there is no
+    rowCount at all."""
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql("DROP TABLE IF EXISTS cbo_stats_t")
+        spark.range(10000).selectExpr("id", "id % 7 AS k").write.saveAsTable(
+            "cbo_stats_t"
+        )
+        pre = (
+            spark.table("cbo_stats_t").filter("k = 3")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert not pre.rowCount().isDefined()
+        spark.sql("ANALYZE TABLE cbo_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        post = (
+            spark.table("cbo_stats_t").filter("k = 3")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert post.rowCount().isDefined()
+        est = int(str(post.rowCount().get()))
+        assert 1000 <= est <= 2100, est  # ~10000/7, estimator leeway
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS cbo_stats_t")

@@ -99,6 +99,15 @@ QUERIES = {
     "dup_span_removal": "span list joins back doc-keyed (right side = affected docs only); survivor filter let-bound and projected ONCE; rebuild + counts from the same projection",
     "temperature_source_mix": "one tiny-key count agg persisted; integer floor(sqrt) weights, integer ppm quotient; broadcast rate join + row-local md5 gate",
     "pq_recall_audit": "4 subspace codebooks trained on sliced vectors (broadcast argmax partial agg per iteration); encode = m broadcast argmax passes; ONE scored-reconstruction pass persisted serves top-10 AND the re-rank shortlist",
+    "bad_record_quarantine": "render + PERMISSIVE parse + classify all row-local codegen off one scan; the only shuffle is the ~5-row classify agg (map-side partials)",
+    "dsir_importance_sample": "one (doc,bucket) feature-matrix shuffle; bucket LMs re-derived from a column-pruned token scan (persist rule: corpus-sized relations re-derive); 1024-row log-ratio join AQE-broadcast; Gumbel top-k = TakeOrderedAndProject",
+    "bfs_khop_reach": "per round ONE edges-side shuffle keyed by node + a same-keyed visited anti-join; localCheckpoint flattens lineage; unreached surfaced by a left join against the node set",
+    "bloom_indexed_point_read": "sidecar probe is a driver-side read of <= k word positions; the data scan lists ONLY the passing files (explicit paths), then a pushed key filter",
+    "schema_evolution_read": "mergeSchema footer pass unifies two file generations; scan projects NULL for the missing column in v1 files; one small groupBy",
+    "incremental_optimize_audit": "read-back of the merged zorder_file=K/ layout; partition column drives the per-cell aggregate — the audit's cost is one scan of the clustered table",
+    "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
+    "histogram_quantile_merge": None,  # same: merged-CDF probes + refinement audit, result assembled driver-side
+    "streaming_session_agg": None,  # streaming — skip plan
     "streaming_tumbling": None,  # streaming — skip plan
 }
 
