@@ -475,8 +475,14 @@ def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) 
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_small)
     lats = []
     for _ in range(SCHED_SMALL_REPS):
+        # ... AND both monster jobs in flight: with only one active, the
+        # probe waits at most one stage and FIFO ~= FAIR (a 32-task
+        # stage on 32 slots releases everything together); the fairness
+        # gap is about queueing behind a BACKLOG, so measure that state
         deadline = time.time() + 15
-        while not fresh_wide_stage() and time.time() < deadline:
+        while (
+            len(tracker.getActiveJobsIds()) < 2 or not fresh_wide_stage()
+        ) and time.time() < deadline:
             time.sleep(0.004)
         t0 = time.time()
         REGISTRY[SMALL_JOB].fn(spark, SF_DIR).write.format("noop").mode(

@@ -215,8 +215,11 @@ def write_bloom_sidecar(
 
     if m_bits % 32 != 0:
         raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    # RELATIVE file names (basename), not input_file_name()'s absolute
+    # URI: the sidecar must survive the table dir being renamed/moved
+    # (atomic-publish staging, lakehouse-manifest portability)
     df = spark.read.parquet(table_dir).select(
-        F.input_file_name().alias("file"),
+        F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file"),
         F.col(key_col).cast("string").alias("k"),
     )
     keys = df.distinct()
@@ -239,7 +242,7 @@ def write_bloom_sidecar(
 
 
 def bloom_lookup_files(
-    spark, sidecar_dir: str, key, m_bits: int = 4096
+    spark, table_dir: str, key, m_bits: int = 4096
 ) -> tuple[list[str], int]:
     """Driver-side point-lookup planning against a Bloom sidecar:
     compute the key's k=3 hash positions with the PYTHON twin of
@@ -254,10 +257,12 @@ def bloom_lookup_files(
     which footer ranges cannot express for point keys."""
     import hashlib
 
+    import os
+
     digest = hashlib.md5(str(key).encode("utf-8")).hexdigest()
     positions = [int(digest[o : o + 15], 16) % m_bits for o in _BLOOM_OFFSETS]
     need = {(p // 32, 1 << (p % 32)) for p in positions}
-    side = spark.read.parquet(sidecar_dir)
+    side = spark.read.parquet(table_dir.rstrip("/") + "_bloom")
     rows = (
         side.filter(F.col("word_idx").isin([w for w, _ in need]))
         .collect()
@@ -267,7 +272,7 @@ def bloom_lookup_files(
     for r in rows:
         by_file.setdefault(r["file"], {})[r["word_idx"]] = r["word"]
     passing = [
-        f
+        os.path.join(table_dir, f)
         for f in sorted(all_files)
         if all(by_file.get(f, {}).get(w, 0) & bit for w, bit in need)
     ]

@@ -44,6 +44,27 @@ _PRICE_RE = r"^[0-9]+\.[0-9]{2}$"
 _DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
 
 
+def _publish_atomic(build_fn, target: str) -> None:
+    """Build staged state in a private dir, then PUBLISH it with one
+    atomic rename — concurrent gate/pytest processes calling the same
+    query must never observe (or interleave into) a half-built dir.
+    If another process published first, the private build is discarded:
+    the data is deterministic, so whichever build wins is identical."""
+    import os
+    import shutil
+
+    if os.path.isdir(target):
+        return
+    build = f"{target}.build.{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    build_fn(build)
+    try:
+        os.rename(build, target)
+    except OSError:  # lost the publish race; ours is equivalent
+        shutil.rmtree(build, ignore_errors=True)
+
+
+
 @register(
     "bad_record_quarantine",
     rf"""
@@ -236,10 +257,15 @@ def bloom_indexed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change would still fail LOUDLY via the oracle hash)
     base = f"/tmp/hadoop20_bloom_idx/{os.path.basename(sf_dir.rstrip('/'))}_{o.count()}"
     tdir = base + "/orders_by_date"
-    if not os.path.isdir(tdir):
-        o.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(tdir)
-        layout.write_bloom_sidecar(spark, tdir, "o_custkey")
-    passing, _total = layout.bloom_lookup_files(spark, tdir + "_bloom", key)
+
+    def build(d):
+        o.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(
+            d + "/data"
+        )
+        layout.write_bloom_sidecar(spark, d + "/data", "o_custkey")
+
+    _publish_atomic(build, tdir)
+    passing, _total = layout.bloom_lookup_files(spark, tdir + "/data", key)
     return (
         spark.read.parquet(*passing)
         .filter(F.col("o_custkey") == key)
@@ -311,13 +337,15 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    if not os.path.isdir(tdir):
+    def build(d):
         o.filter(~gen2).select("o_orderkey", cents).write.mode(
             "overwrite"
-        ).parquet(tdir)
+        ).parquet(d)
         o.filter(gen2).select(
             "o_orderkey", cents, F.col("o_orderpriority").alias("pr")
-        ).write.mode("append").parquet(tdir)
+        ).write.mode("append").parquet(d)
+
+    _publish_atomic(build, tdir)
     evolved = spark.read.option("mergeSchema", "true").parquet(tdir)
     return (
         evolved.groupBy(
@@ -415,21 +443,25 @@ def incremental_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = f"/tmp/hadoop20_opt_inc/{os.path.basename(sf_dir.rstrip('/'))}_{o.count()}"
     tdir = base + "/orders_z"
-    marker = base + "/_APPLIED"
-    bounds_path = base + "/bounds.json"
-    if not os.path.isdir(tdir):
+
+    def build(d):
+        # initial load AND the incremental merge both happen in the
+        # private build dir; only the post-merge state is ever published
+        # (atomic rename), so a concurrent or crashed run can never
+        # observe — or double-apply onto — a pre-merge table
         initial = rows.filter(F.col("sp") != 0).drop("sp")
-        bounds = layout.write_clustered_partitioned(initial, ["ck", "cents"], tdir)
-        os.makedirs(base, exist_ok=True)
-        with open(bounds_path, "w") as fh:
-            _json.dump({d: list(v) for d, v in bounds.items()}, fh)
-    if not os.path.exists(marker):
-        with open(bounds_path) as fh:
-            bounds = {d: tuple(v) for d, v in _json.load(fh).items()}
+        bounds = layout.write_clustered_partitioned(
+            initial, ["ck", "cents"], d + "/table"
+        )
+        with open(d + "/bounds.json", "w") as fh:
+            _json.dump({k2: list(v) for k2, v in bounds.items()}, fh)
         batch = rows.filter(F.col("sp") == 0).drop("sp")
-        layout.optimize_incremental(spark, tdir, batch, ["ck", "cents"], bounds)
-        open(marker, "w").close()
-    table = spark.read.parquet(tdir)
+        layout.optimize_incremental(
+            spark, d + "/table", batch, ["ck", "cents"], bounds
+        )
+
+    _publish_atomic(build, tdir)
+    table = spark.read.parquet(tdir + "/table")
     return (
         table.groupBy(F.col("zorder_file").cast("bigint").alias("zorder_file"))
         .agg(

@@ -162,11 +162,11 @@ def test_bloom_sidecar_point_lookup(spark, tmp_path):
     tdir = str(tmp_path / "orders_by_date")
     # cluster by DATE: custkey point lookups get no help from footers
     orders.repartitionByRange(16, "o_orderdate").write.mode("overwrite").parquet(tdir)
-    side = layout.write_bloom_sidecar(spark, tdir, "o_custkey")
+    layout.write_bloom_sidecar(spark, tdir, "o_custkey")
 
     # a real key: completeness vs the full-scan answer
     key = orders.agg(F.min("o_custkey")).first()[0]
-    passing, total = layout.bloom_lookup_files(spark, side, key)
+    passing, total = layout.bloom_lookup_files(spark, tdir, key)
     assert total == 16
     assert 1 <= len(passing) < total, (len(passing), total)
     got = sorted(
@@ -184,7 +184,7 @@ def test_bloom_sidecar_point_lookup(spark, tmp_path):
     # an absent key: bloom says (almost) nowhere; any survivors are
     # false positives that the filter then empties
     absent = orders.agg(F.max("o_custkey")).first()[0] * 13 + 7
-    p2, _ = layout.bloom_lookup_files(spark, side, absent)
+    p2, _ = layout.bloom_lookup_files(spark, tdir, absent)
     assert len(p2) <= 2, p2  # fp-rate sized: (3*~90/4096 fill)^3 per file
     if p2:
         assert (
