@@ -369,6 +369,7 @@ def exact_order_statistics(
     ks: Sequence[int],
     width: int = 64,
     max_rounds: int = 16,
+    bounds: tuple[int, int, int] | None = None,
 ) -> tuple[dict[int, int], int]:
     """Multi-rank form of :func:`exact_order_statistic`: refines EVERY
     requested rank in the SAME scan each round — a row is tagged with
@@ -379,16 +380,20 @@ def exact_order_statistics(
     N quantile probes cost the same scans as one.
 
     ``col`` must be a plain column name (the bucket arithmetic uses
-    integer DIV via an expression over it).  Returns ({k: value},
-    rounds)."""
+    integer DIV via an expression over it).  ``bounds`` is an optional
+    precomputed ``(min, max, count)`` — callers that already aggregated
+    the column (to size their ranks from n) pass it and save the
+    operator's own min/max/count scan.  Returns ({k: value}, rounds)."""
     for k in ks:
         if k < 1:
             raise ValueError(f"rank k must be >= 1, got {k}")
     c = F.col(col)
-    first = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
-    ).first()
-    lo0, hi0, n = first["lo"], first["hi"], first["n"]
+    if bounds is None:
+        first = df.agg(
+            F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n")
+        ).first()
+        bounds = (first["lo"], first["hi"], first["n"])
+    lo0, hi0, n = bounds
     if lo0 is None or max(ks) > n:
         raise ValueError(f"rank {max(ks)} out of range (n={n})")
     # per-target state: [lo, hi, rank-within-range]

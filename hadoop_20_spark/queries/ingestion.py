@@ -52,10 +52,11 @@ def _publish_atomic(build_fn, target: str) -> None:
     the data is deterministic, so whichever build wins is identical."""
     import os
     import shutil
+    import threading
 
     if os.path.isdir(target):
         return
-    build = f"{target}.build.{os.getpid()}"
+    build = f"{target}.build.{os.getpid()}.{threading.get_ident()}"
     shutil.rmtree(build, ignore_errors=True)
     build_fn(build)
     try:

@@ -1410,11 +1410,15 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c")
     )
-    n = cents.count()
+    b = cents.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
+    ).first()
+    n = b["n"]
     targets = {"median": (n + 1) // 2, "p90": (9 * n + 9) // 10}
-    # multi-rank form: both probes share every refinement scan
+    # multi-rank form: both probes share every refinement scan; the
+    # rank-sizing aggregate doubles as the operator's bounds scan
     by_rank, _rounds = sort_ops.exact_order_statistics(
-        cents, "c", list(targets.values())
+        cents, "c", list(targets.values()), bounds=(b["lo"], b["hi"], n)
     )
     values = {stat: by_rank[k] for stat, k in targets.items()}
     # one audit pass for both ranks: counts below/at each found value
@@ -1563,8 +1567,11 @@ def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_cell"),
         F.sum("cnt").cast("long").alias("total_mass"),
     ).first()
-    # multi-rank exact audit: both probes share every refinement scan
-    exacts, _rounds = sort_ops.exact_order_statistics(v, "c", list(targets.values()))
+    # multi-rank exact audit: both probes share every refinement scan,
+    # and the histogram's own bounds aggregate doubles as the operator's
+    exacts, _rounds = sort_ops.exact_order_statistics(
+        v, "c", list(targets.values()), bounds=(lo, hi, n)
+    )
     rows = []
     for stat in sorted(targets):
         k = targets[stat]

@@ -74,3 +74,34 @@ def test_bad_record_quarantine_classes(spark):
     # price recovered everywhere except the mangled-number class has fewer
     assert out["bad_number"]["recovered_value"] is None
     assert out["arity_short"]["recovered_value"] is not None
+
+
+def test_publish_atomic_single_winner(tmp_path):
+    """Two racing builders: exactly one publishes, the loser's private
+    dir is cleaned up, and the published content is complete."""
+    import os
+    import threading
+
+    from hadoop_20_spark.queries.ingestion import _publish_atomic
+
+    target = str(tmp_path / "state")
+    barrier = threading.Barrier(2)
+
+    def builder(tag):
+        def build(d):
+            os.makedirs(d)
+            barrier.wait()  # both builds in flight simultaneously
+            with open(os.path.join(d, "content"), "w") as fh:
+                fh.write("deterministic")
+
+        _publish_atomic(build, target)
+
+    ts = [threading.Thread(target=builder, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert os.path.isdir(target)
+    assert open(os.path.join(target, "content")).read() == "deterministic"
+    leftovers = [d for d in os.listdir(tmp_path) if ".build." in d]
+    assert leftovers == [], leftovers
