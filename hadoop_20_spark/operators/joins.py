@@ -474,3 +474,77 @@ def bloom_semi_join(
         F.col(fact_key) == F.col("__bsj_k"),
         "left_semi",
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "st",
+    end_col: str = "en",
+    bucket_seconds: int = 3600,
+    max_cells: int = 64,
+) -> DataFrame:
+    """Interval-overlap join WITHOUT the quadratic theta join: both
+    sides explode their [start, end] (closed, timestamp columns) onto a
+    time grid of ``bucket_seconds`` cells; candidates come from the
+    grid-cell equi-join; the true-overlap predicate filters; and each
+    surviving pair is attributed to EXACTLY ONE cell — the first cell
+    both intervals occupy, ``cell == greatest(start_cell_l,
+    start_cell_r)`` — so no distinct/dedup shuffle is ever needed.
+
+    Columns are returned prefixed ``l_`` / ``r_``.  Intervals longer
+    than ``max_cells`` buckets raise (raise_error) instead of silently
+    exploding the grid — pick ``bucket_seconds`` near the typical
+    interval length: explode factor ~= len/bucket + 1, candidate count
+    ~= true pairs + same-cell near-misses.
+
+    Scale: THE pattern for interval joins Spark lacks natively — the
+    equi-join shuffles on the grid cell (time-partitioned, so at 100 TB
+    co-partition both sides by day and the grid join is cell-local);
+    a range/theta join would broadcast-nested-loop or cartesian.
+    Reference anchor (public hadoop-20): mapred/join expects equi-keys
+    only — the grid cell is how an interval predicate becomes one."""
+    def cells(df: DataFrame, tag: str) -> DataFrame:
+        renamed = df.select(
+            *[F.col(c).alias(f"{tag}_{c}") for c in df.columns]
+        )
+        s = F.col(f"{tag}_{start_col}").cast("long")
+        e = F.col(f"{tag}_{end_col}").cast("long")
+        # the guard lives INSIDE the kept start-cell expression — a
+        # separate projected-then-dropped guard column gets pruned by
+        # Catalyst and would never fire
+        sc = F.when(
+            (e - s) > F.lit(bucket_seconds * max_cells),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: interval spans > {max_cells} "
+                        f"cells at bucket_seconds={bucket_seconds}: "
+                    ),
+                    (e - s).cast("string"),
+                    F.lit("s — widen bucket_seconds"),
+                )
+            ).cast("long"),
+        ).otherwise(F.expr(f"CAST({tag}_{start_col} AS LONG) DIV {bucket_seconds}"))
+        ec = F.expr(f"CAST({tag}_{end_col} AS LONG) DIV {bucket_seconds}")
+        base = renamed.select(
+            "*", sc.alias(f"{tag}_sc"), ec.alias(f"{tag}_ec")
+        )
+        return base.select(
+            "*",
+            F.explode(
+                F.sequence(F.col(f"{tag}_sc"), F.col(f"{tag}_ec"))
+            ).alias("cell"),
+        ).drop(f"{tag}_ec")
+    lc = cells(left, "l")
+    rc = cells(right, "r")
+    pair_first_cell = F.greatest(F.col("l_sc"), F.col("r_sc"))
+    return (
+        lc.join(rc, "cell")
+        .filter(
+            (F.col(f"l_{start_col}") <= F.col(f"r_{end_col}"))
+            & (F.col(f"r_{start_col}") <= F.col(f"l_{end_col}"))
+            & (F.col("cell") == pair_first_cell)
+        )
+        .drop("cell", "l_sc", "r_sc")
+    )

@@ -164,3 +164,63 @@ def test_bloom_m_bits_must_be_word_aligned(spark):
         bloom_filter_build(members, "k", m_bits=100)
     with pytest.raises(ValueError, match="multiple of 32"):
         bloom_probe_passes("k", m_bits=100)
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Grid-decomposed interval join == brute-force overlap pairs, on
+    edges the grid must not fumble: touching endpoints, same-cell
+    near-misses, multi-cell spans, far-apart intervals."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.joins import interval_overlap_join
+
+    iv = [(0, 100), (50, 150), (150, 200), (201, 300), (95, 96), (5000, 5100)]
+    df = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(iv)], "id long, st long, en long"
+    ).select(
+        "id",
+        F.col("st").cast("timestamp").alias("st"),
+        F.col("en").cast("timestamp").alias("en"),
+    )
+    out = interval_overlap_join(df, df, bucket_seconds=60).filter("l_id < r_id")
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    model = sorted(
+        (a, b)
+        for (a, (s1, e1)), (b, (s2, e2)) in itertools.combinations(enumerate(iv), 2)
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == model, (got, model)
+    # exactly-once attribution: no duplicate pairs even across many cells
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_join_guard_fires(spark):
+    """An interval spanning > max_cells buckets must raise loudly, not
+    silently explode the grid."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.joins import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 0, 10_000_000)], "id long, st long, en long").select(
+        "id",
+        F.col("st").cast("timestamp").alias("st"),
+        F.col("en").cast("timestamp").alias("en"),
+    )
+    with pytest.raises(Exception, match="widen bucket_seconds"):
+        interval_overlap_join(df, df, bucket_seconds=60, max_cells=8).collect()
+
+
+def test_session_overlap_plan_no_cartesian(spark):
+    """The interval join must plan as a cell equi-join — never a
+    cartesian or broadcast-nested-loop theta join."""
+    from hadoop_20_spark.plans import physical_plan
+    from hadoop_20_spark.registry import REGISTRY
+
+    plan = physical_plan(
+        REGISTRY["session_overlap_partners"].fn(spark, "/root/testdata/sf0.01")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -105,6 +105,7 @@ QUERIES = {
     "bloom_indexed_point_read": "sidecar probe is a driver-side read of <= k word positions; the data scan lists ONLY the passing files (explicit paths), then a pushed key filter",
     "schema_evolution_read": "mergeSchema footer pass unifies two file generations; scan projects NULL for the missing column in v1 files; one small groupBy",
     "incremental_optimize_audit": "read-back of the merged zorder_file=K/ layout; partition column drives the per-cell aggregate — the audit's cost is one scan of the clustered table",
+    "session_overlap_partners": "interval-overlap via the time-grid equi-join: both session sides explode onto 1h cells, candidates join on cell, true pairs attributed to exactly ONE cell (greatest start-cell) — no dedup shuffle, no cartesian",
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
     "histogram_quantile_merge": None,  # same: merged-CDF probes + refinement audit, result assembled driver-side
     "streaming_session_agg": None,  # streaming — skip plan
