@@ -337,14 +337,17 @@ def sample_percent_deterministic(
 
 
 def exact_order_statistic(
-    df: DataFrame, col: str, k: int, width: int = 64, max_rounds: int = 16
+    df: DataFrame, col: str, k: int, width: int = 256, max_rounds: int = 16
 ) -> tuple[int, int]:
     """Exact k-th smallest of an INTEGER column without a global sort:
     iterative range refinement (distributed selection).  Each round
     buckets the surviving range into ``width`` equi-width cells, counts
     per cell (bounded-domain aggregate, map-side partials), and recurses
     into the cell containing rank k — ceil(log_width(range)) rounds,
-    each one column-pruned scan + a <= width-row collect.
+    each one column-pruned scan + a <= width-row collect.  The default
+    width 256 holds any int64 range to <= 8 rounds; each round's cost is
+    scan-dominated, so fewer-but-wider rounds win (measured 5.2 s -> 3.3 s
+    for the two-probe refinement at sf0.1 going 64 -> 256).
 
     Returns (value, rounds).
 
@@ -367,7 +370,7 @@ def exact_order_statistics(
     df: DataFrame,
     col: str,
     ks: Sequence[int],
-    width: int = 64,
+    width: int = 256,
     max_rounds: int = 16,
     bounds: tuple[int, int, int] | None = None,
 ) -> tuple[dict[int, int], int]:
