@@ -420,8 +420,22 @@ def run_gridmix_small_jobs(spark) -> dict:
 
 
 SCHED_SMALL_REPS = 12
-SCHED_MONSTER = "b9a_minhash_dedup"
 SCHED_MONSTER_THREADS = 2  # overlap covers the driver-side gaps between runs
+SCHED_MONSTER_ROWS = 60_000_000  # one wide CPU stage of a few seconds
+
+
+def _sched_monster_once(spark) -> None:
+    """One monster job: a single 32-task CPU-bound stage (md5 over a
+    range) of roughly constant cost.  A registry query as monster made
+    g3 depend on the JVM's JIT history — in-suite, a fully-warmed JVM
+    ran minhash stages so fast the FIFO queue never built, and the
+    measured fairness gap flapped between 0.8x and 1.4x run-over-run.
+    Fixed work keeps the contended stage a few seconds everywhere."""
+    (
+        spark.range(SCHED_MONSTER_ROWS, numPartitions=32)
+        .select(F.sum(F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10).cast("long")).alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
 
 def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) -> dict:
@@ -441,7 +455,7 @@ def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) 
         if pool_bulk:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_bulk)
         while not stop.is_set():
-            run_once(spark, SCHED_MONSTER)
+            _sched_monster_once(spark)
             with lock:
                 monster_runs[0] += 1
 
@@ -449,6 +463,7 @@ def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) 
         threading.Thread(target=monster, daemon=True)
         for _ in range(SCHED_MONSTER_THREADS)
     ]
+    phase_t0 = time.time()
     for th in threads:
         th.start()
     tracker = spark.sparkContext.statusTracker()
@@ -492,6 +507,7 @@ def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) 
     stop.set()
     for th in threads:
         th.join()
+    phase_secs = round(time.time() - phase_t0, 3)
     if pool_small:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
     rows, h = fingerprint(REGISTRY[SMALL_JOB].fn(spark, SF_DIR))
@@ -500,6 +516,10 @@ def _contended_small_jobs(spark, pool_small: str | None, pool_bulk: str | None) 
         "p50": round(lats[len(lats) // 2], 3),
         "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
         "monster_runs": monster_runs[0],
+        # phases have different wall lengths (FIFO probes wait longer),
+        # so throughput comparisons must use the RATE, not the count
+        "monster_per_min": round(60.0 * monster_runs[0] / phase_secs, 1),
+        "phase_secs": phase_secs,
         "rows": rows,
         "hash": h,
     }
@@ -525,7 +545,7 @@ def run_scheduler_fairness(spark):
     def fresh(extra: dict | None) -> object:
         s = get_spark("bench-sched", extra_conf=extra or {})
         REGISTRY[SMALL_JOB].fn(s, SF_DIR).count()
-        run_once(s, SCHED_MONSTER)  # JIT-warm the monster path too
+        _sched_monster_once(s)  # JIT-warm the monster path too
         return s
 
     spark.stop()
@@ -554,10 +574,10 @@ def run_scheduler_fairness(spark):
     fair = _contended_small_jobs(spark, "interactive", "bulk")
     report = {
         "small_job": SMALL_JOB,
-        "monster": SCHED_MONSTER,
+        "monster": f"md5-range-{SCHED_MONSTER_ROWS}",
         "reps": SCHED_SMALL_REPS,
-        "fifo": {k: fifo[k] for k in ("p50", "p95", "monster_runs")},
-        "fair": {k: fair[k] for k in ("p50", "p95", "monster_runs")},
+        "fifo": {k: fifo[k] for k in ("p50", "p95", "monster_runs", "monster_per_min", "phase_secs")},
+        "fair": {k: fair[k] for k in ("p50", "p95", "monster_runs", "monster_per_min", "phase_secs")},
         "p95_speedup_x": round(fifo["p95"] / fair["p95"], 2) if fair["p95"] else None,
         "hashes_match": fifo["hash"] == fair["hash"] and fifo["rows"] == fair["rows"],
     }
