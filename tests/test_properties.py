@@ -604,3 +604,47 @@ def test_merge_postings_matches_rebuild_random(spark, docs, upd_mask):
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, rebuilt.collect())
     )
+
+
+@settings(**SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 800)),
+        min_size=0,
+        max_size=25,
+    ),
+    width=st.sampled_from([30, 60, 240, 3600]),
+)
+def test_interval_overlap_join_equals_brute_force(spark, iv, width):
+    """Grid-decomposed overlap join == brute force for ANY interval set
+    and grid width (coarser and finer than the intervals): same pairs,
+    each exactly once."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.joins import interval_overlap_join
+
+    ivs = [(s, s + d) for s, d in iv]
+    if not ivs:
+        return
+    df = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(ivs)], "id long, st long, en long"
+    ).select(
+        "id",
+        F.col("st").cast("timestamp").alias("st"),
+        F.col("en").cast("timestamp").alias("en"),
+    )
+    out = interval_overlap_join(df, df, bucket_seconds=width).filter(
+        "l_id < r_id"
+    )
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    model = sorted(
+        (a, b)
+        for (a, (s1, e1)), (b, (s2, e2)) in itertools.combinations(
+            enumerate(ivs), 2
+        )
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == model, (got, model, width)
+    assert len(got) == len(set(got))  # exactly-once attribution
