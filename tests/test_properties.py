@@ -648,3 +648,26 @@ def test_interval_overlap_join_equals_brute_force(spark, iv, width):
     )
     assert got == model, (got, model, width)
     assert len(got) == len(set(got))  # exactly-once attribution
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(-(10**9), 10**9), min_size=1, max_size=120
+    ),
+    width=st.sampled_from([4, 64, 256]),
+)
+def test_exact_order_statistics_equals_sorted_index(spark, vals, width):
+    """Range-refinement selection == sorted-list indexing for ANY int64
+    data (duplicates, negatives, huge ranges) and ANY bucket width,
+    probing first/last/middle ranks together."""
+    from hadoop_20_spark.operators.sort import exact_order_statistics
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    ordered = sorted(vals)
+    n = len(vals)
+    ks = sorted({1, n, (n + 1) // 2, max(1, (9 * n + 9) // 10)})
+    got, rounds = exact_order_statistics(df, "c", ks, width=width)
+    for k in ks:
+        assert got[k] == ordered[k - 1], (k, got[k], ordered[k - 1], width)
+    assert rounds <= 16
