@@ -34,6 +34,15 @@ def connected_components(
     callers left-join and coalesce to give isolated rows their own id
     (the component label is the smallest member id: the canonical
     keeper, deterministic and engine-portable).
+
+    Raises RuntimeError if the loop exhausts ``max_iters`` while labels
+    are still changing: an unconverged labeling is WRONG (some nodes
+    still carry a non-minimal label), and returning it silently would
+    corrupt every downstream keeper/cluster decision with no signal —
+    the same fail-loud contract as sort.exact_order_statistics.
+    ``max_iters`` bounds propagation DISTANCE (component diameter), so
+    for blocking/LSH graphs the default is generous; raise it for
+    genuinely deep graphs rather than accepting partial labels.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -47,6 +56,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             e.join(labels, e.dst == labels.id)
@@ -73,4 +83,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters — returning unconverged labels would be silent "
+            "data corruption"
+        )
     return labels

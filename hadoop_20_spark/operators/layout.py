@@ -215,6 +215,22 @@ def write_bloom_sidecar(
 
     if m_bits % 32 != 0:
         raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+    # The probe side (bloom_lookup_files) hashes Python str(key) on the
+    # driver; the build side hashes Spark's cast(key AS STRING).  Those
+    # two renderings agree ONLY for integral and string keys — for
+    # date/decimal/float/boolean they differ (e.g. Python str(True) vs
+    # SQL 'true'), which would turn into silent FALSE NEGATIVES (files
+    # wrongly skipped -> rows dropped), breaking the no-false-negative
+    # contract.  Fail loudly at build time instead of latently at probe.
+    key_type = dict(spark.read.parquet(table_dir).dtypes).get(key_col)
+    _BLOOM_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+    if key_type not in _BLOOM_KEY_TYPES:
+        raise TypeError(
+            f"bloom sidecar key column {key_col!r} has type {key_type}; "
+            f"only {sorted(_BLOOM_KEY_TYPES)} render identically under "
+            "Python str() and SQL CAST(... AS STRING) — the probe would "
+            "silently miss files for other types"
+        )
     # RELATIVE file names (basename), not input_file_name()'s absolute
     # URI: the sidecar must survive the table dir being renamed/moved
     # (atomic-publish staging, lakehouse-manifest portability)
@@ -259,6 +275,12 @@ def bloom_lookup_files(
 
     import os
 
+    if not isinstance(key, (int, str)) or isinstance(key, bool):
+        raise TypeError(
+            f"bloom point lookup key must be int or str (got "
+            f"{type(key).__name__}): only those render identically to "
+            "the build side's CAST(... AS STRING) digest input"
+        )
     digest = hashlib.md5(str(key).encode("utf-8")).hexdigest()
     positions = [int(digest[o : o + 15], 16) % m_bits for o in _BLOOM_OFFSETS]
     need = {(p // 32, 1 << (p % 32)) for p in positions}

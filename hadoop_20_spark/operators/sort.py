@@ -345,7 +345,9 @@ def exact_order_statistic(
     per cell (bounded-domain aggregate, map-side partials), and recurses
     into the cell containing rank k — ceil(log_width(range)) rounds,
     each one column-pruned scan + a <= width-row collect.  The default
-    width 256 holds any int64 range to <= 8 rounds; each round's cost is
+    width 256 holds any int64 range to <= 8 rounds (the bucket offset
+    is computed through DECIMAL(38,0), so `col - lo` spanning nearly
+    all of int64 cannot wrap); each round's cost is
     scan-dominated, so fewer-but-wider rounds win (measured 5.2 s -> 3.3 s
     for the two-probe refinement at sf0.1 going 64 -> 256).
 
@@ -420,8 +422,16 @@ def exact_order_statistics(
                     c.between(F.lit(active[k][0]), F.lit(active[k][1])),
                     F.struct(
                         F.lit(i).alias("t"),
+                        # widen the offset through DECIMAL(38,0): raw
+                        # int64 `col - lo` wraps (or throws under ANSI)
+                        # when the surviving range spans most of int64 —
+                        # e.g. lo near INT64_MIN, col near INT64_MAX.
+                        # Spark's decimal DIV returns BIGINT, and the
+                        # quotient is < width, so the narrow result is
+                        # safe even though the difference is not.
                         F.expr(
-                            f"({col} - {active[k][0]}) DIV {widths[k]}"
+                            f"(CAST({col} AS DECIMAL(38,0)) - "
+                            f"({active[k][0]})) DIV {widths[k]}"
                         ).alias("b"),
                     ),
                 )

@@ -244,3 +244,32 @@ def test_optimize_incremental_rewrites_only_affected(spark, tmp_path):
         for r in spark.read.parquet(full_dir).collect()
     )
     assert inc_rows == full_rows and len(inc_rows) == o.count()
+
+
+def test_bloom_sidecar_rejects_unportable_key_types(spark, tmp_path):
+    """Build/probe digest inputs must render identically under Python
+    str() and SQL CAST(... AS STRING).  Non-integral, non-string key
+    columns (double, boolean, date...) would produce silent false
+    negatives, so the build fails loudly; the driver-side probe rejects
+    non-int/str keys for the same reason."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators import layout
+
+    d = str(tmp_path / "t")
+    spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("price"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    ).write.mode("overwrite").parquet(d)
+
+    for bad in ("price", "flag"):
+        with pytest.raises(TypeError, match="render identically"):
+            layout.write_bloom_sidecar(spark, d, bad)
+
+    layout.write_bloom_sidecar(spark, d, "id")  # integral key: fine
+    with pytest.raises(TypeError, match="int or str"):
+        layout.bloom_lookup_files(spark, d, 1.5)
+    with pytest.raises(TypeError, match="int or str"):
+        layout.bloom_lookup_files(spark, d, True)

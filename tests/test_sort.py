@@ -353,3 +353,21 @@ def test_exact_order_statistics_multi_rank(spark):
     for k in ks:
         assert got[k] == ordered[k - 1], (k, got[k], ordered[k - 1])
     assert rounds <= 16
+
+
+def test_exact_order_statistic_full_int64_range(spark):
+    """Ranges spanning nearly all of int64 must not wrap: the bucket
+    offset `col - lo` is computed through DECIMAL(38,0) (raw int64
+    subtraction of INT64_MAX - INT64_MIN overflows).  Adversarial
+    fixture pins both extremes plus interior values."""
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [lo, lo + 1, -7, 0, 13, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    from hadoop_20_spark.operators.sort import exact_order_statistics
+
+    ordered = sorted(vals)
+    ks = [1, 2, 4, 6, 7]
+    got, rounds = exact_order_statistics(df, "c", ks)
+    for k in ks:
+        assert got[k] == ordered[k - 1], (k, got[k], ordered[k - 1])
+    assert rounds <= 16
