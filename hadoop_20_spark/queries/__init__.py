@@ -24,6 +24,7 @@ from hadoop_20_spark.queries import events  # noqa: F401,E402
 from hadoop_20_spark.queries import graph  # noqa: F401,E402
 from hadoop_20_spark.queries import corpus_stats  # noqa: F401,E402
 from hadoop_20_spark.queries import ingestion  # noqa: F401,E402
+from hadoop_20_spark.queries import raid  # noqa: F401,E402
 
 
 def _driver_seen() -> frozenset[str]:

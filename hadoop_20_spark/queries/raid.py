@@ -1,0 +1,360 @@
+"""HDFS-RAID queries: erasure-coded stripes as relational aggregates.
+
+The reference's contrib/raid (public facebookarchive/hadoop-20 —
+``org/apache/hadoop/raid/RaidNode.java``) scanned HDFS for cold files,
+grouped their blocks into STRIPES of k, and wrote parity so replication
+could drop below 3x: XOR single parity (``XOREncoder.java`` /
+``XORDecoder.java``, tolerate 1 lost block) and GF(2^8) Reed-Solomon
+(``ReedSolomonCode.java``, tolerate m lost blocks; the "DiskReduce"
+economics).  BlockFixer then reconstructed a missing block from the
+survivors + parity.
+
+Spark-first shape (operators/raid.py): a block is rows of
+(stripe, idx, pos, value); encode AND the erasure drill run in ONE
+scan + ONE (stripe, pos) aggregate — parity, survivor-reduced sums and
+the erased originals are parallel conditional ``bit_xor``/``max``
+aggregates over the same shuffle (map-side partials; the value domain
+is bounded so nothing skews) — followed by a per-stripe fingerprint
+roll-up that is ~W times smaller.  Decode algebra (GF constant
+multiplies via linear power-column staging) is pure integer codegen,
+reproduced expression-for-expression in the DuckDB oracles.
+
+Block content is md5-derived from the documents table (word/byte at
+position p = md5(md5(text) || ':' || p)), so the stripes carry real
+corpus-derived data while staying engine-portable (SURVEY §7.4: all
+hashing is md5).  At 100 TB a "block" is a 256 MB file block and ``pos``
+ranges over its words; the aggregate shape is unchanged — parity build
+shuffles exactly one parity-sized relation (stripes x W words), i.e.
+1/k of the data size for RS(k,2), and reconstruction reads only the
+damaged stripes' survivors (partition-prunable by stripe id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.functions import md5_long
+from hadoop_20_spark.operators import raid
+from hadoop_20_spark.queries._base import _sql_md5_long, _t, register
+
+_K = 5  # data blocks per stripe
+_XOR_W = 4  # 60-bit words per block (XOR drill)
+_RS_W = 8  # bytes per block (RS drill; GF(2^8) works on bytes)
+_RS_I, _RS_J = 1, 3  # the erased pair in the RS drill (any pair decodes)
+
+
+def _fp_spark(val: str = "v"):
+    """Per-group md5 fingerprint of values in pos order (both engines
+    render values as decimal strings joined by ',')."""
+    return F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col(val).alias("v")))),
+                lambda s: s["v"].cast("string"),
+            ),
+            ",",
+        )
+    )
+
+
+def _fp_sql(val: str) -> str:
+    return f"md5(string_agg(CAST({val} AS VARCHAR), ',' ORDER BY pos))"
+
+
+# ---------------------------------------------------------------------------
+# XOR single parity: encode + one-erasure reconstruction, verified
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "raid_xor_erasure",
+    rf"""
+    WITH blocks AS (
+      SELECT doc_id // {_K} AS stripe,
+             doc_id % {_K} AS idx,
+             unnest(range({_XOR_W})) AS pos,
+             md5(text) AS seed
+      FROM documents
+    ),
+    words AS (
+      SELECT stripe, idx, pos,
+             {_sql_md5_long("seed || ':' || pos")} AS w,
+             {_sql_md5_long(f"'erase:' || (stripe)")} % {_K} AS e
+      FROM blocks
+    ),
+    cells AS (
+      SELECT stripe, pos,
+             bit_xor(w) AS parity,
+             bit_xor(CASE WHEN idx <> e THEN w END) AS surv,
+             max(CASE WHEN idx = e THEN w END) AS orig,
+             max(e) AS e
+      FROM words GROUP BY stripe, pos
+    ),
+    recon AS (
+      SELECT stripe, pos, e, parity, orig,
+             xor(parity, COALESCE(surv, 0)) AS r
+      FROM cells
+    )
+    SELECT stripe,
+           max(e) AS erased_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           {_fp_sql('parity')} AS parity_fp,
+           {_fp_sql('r')} AS recon_fp,
+           {_fp_sql('orig')} AS orig_fp,
+           CAST(SUM(CASE WHEN r <> orig THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM recon GROUP BY stripe ORDER BY stripe
+    """,
+    note=(
+        "XOREncoder/XORDecoder drill: stripe blocks of md5-derived words, parity = "
+        "bit_xor per (stripe, pos); an md5-CHOSEN block is erased per stripe and "
+        "rebuilt as parity XOR survivors — encode, erasure and originals all ride ONE "
+        "scan + ONE aggregate (conditional bit_xor/max over the same shuffle); the "
+        "per-stripe fingerprints prove reconstructed == lost content (n_mismatch 0)"
+    ),
+)
+def raid_xor_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-parity RAID stripe drill (XOREncoder.java / XORDecoder.java
+    / BlockFixer.java): k=5 document-derived blocks per stripe, 4 words
+    each; parity is a (stripe, pos) bit_xor; the erased block (chosen by
+    md5 of the stripe id, so the drill covers every slot) is rebuilt
+    from parity XOR survivors and fingerprint-compared to the original.
+
+    Plan: ONE documents scan -> explode to (stripe, idx, pos, word) ->
+    ONE map-side-combined aggregate computes parity, survivor-xor and
+    the erased original as parallel conditional aggregates -> a
+    stripe-level roll-up W times smaller.  No joins, no second scan.
+    At 100 TB the parity relation is 1/k of the data and reconstruction
+    partition-prunes to the damaged stripes."""
+    docs = _t(spark, sf_dir, "documents")
+    blocks = docs.select(
+        F.expr(f"doc_id DIV {_K}").alias("stripe"),
+        (F.col("doc_id") % _K).alias("idx"),
+        F.md5("text").alias("seed"),
+        F.explode(F.sequence(F.lit(0), F.lit(_XOR_W - 1))).alias("pos"),
+    )
+    words = blocks.select(
+        "stripe",
+        "idx",
+        "pos",
+        md5_long(F.concat(F.col("seed"), F.lit(":"), F.col("pos").cast("string"))).alias("w"),
+        (
+            md5_long(F.concat(F.lit("erase:"), F.col("stripe").cast("string"))) % _K
+        ).alias("e"),
+    )
+    cells = words.groupBy("stripe", "pos").agg(
+        F.expr("bit_xor(w)").alias("parity"),
+        F.expr("bit_xor(CASE WHEN idx <> e THEN w END)").alias("surv"),
+        F.max(F.when(F.col("idx") == F.col("e"), F.col("w"))).alias("orig"),
+        F.max("e").alias("e"),
+    )
+    recon = cells.select(
+        "stripe",
+        "pos",
+        "e",
+        "parity",
+        "orig",
+        F.col("parity").bitwiseXOR(F.coalesce(F.col("surv"), F.lit(0))).alias("r"),
+    )
+    return (
+        recon.groupBy("stripe")
+        .agg(
+            F.max("e").alias("erased_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            _fp_spark("parity").alias("parity_fp"),
+            _fp_spark("r").alias("recon_fp"),
+            _fp_spark("orig").alias("orig_fp"),
+            F.sum(F.when(F.col("r") != F.col("orig"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .orderBy("stripe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reed-Solomon RS(5, 2): P+Q encode + two-erasure decode, verified
+# ---------------------------------------------------------------------------
+
+
+def _rs_oracle() -> str:
+    gi, _gj, inv = raid.rs_decode_constants(_RS_I, _RS_J)
+    powers_b = ", ".join(raid.gf_powers_sql("b", "m"))
+    powers_p = ", ".join(raid.gf_powers_sql("pstar", "pp"))
+    powers_t = ", ".join(raid.gf_powers_sql("t1", "tt"))
+    qc = " ".join(
+        f"WHEN {l} THEN {raid.gf_combine_sql('m', raid.gf_pow_py(2, l))}"
+        for l in range(_K)
+    )
+    return rf"""
+    WITH blocks AS (
+      SELECT doc_id // {_K} AS stripe,
+             doc_id % {_K} AS idx,
+             unnest(range({_RS_W})) AS pos,
+             md5(text) AS seed
+      FROM documents
+    ),
+    bytes AS (
+      SELECT stripe, idx, pos,
+             ('0x' || substr(md5(seed || ':' || pos), 1, 2))::BIGINT AS b
+      FROM blocks
+    ),
+    contrib AS (
+      SELECT stripe, idx, pos, {powers_b},
+             (CASE idx {qc} ELSE 0 END) AS qc
+      FROM bytes
+    ),
+    cells AS (
+      SELECT stripe, pos,
+             bit_xor(m0) AS p,
+             bit_xor(qc) AS q,
+             bit_xor(CASE WHEN idx NOT IN ({_RS_I}, {_RS_J}) THEN m0 END) AS sp,
+             bit_xor(CASE WHEN idx NOT IN ({_RS_I}, {_RS_J}) THEN qc END) AS sq,
+             max(CASE WHEN idx = {_RS_I} THEN m0 END) AS o_i,
+             max(CASE WHEN idx = {_RS_J} THEN m0 END) AS o_j
+      FROM contrib GROUP BY stripe, pos
+    ),
+    star AS (
+      SELECT stripe, pos, p, q, o_i, o_j,
+             xor(p, COALESCE(sp, 0)) AS pstar,
+             xor(q, COALESCE(sq, 0)) AS qstar
+      FROM cells
+    ),
+    dj_t AS (
+      SELECT stripe, pos, p, q, o_i, o_j, pstar, qstar, {powers_p},
+             xor(qstar, {raid.gf_combine_sql('pp', gi)}) AS t1
+      FROM star
+    ),
+    dec AS (
+      SELECT stripe, pos, p, q, o_i, o_j, pstar, {powers_t},
+             {raid.gf_combine_sql('tt', inv)} AS d_j
+      FROM dj_t
+    ),
+    final AS (
+      SELECT stripe, pos, p, q, o_i, o_j, d_j,
+             xor(pstar, d_j) AS d_i
+      FROM dec
+    )
+    SELECT stripe,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes,
+           {_fp_sql('p')} AS p_fp,
+           {_fp_sql('q')} AS q_fp,
+           {_fp_sql('d_i')} AS di_fp,
+           {_fp_sql('d_j')} AS dj_fp,
+           CAST(SUM(CASE WHEN d_i <> o_i OR d_j <> o_j THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch
+    FROM final GROUP BY stripe ORDER BY stripe
+    """
+
+
+@register(
+    "raid_rs_two_erasure",
+    _rs_oracle(),
+    note=(
+        "ReedSolomonCode.java drill, RS(5,2) over GF(2^8): P = xor of the stripe's "
+        "bytes, Q = xor of g^idx-weighted bytes (generator multiplies via linear "
+        "power-column staging — no lookup tables, pure shift/mask/xor codegen "
+        "identical in both engines); blocks 1 and 3 are erased in every stripe and "
+        "BOTH are recovered by the 2x2 GF solve (survivor-reduced P*/Q*, constant "
+        "multiplies by g^i and inv(g^i^g^j)); per-stripe fingerprints + n_mismatch 0 "
+        "prove decode == original, cell-for-cell"
+    ),
+)
+def raid_rs_two_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reed-Solomon RS(5,2) stripe drill — the reference's marquee
+    storage feature (contrib/raid ReedSolomonCode.java; DiskReduce: the
+    code that let HDFS run below 2x effective replication).  Every
+    stripe loses TWO blocks (indexes 1 and 3) and recovers both:
+
+        P* = P ^ xor(survivors)         = D_i ^ D_j
+        Q* = Q ^ xor(g^l-weighted surv) = g^i.D_i ^ g^j.D_j
+        D_j = inv(g^i ^ g^j) . (Q* ^ g^i.P*);   D_i = P* ^ D_j
+
+    GF(2^8) products-by-constant are XORs of precomputed power columns
+    (x, 2x, ..., 128x — each level one shift/mask/xor off the previous
+    ATTRIBUTE, so the plan stays linear); decode constants come from the
+    Python field model at build time (raid.rs_decode_constants).
+
+    Plan: ONE documents scan -> (stripe, idx, pos, byte) with power
+    columns -> ONE map-side-combined aggregate yields P, Q, survivor
+    reductions and both erased originals -> flat GF solve on the
+    aggregated cells (no join, no second shuffle) -> stripe roll-up.
+    Same 100 TB posture as raid_xor_erasure: parity = 2/k of data,
+    repairs partition-prune to damaged stripes."""
+    gi, _gj, inv = raid.rs_decode_constants(_RS_I, _RS_J)
+    docs = _t(spark, sf_dir, "documents")
+    blocks = docs.select(
+        F.expr(f"doc_id DIV {_K}").alias("stripe"),
+        (F.col("doc_id") % _K).alias("idx"),
+        F.md5("text").alias("seed"),
+        F.explode(F.sequence(F.lit(0), F.lit(_RS_W - 1))).alias("pos"),
+    )
+    by = blocks.select(
+        "stripe",
+        "idx",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("pos").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    contrib = raid.with_gf_powers(by, "b", "m")
+    expr = None
+    for l in range(_K):
+        branch = F.when(F.col("idx") == l, raid.gf_combine("m", raid.gf_pow_py(2, l)))
+        expr = branch if expr is None else expr.when(
+            F.col("idx") == l, raid.gf_combine("m", raid.gf_pow_py(2, l))
+        )
+    contrib = contrib.withColumn("qc", expr.otherwise(F.lit(0)).cast("bigint"))
+    erased = f"idx IN ({_RS_I}, {_RS_J})"
+    cells = contrib.groupBy("stripe", "pos").agg(
+        F.expr("bit_xor(m0)").alias("p"),
+        F.expr("bit_xor(qc)").alias("q"),
+        F.expr(f"bit_xor(CASE WHEN NOT ({erased}) THEN m0 END)").alias("sp"),
+        F.expr(f"bit_xor(CASE WHEN NOT ({erased}) THEN qc END)").alias("sq"),
+        F.max(F.when(F.col("idx") == _RS_I, F.col("m0"))).alias("o_i"),
+        F.max(F.when(F.col("idx") == _RS_J, F.col("m0"))).alias("o_j"),
+    )
+    star = cells.select(
+        "stripe",
+        "pos",
+        "p",
+        "q",
+        "o_i",
+        "o_j",
+        F.col("p").bitwiseXOR(F.coalesce(F.col("sp"), F.lit(0))).alias("pstar"),
+        F.col("q").bitwiseXOR(F.coalesce(F.col("sq"), F.lit(0))).alias("qstar"),
+    )
+    star = raid.with_gf_powers(star, "pstar", "pp")
+    star = star.withColumn(
+        "t1", F.col("qstar").bitwiseXOR(raid.gf_combine("pp", gi))
+    )
+    star = raid.with_gf_powers(star, "t1", "tt")
+    final = star.withColumn("d_j", raid.gf_combine("tt", inv).cast("bigint")).withColumn(
+        "d_i", F.col("pstar").bitwiseXOR(F.col("d_j"))
+    )
+    return (
+        final.groupBy("stripe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bytes"),
+            _fp_spark("p").alias("p_fp"),
+            _fp_spark("q").alias("q_fp"),
+            _fp_spark("d_i").alias("di_fp"),
+            _fp_spark("d_j").alias("dj_fp"),
+            F.sum(
+                F.when(
+                    (F.col("d_i") != F.col("o_i")) | (F.col("d_j") != F.col("o_j")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .orderBy("stripe")
+    )

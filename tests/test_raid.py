@@ -161,3 +161,24 @@ def test_rs_two_erasure_spark_matches_model(spark):
         _, _, di_m, dj_m = raid.rs_model_py(stripes[s], i, j)
         for t in range(w):
             assert got_dj[(s, t)] == dj_m[t] == stripes[s][j][t], (s, t)
+
+
+def test_registry_raid_drills_verify_zero_mismatch(spark):
+    """The registry drills are SELF-verifying: their n_mismatch column
+    (reconstructed vs original content, computed in-query) must be 0 on
+    every stripe — this catches a shared-math bug the oracle hash
+    cannot (both engines run the same GF algebra)."""
+    from hadoop_20_spark.queries import REGISTRY
+
+    for name in ("raid_xor_erasure", "raid_rs_two_erasure"):
+        rows = REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r["n_mismatch"] == 0 for r in rows), name
+
+
+def test_xor_erasure_covers_every_slot(spark):
+    """The md5-chosen erased index actually exercises all k slots
+    across stripes (a fixed slot would leave k-1 decode paths untested)."""
+    from hadoop_20_spark.queries import REGISTRY
+
+    rows = REGISTRY["raid_xor_erasure"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert {r["erased_idx"] for r in rows} == {0, 1, 2, 3, 4}
