@@ -650,3 +650,200 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("rel_err_pct"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection by inclusion-exclusion (round 9)
+# ---------------------------------------------------------------------------
+# The estimator body, shared by the three sketch readouts below (single
+# sources, pair unions).  Input: a keyed register relation; output: the
+# keyed integer stats + est_hll.  Same math as hll_distinct_merge.
+
+
+def _hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_BITS + 1} - reg)")
+    stats = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("occupied_buckets"),
+        F.sum(term).cast("long").alias("s_present"),
+    )
+    base = stats.select(
+        *keys,
+        (F.lit(_HLL_M) - F.col("occupied_buckets")).cast("long").alias("zero_buckets"),
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("occupied_buckets"))
+            * F.lit(1 << (_HLL_RHO_BITS + 1)).cast("long")
+        ).cast("long").alias("s_scaled"),
+    )
+    est = base.withColumn("est_raw", F.round(F.lit(_HLL_NUM) / F.col("s_scaled"), 4))
+    small = (F.col("est_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("zero_buckets") > 0)
+    lc = F.round(
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zero_buckets")), 4
+    )
+    return est.select(
+        *keys, F.when(small, lc).otherwise(F.col("est_raw")).alias("est_hll")
+    )
+
+
+def _sql_hll_est(regs_cte: str, keys: str) -> str:
+    """SQL twin of _hll_estimate as a derived-table expression."""
+    return f"""(
+      SELECT {keys},
+             CASE WHEN est_raw <= {2.5 * _HLL_M!r} AND zero_buckets > 0
+                  THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_buckets), 4)
+                  ELSE est_raw END AS est_hll
+      FROM (
+        SELECT {keys}, zero_buckets,
+               ROUND({_HLL_NUM!r} / s_scaled, 4) AS est_raw
+        FROM (
+          SELECT {keys},
+                 CAST({_HLL_M} - COUNT(*) AS BIGINT) AS zero_buckets,
+                 CAST(SUM(1::BIGINT << ({_HLL_RHO_BITS + 1} - reg))
+                      + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RHO_BITS + 1})
+                      AS BIGINT) AS s_scaled
+          FROM {regs_cte} GROUP BY {keys}
+        )
+      )
+    )"""
+
+
+@register(
+    "hll_intersect_estimate",
+    rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS.format(col='text')}) AS w FROM documents
+    ),
+    dw AS (SELECT DISTINCT source, w FROM tok),
+    cells AS (
+      SELECT source,
+             ({_sql_md5_long('w')} & 63) AS bucket,
+             {_HLL_RHO_BITS + 1} - {_sql_bitlen32(_HLL_V)} AS rho
+      FROM dw
+    ),
+    regs AS (SELECT source, bucket, MAX(rho) AS reg FROM cells GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2
+      FROM (SELECT DISTINCT source FROM documents) a,
+           (SELECT DISTINCT source FROM documents) b
+      WHERE a.source < b.source
+    ),
+    regs_u AS (
+      SELECT p.s1, p.s2, r.bucket, MAX(r.reg) AS reg
+      FROM pairs p JOIN regs r ON r.source = p.s1 OR r.source = p.s2
+      GROUP BY 1, 2, 3
+    ),
+    est_s AS (SELECT * FROM {_sql_hll_est('regs', 'source')}),
+    est_u AS (SELECT * FROM {_sql_hll_est('regs_u', 's1, s2')}),
+    exact_i AS (
+      SELECT p.s1, p.s2, CAST(COUNT(*) AS BIGINT) AS exact_intersect
+      FROM pairs p
+      JOIN dw a ON a.source = p.s1
+      JOIN dw b ON b.source = p.s2 AND b.w = a.w
+      GROUP BY 1, 2
+    )
+    SELECT p.s1, p.s2,
+           ea.est_hll AS est_a,
+           eb.est_hll AS est_b,
+           eu.est_hll AS est_union,
+           ROUND(GREATEST(ea.est_hll + eb.est_hll - eu.est_hll, 0.0), 4)
+             AS est_intersect,
+           x.exact_intersect,
+           ROUND(ABS(ROUND(GREATEST(ea.est_hll + eb.est_hll - eu.est_hll, 0.0), 4)
+                     - x.exact_intersect), 4) AS abs_err
+    FROM pairs p
+    JOIN est_s ea ON ea.source = p.s1
+    JOIN est_s eb ON eb.source = p.s2
+    JOIN est_u eu ON eu.s1 = p.s1 AND eu.s2 = p.s2
+    JOIN exact_i x ON x.s1 = p.s1 AND x.s2 = p.s2
+    ORDER BY p.s1, p.s2
+    """,
+    note=(
+        "HLL SET ALGEBRA: union sketches come FREE (element-wise max of the two "
+        "sources' registers — the semilattice property again), and intersection is "
+        "inclusion-exclusion over three estimates (A + B - AUB, clamped at 0).  The "
+        "exact intersection rides along per pair as the audit; estimator math is the "
+        "integer register pipeline of hll_distinct_merge, applied keyed by (s1, s2).  "
+        "The practical point: pairwise source-overlap matrices at 100 TB cost "
+        "sources^2 x 64 registers, not a re-scan per pair"
+    ),
+)
+def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap from HLL sketches alone:
+    est(A ∩ B) = est(A) + est(B) - est(A ∪ B), where the union sketch
+    is the element-wise register max (never a data rescan).  Every pair
+    carries the exact intersection as its audit column (abs_err) — at
+    m=64 the inclusion-exclusion error is large by design (the
+    documented sketch-tolerance posture: widening m changes no plan
+    shape), and the synthetic corpus' shared 31-word vocabulary makes
+    intersections near-total, so the estimate tracks the union closely.
+
+    Plan: ONE documents scan -> persisted distinct (source, token)
+    feeds registers AND the exact-intersect audit; everything after is
+    sources^2-sized (<= 64*pairs register cells, broadcast joins).  At
+    100 TB the audit drops and the pairwise matrix costs nothing but
+    sketch merges — the reason warehouses keep HLL registers as table
+    metadata.  Reference anchor (public hadoop-20):
+    mapred/lib/aggregate/UniqValueCount.java (exact-set ancestor);
+    the set-algebra readout is the capability its maxNumItems cap
+    could never offer."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_fn_tokens("text")).alias("w"))
+    dw = tok.distinct().persist()
+    h = md5_long(F.col("w"))
+    v = F.shiftright(h, 6).bitwiseAND(F.lit((1 << 32) - 1))
+    cells = dw.select(
+        "source",
+        h.bitwiseAND(F.lit(63)).alias("bucket"),
+        (F.lit(_HLL_RHO_BITS + 1) - _bitlen32(v)).alias("rho"),
+    )
+    regs = cells.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+    )
+    regs_u = (
+        pairs.join(
+            regs,
+            (F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")),
+        )
+        .groupBy("s1", "s2", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_s = _hll_estimate(regs, ["source"])
+    est_u = _hll_estimate(regs_u, ["s1", "s2"])
+    exact_i = (
+        pairs.join(dw.alias("x"), F.col("x.source") == F.col("s1"))
+        .join(
+            dw.alias("y"),
+            (F.col("y.source") == F.col("s2")) & (F.col("y.w") == F.col("x.w")),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    est_int = F.round(
+        F.greatest(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+        ),
+        4,
+    )
+    return (
+        pairs.join(est_s.withColumnRenamed("est_hll", "est_a"), F.col("source") == F.col("s1"))
+        .drop("source")
+        .join(est_s.withColumnRenamed("est_hll", "est_b").withColumnRenamed("source", "src2"), F.col("src2") == F.col("s2"))
+        .drop("src2")
+        .join(est_u.withColumnRenamed("est_hll", "est_union"), ["s1", "s2"])
+        .join(exact_i, ["s1", "s2"])
+        .select(
+            "s1",
+            "s2",
+            "est_a",
+            "est_b",
+            "est_union",
+            est_int.alias("est_intersect"),
+            "exact_intersect",
+            F.round(F.abs(est_int - F.col("exact_intersect")), 4).alias("abs_err"),
+        )
+        .orderBy("s1", "s2")
+    )
