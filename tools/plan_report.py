@@ -107,6 +107,7 @@ QUERIES = {
     "incremental_optimize_audit": "read-back of the merged zorder_file=K/ layout; partition column drives the per-cell aggregate — the audit's cost is one scan of the clustered table",
     "session_overlap_partners": "interval-overlap via the time-grid equi-join: both session sides explode onto 1h cells, candidates join on cell, true pairs attributed to exactly ONE cell (greatest start-cell) — no dedup shuffle, no cartesian",
     "hll_intersect_estimate": "one scan -> persisted distinct (source, token) feeds registers and the exact audit; union sketches are register-max merges; all post-sketch joins are sources^2-sized broadcasts",
+    "time_travel_read": "one scan of the commit log joined to the broadcast 3-row as_of spine; (as_of,key) max_by picks last writes, tombstones drop keys; report agg is version-count sized",
     "raid_xor_erasure": "encode + erasure drill in ONE scan + ONE (stripe,pos) aggregate (parity / survivor-xor / original as parallel conditional aggs, map-side partials), then a W-times-smaller stripe roll-up; no joins",
     "raid_rs_two_erasure": "same single-scan single-shuffle shape; GF(2^8) P/Q encode and the 2x2 decode solve are flat integer codegen over power columns — no lookup tables, no UDF, no second scan",
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
