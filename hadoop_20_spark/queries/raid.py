@@ -358,3 +358,129 @@ def raid_rs_two_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stripe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental parity maintenance: delta-XOR update == full re-encode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "raid_parity_delta_maintenance",
+    rf"""
+    WITH blocks AS (
+      SELECT doc_id // {_K} AS stripe,
+             doc_id % {_K} AS idx,
+             unnest(range({_XOR_W})) AS pos,
+             md5(text) AS seed,
+             {_sql_md5_long("'delta:' || doc_id")} % 7 = 0 AS changed
+      FROM documents
+    ),
+    words AS (
+      SELECT stripe, idx, pos, changed,
+             {_sql_md5_long("seed || ':' || pos")} AS w_old,
+             CASE WHEN changed
+                  THEN {_sql_md5_long("seed || ':v2:' || pos")}
+                  ELSE {_sql_md5_long("seed || ':' || pos")} END AS w_new
+      FROM blocks
+    ),
+    cells AS (
+      SELECT stripe, pos,
+             bit_xor(w_old) AS parity_old,
+             bit_xor(CASE WHEN changed THEN xor(w_old, w_new) END) AS delta,
+             bit_xor(w_new) AS rebuilt,
+             CAST(SUM(CASE WHEN changed AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc
+      FROM words GROUP BY stripe, pos
+    ),
+    m AS (
+      SELECT stripe, pos, parity_old, rebuilt, nc,
+             xor(parity_old, COALESCE(delta, 0)) AS maintained
+      FROM cells
+    )
+    SELECT stripe,
+           CAST(SUM(nc) AS BIGINT) AS n_changed_blocks,
+           {_fp_sql('parity_old')} AS parity_old_fp,
+           {_fp_sql('maintained')} AS maintained_fp,
+           {_fp_sql('rebuilt')} AS rebuilt_fp,
+           CAST(SUM(CASE WHEN maintained <> rebuilt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch
+    FROM m GROUP BY stripe ORDER BY stripe
+    """,
+    note=(
+        "incremental parity maintenance (RaidNode's economics on append/update: "
+        "never re-read the stripe): parity' = parity XOR (old XOR new) over only the "
+        "CHANGED blocks — maintained fingerprint must equal the full re-encode, "
+        "per (stripe, pos), proven in-query (n_mismatch 0); old parity, the delta "
+        "and the rebuild all ride ONE aggregate as conditional bit_xors"
+    ),
+)
+def raid_parity_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge==rebuild discipline (incremental_agg_maintenance,
+    postings_delta_merge) applied to erasure parity: when a block is
+    rewritten, the new parity is parity_old XOR old XOR new — an
+    O(changed-blocks) update — and must be bit-identical to re-encoding
+    the whole stripe.  XOR's self-inverse property is exactly why
+    single-parity RAID can absorb writes without stripe re-reads; a
+    ~1/7 md5 class of documents takes new content (re-derived words)
+    and every stripe's maintained parity is checked against its full
+    rebuild.
+
+    Plan: ONE scan; old/new words and the changed flag are row-local;
+    parity_old, the delta XOR and the rebuilt parity are parallel
+    conditional bit_xors in ONE (stripe, pos) aggregate; the roll-up
+    emits per-stripe fingerprints + n_mismatch.  At 100 TB the
+    maintained path touches only changed blocks + the parity file —
+    data movement proportional to the WRITE, not the stripe (the whole
+    point of contrib/raid's purge/recreate cycle being incremental)."""
+    docs = _t(spark, sf_dir, "documents")
+    blocks = docs.select(
+        F.expr(f"doc_id DIV {_K}").alias("stripe"),
+        (F.col("doc_id") % _K).alias("idx"),
+        F.md5("text").alias("seed"),
+        (md5_long(F.concat(F.lit("delta:"), F.col("doc_id").cast("string"))) % 7 == 0).alias(
+            "changed"
+        ),
+        F.explode(F.sequence(F.lit(0), F.lit(_XOR_W - 1))).alias("pos"),
+    )
+    pos_s = F.col("pos").cast("string")
+    w_old = md5_long(F.concat(F.col("seed"), F.lit(":"), pos_s))
+    w_v2 = md5_long(F.concat(F.col("seed"), F.lit(":v2:"), pos_s))
+    words = blocks.select(
+        "stripe",
+        "pos",
+        "changed",
+        w_old.alias("w_old"),
+        F.when(F.col("changed"), w_v2).otherwise(w_old).alias("w_new"),
+    )
+    cells = words.groupBy("stripe", "pos").agg(
+        F.expr("bit_xor(w_old)").alias("parity_old"),
+        F.expr("bit_xor(CASE WHEN changed THEN w_old ^ w_new END)").alias("delta"),
+        F.expr("bit_xor(w_new)").alias("rebuilt"),
+        F.sum(F.when(F.col("changed") & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+    )
+    m = cells.select(
+        "stripe",
+        "pos",
+        "parity_old",
+        "rebuilt",
+        "nc",
+        F.col("parity_old")
+        .bitwiseXOR(F.coalesce(F.col("delta"), F.lit(0)))
+        .alias("maintained"),
+    )
+    return (
+        m.groupBy("stripe")
+        .agg(
+            F.sum("nc").cast("long").alias("n_changed_blocks"),
+            _fp_spark("parity_old").alias("parity_old_fp"),
+            _fp_spark("maintained").alias("maintained_fp"),
+            _fp_spark("rebuilt").alias("rebuilt_fp"),
+            F.sum(F.when(F.col("maintained") != F.col("rebuilt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .orderBy("stripe")
+    )

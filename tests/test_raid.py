@@ -182,3 +182,21 @@ def test_xor_erasure_covers_every_slot(spark):
 
     rows = REGISTRY["raid_xor_erasure"].fn(spark, "/root/testdata/sf0.001").collect()
     assert {r["erased_idx"] for r in rows} == {0, 1, 2, 3, 4}
+
+
+def test_parity_delta_maintenance_registry(spark):
+    """Maintained parity == rebuilt parity on every stripe, and the
+    delta drill actually changes a meaningful fraction of blocks."""
+    from hadoop_20_spark.queries import REGISTRY
+
+    rows = REGISTRY["raid_parity_delta_maintenance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["n_mismatch"] == 0 for r in rows)
+    changed = sum(r["n_changed_blocks"] for r in rows)
+    assert 0 < changed < 500  # ~1/7 of 500 blocks
+    # changed stripes must actually MOVE the parity fingerprint
+    assert all(
+        (r["maintained_fp"] != r["parity_old_fp"]) == (r["n_changed_blocks"] > 0)
+        for r in rows
+    )
