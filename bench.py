@@ -70,6 +70,7 @@ DUCKDB_COMPARABLE = (
     "b20_quality_gate",
     "b21_dsir_select",
     "b22_exact_median",
+    "b23_rs_erasure",
 )
 
 BENCH_QUERIES = {
@@ -161,6 +162,13 @@ BENCH_QUERIES = {
     # rounds whose BETWEEN filters push into the scan; a regression to
     # a sort-based selection roughly doubles the entry.
     "b22_exact_median": "exact_median_refinement",
+    # b23: round-9 — Reed-Solomon two-erasure recovery over GF(2^8).
+    # A compute profile nothing else in the suite has: wide pure-integer
+    # codegen (power-column GF algebra) feeding parallel conditional
+    # bit_xor aggregates in one (stripe,pos) shuffle.  In the bench so a
+    # regression to a join-based decode or a lookup-table UDF shows up
+    # as wall-clock.
+    "b23_rs_erasure": "raid_rs_two_erasure",
 }
 
 

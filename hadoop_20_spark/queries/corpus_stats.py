@@ -797,7 +797,7 @@ def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_HLL_RHO_BITS + 1) - _bitlen32(v)).alias("rho"),
     )
     regs = cells.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
-    srcs = docs.select("source").distinct()
+    srcs = dw.select("source").distinct()
     pairs = (
         srcs.alias("a")
         .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
@@ -829,12 +829,22 @@ def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return (
-        pairs.join(est_s.withColumnRenamed("est_hll", "est_a"), F.col("source") == F.col("s1"))
+        pairs.join(
+            F.broadcast(est_s.withColumnRenamed("est_hll", "est_a")),
+            F.col("source") == F.col("s1"),
+        )
         .drop("source")
-        .join(est_s.withColumnRenamed("est_hll", "est_b").withColumnRenamed("source", "src2"), F.col("src2") == F.col("s2"))
+        .join(
+            F.broadcast(
+                est_s.withColumnRenamed("est_hll", "est_b").withColumnRenamed(
+                    "source", "src2"
+                )
+            ),
+            F.col("src2") == F.col("s2"),
+        )
         .drop("src2")
-        .join(est_u.withColumnRenamed("est_hll", "est_union"), ["s1", "s2"])
-        .join(exact_i, ["s1", "s2"])
+        .join(F.broadcast(est_u.withColumnRenamed("est_hll", "est_union")), ["s1", "s2"])
+        .join(F.broadcast(exact_i), ["s1", "s2"])
         .select(
             "s1",
             "s2",

@@ -760,3 +760,42 @@ def test_analyze_stats_feed_cbo_selectivity(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS cbo_stats_t")
+
+
+def test_raid_drills_single_scan_no_join(spark):
+    """RAID encode+erasure drills: everything rides ONE documents scan
+    and ONE (stripe,pos) aggregate — parity, survivor reductions and
+    originals are parallel conditional aggregates, never a join or a
+    second scan; the GF decode solve is flat codegen over the
+    aggregated cells."""
+    for name in (
+        "raid_xor_erasure",
+        "raid_rs_two_erasure",
+        "raid_parity_delta_maintenance",
+    ):
+        plan = physical_plan(REGISTRY[name].fn(spark, PLAN_SF))
+        assert plan.count("documents.parquet") == 1, (name, plan.count("documents.parquet"))
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hll_intersect_one_scan_broadcast_algebra(spark):
+    """hll_intersect_estimate: one persisted (source, token) distinct
+    feeds registers AND the exact audit (<=2 documents scans including
+    the source-spine read); all post-sketch joins are sources^2-sized
+    and must broadcast — no sort-merge join anywhere."""
+    plan = physical_plan(REGISTRY["hll_intersect_estimate"].fn(spark, PLAN_SF))
+    assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
+    assert "InMemoryRelation" in plan
+    assert "SortMergeJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_time_travel_single_log_scan_broadcast_spine(spark):
+    """time_travel_read: the commit log is scanned ONCE; the as_of
+    spine joins by broadcast; last-writer-wins is one max_by aggregate
+    (no per-version re-reads, no window over the whole log)."""
+    plan = physical_plan(REGISTRY["time_travel_read"].fn(spark, PLAN_SF))
+    assert plan.count("orders_log") == 1, plan.count("orders_log")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
