@@ -539,6 +539,38 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pruned scan (old commits partition-prune away under
     version <= v).  Row counts move 8000 -> 9000 -> 8000 across
     versions at sf0.01 (inserts, then inserts+deletes balancing)."""
+    tdir = _tt_publish_log(spark, sf_dir)
+    log = spark.read.parquet(tdir)
+    spine = spark.range(3).select(F.col("id").cast("int").alias("as_of"))
+    latest = (
+        log.join(F.broadcast(spine), F.col("version") <= F.col("as_of"))
+        .groupBy("as_of", "k")
+        .agg(F.expr("max_by(struct(op, cents), version)").alias("last"))
+        .filter(F.col("last.op") != "D")
+    )
+    return (
+        latest.groupBy("as_of")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("last.cents").cast("long").alias("sum_cents"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .select(
+            F.col("as_of").cast("long").alias("version"),
+            "n_rows",
+            "sum_cents",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("version")
+    )
+
+
+def _tt_publish_log(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publisher of the commit-versioned orders log (the
+    shared fixture of time_travel_read and time_travel_checkpoint);
+    returns the published table dir."""
     import os
 
     o = _t(spark, sf_dir, "orders")
@@ -589,28 +621,124 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             b.write.mode("overwrite" if i == 0 else "append").parquet(d)
 
     _publish_atomic(build, tdir)
-    log = spark.read.parquet(tdir)
-    spine = spark.range(3).select(F.col("id").cast("int").alias("as_of"))
-    latest = (
-        log.join(F.broadcast(spine), F.col("version") <= F.col("as_of"))
-        .groupBy("as_of", "k")
-        .agg(F.expr("max_by(struct(op, cents), version)").alias("last"))
-        .filter(F.col("last.op") != "D")
+    return tdir
+
+
+@register(
+    "time_travel_checkpoint",
+    rf"""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             {_sql_md5_long('CAST(o_orderkey AS VARCHAR)')} % 10 AS m
+      FROM orders
+    ),
+    state2 AS (
+      SELECT k,
+             cents + CASE WHEN m = 0 THEN {_TT_UPD1} ELSE 0 END
+                   + CASE WHEN m = 2 THEN {_TT_UPD2} ELSE 0 END AS cents_eff
+      FROM v
+      WHERE (m <= 7 OR m IN (8, 9)) AND m <> 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents_eff) AS BIGINT) AS sum_cents,
+             MIN(k) AS min_key,
+             MAX(k) AS max_key
+      FROM state2
     )
-    return (
-        latest.groupBy("as_of")
-        .agg(
+    SELECT m.method, a.n_rows, a.sum_cents, a.min_key, a.max_key,
+           CAST(0 AS BIGINT) AS n_diff
+    FROM (SELECT unnest(['from_checkpoint', 'full_replay']) AS method) m
+    CROSS JOIN agg a
+    ORDER BY m.method
+    """,
+    note=(
+        "the SecondaryNameNode contract (hdfs/server/namenode/SecondaryNameNode.java, "
+        "FSImage.java): a CHECKPOINT materialized at v1 (resolved state, no history) "
+        "plus only the v2 edit batch must equal the full v0..v2 log replay — proven "
+        "in-query by a full-outer diff of the two states (n_diff 0, attached to both "
+        "report rows); the oracle computes the final state arithmetically once and "
+        "expects both methods to report it identically"
+    ),
+)
+def time_travel_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointing the commit log: reading state-as-of the latest
+    version must cost |checkpoint| + |edits since|, not a full-history
+    replay — the namenode's fsimage compaction (SecondaryNameNode
+    merged fsimage + edits into a new fsimage so restart replay stayed
+    bounded), which is also exactly a lakehouse log checkpoint.
+
+    The checkpoint itself is staged once: state-as-of v1 (last-writer-
+    wins over commits 0..1, tombstone-free) written as a plain snapshot
+    table.  The query then builds the final state TWO ways — full
+    replay of commits 0..2 vs checkpoint + commit-2 edits (version 100
+    marks the checkpoint generation so max_by prefers real v2 edits) —
+    and full-outer-diffs them (n_diff must be 0) before reporting both
+    aggregates.
+
+    Plan: checkpoint read + ONE pruned log scan (version = 2) on the
+    incremental side; full replay scans the log once; the diff is one
+    co-keyed full outer join; report rows are 2.  At 100 TB the
+    incremental side's read is proportional to checkpoint + latest
+    commit — the entire operational point; the full-replay side exists
+    to PROVE it equal and would be dropped in production."""
+    import os
+
+    tdir = _tt_publish_log(spark, sf_dir)
+    log = spark.read.parquet(tdir)
+    cdir = os.path.dirname(tdir) + "/checkpoint_v1"
+
+    def build(d):
+        (
+            log.filter(F.col("version") <= 1)
+            .groupBy("k")
+            .agg(F.expr("max_by(struct(op, cents), version)").alias("last"))
+            .filter(F.col("last.op") != "D")
+            .select("k", F.col("last.cents").alias("cents"))
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    _publish_atomic(build, cdir)
+
+    def _resolve(df):
+        return (
+            df.groupBy("k")
+            .agg(F.expr("max_by(struct(op, cents), version)").alias("last"))
+            .filter(F.col("last.op") != "D")
+            .select("k", F.col("last.cents").alias("cents"))
+        )
+
+    full = _resolve(log)
+    ckpt = spark.read.parquet(cdir).select(
+        F.lit(0).alias("version"), F.lit("U").alias("op"), "k", "cents"
+    )
+    inc = _resolve(ckpt.unionByName(log.filter(F.col("version") == 2)))
+
+    diff = (
+        full.withColumnRenamed("cents", "c_full")
+        .join(inc.withColumnRenamed("cents", "c_inc"), "k", "full_outer")
+        .filter(
+            F.col("c_full").isNull()
+            | F.col("c_inc").isNull()
+            | (F.col("c_full") != F.col("c_inc"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_diff"))
+    )
+
+    def report(df, method):
+        return df.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("last.cents").cast("long").alias("sum_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
             F.min("k").alias("min_key"),
             F.max("k").alias("max_key"),
-        )
-        .select(
-            F.col("as_of").cast("long").alias("version"),
-            "n_rows",
-            "sum_cents",
-            "min_key",
-            "max_key",
-        )
-        .orderBy("version")
+        ).select(F.lit(method).alias("method"), "*")
+
+    return (
+        report(inc, "from_checkpoint")
+        .unionByName(report(full, "full_replay"))
+        .crossJoin(F.broadcast(diff))
+        .select("method", "n_rows", "sum_cents", "min_key", "max_key", "n_diff")
+        .orderBy("method")
     )
