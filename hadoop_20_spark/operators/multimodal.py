@@ -548,3 +548,89 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic gray PPM corpus + decode (round 9: perceptual near-dup drill)
+# ---------------------------------------------------------------------------
+# Pixel spec (shared with the SQL oracle, which recomputes it
+# arithmetically): image content belongs to the doc's BASE group
+# (doc_id DIV group), gray value at index i =
+#   md5("px:{base}:{i}")[:2 hex]  (+128 mod 256 where the per-DOC noise
+#   class md5("noise:{doc_id}:{i}")[:15 hex] % noise_mod == 0)
+# so same-base docs are near-duplicates differing in ~1/noise_mod of
+# their pixels.  The Spark path must recover these values only through
+# a REAL PPM encode -> decode round trip; matching the oracle proves the
+# binary path lossless.
+
+_SYNTH_W = 16
+_SYNTH_H = 16
+
+
+def _synth_gray(doc_id: int, base_id: int, noise_mod: int) -> "object":
+    import numpy as np
+
+    n = _SYNTH_W * _SYNTH_H
+    v = np.empty(n, dtype=np.uint8)
+    for i in range(n):
+        g = int(hashlib.md5(f"px:{base_id}:{i}".encode()).hexdigest()[:2], 16)
+        if int(hashlib.md5(f"noise:{doc_id}:{i}".encode()).hexdigest()[:15], 16) % noise_mod == 0:
+            g = (g + 128) % 256
+        v[i] = g
+    return v
+
+
+def synth_gray_ppm(
+    df: DataFrame, id_col: str = "doc_id", group: int = 3, noise_mod: int = 50
+) -> DataFrame:
+    """Deterministic 16x16 gray P6 corpus: same-base docs are planted
+    near-duplicates.  Arrow-batched generation; payload is a REAL PPM
+    (header + raw RGB triples, r=g=b)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            ids = b[id_col].astype("int64")
+            payloads, bases = [], []
+            for mid in ids:
+                base = int(mid) // group
+                v = _synth_gray(int(mid), base, noise_mod)
+                rgb = np.repeat(v, 3)
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (_SYNTH_W, _SYNTH_H) + rgb.tobytes()
+                )
+                bases.append(base)
+            yield pd.DataFrame(
+                {"media_id": ids.values, "base_id": bases, "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, "media_id long, base_id long, payload binary"
+    )
+
+
+def decode_gray(media: DataFrame) -> DataFrame:
+    """Decode PPM payloads back to integer luma arrays (Rec.601 integer
+    weights — exact for r=g=b inputs), Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            grays = []
+            for payload in b["payload"]:
+                w, h, px = _decode_ppm_px(bytes(payload))
+                luma = (
+                    px[:, :, 0].astype("uint32") * 299
+                    + px[:, :, 1].astype("uint32") * 587
+                    + px[:, :, 2].astype("uint32") * 114
+                ) // 1000
+                grays.append([int(x) for x in luma.reshape(-1)])
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].values,
+                    "base_id": b["base_id"].values,
+                    "gray": grays,
+                }
+            )
+
+    return media.mapInPandas(run, "media_id long, base_id long, gray array<int>")

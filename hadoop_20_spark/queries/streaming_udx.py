@@ -1140,3 +1140,125 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stream_ops.run_to_memory(agg, "q_streaming_session")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup over REAL decoded pixels (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "image_ahash_near_dup",
+    r"""
+    WITH px AS (
+      SELECT doc_id, doc_id // 3 AS base, unnest(range(256)) AS i
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, base, i,
+             (('0x' || substr(md5('px:' || base || ':' || i), 1, 2))::INT
+              + CASE WHEN ('0x' || substr(md5('noise:' || doc_id || ':' || i), 1, 15))::BIGINT
+                          % 50 = 0
+                     THEN 128 ELSE 0 END) % 256 AS g
+      FROM px
+    ),
+    cells AS (
+      SELECT doc_id, base,
+             ((i // 16) // 4) * 4 + (i % 16) // 4 AS c,
+             CAST(SUM(g) AS BIGINT) AS cs
+      FROM v GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS t FROM cells GROUP BY 1),
+    h AS (
+      SELECT cells.doc_id, base,
+             CAST(SUM(CASE WHEN cs * 16 >= t THEN 1::BIGINT << c ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT base) AS BIGINT) AS n_bases,
+           MIN(doc_id) AS keeper,
+           MAX(doc_id) AS max_doc
+    FROM h GROUP BY ahash HAVING COUNT(*) >= 2 ORDER BY ahash
+    """,
+    note=(
+        "perceptual (average-hash) image near-dup over REAL decoded pixels: the "
+        "Spark side reaches gray values ONLY through a PPM encode -> builtin decode "
+        "round trip (Arrow-batched mapInPandas both ways), the hash is pure integer "
+        "Column math (16 cell sums, bit = cs*16 >= total), and the oracle recomputes "
+        "everything arithmetically from the pixel spec — a hash match therefore "
+        "proves the distributed binary codec path LOSSLESS, not just the bucketing; "
+        "planted same-base triples (2% pixel noise) land in shared hash buckets"
+    ),
+)
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash near-duplicate detection — the pixel-space sibling
+    of simhash/minhash: decode, 4x4-cell luma means, threshold at the
+    global mean, 16-bit hash, exact-bucket grouping (Hamming-0; a
+    banded Hamming-k probe would reuse srp/simhash multiprobe).  The
+    corpus is synthesized as REAL 16x16 gray PPMs (same-base triples
+    with ~2% per-doc pixel noise) so the drill exercises the actual
+    binary path: numpy encode -> binary column -> builtin P6 decode ->
+    integer luma — and the arithmetic oracle certifies losslessness
+    end-to-end.
+
+    Plan: two Arrow-batched mapInPandas stages (generate, decode) with
+    NO shuffle between them (media_id never re-keys), then the hash is
+    computed in pure codegen (aggregate/transform over the 256-length
+    array; the only Python in the hot path is the codec itself, the
+    documented multimodal exception), then ONE 8-byte-key groupBy.  At
+    100 TB pixel payloads stay in executor-local Arrow batches;
+    only (hash, doc) pairs shuffle — the same economics as
+    simhash_fingerprints.  Reference anchor (public hadoop-20):
+    BytesWritable payload mappers + mapred/pipes native codecs, here as
+    Arrow batches."""
+    from hadoop_20_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    gray = multimodal.decode_gray(multimodal.synth_gray_ppm(docs))
+    g = F.col("gray")
+    cell = lambda c: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0),
+        lambda a, k: a
+        + F.element_at(
+            g,
+            ((c / 4).cast("int") * 4 + (k / 4).cast("int")) * 16
+            + (c % 4) * 4
+            + (k % 4)
+            + 1,
+        ),
+    )
+    with_tot = gray.select(
+        "media_id",
+        "base_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)), lambda c: cell(c).cast("bigint")
+        ).alias("cells"),
+        F.aggregate(g, F.lit(0), lambda a, x: a + x).cast("bigint").alias("t"),
+    )
+    powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(16)])
+    bits = F.transform(
+        F.col("cells"),
+        lambda x, i: F.when(
+            x * 16 >= F.col("t"), F.element_at(powers, i.cast("int") + 1)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    hashed = with_tot.select(
+        "media_id",
+        "base_id",
+        F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("ahash"),
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("base_id").cast("long").alias("n_bases"),
+            F.min("media_id").alias("keeper"),
+            F.max("media_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("ahash")
+    )
