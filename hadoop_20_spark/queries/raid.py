@@ -484,3 +484,168 @@ def raid_parity_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("stripe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Block placement + balancer audit (round 9)
+# ---------------------------------------------------------------------------
+_N_RACKS = 8
+_NODES_PER_RACK = 5
+_N_NODES = _N_RACKS * _NODES_PER_RACK
+_BAL_THRESH_PPM = 100_000  # Balancer's default 10% utilization band
+
+
+@register(
+    "block_placement_audit",
+    rf"""
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             {_sql_md5_long("'w:' || o_orderkey")} % {_N_NODES} AS n1,
+             {_sql_md5_long("'r2:' || o_orderkey")} % {_N_RACKS - 1} AS r2_off,
+             {_sql_md5_long("'n2:' || o_orderkey")} % {_NODES_PER_RACK} AS n2_in,
+             {_sql_md5_long("'n3:' || o_orderkey")} % {_NODES_PER_RACK - 1} AS n3_off
+      FROM orders
+    ),
+    placed AS (
+      SELECT k, n1,
+             ((n1 // {_NODES_PER_RACK}) + 1 + r2_off) % {_N_RACKS} AS r2
+      FROM b
+    ),
+    placed2 AS (
+      SELECT b.k, b.n1,
+             p.r2 * {_NODES_PER_RACK} + b.n2_in AS n2,
+             p.r2 * {_NODES_PER_RACK}
+               + (b.n2_in + 1 + b.n3_off) % {_NODES_PER_RACK} AS n3
+      FROM b JOIN placed p ON p.k = b.k
+    ),
+    reps AS (
+      SELECT k, n1 AS node, 1 AS is_primary FROM placed2
+      UNION ALL SELECT k, n2, 0 FROM placed2
+      UNION ALL SELECT k, n3, 0 FROM placed2
+    ),
+    viol AS (
+      SELECT CAST(SUM(CASE WHEN n1 = n2 OR n1 = n3 OR n2 = n3 THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN n1 // {_NODES_PER_RACK} = n2 // {_NODES_PER_RACK}
+                             THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN n2 // {_NODES_PER_RACK} <> n3 // {_NODES_PER_RACK}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             CAST(COUNT(*) * 3 AS BIGINT) AS n_replicas
+      FROM placed2
+    ),
+    pernode AS (
+      SELECT node,
+             CAST(node // {_NODES_PER_RACK} AS BIGINT) AS rack,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(is_primary) AS BIGINT) AS n_primary
+      FROM reps GROUP BY node
+    )
+    SELECT p.node, p.rack, p.n_primary, p.n_total,
+           CAST(p.n_total * {_N_NODES} * 1000000 // v.n_replicas
+                - 1000000 AS BIGINT) AS util_dev_ppm,
+           CASE
+             WHEN p.n_total * {_N_NODES} * 1000000 // v.n_replicas
+                  - 1000000 > {_BAL_THRESH_PPM} THEN 'over'
+             WHEN p.n_total * {_N_NODES} * 1000000 // v.n_replicas
+                  - 1000000 < -{_BAL_THRESH_PPM} THEN 'under'
+             ELSE 'within' END AS balance_class,
+           v.n_violations
+    FROM pernode p CROSS JOIN viol v
+    ORDER BY p.node
+    """,
+    note=(
+        "BlockPlacementPolicyDefault + Balancer audit: every block places 3 replicas "
+        "by md5 arithmetic under the reference's invariants (writer node; second "
+        "replica on a DIFFERENT rack via a 1..R-1 offset, so the constraint holds by "
+        "construction AND is re-checked; third on the second's rack, different node); "
+        "the report is per-node utilization deviation in integer ppm against the "
+        "Balancer's 10% band, with the policy-violation count (0) attached"
+    ),
+)
+def block_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica placement + cluster balance as a relational audit — the
+    two HDFS-layer policies the reference operated by
+    (``hdfs/server/namenode/BlockPlacementPolicyDefault.java``: writer
+    node, remote rack, same-remote-rack spread;
+    ``hdfs/server/balancer/Balancer.java``: move replicas until every
+    node sits within a 10% utilization band of the cluster mean).
+
+    Placement is deterministic md5 arithmetic (offsets drawn from
+    1..R-1 / 1..M-1 so the different-rack / different-node invariants
+    hold by construction), then the audit RE-CHECKS the invariants from
+    the placed rows (n_violations, expected 0 — a policy regression
+    flips it) and reports per-node totals and the integer-ppm deviation
+    from the cluster mean with the Balancer's over/under/within
+    classification.
+
+    Plan: placement is row-local codegen off one orders scan; the only
+    shuffles are the 3x-exploded (node) count aggregate (40-key domain,
+    map-side partials) and a broadcast 1-row violations attach.  At
+    100 TB this is the block-report → balancer-plan pipeline: per-node
+    aggregates are node-count-sized regardless of block count."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    b = o.select(
+        F.col("o_orderkey").alias("k"),
+        (md5_long(F.concat(F.lit("w:"), k)) % _N_NODES).alias("n1"),
+        (md5_long(F.concat(F.lit("r2:"), k)) % (_N_RACKS - 1)).alias("r2_off"),
+        (md5_long(F.concat(F.lit("n2:"), k)) % _NODES_PER_RACK).alias("n2_in"),
+        (md5_long(F.concat(F.lit("n3:"), k)) % (_NODES_PER_RACK - 1)).alias("n3_off"),
+    )
+    r2 = (F.expr(f"n1 DIV {_NODES_PER_RACK}") + 1 + F.col("r2_off")) % _N_RACKS
+    placed = b.select(
+        "k",
+        "n1",
+        (r2 * _NODES_PER_RACK + F.col("n2_in")).alias("n2"),
+        (
+            r2 * _NODES_PER_RACK
+            + (F.col("n2_in") + 1 + F.col("n3_off")) % _NODES_PER_RACK
+        ).alias("n3"),
+    )
+    rack = lambda c: F.expr(f"{c} DIV {_NODES_PER_RACK}")  # noqa: E731
+    viol = placed.agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("n1") == F.col("n2"))
+                    | (F.col("n1") == F.col("n3"))
+                    | (F.col("n2") == F.col("n3")),
+                    1,
+                ).otherwise(0)
+            )
+            + F.sum(F.when(rack("n1") == rack("n2"), 1).otherwise(0))
+            + F.sum(F.when(rack("n2") != rack("n3"), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_violations"),
+        (F.count(F.lit(1)) * 3).cast("long").alias("n_replicas"),
+    )
+    reps = (
+        placed.select("k", F.col("n1").alias("node"), F.lit(1).alias("is_primary"))
+        .unionByName(
+            placed.select("k", F.col("n2").alias("node"), F.lit(0).alias("is_primary"))
+        )
+        .unionByName(
+            placed.select("k", F.col("n3").alias("node"), F.lit(0).alias("is_primary"))
+        )
+    )
+    pernode = reps.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("is_primary").cast("long").alias("n_primary"),
+    )
+    dev = F.expr(f"n_total * {_N_NODES} * 1000000 DIV n_replicas") - 1000000
+    return (
+        pernode.crossJoin(F.broadcast(viol))
+        .select(
+            "node",
+            F.expr(f"node DIV {_NODES_PER_RACK}").cast("long").alias("rack"),
+            "n_primary",
+            "n_total",
+            dev.cast("long").alias("util_dev_ppm"),
+            F.when(dev > _BAL_THRESH_PPM, "over")
+            .when(dev < -_BAL_THRESH_PPM, "under")
+            .otherwise("within")
+            .alias("balance_class"),
+            "n_violations",
+        )
+        .orderBy("node")
+    )

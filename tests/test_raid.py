@@ -200,3 +200,18 @@ def test_parity_delta_maintenance_registry(spark):
         (r["maintained_fp"] != r["parity_old_fp"]) == (r["n_changed_blocks"] > 0)
         for r in rows
     )
+
+
+def test_block_placement_invariants(spark):
+    """Placement invariants re-checked from the placed rows: zero
+    violations, every node used, every rack carries replicas, and the
+    cluster sits near balance (the md5 placement is uniform)."""
+    from hadoop_20_spark.queries import REGISTRY
+
+    rows = REGISTRY["block_placement_audit"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 40
+    assert all(r["n_violations"] == 0 for r in rows)
+    assert {r["rack"] for r in rows} == set(range(8))
+    assert sum(r["n_primary"] for r in rows) * 3 == sum(r["n_total"] for r in rows)

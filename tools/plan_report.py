@@ -111,6 +111,7 @@ QUERIES = {
     "image_ahash_near_dup": "two Arrow mapInPandas stages (PPM encode, builtin decode) with no shuffle between; 16-bit average hash in pure codegen over the luma array; one 8-byte-key groupBy",
     "stupid_backoff_logprob": "three column-pruned scans (score trigrams, train trigram counts, train token counts; every context denominator derives from those aggregates); five vocab-bounded AQE-broadcast joins; one per-doc agg",
     "time_travel_checkpoint": "checkpoint read + version=2-pruned log scan on the incremental side vs one full log scan on the replay side; equality proven by one co-keyed full outer diff; 2-row report",
+    "block_placement_audit": "placement row-local codegen off one orders scan; only shuffles are the 40-key per-node count agg and a broadcast 1-row violations attach",
     "raid_xor_erasure": "encode + erasure drill in ONE scan + ONE (stripe,pos) aggregate (parity / survivor-xor / original as parallel conditional aggs, map-side partials), then a W-times-smaller stripe roll-up; no joins",
     "raid_parity_delta_maintenance": "old/new words + changed flag row-local; parity_old, delta-XOR and full rebuild are parallel conditional bit_xors in ONE (stripe,pos) aggregate; maintained == rebuilt checked in-query",
     "raid_rs_two_erasure": "same single-scan single-shuffle shape; GF(2^8) P/Q encode and the 2x2 decode solve are flat integer codegen over power columns — no lookup tables, no UDF, no second scan",
