@@ -215,3 +215,49 @@ def test_block_placement_invariants(spark):
     assert all(r["n_violations"] == 0 for r in rows)
     assert {r["rack"] for r in rows} == set(range(8))
     assert sum(r["n_primary"] for r in rows) * 3 == sum(r["n_total"] for r in rows)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(0, 255), min_size=4, max_size=4),
+        min_size=3,
+        max_size=8,
+    ),
+    pair=st.tuples(st.integers(0, 7), st.integers(0, 7)),
+)
+@settings(max_examples=60, deadline=None)
+def test_rs_model_property_any_stripe_any_pair(data, pair):
+    """Hypothesis: RS(k,2) recovers ANY two erased blocks of ANY stripe
+    content (k in 3..8, 4-byte blocks, arbitrary bytes)."""
+    i, j = pair
+    k = len(data)
+    i %= k
+    j %= k
+    if i == j:
+        j = (j + 1) % k
+    i, j = min(i, j), max(i, j)
+    _, _, di, dj = raid.rs_model_py(data, i, j)
+    assert di == data[i] and dj == data[j]
+
+
+@given(
+    stripe=st.lists(st.integers(0, (1 << 60) - 1), min_size=2, max_size=9),
+    erased=st.integers(0, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_xor_parity_model_property(stripe, erased):
+    """XOR parity recovers any single erased word-block (pure model:
+    parity ^ survivors == erased content)."""
+    e = erased % len(stripe)
+    parity = 0
+    for w in stripe:
+        parity ^= w
+    surv = 0
+    for li, w in enumerate(stripe):
+        if li != e:
+            surv ^= w
+    assert parity ^ surv == stripe[e]
