@@ -461,3 +461,97 @@ def exact_order_statistics(
                     break
                 rank -= cnt
     return {k: st[k][0] for k in ks}, rounds
+
+
+def exact_group_order_statistics(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    ks_per_group: dict,
+    width: int = 256,
+    max_rounds: int = 16,
+    bounds_per_group: dict | None = None,
+) -> tuple[dict, int]:
+    """GROUPED multi-rank selection: exact k-th smallest of ``col``
+    within every group, refined SIMULTANEOUSLY — each round is ONE scan
+    tagging every row with (target index, bucket) for each of ITS
+    group's still-active targets, so total scans = max rounds over
+    groups, never a per-group loop (the 100 TB point: 5 groups' medians
+    cost the same scans as one).  Same integer discipline as
+    :func:`exact_order_statistics` (DECIMAL(38,0)-widened offsets,
+    integer DIV buckets, <= width*targets-row collects per round).
+
+    ``ks_per_group``: {group_value: [ranks...]}.  ``bounds_per_group``:
+    optional {group_value: (lo, hi, n)} from a caller's own aggregate.
+    Returns ({(group, k): value}, rounds)."""
+    c = F.col(col)
+    g = F.col(group_col)
+    if bounds_per_group is None:
+        rows = (
+            df.filter(g.isin(list(ks_per_group)))
+            .groupBy(group_col)
+            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(c).alias("n"))
+            .collect()
+        )
+        bounds_per_group = {r[group_col]: (r["lo"], r["hi"], r["n"]) for r in rows}
+    st: dict = {}
+    for grp, ks in ks_per_group.items():
+        if grp not in bounds_per_group:
+            raise ValueError(f"group {grp!r} absent from data")
+        lo0, hi0, n = bounds_per_group[grp]
+        for k in ks:
+            if k < 1 or k > n:
+                raise ValueError(f"rank {k} out of range for group {grp!r} (n={n})")
+            st[(grp, k)] = [lo0, hi0, k]
+    rounds = 0
+    while True:
+        active = {t: s for t, s in st.items() if s[0] < s[1]}
+        if not active:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"no convergence after {max_rounds} rounds")
+        order = sorted(active, key=lambda t: (str(t[0]), t[1]))
+        widths = {t: (s[1] - s[0] + width) // width for t, s in active.items()}
+        tags = F.array(
+            *[
+                F.when(
+                    (g == F.lit(t[0]))
+                    & c.between(F.lit(active[t][0]), F.lit(active[t][1])),
+                    F.struct(
+                        F.lit(i).alias("t"),
+                        F.expr(
+                            f"(CAST({col} AS DECIMAL(38,0)) - "
+                            f"({active[t][0]})) DIV {widths[t]}"
+                        ).alias("b"),
+                    ),
+                )
+                for i, t in enumerate(order)
+            ]
+        )
+        g_lo = min(s[0] for s in active.values())
+        g_hi = max(s[1] for s in active.values())
+        counts = {
+            (r["s"]["t"], r["s"]["b"]): r["cnt"]
+            for r in (
+                df.filter(
+                    g.isin([t[0] for t in order])
+                    & c.between(F.lit(g_lo), F.lit(g_hi))
+                )
+                .select(F.explode(F.filter(tags, lambda x: x.isNotNull())).alias("s"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+        }
+        for i, t in enumerate(order):
+            s = st[t]
+            lo, w = s[0], widths[t]
+            rank = s[2]
+            for b in range(width):
+                cnt = counts.get((i, b), 0)
+                if rank <= cnt:
+                    st[t] = [lo + b * w, min(lo + (b + 1) * w - 1, s[1]), rank]
+                    break
+                rank -= cnt
+    return {t: st[t][0] for t in st}, rounds

@@ -1588,3 +1588,121 @@ def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_cents bigint, bound_cents bigint, occupied bigint, "
         "max_cell bigint, total_mass bigint",
     )
+
+
+@register(
+    "grouped_median_refinement",
+    r"""
+    WITH v AS (
+      SELECT o_orderpriority AS pr,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT pr, c,
+             ROW_NUMBER() OVER (PARTITION BY pr ORDER BY c) AS rk,
+             COUNT(*) OVER (PARTITION BY pr) AS n
+      FROM v
+    ),
+    m AS (
+      SELECT pr,
+             CAST(MAX(n) AS BIGINT) AS n_rows,
+             MAX(CASE WHEN rk = (n + 1) // 2 THEN c END) AS median_lo,
+             MAX(CASE WHEN rk = n // 2 + 1 THEN c END) AS median_hi
+      FROM r GROUP BY pr
+    )
+    SELECT m.pr, m.n_rows, m.median_lo, m.median_hi,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+             WHERE v.pr = m.pr AND v.c < m.median_lo) AS n_below_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+             WHERE v.pr = m.pr AND v.c = m.median_lo) AS n_at_lo
+    FROM m ORDER BY m.pr
+    """,
+    note=(
+        "exact PER-GROUP medians (lower + upper) by grouped range refinement: all "
+        "five priority groups refine their surviving ranges in the SAME scans (each "
+        "round one filtered scan + one <= width*targets-row collect), so total scans "
+        "= max rounds over groups — never a per-group loop, never a global sort; the "
+        "oracle answers via ROW_NUMBER per group and the in-query rank audit "
+        "(n_below < k <= n_below + n_at) certifies exactness"
+    ),
+)
+def grouped_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact order statistics without sorting any group: the
+    grouped form of exact_median_refinement.  sort_ops.
+    exact_group_order_statistics carries one (group, rank) target set
+    through shared refinement rounds — a row is tagged with a bucket
+    for each of its group's still-active targets, every group's
+    histogram rides the same (target, bucket) aggregate, and the driver
+    narrows all targets from one <= width*targets-row collect per
+    round.  Five groups' medians therefore cost the same number of
+    scans as one (the log64-range bound), where a window/sort answer
+    would shuffle the whole fact per refresh and a per-group loop would
+    multiply scans by the group count — the two scale failure modes
+    this operator exists to avoid.
+
+    Emits lower AND upper medians (equal when a group's n is odd) in
+    integer cents plus the lower median's rank audit columns; the
+    DuckDB oracle re-answers every group with ROW_NUMBER over a real
+    per-group sort.  Reference anchor (public hadoop-20):
+    mapred/lib/InputSampler.java — per-partition split-point sampling;
+    this is the exact per-key-range answer built from the same
+    count-histogram primitive."""
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    b = {
+        r["pr"]: (r["lo"], r["hi"], r["n"])
+        for r in v.groupBy("pr")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n"))
+        .collect()
+    }
+    ks = {
+        pr: sorted({(n + 1) // 2, n // 2 + 1}) for pr, (_, _, n) in b.items()
+    }
+    vals, _rounds = sort_ops.exact_group_order_statistics(
+        v, "pr", "c", ks, bounds_per_group=b
+    )
+    med = {
+        pr: (
+            vals[(pr, (b[pr][2] + 1) // 2)],
+            vals[(pr, b[pr][2] // 2 + 1)],
+        )
+        for pr in b
+    }
+    # one grouped audit pass for every group's lower median: attach the
+    # group's found value as a literal-CASE column, count below/at
+    audit = {
+        r["pr"]: (r["n_below"], r["n_at"])
+        for r in v.withColumn(
+            "m_lo",
+            F.coalesce(
+                *[
+                    F.when(F.col("pr") == pr, F.lit(lo))
+                    for pr, (lo, _) in sorted(med.items())
+                ]
+            ),
+        )
+        .groupBy("pr")
+        .agg(
+            F.sum((F.col("c") < F.col("m_lo")).cast("long")).alias("n_below"),
+            F.sum((F.col("c") == F.col("m_lo")).cast("long")).alias("n_at"),
+        )
+        .collect()
+    }
+    rows = [
+        (pr, b[pr][2], med[pr][0], med[pr][1], audit[pr][0], audit[pr][1])
+        for pr in sorted(b)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "pr string, n_rows long, median_lo long, median_hi long, "
+        "n_below_lo long, n_at_lo long",
+    )
+    return out.orderBy("pr")

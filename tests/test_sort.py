@@ -371,3 +371,39 @@ def test_exact_order_statistic_full_int64_range(spark):
     for k in ks:
         assert got[k] == ordered[k - 1], (k, got[k], ordered[k - 1])
     assert rounds <= 16
+
+
+def test_exact_group_order_statistics_model(spark):
+    """Grouped multi-rank selection == per-group sorted indexing, with
+    uneven group sizes, duplicates, negatives, and a group whose range
+    forces many refinement rounds."""
+    import random
+
+    rng = random.Random(99)
+    data = []
+    for g, n, lo, hi in [
+        ("a", 300, -500, 500),
+        ("b", 41, 0, 10),            # heavy duplicates
+        ("c", 7, -(10**12), 10**12),  # huge range, tiny group
+    ]:
+        data += [(g, rng.randint(lo, hi)) for _ in range(n)]
+    df = spark.createDataFrame(data, "g string, c long")
+    by_g = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    ks = {g: [1, (len(vs) + 1) // 2, len(vs)] for g, vs in by_g.items()}
+    from hadoop_20_spark.operators.sort import exact_group_order_statistics
+
+    got, rounds = exact_group_order_statistics(df, "g", "c", ks)
+    for g, vs in by_g.items():
+        ordered = sorted(vs)
+        for k in ks[g]:
+            assert got[(g, k)] == ordered[k - 1], (g, k)
+    assert rounds <= 16
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        exact_group_order_statistics(df, "g", "c", {"a": [301]})
+    with _pytest.raises(ValueError, match="absent"):
+        exact_group_order_statistics(df, "g", "c", {"zz": [1]})
