@@ -1918,10 +1918,16 @@ def stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = docs.filter(is_train)
     score = docs.filter(~is_train)
+    # the three count tables are VOCABULARY-bounded aggregates consumed
+    # twice each (their context/total derivatives sum them) — persist
+    # per the house rule, so ctx3/ctx2/tot read the cache instead of
+    # re-scanning and re-exploding the training half (7 documents scans
+    # -> 4 without this, plan-tested)
     c3 = (
         grams(train, 3)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("long").alias("n123"))
+        .persist()
     )
     ctx3 = c3.groupBy("w1", "w2").agg(F.sum("n123").cast("long").alias("n12"))
     c2 = (
@@ -1929,12 +1935,14 @@ def stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
         .groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).cast("long").alias("n23"))
+        .persist()
     )
     ctx2 = c2.groupBy("b1").agg(F.sum("n23").cast("long").alias("n2"))
     cnt = (
         train.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n3"))
+        .persist()
     )
     tot = cnt.agg(F.sum("n3").cast("long").alias("t"))
     s = (

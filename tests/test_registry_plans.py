@@ -799,3 +799,14 @@ def test_time_travel_single_log_scan_broadcast_spine(spark):
     assert plan.count("orders_log") == 1, plan.count("orders_log")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_stupid_backoff_scan_budget(spark):
+    """The LM count tables persist (vocab-bounded), so their context
+    derivatives never re-explode the training half: <= 4 documents
+    scans (score trigrams + one per count table), no cartesian."""
+    plan = physical_plan(REGISTRY["stupid_backoff_logprob"].fn(spark, PLAN_SF))
+    assert plan.count("documents.parquet") <= 4, plan.count("documents.parquet")
+    assert "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()

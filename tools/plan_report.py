@@ -109,7 +109,7 @@ QUERIES = {
     "hll_intersect_estimate": "one scan -> persisted distinct (source, token) feeds registers and the exact audit; union sketches are register-max merges; all post-sketch joins are sources^2-sized broadcasts",
     "time_travel_read": "one scan of the commit log joined to the broadcast 3-row as_of spine; (as_of,key) max_by picks last writes, tombstones drop keys; report agg is version-count sized",
     "image_ahash_near_dup": "two Arrow mapInPandas stages (PPM encode, builtin decode) with no shuffle between; 16-bit average hash in pure codegen over the luma array; one 8-byte-key groupBy",
-    "stupid_backoff_logprob": "three column-pruned scans (score trigrams, train trigram counts, train token counts; every context denominator derives from those aggregates); five vocab-bounded AQE-broadcast joins; one per-doc agg",
+    "stupid_backoff_logprob": "four column-pruned scans (score trigrams + one per persisted vocab-bounded count table; context denominators read the cache); five vocab-bounded AQE-broadcast joins; one per-doc agg",
     "time_travel_checkpoint": "checkpoint read + version=2-pruned log scan on the incremental side vs one full log scan on the replay side; equality proven by one co-keyed full outer diff; 2-row report",
     "block_placement_audit": "placement row-local codegen off one orders scan; only shuffles are the 40-key per-node count agg and a broadcast 1-row violations attach",
     "raid_xor_erasure": "encode + erasure drill in ONE scan + ONE (stripe,pos) aggregate (parity / survivor-xor / original as parallel conditional aggs, map-side partials), then a W-times-smaller stripe roll-up; no joins",
