@@ -1262,3 +1262,82 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("ahash")
     )
+
+
+@register(
+    "streaming_stream_full_outer_join",
+    """
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    note=(
+        "REAL stream-stream FULL OUTER join — the last corner of the streaming join "
+        "matrix: matched pairs emit eagerly, unmatched CLICKS flush with NULL "
+        "purchase once the watermark passes their 1h window, unmatched PURCHASES "
+        "flush with NULL click once no earlier click can still arrive (the time-range "
+        "condition bounds BOTH buffers, which is what makes state expirable on both "
+        "sides); sentinel-driven end-of-stream drain; oracle = batch full join"
+    ),
+)
+def streaming_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join: both sides' state expiry is an
+    EMISSION trigger.  The join condition gives each side a watermark
+    bound on the other (p_ts in (c_ts, c_ts+1h] bounds c_ts in
+    [p_ts-1h, p_ts)), so Spark can both clean click state AND conclude
+    a purchase is permanently unmatched — without the two-sided bound a
+    full outer join would have to buffer one side forever.
+
+    Same drain discipline as the left-outer form: two far-future
+    sentinel files advance the watermark past all real events and host
+    the final flush batch inside processAllAvailable; sentinels are
+    dropped from the result on BOTH null-preserving sides (a null
+    click_id must survive for unmatched purchases and vice versa).
+    At 100 TB this is the reconciliation-join shape (orders vs
+    settlements): every row from either feed accounted for exactly
+    once, bounded state, no end-of-day batch re-join."""
+    from hadoop_20_spark import streaming as stream_ops
+
+    ev1 = stream_ops.read_events_stream(spark, sf_dir, sentinel=True)
+    ev2 = stream_ops.read_events_stream(spark, sf_dir, sentinel=True)
+    clicks = (
+        ev1.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev2.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+    table = stream_ops.run_append_to_memory(joined, "q_stream_full_outer_join")
+    return (
+        table.filter(
+            (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+            & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
