@@ -609,3 +609,67 @@ def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "dist")
     )
+
+
+@register(
+    "cc_star_order_chains",
+    """
+    WITH c AS (
+      SELECT MIN(o_orderkey) AS cluster_id, COUNT(*) AS n_nodes
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+    )
+    SELECT cluster_id, CAST(n_nodes AS BIGINT) AS n_nodes
+    FROM c ORDER BY n_nodes DESC, cluster_id LIMIT 25
+    """,
+    note=(
+        "connected components by LARGE-STAR/SMALL-STAR contraction (Kiveris et "
+        "al. 2014) over per-customer order chains — a deliberately DEEP graph "
+        "(path components up to diameter ~24, beyond min-label propagation's "
+        "default 20-round bound) that star contraction closes in O(log n) "
+        "rounds; oracle recovers each chain's component (min order key per "
+        "customer) relationally"
+    ),
+)
+def cc_star_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction connected components on a deep-diameter graph.
+
+    The graph: consecutive orders of the same customer (ordered by
+    o_orderkey) are linked into a chain, so every component is a PATH
+    whose diameter equals the customer's order count minus one — up to
+    ~24 at sf0.1.  This is the graph shape that breaks diameter-bound
+    algorithms: `connected_components` (min-label propagation) at its
+    default max_iters=20 would correctly REFUSE (fail-loud) on these
+    chains, while `connected_components_star` closes them in ~7 rounds
+    — each round one partial-agg min shuffle + one co-keyed join, the
+    same per-round cost, exponentially fewer rounds.
+
+    Scale plan: chain edges come from ONE window over orders
+    partitioned by o_custkey (no global window); per star round the
+    (node, parent) edge set never exceeds the node count after the
+    first contraction, and the fixpoint test is two set-difference
+    counts on that bounded set.  At 100 TB the round count stays
+    O(log n) — 2^30 nodes is ~30 rounds worst case, versus unbounded
+    diameter for propagation on trail-shaped graphs (session paths,
+    linked lists, citation chains).
+
+    Reference anchor: the chained-MR-jobs iteration idiom
+    (`src/examples/org/apache/hadoop/examples/` job chains), upgraded
+    to the round-optimal contraction algorithm.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_20_spark.operators import graph as graph_ops
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    labels, _rounds = graph_ops.connected_components_star(chain)
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "cluster_id")
+        .limit(25)
+    )

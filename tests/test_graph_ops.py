@@ -33,3 +33,42 @@ def test_connected_components_raises_when_unconverged(spark):
         for r in connected_components(edges, max_iters=10).collect()
     }
     assert set(out.values()) == {1}
+
+
+def test_star_cc_matches_propagation_and_beats_diameter(spark):
+    """Star contraction labels a diameter-39 chain identically to
+    min-label propagation but in O(log n) rounds — the round count must
+    come in far under the diameter, or the algorithm has degraded to
+    per-hop propagation."""
+    from hadoop_20_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)]
+        + [(100, 101), (101, 102)]
+        + [(200, 201)],
+        "src long, dst long",
+    )
+    labels, rounds = connected_components_star(edges)
+    out = {r["id"]: r["component"] for r in labels.collect()}
+    assert len(out) == 40 + 3 + 2
+    assert all(c == 1 for i, c in out.items() if i <= 40)
+    assert all(c == 100 for i, c in out.items() if 100 <= i <= 102)
+    assert all(c == 200 for i, c in out.items() if i >= 200)
+    assert rounds <= 10, f"star CC took {rounds} rounds on diameter 39"
+    # reference result from the propagation operator (needs ~39 rounds)
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iters=45).collect()
+    }
+    assert out == prop
+
+
+def test_star_cc_raises_on_exhausted_rounds(spark):
+    """max_rounds=1 cannot close a chain — must fail loud."""
+    from hadoop_20_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_rounds=1)

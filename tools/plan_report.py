@@ -102,6 +102,7 @@ QUERIES = {
     "bad_record_quarantine": "render + PERMISSIVE parse + classify all row-local codegen off one scan; the only shuffle is the ~5-row classify agg (map-side partials)",
     "dsir_importance_sample": "one (doc,bucket) feature-matrix shuffle; bucket LMs re-derived from a column-pruned token scan (persist rule: corpus-sized relations re-derive); 1024-row log-ratio join AQE-broadcast; Gumbel top-k = TakeOrderedAndProject",
     "bfs_khop_reach": "per round ONE edges-side shuffle keyed by node + a same-keyed visited anti-join; localCheckpoint flattens lineage; unreached surfaced by a left join against the node set",
+    "cc_star_order_chains": "large-star/small-star contraction: per round one groupBy-min partial-agg shuffle + one co-keyed join, O(log n) rounds on deep chains (vs diameter for propagation); edge set bounded by node count after round 1; chain edges from a custkey-partitioned window (no global window)",
     "bloom_indexed_point_read": "sidecar probe is a driver-side read of <= k word positions; the data scan lists ONLY the passing files (explicit paths), then a pushed key filter",
     "schema_evolution_read": "mergeSchema footer pass unifies two file generations; scan projects NULL for the missing column in v1 files; one small groupBy",
     "incremental_optimize_audit": "read-back of the merged zorder_file=K/ layout; partition column drives the per-cell aggregate — the audit's cost is one scan of the clustered table",
