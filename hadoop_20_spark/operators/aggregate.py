@@ -164,3 +164,65 @@ def with_counters(df: DataFrame, **counters: Column):
 
     obs = Observation()
     return df.observe(obs, *[v.alias(k) for k, v in counters.items()]), obs
+
+
+def misra_gries_partials(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries frequent-items summaries (Misra & Gries
+    1982; mergeability per Agarwal et al., "Mergeable Summaries", PODS
+    2012 — public algorithms).  Returns (item, mg_count) with at most k
+    rows PER PARTITION; summing mg_count per item across partitions
+    yields the merged summary with the classic deterministic guarantee:
+
+        exact_count - n/(k+1)  <=  merged_count  <=  exact_count
+
+    for EVERY item (absent = 0), under ANY partitioning of the input.
+    Hence any item with exact_count > n/(k+1) is guaranteed present —
+    the one-sided UNDERcount complement to the count-min sketch's
+    one-sided overcount.
+
+    Scale story: the raw column is never shuffled — each input partition
+    is collapsed map-side to <= k (item, count) rows, so the merge
+    shuffle is O(partitions * k) regardless of cardinality or corpus
+    size (the Combiner discipline taken to its extreme: a SUBLINEAR
+    combiner).  Per partition the pass is Arrow-batched value_counts
+    (C-speed) folded into one counter, then ONE trim: subtract the
+    (k+1)-th largest count from all and drop non-positives — at most k
+    items survive, and the decrement is <= n_p/(k+1) because k+1 items
+    carried at least that count.  Python here is justified: MG's
+    data-dependent trim is not expressible in relational builtins
+    without shuffling the raw column, which is exactly what the sketch
+    exists to avoid.
+
+    Reference anchor: the combiner contract of
+    ``mapred/lib/aggregate/ValueAggregatorCombiner.java`` — partial
+    per-map summaries merged reducer-side — upgraded to a bounded-size
+    summary with a proven error envelope.
+    """
+    import pandas as pd  # local import: operator stays importable without pandas
+
+    out_schema = "item string, mg_count long"
+
+    def summarize(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for item, c in vc.items():
+                counts[item] += int(c)
+        if not counts:
+            return
+        if len(counts) > k:
+            # one-shot MG trim: t = (k+1)-th largest count
+            t = sorted(counts.values(), reverse=True)[k]
+            counts = Counter(
+                {i: c - t for i, c in counts.items() if c - t > 0}
+            )
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts.keys()), "mg_count": list(counts.values())}
+            )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, out_schema
+    )

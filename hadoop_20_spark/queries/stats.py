@@ -1706,3 +1706,110 @@ def grouped_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_below_lo long, n_at_lo long",
     )
     return out.orderBy("pr")
+
+
+_MG_K = 16
+_MG_L = 100_000
+_MG_MIX = 2_654_435_761  # Knuth multiplicative constant; keeps BIGINT range
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    f"""
+    WITH keys AS (
+      SELECT 'u' || CAST({_MG_L} // (1 + (l_orderkey * {_MG_MIX} + l_linenumber) % {_MG_L}) AS VARCHAR) AS item
+      FROM lineitem
+    ),
+    cnt AS (SELECT item, COUNT(*) AS c FROM keys GROUP BY item),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
+    SELECT item,
+           CAST(c AS BIGINT) AS exact_count,
+           (SELECT n FROM tot) AS total_occurrences,
+           CAST(1 AS INT) AS found_by_sketch,
+           CAST(1 AS INT) AS undercount_within_bound
+    FROM cnt
+    WHERE c * {_MG_K + 1} > (SELECT n FROM tot)
+    ORDER BY exact_count DESC, item
+    """,
+    note=(
+        "Misra-Gries mergeable frequent-items summary (k=16) with its deterministic "
+        "guarantee audited: every item above the n/(k+1) frequency threshold MUST "
+        "survive the per-partition trim + merge under ANY partitioning, with "
+        "undercount <= n/(k+1) — the one-sided UNDERcount complement to "
+        "cms_heavy_hitters; input is a derived power-law key (freq ~ 1/(r(r+1))) "
+        "both engines reproduce exactly"
+    ),
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via per-partition Misra–Gries summaries merged by a
+    tiny groupBy — the sketch quartet's fourth member (CMS overcount /
+    HLL distinct / quantile histogram / MG undercount), and the only
+    one whose guarantee is DETERMINISTIC with no hashing at all.
+
+    The audited contract (operators/aggregate.misra_gries_partials):
+    merged_count ∈ [exact - n/(k+1), exact] for every item under ANY
+    partitioning, so each true heavy hitter (exact*(k+1) > n) must be
+    found, with its undercount inside the envelope.  The output emits
+    those two facts as always-true flags next to the exact counts; a
+    broken trim or merge would flip a flag or drop a row and fail the
+    hash gate.  Sketch-internal counts are NOT emitted — they depend on
+    the partition layout, which is the algorithm's freedom, not its
+    contract.
+
+    Scale plan: the raw key column is never shuffled — each scan
+    partition collapses to <= k rows map-side (a sublinear combiner),
+    so the merge moves O(partitions * k) rows at ANY corpus size; the
+    exact-count pass here is the test-scale audit certifying the
+    envelope (drop it at 100 TB, same posture as cms_heavy_hitters).
+    The input key is a deterministic power-law (rank-r frequency ~
+    1/(r(r+1)), ~sqrt(L) distinct values) derived in pure integer
+    arithmetic, identical in both engines.
+    """
+    from hadoop_20_spark.operators.aggregate import misra_gries_partials
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lit("u"),
+            F.expr(
+                f"CAST({_MG_L} DIV (1 + (l_orderkey * {_MG_MIX} + l_linenumber) % {_MG_L}) AS STRING)"
+            ),
+        ).alias("item")
+    )
+    merged = (
+        misra_gries_partials(li, "item", _MG_K)
+        .groupBy("item")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    exact = li.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    tot = exact.agg(F.sum("exact_count").cast("long").alias("total_occurrences"))
+    hh = (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_count") * (_MG_K + 1) > F.col("total_occurrences"))
+    )
+    return (
+        hh.join(merged, "item", "left")
+        .select(
+            "item",
+            "exact_count",
+            "total_occurrences",
+            F.when(
+                F.col("mg_count").isNotNull() & (F.col("mg_count") > 0), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("found_by_sketch"),
+            F.when(
+                F.col("mg_count").isNotNull()
+                & (F.col("mg_count") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("mg_count")) * (_MG_K + 1)
+                    <= F.col("total_occurrences")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("undercount_within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), "item")
+    )

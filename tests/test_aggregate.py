@@ -170,3 +170,38 @@ def test_bfs_khop_matches_python_model(spark):
         for r in REGISTRY["bfs_khop_reach"].fn(spark, sf).collect()
     }
     assert got == dict(model), (got, dict(model))
+
+
+def test_misra_gries_guarantee_under_any_partitioning(spark):
+    """The MG envelope (exact - n/(k+1) <= merged <= exact) must hold
+    for EVERY item under several different partition layouts, and each
+    partition must emit at most k rows."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.aggregate import misra_gries_partials
+
+    # skewed stream: item 'a' x 60, 'b' x 25, then 40 singletons
+    rows = [("a",)] * 60 + [("b",)] * 25 + [(f"t{i}",) for i in range(40)]
+    n, k = len(rows), 4
+    exact = {"a": 60, "b": 25, **{f"t{i}": 1 for i in range(40)}}
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        partials = misra_gries_partials(df, "item", k)
+        per_part = (
+            partials.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= k for r in per_part)
+        merged = {
+            r["item"]: r["s"]
+            for r in partials.groupBy("item")
+            .agg(F.sum("mg_count").alias("s"))
+            .collect()
+        }
+        for item, c in exact.items():
+            got = merged.get(item, 0)
+            assert got <= c, (parts, item, got, c)
+            assert got >= c - n / (k + 1), (parts, item, got, c)
+        # true heavy hitters (count > n/(k+1) = 25) must be present
+        assert merged.get("a", 0) > 0
