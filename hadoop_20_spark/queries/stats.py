@@ -1813,3 +1813,72 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "item")
     )
+
+
+@register(
+    "supplier_pareto_frontier",
+    """
+    WITH s AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS discount_load
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT * FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.revenue_cents >= a.revenue_cents
+        AND b.distinct_parts >= a.distinct_parts
+        AND b.discount_load <= a.discount_load
+        AND (b.revenue_cents > a.revenue_cents
+             OR b.distinct_parts > a.distinct_parts
+             OR b.discount_load < a.discount_load)
+    )
+    ORDER BY suppkey
+    """,
+    note=(
+        "3-objective Pareto skyline over per-supplier aggregates (maximize revenue "
+        "and part coverage, minimize discount load) via the two-pass distributed "
+        "skyline (local BNL per partition, exact merge); all objectives integer "
+        "cents/units so the surviving SET is partitioning-invariant; oracle = "
+        "NOT EXISTS dominance"
+    ),
+)
+def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective supplier selection with no scalarization: the
+    Pareto frontier of (revenue max, distinct parts max, discount load
+    min).  No weighting collapses the objectives — the skyline IS the
+    answer set, and it is partitioning-invariant, which is what lets a
+    NOT EXISTS oracle certify a distributed two-pass computation.
+
+    Scale plan: the skyline runs on the ENTITY-BOUNDED per-supplier
+    aggregate (one fact shuffle keyed by suppkey with map-side
+    partials; distinct_parts rides the same shuffle via a two-level
+    agg), never on raw lineitem; the local pass prunes each partition
+    to its Pareto-maximal rows so the final single-task pass sees only
+    Σ|local skyline| candidates.  Objectives are pre-scaled to integer
+    cents/basis-point units through DECIMAL(18,2) (the exact_sum_double
+    discipline) — float objectives would make dominance engine-varying.
+    Reference anchor: partial per-map pruning + single-reducer finalize
+    (`mapred/lib/aggregate` combiner contract).
+    """
+    from hadoop_20_spark.operators.skyline import pareto_skyline
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+    disc_bp = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    s = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.countDistinct("l_partkey").cast("long").alias("distinct_parts"),
+            F.sum(cents.cast("long") * disc_bp).cast("long").alias("discount_load"),
+        )
+    )
+    return pareto_skyline(
+        s,
+        maximize=["revenue_cents", "distinct_parts"],
+        minimize=["discount_load"],
+    ).orderBy("suppkey")

@@ -671,3 +671,41 @@ def test_exact_order_statistics_equals_sorted_index(spark, vals, width):
     for k in ks:
         assert got[k] == ordered[k - 1], (k, got[k], ordered[k - 1], width)
     assert rounds <= 16
+
+
+triples = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=triples, parts=st.sampled_from([1, 3, 7]))
+@settings(**SETTINGS)
+def test_pareto_skyline_matches_brute_force(spark, rows, parts):
+    """Two-pass distributed skyline == brute-force dominance filter, for
+    any mix of maximize/minimize dims, any partitioning, with ties
+    (duplicate vectors must BOTH survive)."""
+    from hadoop_20_spark.operators.skyline import pareto_skyline
+
+    df = spark.createDataFrame(
+        rows, "x long, y long, z long"
+    ).repartition(parts)
+    got = sorted(
+        tuple(r)
+        for r in pareto_skyline(df, maximize=["x", "y"], minimize=["z"]).collect()
+    )
+
+    def dominated(a):
+        return any(
+            b[0] >= a[0] and b[1] >= a[1] and b[2] <= a[2]
+            and (b[0] > a[0] or b[1] > a[1] or b[2] < a[2])
+            for b in rows
+        )
+
+    want = sorted(t for t in rows if not dominated(t))
+    assert got == want
