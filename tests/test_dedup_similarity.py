@@ -598,3 +598,57 @@ def test_span_report_matches_removal(spark):
         for r in REGISTRY["dup_span_removal"].fn(spark, sf).collect()
     }
     assert rep == rem and sum(rep.values()) > 0
+
+
+def test_deletion_blocking_complete_for_indels(spark):
+    """FastSS deletion-neighborhood blocking must recover EVERY pair at
+    edit distance <= 1 — including insert/delete pairs of different
+    lengths, the case prefix blocking structurally misses — and the
+    levenshtein verify must kill same-key pairs at distance 2 ('ab' vs
+    'ba')."""
+    from pyspark.sql import functions as F
+
+    names = ["abc", "abcd", "abd", "xbc", "ab", "ba", "zzz"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(names)], "k long, s string")
+    keys = df.select(
+        "k",
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(s)), i -> "
+                "CASE WHEN i = 0 THEN s "
+                "ELSE concat(substring(s, 1, i-1), substring(s, i+1, length(s))) END)"
+            )
+        ).alias("dk"),
+    )
+    a = keys.select(F.col("k").alias("ka"), F.col("s").alias("sa"), "dk")
+    b = keys.select(F.col("k").alias("kb"), F.col("s").alias("sb"), "dk")
+    got = {
+        (r["ka"], r["kb"])
+        for r in a.join(b, "dk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", "sa", "sb")
+        .distinct()
+        .filter(F.levenshtein("sa", "sb") <= 1)
+        .collect()
+    }
+
+    def lev(x, y):
+        import itertools
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            nd = [i]
+            for j, cy in enumerate(y, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (cx != cy)))
+            d = nd
+        return d[-1]
+
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+    assert (0, 1) in want and (0, 4) in want  # indel pairs are present
+    assert (4, 5) not in got  # 'ab' vs 'ba' shares keys but is distance 2
