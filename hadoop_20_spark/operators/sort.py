@@ -555,3 +555,55 @@ def exact_group_order_statistics(
                     break
                 rank -= cnt
     return {t: st[t][0] for t in st}, rounds
+
+
+def top_k_per_group_combined(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Grouped top-k with a SUBLINEAR COMBINER: each input partition is
+    locally reduced to at most k rows per group BEFORE any shuffle, so
+    the window stage sees <= partitions * groups * k survivors instead
+    of every fact row.  :func:`top_k_per_group` (plain window) shuffles
+    the whole relation to sort it; this form shuffles a bounded
+    candidate set — the grouped analog of TakeOrderedAndProject's
+    per-partition heaps, and the third member of the local-reduce
+    family (Misra–Gries counts, Pareto local skyline).
+
+    Correct because a row outside its partition's per-group top-k is
+    outside the global per-group top-k a fortiori — local pruning never
+    drops a global survivor; the final exact window over the candidates
+    assigns ranks.  Ties must be broken by the caller's sort_cols
+    (include a unique key last) for a deterministic result.
+
+    The local pass is Arrow-batched pandas sort + groupby-head — C
+    speed, no per-row Python.  Reference anchor: the combiner running
+    the reducer's logic on map output (`mapred/lib/TopK`-style example
+    jobs; combiner contract of `JobConf.setCombinerClass`).
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    scols = list(sort_cols)
+    asc = list(ascending)
+
+    def kernel(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        yield (
+            pdf.sort_values(scols, ascending=asc)
+            .groupby(gcols, sort=False)
+            .head(k)
+        )
+
+    local = df.mapInPandas(kernel, df.schema)
+    order_keys = [
+        F.col(c).asc() if a else F.col(c).desc() for c, a in zip(scols, asc)
+    ]
+    return top_k_per_group(local, gcols, order_keys, k, rank_col)

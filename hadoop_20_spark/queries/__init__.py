@@ -25,6 +25,8 @@ from hadoop_20_spark.queries import graph  # noqa: F401,E402
 from hadoop_20_spark.queries import corpus_stats  # noqa: F401,E402
 from hadoop_20_spark.queries import ingestion  # noqa: F401,E402
 from hadoop_20_spark.queries import raid  # noqa: F401,E402
+from hadoop_20_spark.queries import basket  # noqa: F401,E402
+from hadoop_20_spark.queries import linkage  # noqa: F401,E402
 
 
 def _driver_seen() -> frozenset[str]:

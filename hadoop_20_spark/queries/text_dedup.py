@@ -565,48 +565,6 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fuzzy_name_pairs",
-    """
-    WITH b AS (SELECT c_custkey, c_name, substr(c_name, 1, len(c_name) - 1) AS blk FROM customer)
-    SELECT a.c_custkey AS key_a, c.c_custkey AS key_b,
-           CAST(levenshtein(a.c_name, c.c_name) AS INT) AS edit_dist
-    FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
-    WHERE levenshtein(a.c_name, c.c_name) <= 1
-    """,
-    note="record-linkage fuzzy match: blocking key (name prefix) -> within-block levenshtein <= 1",
-)
-def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy key matching with BLOCKING — the record-linkage discipline:
-    never all-pairs levenshtein (quadratic in the table); an equi-join on
-    a cheap blocking key (here the name prefix) bounds candidates to
-    within-block pairs, then the edit-distance verify runs on those only.
-    Same bucket-then-verify shape as MinHash-LSH; at 100 TB pick blocking
-    keys so the largest block fits a task (or salt hot blocks)."""
-    c = _t(spark, sf_dir, "customer")
-    b = c.select(
-        "c_custkey",
-        "c_name",
-        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("blk"),
-    )
-    a = b.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk"
-    )
-    d = b.select(
-        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
-    )
-    return (
-        a.join(d, "blk")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("name_a", "name_b").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= 1)
-    )
-
-
-@register(
     "integrity_checks",
     """
     SELECT 'orphan_lineitems' AS check_name,
@@ -1921,96 +1879,4 @@ def postings_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("term", "df", "total_tf", "n_terms_total", "n_postings_total")
         .orderBy(F.col("df").desc(), "term")
-    )
-
-
-@register(
-    "fuzzy_join_deletion_blocking",
-    """
-    WITH names AS (SELECT c_custkey AS k, c_name AS s FROM customer),
-    keys AS (
-      SELECT k, s, CASE WHEN i = 0 THEN s ELSE substr(s,1,i-1) || substr(s,i+1) END AS dk
-      FROM names, unnest(range(0, len(s)+1)) t(i)
-    ),
-    cand AS (
-      SELECT DISTINCT a.k AS ka, b.k AS kb, a.s AS sa, b.s AS sb
-      FROM keys a JOIN keys b ON a.dk = b.dk AND a.k < b.k
-    ),
-    pairs AS (SELECT ka, kb FROM cand WHERE levenshtein(sa, sb) <= 1),
-    deg AS (SELECT nm.k, COUNT(p.k2) AS n FROM names nm
-            LEFT JOIN (SELECT ka AS k2 FROM pairs UNION ALL SELECT kb FROM pairs) p
-              ON nm.k = p.k2
-            GROUP BY nm.k)
-    SELECT CAST(n AS BIGINT) AS n_neighbors, CAST(COUNT(*) AS BIGINT) AS n_names
-    FROM deg GROUP BY n ORDER BY n_neighbors
-    """,
-    note=(
-        "COMPLETE edit-distance<=1 similarity join via deletion-neighborhood "
-        "blocking (FastSS, Bocek et al. 2007): every string emits itself plus its "
-        "|s| single-deletion variants as blocking keys — any pair at distance<=1 "
-        "provably shares a key (substitution: both drop position i; indel: the "
-        "longer one's deletion equals the shorter) — then candidates are verified "
-        "with one levenshtein; output is the neighbor-degree histogram"
-    ),
-)
-def fuzzy_join_deletion_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance-1 self-join WITHOUT the quadratic pass and WITHOUT
-    the recall gap of ad-hoc prefix blocking: deletion-neighborhood
-    (FastSS) keys are a COMPLETE filter for distance <= 1 — prefix
-    blocking (fuzzy_name_pairs) misses pairs that differ in the block
-    character itself, while every distance<=1 pair shares a deletion
-    key by construction.  Verification is one levenshtein per surviving
-    candidate (sharing a key does NOT imply distance<=1: 'ab'/'ba'
-    share key 'a'), so the result is exact.
-
-    Scale plan: keys are generated by a pure-Column higher-order
-    transform (sequence -> substring concat; no UDF) — |s|+1 keys per
-    row, a constant fan-out; each deletion-key bucket is bounded by the
-    alphabet (<= 10 digit alternatives here, <= |Σ| in general), so the
-    candidate join is a bounded-bucket equi-join, never quadratic; the
-    degree histogram is two bounded-domain shuffles.  At 100 TB the
-    fan-out column is the cost knob — for distance k the neighborhood
-    generalizes to C(|s|, k) keys, which is why production systems cap
-    k at 1-2 (documented trade-off).
-
-    Reference anchor: the blocked-candidate-then-verify shape of the
-    contrib fuzzy-join examples (`mapred/join` composed readers feeding
-    a verifying reducer).
-    """
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), F.col("c_name").alias("s")
-    )
-    keys = cust.select(
-        "k",
-        "s",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(s)), i -> "
-                "CASE WHEN i = 0 THEN s "
-                "ELSE concat(substring(s, 1, i-1), substring(s, i+1, length(s))) END)"
-            )
-        ).alias("dk"),
-    )
-    a = keys.select(F.col("k").alias("ka"), F.col("s").alias("sa"), "dk")
-    b = keys.select(F.col("k").alias("kb"), F.col("s").alias("sb"), "dk")
-    pairs = (
-        a.join(b, "dk")
-        .filter(F.col("ka") < F.col("kb"))
-        .select("ka", "kb", "sa", "sb")
-        .distinct()
-        .filter(F.levenshtein("sa", "sb") <= 1)
-        .select("ka", "kb")
-    )
-    ends = pairs.select(F.col("ka").alias("k2")).unionAll(
-        pairs.select(F.col("kb").alias("k2"))
-    )
-    deg = (
-        cust.join(ends, cust.k == ends.k2, "left")
-        .groupBy("k")
-        .agg(F.count("k2").cast("long").alias("n"))
-    )
-    return (
-        deg.groupBy(F.col("n").alias("n_neighbors"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_names"))
-        .orderBy("n_neighbors")
     )

@@ -407,3 +407,36 @@ def test_exact_group_order_statistics_model(spark):
         exact_group_order_statistics(df, "g", "c", {"a": [301]})
     with _pytest.raises(ValueError, match="absent"):
         exact_group_order_statistics(df, "g", "c", {"zz": [1]})
+
+
+def test_top_k_per_group_combined_matches_window(spark):
+    """Combined (local-reduce + window) grouped top-k must equal the
+    plain window form exactly, for several partitionings, including
+    groups smaller than k and price ties broken by key."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.sort import (
+        top_k_per_group,
+        top_k_per_group_combined,
+    )
+
+    rows = [
+        ("a", i, float(100 - (i % 7))) for i in range(40)
+    ] + [("b", 100 + i, 5.0) for i in range(2)]  # group smaller than k, all ties
+    for parts in (1, 4, 9):
+        df = spark.createDataFrame(
+            rows, "g string, k long, price double"
+        ).repartition(parts)
+        got = sorted(
+            tuple(r)
+            for r in top_k_per_group_combined(
+                df, ["g"], ["price", "k"], [False, True], 3
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in top_k_per_group(
+                df, ["g"], [F.col("price").desc(), F.col("k").asc()], 3
+            ).collect()
+        )
+        assert got == want and len(got) == 5
