@@ -1780,7 +1780,14 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.sum("mg_count").alias("mg_count"))
     )
-    exact = li.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    # persist rule (SCALE.md): exact is bounded by the item domain
+    # (~sqrt(L) rows) and feeds BOTH the total and the HH filter —
+    # without the persist the audit subtree re-scans the fact table.
+    exact = (
+        li.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .persist()
+    )
     tot = exact.agg(F.sum("exact_count").cast("long").alias("total_occurrences"))
     hh = (
         exact.crossJoin(F.broadcast(tot))

