@@ -742,3 +742,116 @@ def time_travel_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("method", "n_rows", "sum_cents", "min_key", "max_key", "n_diff")
         .orderBy("method")
     )
+
+
+@register(
+    "merge_into_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    changes AS (
+      SELECT k, cents + 10000 AS cents, 'U' AS op FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, NULL, 'D' FROM base WHERE k % 7 <> 0 AND k % 11 = 0
+      UNION ALL
+      SELECT k + 100000000, cents, 'I' FROM base WHERE k % 13 = 0
+    ),
+    merged AS (
+      SELECT CASE WHEN c.op IS NULL THEN 'unchanged'
+                  WHEN c.op = 'U' THEN 'updated'
+                  WHEN c.op = 'D' THEN 'deleted'
+                  ELSE 'inserted' END AS row_class,
+             CASE WHEN c.op IN ('U', 'I') THEN c.cents ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+    ),
+    kept AS (SELECT * FROM merged WHERE row_class <> 'deleted')
+    SELECT row_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM merged GROUP BY row_class
+    UNION ALL
+    SELECT 'final_table', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM kept
+    ORDER BY row_class
+    """,
+    note=(
+        "MERGE INTO semantics (matched-update / matched-delete / not-matched-insert) "
+        "applied as ONE key-keyed full-outer join over base x change-batch, audited "
+        "by per-class row counts and exact DECIMAL-cents revenue plus the final-table "
+        "checksum; the change batch is derived deterministically (mod classes) in "
+        "both engines"
+    ),
+)
+def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE — the upsert primitive under every CDC-fed
+    lakehouse table (complement of snapshot_diff, which DERIVES a
+    change set; this APPLIES one): matched+U rewrites the row,
+    matched+D removes it, unmatched+I inserts.
+
+    Spark plan: ONE full-outer join keyed by the table key — at 100 TB
+    both sides hash-partition on the key and the join is the only
+    fact-sized shuffle; the change batch is usually small enough that
+    a broadcast or a partition-pruned rewrite (only files containing
+    changed keys, the incremental_optimize_audit discipline) beats the
+    full-outer form, but the full-outer IS the semantics and stays the
+    fallback path.  Revenue rides DECIMAL(18,2)->cents so the audit
+    checksum is exact; per-class counts + the final-table checksum
+    certify every branch of the CASE (a missed delete or double-applied
+    update shifts a count or the sum).
+
+    Reference anchor: the rewrite-the-partition update idiom of
+    MapReduce-era warehouses (no in-place update in HDFS — merge-join
+    old data with the delta and write the new generation;
+    `examples/join` + FileOutputCommitter generation swap).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    changes = (
+        base.filter(F.col("k") % 7 == 0)
+        .select("k", (F.col("cents") + 10000).alias("cents"), F.lit("U").alias("op"))
+        .unionAll(
+            base.filter((F.col("k") % 7 != 0) & (F.col("k") % 11 == 0)).select(
+                "k", F.lit(None).cast("long").alias("cents"), F.lit("D").alias("op")
+            )
+        )
+        .unionAll(
+            base.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 100000000).alias("k"),
+                "cents",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    b = base.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer").select(
+        F.when(F.col("c.op").isNull(), "unchanged")
+        .when(F.col("c.op") == "U", "updated")
+        .when(F.col("c.op") == "D", "deleted")
+        .otherwise("inserted")
+        .alias("row_class"),
+        F.when(F.col("c.op").isin("U", "I"), F.col("c.cents"))
+        .otherwise(F.col("b.cents"))
+        .alias("cents"),
+    )
+    # persist rule: merged feeds the per-class audit AND the final-table
+    # checksum; it is fact-sized, but the alternative is re-running the
+    # full-outer join — cut the tree once, release after the action.
+    merged = merged.localCheckpoint()
+    kept = merged.filter(F.col("row_class") != "deleted")
+    per_class = merged.groupBy("row_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    final = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    ).select(F.lit("final_table").alias("row_class"), "n_rows", "revenue_cents")
+    return per_class.unionAll(final).orderBy("row_class")
