@@ -71,6 +71,7 @@ DUCKDB_COMPARABLE = (
     "b21_dsir_select",
     "b22_exact_median",
     "b23_rs_erasure",
+    "b24_star_cc",
 )
 
 BENCH_QUERIES = {
@@ -169,6 +170,14 @@ BENCH_QUERIES = {
     # regression to a join-based decode or a lookup-table UDF shows up
     # as wall-clock.
     "b23_rs_erasure": "raid_rs_two_erasure",
+    # b24: round-9 — star-contraction connected components over the
+    # per-customer order chains.  The suite's iterative-driver-loop
+    # profile: ~7 rounds of (groupBy-min shuffle + co-keyed join +
+    # localCheckpoint + two set-difference counts).  In the bench so a
+    # regression in round count (contraction degrading toward per-hop
+    # propagation) or in per-round lineage handling shows up as
+    # wall-clock.
+    "b24_star_cc": "cc_star_order_chains",
 }
 
 
