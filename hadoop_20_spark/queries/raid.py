@@ -649,3 +649,94 @@ def block_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+_HRW_NODES = 10
+_HRW_REMOVED = 3
+
+
+@register(
+    "rendezvous_placement_audit",
+    f"""
+    WITH blocks AS (SELECT o_orderkey AS b FROM orders),
+    w AS (
+      SELECT b, n,
+             {_sql_md5_long("'blk_' || CAST(b AS VARCHAR) || '#node_' || CAST(n AS VARCHAR)")} AS wt
+      FROM blocks, unnest(range(0, {_HRW_NODES})) t(n)
+    ),
+    own AS (
+      SELECT b,
+             arg_max(n, wt) AS before_node,
+             arg_max(CASE WHEN n <> {_HRW_REMOVED} THEN n END,
+                     CASE WHEN n <> {_HRW_REMOVED} THEN wt END) AS after_node
+      FROM w GROUP BY b
+    )
+    SELECT CAST(before_node AS INT) AS owner_node,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN after_node <> before_node THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+    FROM own GROUP BY before_node ORDER BY owner_node
+    """,
+    note=(
+        "rendezvous (highest-random-weight) hashing placement audit: every block's "
+        "owner = argmax over nodes of md5(block#node); removing one node provably "
+        "moves ONLY that node's blocks (n_moved = n_blocks exactly on the removed "
+        "row, 0 elsewhere — the minimal-disruption contract, hash-checked), with "
+        "the survivors absorbing its load near-uniformly"
+    ),
+)
+def rendezvous_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent data placement without a ring: HRW/rendezvous hashing
+    (Thaler & Ravishankar 1996 — public algorithm) assigns each block
+    to the node with the highest md5(block, node) weight.  The audited
+    contract is minimal disruption: decommissioning node 3 re-homes
+    EXACTLY the blocks node 3 owned (other blocks' argmax is unchanged
+    by removing a non-maximal candidate) — the property the reference's
+    Balancer/decommission path (`hdfs/server/balancer/Balancer.java`,
+    `BlockPlacementPolicyDefault.java`) approximates operationally and
+    HRW gives algebraically.
+
+    Spark plan: ONE scan of orders, a constant xN node fan-out
+    (explode of a literal array — row-local), then BOTH the full and
+    the node-removed argmax ride the SAME (block)-keyed aggregate as
+    parallel max(struct) / conditional-max(struct) partial aggs — one
+    fact shuffle total; the readout groups by the 10-value owner
+    domain.  At 100 TB the weight relation is never materialized
+    wider than the fan-out, and per-block work is pure codegen md5 —
+    this is exactly how a 1000-node placement map stays a streaming
+    pass.  All hashing is md5_long, bit-identical in the oracle.
+    """
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("b"))
+    nodes = F.array(*[F.lit(n) for n in range(_HRW_NODES)])
+    w = orders.select(
+        "b",
+        F.explode(nodes).alias("n"),
+    ).select(
+        "b",
+        "n",
+        md5_long(
+            F.concat(
+                F.lit("blk_"),
+                F.col("b").cast("string"),
+                F.lit("#node_"),
+                F.col("n").cast("string"),
+            )
+        ).alias("wt"),
+    )
+    own = w.groupBy("b").agg(
+        F.max(F.struct("wt", "n")).alias("mb"),
+        F.max(
+            F.when(F.col("n") != _HRW_REMOVED, F.struct("wt", "n"))
+        ).alias("ma"),
+    )
+    return (
+        own.select(
+            F.col("mb.n").cast("int").alias("owner_node"),
+            (F.col("ma.n") != F.col("mb.n")).cast("long").alias("moved"),
+        )
+        .groupBy("owner_node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("moved").cast("long").alias("n_moved"),
+        )
+        .orderBy("owner_node")
+    )
