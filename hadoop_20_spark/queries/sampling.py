@@ -407,3 +407,84 @@ def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_AQP_MOD = 100  # 1% deterministic row sample
+
+
+@register(
+    "aqp_sum_estimate",
+    f"""
+    WITH tagged AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN {_sql_md5_long("'aqp_' || CAST(o_orderkey AS VARCHAR)")} % {_AQP_MOD} = 0
+                  THEN 1 ELSE 0 END AS in_sample
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority,
+             CAST(SUM(cents) AS BIGINT) AS exact_cents,
+             CAST(COUNT(*) AS BIGINT) AS exact_rows,
+             CAST(SUM(CASE WHEN in_sample = 1 THEN cents ELSE 0 END) * {_AQP_MOD} AS BIGINT) AS est_cents,
+             CAST(SUM(in_sample) * {_AQP_MOD} AS BIGINT) AS est_rows
+      FROM tagged GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, exact_rows, est_rows, exact_cents, est_cents,
+           CAST(ABS(est_cents - exact_cents) * 1000000 // exact_cents AS BIGINT) AS rel_err_ppm
+    FROM g ORDER BY o_orderpriority
+    """,
+    note=(
+        "approximate query processing from the deterministic md5 1% row sample: "
+        "Horvitz-Thompson scale-up of per-priority row counts and DECIMAL-cents "
+        "revenue, with the exact answers and integer-ppm relative error riding as "
+        "the audit — the acceptance readout before replacing exact scans with a "
+        "maintained sample synopsis at 100 TB"
+    ),
+)
+def aqp_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-synopsis aggregate estimation: answer GROUP BY SUM/COUNT
+    from the 1% md5-gated row sample (engine-portable, zero RNG) scaled
+    by 1/f, audited against the exact aggregate — the query you run to
+    decide whether a maintained synopsis can stand in for the fact scan
+    (and which groups it fails: rare groups have high ppm error, the
+    known stratification motivation, visible in the emitted column).
+
+    Scale plan: the sample gate is a row-local md5 predicate at the
+    scan, so BOTH estimate and exact ride ONE priority-keyed aggregate
+    over one scan — conditional partial aggs, no second pass, no join;
+    at 100 TB you'd persist the sample as its own table (the synopsis)
+    and skip the exact branch — the audit here is what certifies the
+    estimator before you do.  Error is integer ppm via cross-multiplied
+    BIGINT floor division — no float ratio to diverge between engines.
+    """
+    from hadoop_20_spark.functions import md5_long
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    in_sample = (
+        md5_long(F.concat(F.lit("aqp_"), F.col("o_orderkey").cast("string")))
+        % _AQP_MOD
+        == 0
+    ).cast("long")
+    tagged = orders.select(
+        "o_orderpriority", cents.alias("cents"), in_sample.alias("in_sample")
+    )
+    g = tagged.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("long").alias("exact_cents"),
+        F.count(F.lit(1)).cast("long").alias("exact_rows"),
+        (F.sum(F.when(F.col("in_sample") == 1, F.col("cents")).otherwise(0)) * _AQP_MOD)
+        .cast("long")
+        .alias("est_cents"),
+        (F.sum("in_sample") * _AQP_MOD).cast("long").alias("est_rows"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "exact_rows",
+        "est_rows",
+        "exact_cents",
+        "est_cents",
+        F.expr("abs(est_cents - exact_cents) * 1000000 DIV exact_cents")
+        .cast("long")
+        .alias("rel_err_ppm"),
+    ).orderBy("o_orderpriority")
