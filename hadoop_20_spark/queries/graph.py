@@ -673,3 +673,131 @@ def cc_star_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "cluster_id")
         .limit(25)
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        f"""p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )""",
+        "e1 AS (SELECT pa AS src, pb AS dst FROM p UNION ALL SELECT pb, pa FROM p)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS (SELECT src AS node, COUNT(*) AS d FROM e{r} GROUP BY src)"
+        )
+        ctes.append(f"r{r} AS (SELECT node FROM d{r} WHERE d < {_KCORE_K})")
+        ctes.append(
+            f"""e{r + 1} AS (
+      SELECT src, dst FROM e{r}
+      WHERE src NOT IN (SELECT node FROM r{r})
+        AND dst NOT IN (SELECT node FROM r{r})
+    )"""
+        )
+    rounds_sql = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, 'removed' AS metric, (SELECT COUNT(*) FROM r{r}) AS n"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    last = _KCORE_ROUNDS + 1
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(round AS INT) AS round, metric, CAST(n AS BIGINT) AS n FROM (
+      {rounds_sql}
+      UNION ALL
+      SELECT {last}, 'core_nodes',
+             (SELECT COUNT(*) FROM (SELECT DISTINCT src FROM e{last}))
+      UNION ALL
+      SELECT {last}, 'core_edges', (SELECT COUNT(*) FROM e{last}) / 2
+    ) ORDER BY round, metric"""
+
+
+@register(
+    "kcore_peel_audit",
+    _kcore_oracle(),
+    note=(
+        f"bounded k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} rounds) over the "
+        "co-purchase graph (parts co-bought in >=2 orders): each round removes "
+        "every node of residual degree < k, re-derives degrees, repeats — the "
+        "removal CASCADE per round plus the surviving subgraph size; oracle = "
+        "unrolled peel rounds"
+    ),
+)
+def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The peeling loop — the graph family's fifth iteration discipline
+    (after propagation, contraction, mass iteration, frontier
+    traversal): per round ONE degree aggregate + one survivor semi-join
+    per side, localCheckpoint to cut lineage, all integer counts.
+    Emits the per-round removal cascade (at sf0.01: 1015 -> 355 -> 258
+    of 1880 nodes — removals EXPOSE new sub-k nodes, which is why
+    degeneracy needs iteration and one degree filter is not a k-core)
+    and the surviving subgraph's node/edge count.
+
+    Rounds are FIXED (not run-to-fixpoint) so the oracle unrolls the
+    same computation exactly; the graph density — and so how far three
+    rounds get toward the true k-core — varies with scale, which the
+    emitted cascade makes visible rather than hiding.  Scale plan: the
+    pair graph is built by the basket-bounded row-local C(k,2)
+    expansion (copurchase_pairs discipline, never a postings
+    self-join); each peel round shuffles only (node, degree) pairs and
+    the shrinking edge list, keyed by 8-byte node ids.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint()
+    rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        removed = deg.filter(F.col("d") < _KCORE_K).select("node").localCheckpoint()
+        rows.append(
+            removed.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit(r).cast("int").alias("round"),
+                F.lit("removed").alias("metric"),
+                "n",
+            )
+        )
+        edges = (
+            edges.join(removed, edges.src == removed.node, "left_anti")
+            .join(removed, edges.dst == removed.node, "left_anti")
+            .localCheckpoint()
+        )
+    last = _KCORE_ROUNDS + 1
+    core_nodes = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit(last).cast("int").alias("round"), F.lit("core_nodes").alias("metric"), "n")
+    core_edges = edges.agg((F.count(F.lit(1)) / 2).cast("long").alias("n")).select(
+        F.lit(last).cast("int").alias("round"), F.lit("core_edges").alias("metric"), "n"
+    )
+    out = rows[0]
+    for df in rows[1:] + [core_nodes, core_edges]:
+        out = out.unionByName(df)
+    return out.orderBy("round", "metric")
