@@ -168,8 +168,20 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        if rounds == 1:
+            # round 1 reshapes the raw edge set unconditionally — skip
+            # the (always-true) change test and its shuffle
+            e = nxt
+            continue
+        # symmetric difference in ONE aggregation: both sides are
+        # distinct sets, so a (u, v) group with count 1 is in exactly
+        # one of them (cheaper than two subtract()s = four side-shuffles)
         changed = (
-            nxt.subtract(e).count() + e.subtract(nxt).count()
+            e.unionAll(nxt)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 1)
+            .count()
         )
         e = nxt
         if changed == 0:
