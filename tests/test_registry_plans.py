@@ -876,3 +876,8 @@ def test_deletion_blocking_bounded_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+    # the verified pair set persists so the candidate join + verify
+    # runs ONCE for both degree endpoints: <=3 customer scans
+    assert plan.count("customer.parquet") <= 3, plan.count("customer.parquet")
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()
