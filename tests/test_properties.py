@@ -709,3 +709,47 @@ def test_pareto_skyline_matches_brute_force(spark, rows, parts):
 
     want = sorted(t for t in rows if not dominated(t))
     assert got == want
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_star_cc_matches_union_find(spark, edges):
+    """Star-contraction components == an independent union-find model,
+    for arbitrary small graphs (self-loops dropped, parallel edges,
+    arbitrary shapes — not just the chain fixtures)."""
+    from hadoop_20_spark.operators.graph import connected_components_star
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src long, dst long")
+    labels, _ = connected_components_star(df)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in real:
+        for n in (a, b):
+            want[n] = find(n)
+    assert got == want
