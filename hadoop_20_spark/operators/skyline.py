@@ -89,6 +89,21 @@ def pareto_skyline(
     """
     dims = list(maximize) + list(minimize)
     signs = [1] * len(maximize) + [-1] * len(minimize)
+    integral = {"byte", "short", "integer", "long"}
+    for c in dims:
+        t = dict(df.dtypes).get(c)
+        if t is None:
+            raise ValueError(f"pareto_skyline: no such column {c!r}")
+        if t not in {"tinyint", "smallint", "int", "bigint"} and t not in integral:
+            # float/decimal objectives would be silently TRUNCATED by the
+            # int64 kernel, flipping dominance near ties — fail loud and
+            # make the caller pre-scale (DECIMAL -> cents), the same
+            # key-type contract as layout.write_bloom_sidecar
+            raise TypeError(
+                f"pareto_skyline: objective {c!r} has type {t}; objectives "
+                "must be integer-typed — pre-scale decimals/doubles to "
+                "cents/units (see supplier_pareto_frontier)"
+            )
     kernel = _pareto_kernel(dims, signs)
     local = df.mapInPandas(kernel, df.schema)
     return local.repartition(1).mapInPandas(kernel, df.schema)

@@ -753,3 +753,17 @@ def test_star_cc_matches_union_find(spark, edges):
         for n in (a, b):
             want[n] = find(n)
     assert got == want
+
+
+def test_pareto_skyline_rejects_float_objectives(spark):
+    """Float objectives would be silently truncated by the int64 kernel
+    — must fail loud with the pre-scale instruction."""
+    import pytest
+
+    from hadoop_20_spark.operators.skyline import pareto_skyline
+
+    df = spark.createDataFrame([(1, 1.5)], "a long, b double")
+    with pytest.raises(TypeError, match="integer-typed"):
+        pareto_skyline(df, maximize=["a", "b"])
+    with pytest.raises(ValueError, match="no such column"):
+        pareto_skyline(df, maximize=["a", "zzz"])
