@@ -200,6 +200,8 @@ def misra_gries_partials(df: DataFrame, col: str, k: int) -> DataFrame:
     """
     import pandas as pd  # local import: operator stays importable without pandas
 
+    if k < 1:
+        raise ValueError(f"misra_gries_partials: k must be >= 1, got {k}")
     out_schema = "item string, mg_count long"
 
     def summarize(batches):
