@@ -566,3 +566,35 @@ def test_resize_nn_matches_python_model():
             sy = int((y + 0.5) * 5 / 2)
             sx = int((x + 0.5) * 7 / 3)
             assert (small[y, x] == px[sy, sx]).all()
+
+
+def test_distcp_update_incremental_sync(spark, tmp_path):
+    """-update semantics: first run copies everything, second run copies
+    nothing (idempotent), a changed-size file is re-copied alone, and
+    -delete removes destination extras."""
+    import pathlib
+
+    from hadoop_20_spark import sources
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha\n")
+    (src / "sub" / "b.txt").write_text("bravo bravo\n")
+
+    r1 = sources.distcp_update(spark, str(src), str(dst))
+    assert r1 == {"copied": 2, "skipped": 0, "deleted": 0}
+    assert (dst / "sub" / "b.txt").read_text() == "bravo bravo\n"
+
+    r2 = sources.distcp_update(spark, str(src), str(dst))
+    assert r2 == {"copied": 0, "skipped": 2, "deleted": 0}
+
+    (src / "a.txt").write_text("alpha changed\n")  # size differs
+    r3 = sources.distcp_update(spark, str(src), str(dst))
+    assert r3 == {"copied": 1, "skipped": 1, "deleted": 0}
+    assert (dst / "a.txt").read_text() == "alpha changed\n"
+
+    (dst / "stale.txt").write_text("gone\n")
+    r4 = sources.distcp_update(spark, str(src), str(dst), delete_extra=True)
+    assert r4 == {"copied": 0, "skipped": 2, "deleted": 1}
+    assert not pathlib.Path(dst / "stale.txt").exists()
