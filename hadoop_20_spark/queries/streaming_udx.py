@@ -1341,3 +1341,67 @@ def streaming_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("user_id", "click_id", "purchase_id")
     )
+
+
+@register(
+    "streaming_stream_semi_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      WHERE p.user_id = c.user_id
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    ORDER BY user_id, click_id
+    """,
+    note=(
+        "stream-stream LEFT SEMI join (attribution EXISTS): clicks emitted exactly "
+        "once on their first in-window purchase, never duplicated per purchase — "
+        "the dedup-free existence test; same two-sided time-range state expiry as "
+        "the outer forms; oracle = batch EXISTS"
+    ),
+)
+def streaming_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI completes the streaming join matrix's existence
+    quadrant: 'did this click convert?' without the row multiplication
+    an inner join (one output PER purchase) would force and without the
+    downstream dropDuplicates shuffle that de-duping the inner form
+    would cost — the engine emits each matched click once and discards
+    click state at watermark.
+
+    Same plan economics as the inner form: the time-range condition
+    bounds both buffers, so state is expirable on both sides; the
+    semi's advantage at 100 TB is OUTPUT volume (clicks, not clicks x
+    purchases) and no dedup stage.  Sentinel files advance the
+    watermark for the final drain, then are filtered from the result.
+    """
+    from hadoop_20_spark import streaming as stream_ops
+
+    ev1 = stream_ops.read_events_stream(spark, sf_dir, sentinel=True)
+    ev2 = stream_ops.read_events_stream(spark, sf_dir, sentinel=True)
+    clicks = (
+        ev1.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev2.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftSemi",
+    ).select(F.col("c_user").alias("user_id"), "click_id")
+    table = stream_ops.run_append_to_memory(joined, "q_stream_semi_join")
+    return table.filter(F.col("click_id") >= 0).orderBy("user_id", "click_id")

@@ -111,6 +111,7 @@ QUERIES = {
     "rendezvous_placement_audit": "one scan + constant xN literal-array fan-out (row-local); full AND node-removed argmax ride the SAME block-keyed aggregate as parallel max(struct) partials — one fact shuffle; readout over the 10-value owner domain",
     "aqp_sum_estimate": "estimate AND exact ride ONE priority-keyed aggregate over one scan (row-local md5 sample gate, conditional partial aggs — no second pass, no join); error as integer ppm via cross-multiplied BIGINT floor division",
     "kcore_peel_audit": "pair graph from the basket-bounded row-local C(k,2) expansion (never a postings self-join); per peel round one degree partial-agg + two node-keyed anti-joins on the SHRINKING edge list, localCheckpoint per round",
+    "streaming_stream_semi_join": "left-semi stream-stream join: each matched click emitted ONCE (no clicks x purchases blow-up, no dedup shuffle); two-sided time-range bounds keep both state buffers expirable; sentinel-driven final drain",
     "bloom_indexed_point_read": "sidecar probe is a driver-side read of <= k word positions; the data scan lists ONLY the passing files (explicit paths), then a pushed key filter",
     "schema_evolution_read": "mergeSchema footer pass unifies two file generations; scan projects NULL for the missing column in v1 files; one small groupBy",
     "incremental_optimize_audit": "read-back of the merged zorder_file=K/ layout; partition column drives the per-cell aggregate — the audit's cost is one scan of the clustered table",
