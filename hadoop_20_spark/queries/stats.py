@@ -17,6 +17,7 @@ from pyspark.sql import functions as F  # noqa: F401
 from hadoop_20_spark.queries._base import (  # noqa: F401
     REGISTRY,
     Query,
+    _sql_md5_long,
     _t,
     register,
 )
@@ -1889,3 +1890,92 @@ def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         maximize=["revenue_cents", "distinct_parts"],
         minimize=["discount_load"],
     ).orderBy("suppkey")
+
+
+_AMS_M = 64  # estimators
+
+
+@register(
+    "ams_selfjoin_estimate",
+    f"""
+    WITH x AS (
+      SELECT t.j,
+             SUM(CASE WHEN {_sql_md5_long("'ams_' || CAST(t.j AS VARCHAR) || '_' || CAST(l_orderkey AS VARCHAR)")} % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM lineitem, unnest(range(0, {_AMS_M})) t(j)
+      GROUP BY t.j
+    ),
+    est AS (SELECT CAST(SUM(s * s) // {_AMS_M} AS BIGINT) AS est_f2 FROM x),
+    ex AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+    )
+    SELECT exact_f2, est_f2,
+           CAST(ABS(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT) AS err_ppm
+    FROM ex CROSS JOIN est
+    """,
+    note=(
+        "AMS (Alon-Matias-Szegedy) F2 sketch estimating the self-join size of the "
+        "lineitem join key from 64 +/-1-sign linear projections (signs = md5 bits, "
+        "zero RNG, so the DuckDB oracle reproduces every estimator exactly); exact "
+        "F2 and integer-ppm error ride as the audit — the sketch the optimizer "
+        "wants before planning a self-join or a groupBy on a possibly-skewed key"
+    ),
+)
+def ams_selfjoin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment (self-join size) estimation in ONE streaming pass:
+    each estimator j keeps a single counter S_j = sum of md5-derived
+    +/-1 signs over ROW OCCURRENCES (never a per-key aggregate), and
+    E[S_j^2] = F2 = sum of squared key frequencies — the quantity that
+    prices a self-join or detects a skewed groupBy key before running
+    it.  CMS answers point counts, HLL distinct, the quantile sketch
+    ranks, Misra-Gries heavy hitters; AMS completes the sketch family
+    with the frequency-moment axis.
+
+    Scale plan: the m=64 estimator fan-out is row-local; map-side
+    partial aggregation collapses every partition to <= 64 counters
+    before the shuffle, so the sketch shuffle is O(partitions * 64)
+    at any corpus size (the CMS build economics).  The exact-F2 pass
+    is the test-scale audit (one key-keyed aggregate), dropped at
+    100 TB.  Signs from md5 keep the estimate bit-identical across
+    engines and partitionings — a seeded-RNG sketch could never be
+    hash-audited.
+    """
+    from hadoop_20_spark.functions import md5_long
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    js = F.array(*[F.lit(j) for j in range(_AMS_M)])
+    signs = li.select(
+        F.explode(js).alias("j"),
+        F.when(
+            md5_long(
+                F.concat(
+                    F.lit("ams_"),
+                    F.col("j").cast("string"),
+                    F.lit("_"),
+                    F.col("l_orderkey").cast("string"),
+                )
+            )
+            % 2
+            == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    x = signs.groupBy("j").agg(F.sum("sgn").alias("s"))
+    est = x.agg(
+        (F.sum(F.col("s") * F.col("s")) / _AMS_M).cast("long").alias("est_f2")
+    )
+    exact = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_f2",
+        "est_f2",
+        F.expr("abs(est_f2 - exact_f2) * 1000000 DIV exact_f2")
+        .cast("long")
+        .alias("err_ppm"),
+    )
