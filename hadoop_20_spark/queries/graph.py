@@ -801,3 +801,134 @@ def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in rows[1:] + [core_nodes, core_edges]:
         out = out.unionByName(df)
     return out.orderBy("round", "metric")
+
+
+_SSSP_ROUNDS = 3
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        """we AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    )""",
+        "edges AS (SELECT src, dst, w FROM we UNION ALL SELECT dst, src, w FROM we)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        """d0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+      WHERE node % 2 = 0 AND node IN (SELECT c_custkey * 2 FROM customer WHERE c_nationkey = 0)
+    )""",
+    ]
+    for i in range(1, _SSSP_ROUNDS + 1):
+        p = i - 1
+        ctes.append(f"""r{i} AS (
+      SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+      FROM edges e JOIN d{p} d ON d.node = e.src
+      GROUP BY e.dst
+    )""")
+        ctes.append(f"""d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{p} UNION ALL SELECT node, dist FROM r{i}
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CASE WHEN l.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(COUNT(d.node) AS BIGINT) AS n_reached,
+           CAST(COUNT(*) - COUNT(d.node) AS BIGINT) AS n_unreached,
+           MIN(d.dist) AS min_dist_cents,
+           MAX(d.dist) AS max_dist_cents,
+           CAST(SUM(d.dist) AS BIGINT) AS sum_dist_cents
+    FROM nodes l LEFT JOIN d{_SSSP_ROUNDS} d ON d.node = l.node
+    GROUP BY 1 ORDER BY node_type"""
+    )
+
+
+@register(
+    "weighted_sssp_relaxation",
+    _sssp_oracle(),
+    note=(
+        "multi-source weighted shortest paths by 3 Bellman-Ford relaxation rounds "
+        "over the customer-supplier graph (edge weight = cheapest lineitem in "
+        "integer cents, seeds = nation-0 customers): per round ONE min-plus "
+        "edges-join-distances shuffle + a keep-min merge; per-type reach counts "
+        "and exact distance sums; oracle = 3 unrolled relaxation CTEs"
+    ),
+)
+def weighted_sssp_relaxation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The min-plus RELAXATION loop — sixth and last of the graph
+    family's iteration disciplines (propagation, contraction, mass,
+    frontier, peeling, relaxation).  Distances are exact integer cents
+    (DECIMAL(18,2)->cents min per edge), so keep-min merges are
+    bit-identical across engines and partitionings; three bounded
+    rounds = paths of <= 3 hops, the oracle unrolls the same three.
+
+    Scale plan: per round ONE shuffle pattern — current distances join
+    edges on the source key (both co-partitioned on node id) with a
+    dst-keyed MIN aggregate (map-side partials), then a keep-min merge
+    with the previous frontier; localCheckpoint cuts lineage per round
+    (the pagerank discipline).  Unreached nodes surface as a count, not
+    silently dropped.  At 100 TB: Bellman-Ford rounds bound HOPS, so
+    bounded-round SSSP is the honest contract (full convergence on a
+    high-diameter graph wants the star-contraction treatment or a
+    priority-queue engine, documented rather than pretended).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    we = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            cents.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    edges = we.union(
+        we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    cust = _t(spark, sf_dir, "customer")
+    seeds = (
+        cust.filter(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .join(nodes, "node")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    dist = seeds.localCheckpoint()
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select("dst", (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("nd").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    node_type = F.when(F.col("n.node") % 2 == 0, "customer").otherwise("supplier")
+    return (
+        nodes.alias("n")
+        .join(dist.alias("d"), F.col("n.node") == F.col("d.node"), "left")
+        .groupBy(node_type.alias("node_type"))
+        .agg(
+            F.count(F.col("d.node")).cast("long").alias("n_reached"),
+            (F.count(F.lit(1)) - F.count(F.col("d.node")))
+            .cast("long")
+            .alias("n_unreached"),
+            F.min("d.dist").alias("min_dist_cents"),
+            F.max("d.dist").alias("max_dist_cents"),
+            F.sum("d.dist").cast("long").alias("sum_dist_cents"),
+        )
+        .orderBy("node_type")
+    )
