@@ -1998,3 +1998,69 @@ def stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    f"""
+    WITH g AS (
+      SELECT lang, n_chars // 100 AS len_bucket,
+             COUNT(DISTINCT source) AS l_div,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COALESCE(SUM(CASE WHEN l_div < {_LDIV_L} THEN 1 END), 0) AS BIGINT) AS n_undiverse_classes,
+           CAST(COALESCE(SUM(CASE WHEN l_div < {_LDIV_L} THEN n_docs END), 0) AS BIGINT) AS n_exposed_docs,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(MAX(l_div) AS BIGINT) AS max_l
+    FROM g
+    """,
+    note=(
+        f"l-diversity audit (l={_LDIV_L}) complementing k_anonymity_audit: for each "
+        "quasi-identifier class (lang, length bucket), the number of DISTINCT values "
+        "of the sensitive attribute (source) — a class can be k-anonymous yet leak "
+        "the attribute when every member shares one value; reports undiverse classes "
+        "and exposed docs"
+    ),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second privacy lens: k-anonymity bounds RE-IDENTIFICATION
+    (class size), l-diversity bounds ATTRIBUTE DISCLOSURE — a class of
+    1000 docs all from one source still tells an observer the source of
+    every member.  Classes of the (lang, length-bucket)
+    quasi-identifier must contain at least l distinct sources.
+
+    Scale plan: one bounded-domain shuffle (classes = langs x length
+    buckets) carrying a two-level distinct aggregate (countDistinct
+    rides (class, source) partials — never a collect_set of the
+    corpus); the report is a single summary row.  Same economics as
+    k_anonymity_audit, and at 100 TB the same knob: quasi-identifier
+    granularity bounds the shuffle key domain.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy("lang", F.expr("n_chars DIV 100").alias("len_bucket"))
+        .agg(
+            F.countDistinct("source").alias("l_div"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_div") < _LDIV_L, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_undiverse_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_div") < _LDIV_L, F.col("n_docs"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_exposed_docs"),
+        F.min("l_div").cast("long").alias("min_l"),
+        F.max("l_div").cast("long").alias("max_l"),
+    )
