@@ -1854,3 +1854,104 @@ def grouped_topk_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("rn").cast("long").alias("rn"),
     ).orderBy("o_orderpriority", "rn")
+
+
+@register(
+    "null_semantics_audit",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE o_orderkey % 7 END AS b
+      FROM orders
+    ),
+    probe AS (SELECT DISTINCT b FROM t WHERE b IS NULL OR b < 3)
+    SELECT 'count_col' AS check_name, CAST(COUNT(b) AS BIGINT) AS value FROM t
+    UNION ALL
+    SELECT 'count_star', CAST(COUNT(*) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'distinct_excl_null', CAST(COUNT(DISTINCT b) AS BIGINT) FROM t
+    UNION ALL
+    SELECT 'null_safe_matches',
+           CAST((SELECT COUNT(*) FROM probe a JOIN probe c
+                 ON a.b IS NOT DISTINCT FROM c.b) AS BIGINT)
+    UNION ALL
+    SELECT 'not_in_with_null',
+           CAST((SELECT COUNT(*) FROM t
+                 WHERE b NOT IN (SELECT b FROM probe)) AS BIGINT)
+    UNION ALL
+    SELECT 'sum_all_null_group',
+           CAST(COALESCE((SELECT SUM(b) FROM t WHERE b IS NULL), -1) AS BIGINT)
+    ORDER BY check_name
+    """,
+    note=(
+        "NULL-semantics parity battery: count(*) vs count(col), distinct excluding "
+        "NULL, null-safe equality join (<=> / IS NOT DISTINCT FROM), the NOT IN "
+        "with a NULL in the subquery trap (always-empty), and SUM over an all-NULL "
+        "group — the ANSI edge semantics both engines must agree on for every other "
+        "oracle in this repo to be trustworthy"
+    ),
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-parity on the NULL edge cases every query silently relies
+    on: aggregate NULL skipping, DISTINCT's NULL exclusion, null-safe
+    equality (Spark ``<=>`` == ANSI IS NOT DISTINCT FROM), the NOT IN
+    + NULL three-valued-logic trap (result is provably EMPTY — emitted
+    as a count so a future engine change screams), and NULL sums.  The
+    rest of the registry assumes these agree between Spark and the
+    DuckDB oracle; this query pins each one as data.
+
+    Scale plan: one scan of orders feeding row-local derivations; every
+    check is a scalar aggregate over it (the integrity_checks shape);
+    the null-safe join runs on an <=8-row distinct relation.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("b"),
+    ).localCheckpoint()  # shared by six scalar checks — cut once
+    probe = t.filter(F.col("b").isNull() | (F.col("b") < 3)).select("b").distinct()
+
+    def one(name, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("check_name"), F.col("value").cast("long").alias("value")
+        )
+
+    a = probe.alias("a")
+    c = probe.alias("c")
+    checks = [
+        one("count_col", t.agg(F.count("b").alias("value"))),
+        one("count_star", t.agg(F.count(F.lit(1)).alias("value"))),
+        one("distinct_excl_null", t.agg(F.countDistinct("b").alias("value"))),
+        one(
+            "null_safe_matches",
+            a.join(c, F.col("a.b").eqNullSafe(F.col("c.b"))).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        one(
+            "not_in_with_null",
+            t.join(probe.withColumnRenamed("b", "pb"), F.expr("true"), "cross")
+            .groupBy("k", "b")
+            .agg(
+                F.max(F.when(F.col("b") == F.col("pb"), 1).otherwise(0)).alias("eq"),
+                F.max(F.col("pb").isNull().cast("int")).alias("has_null"),
+            )
+            # NOT IN is false if any match, UNKNOWN if a NULL is present
+            # and no match — only rows with no match AND no NULL survive
+            .filter((F.col("eq") == 0) & (F.col("has_null") == 0))
+            .agg(F.count(F.lit(1)).alias("value")),
+        ),
+        one(
+            "sum_all_null_group",
+            t.filter(F.col("b").isNull()).agg(
+                F.coalesce(F.sum("b"), F.lit(-1)).alias("value")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("check_name")
