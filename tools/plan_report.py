@@ -106,7 +106,7 @@ QUERIES = {
     "misra_gries_heavy_hitters": "raw key column never shuffled: mapInPandas collapses each scan partition to <= k rows (sublinear combiner), merge shuffle O(partitions*k); exact-count pass is the test-scale audit; 1-row total broadcast-attached",
     "supplier_pareto_frontier": "skyline runs on the entity-bounded per-supplier aggregate (ONE suppkey-keyed fact shuffle, distinct via two-level agg); local BNL pass prunes each partition to Pareto-maximal rows before the single-task exact merge; integer objectives via DECIMAL(18,2)",
     "fuzzy_join_deletion_blocking": "constant |s|+1 key fan-out from a pure-Column transform (no UDF); candidate equi-join buckets bounded by the alphabet (<=10 here) so never quadratic; one levenshtein per survivor; degree histogram = two bounded-domain shuffles",
-    "grouped_topk_combined": "sublinear combiner: each scan partition locally reduces to <= groups*k rows with NO shuffle (Arrow sort + groupby-head), exact window ranks <= partitions*groups*k candidates; ties broken by key for partitioning-invariance",
+    "grouped_topk_combined": "explicit sublinear combiner: each scan partition locally reduces to <= groups*k rows with NO shuffle (Arrow sort + groupby-head); measured EQUAL in shuffle volume to Spark's WindowGroupLimit rewrite of rank<=k (15 records at sf0.1) — the operator is for per-group selections beyond rank predicates; ties broken by key",
     "merge_into_upsert": "MERGE = ONE key-keyed full-outer join (the only fact shuffle); merged relation localCheckpointed once to feed per-class audit + final checksum without re-running the join; DECIMAL-cents revenue keeps the checksum exact",
     "rendezvous_placement_audit": "one scan + constant xN literal-array fan-out (row-local); full AND node-removed argmax ride the SAME block-keyed aggregate as parallel max(struct) partials — one fact shuffle; readout over the 10-value owner domain",
     "aqp_sum_estimate": "estimate AND exact ride ONE priority-keyed aggregate over one scan (row-local md5 sample gate, conditional partial aggs — no second pass, no join); error as integer ppm via cross-multiplied BIGINT floor division",
