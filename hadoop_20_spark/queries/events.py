@@ -926,3 +926,113 @@ def session_overlap_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "gorilla_timestamp_compression",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id FROM events
+    ),
+    d AS (
+      SELECT user_id, s,
+             s - lag(s) OVER w AS delta,
+             (s - lag(s) OVER w) - (lag(s) OVER w - lag(s, 2) OVER w) AS dod
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    classed AS (
+      SELECT CASE
+               WHEN delta IS NULL THEN 'header_64'
+               WHEN dod IS NULL THEN 'first_delta_64'
+               WHEN dod = 0 THEN 'zero_1'
+               WHEN dod BETWEEN -63 AND 64 THEN 'small_9'
+               WHEN dod BETWEEN -255 AND 256 THEN 'medium_12'
+               WHEN dod BETWEEN -2047 AND 2048 THEN 'large_16'
+               ELSE 'raw_36'
+             END AS bucket,
+             CASE
+               WHEN delta IS NULL THEN 64
+               WHEN dod IS NULL THEN 64
+               WHEN dod = 0 THEN 1
+               WHEN dod BETWEEN -63 AND 64 THEN 9
+               WHEN dod BETWEEN -255 AND 256 THEN 12
+               WHEN dod BETWEEN -2047 AND 2048 THEN 16
+               ELSE 36
+             END AS bits
+      FROM d
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+           CAST(SUM(bits) * 1000000 // (COUNT(*) * 64) AS BIGINT) AS ratio_ppm
+    FROM classed GROUP BY bucket ORDER BY bucket
+    """,
+    note=(
+        "Gorilla-style (Facebook 2015) delta-of-delta timestamp compression audit: "
+        "per-user second-resolution timestamps classed into the paper's bit buckets "
+        "(0 -> 1 bit, [-63,64] -> 9, [-255,256] -> 12, [-2047,2048] -> 16, else 36), "
+        "per-bucket value counts and exact bit totals vs raw 64-bit storage — all "
+        "integer arithmetic, so the compression ratio is hash-checked"
+    ),
+)
+def gorilla_timestamp_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-series storage audit: how compressible is the event
+    stream's time axis under delta-of-delta coding (Gorilla, the
+    Facebook in-memory TSDB paper — the reference-era company's own
+    answer to timestamp storage)?  Regular streams (fixed cadence)
+    collapse to ~1 bit/sample; this corpus's irregular events spread
+    across the 9/12/16/36-bit classes, and the per-bucket readout is
+    the evidence a storage layer needs before choosing the codec.
+
+    Scale plan: ONE user-partitioned window computes both lags (delta
+    and delta-of-delta ride the same sort), classification is row-local
+    CASE codegen, and the readout is a 7-value-key aggregate — the
+    whole audit is one shuffle plus a bounded-domain one.  Integer
+    seconds and integer ppm keep it engine-exact.  At 100 TB the
+    window key (user/series id) is the natural series partition; no
+    global ordering is ever needed.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    d = ev.select(
+        (F.col("s") - F.lag("s", 1).over(w)).alias("delta"),
+        (
+            (F.col("s") - F.lag("s", 1).over(w))
+            - (F.lag("s", 1).over(w) - F.lag("s", 2).over(w))
+        ).alias("dod"),
+    )
+    bucket = (
+        F.when(F.col("delta").isNull(), "header_64")
+        .when(F.col("dod").isNull(), "first_delta_64")
+        .when(F.col("dod") == 0, "zero_1")
+        .when(F.col("dod").between(-63, 64), "small_9")
+        .when(F.col("dod").between(-255, 256), "medium_12")
+        .when(F.col("dod").between(-2047, 2048), "large_16")
+        .otherwise("raw_36")
+    )
+    bits = (
+        F.when(F.col("delta").isNull(), 64)
+        .when(F.col("dod").isNull(), 64)
+        .when(F.col("dod") == 0, 1)
+        .when(F.col("dod").between(-63, 64), 9)
+        .when(F.col("dod").between(-255, 256), 12)
+        .when(F.col("dod").between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    return (
+        d.select(bucket.alias("bucket"), bits.alias("bits"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("bits").cast("long").alias("total_bits"),
+            (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+            F.expr("sum(bits) * 1000000 DIV (count(1) * 64)")
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+        .orderBy("bucket")
+    )
