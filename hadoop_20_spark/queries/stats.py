@@ -1979,109 +1979,3 @@ def ams_selfjoin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     )
-
-
-@register(
-    "bitmap_index_audit",
-    """
-    WITH b1 AS (
-      SELECT o_orderpriority AS v, o_orderkey // 32 AS chunk,
-             CAST(bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 32 AS INTEGER)) AS BIGINT) AS w
-      FROM orders GROUP BY 1, 2
-    ),
-    b2 AS (
-      SELECT o_orderstatus AS v, o_orderkey // 32 AS chunk,
-             CAST(bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 32 AS INTEGER)) AS BIGINT) AS w
-      FROM orders GROUP BY 1, 2
-    ),
-    via_bitmap AS (
-      SELECT b1.v AS o_orderpriority, b2.v AS o_orderstatus,
-             CAST(SUM(bit_count(b1.w & b2.w)) AS BIGINT) AS n_bitmap
-      FROM b1 JOIN b2 USING (chunk) GROUP BY 1, 2
-    ),
-    direct AS (
-      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_direct
-      FROM orders GROUP BY 1, 2
-    )
-    SELECT d.o_orderpriority, d.o_orderstatus, d.n_direct,
-           COALESCE(v.n_bitmap, 0) AS n_bitmap,
-           CAST(CASE WHEN d.n_direct = COALESCE(v.n_bitmap, 0) THEN 1 ELSE 0 END AS INT) AS bitmaps_agree
-    FROM direct d LEFT JOIN via_bitmap v
-      ON v.o_orderpriority = d.o_orderpriority AND v.o_orderstatus = d.o_orderstatus
-    ORDER BY d.o_orderpriority, d.o_orderstatus
-    """,
-    note=(
-        "bitmap index audit: per-value bitmaps over 32-row chunks (bit_or of "
-        "1<<pos partials), conjunctive predicate answered by chunk-aligned AND + "
-        "popcount, proven equal to the direct group count for every "
-        "(priority, status) cell — the low-cardinality index structure columnar "
-        "warehouses use where B-trees and Bloom filters don't fit"
-    ),
-)
-def bitmap_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitmap-index semantics as relational bit algebra: each value of a
-    low-cardinality column gets one BIGINT word per 64-row chunk
-    (bit i set = row 64*chunk+i has that value), built in ONE partial-
-    aggregated shuffle; a conjunctive predicate (priority = X AND
-    status = Y) is answered WITHOUT touching the fact table again —
-    chunk-aligned AND then popcount.  The audit proves every cell of
-    the 15-cell conjunction grid equal to the direct count, so the
-    bitmap path is certified, not assumed.
-
-    Scale plan: bitmap build shuffles (value, chunk) keys — size
-    |values| * rows/64 words, ~2% of a BIGINT column, with bit_or
-    map-side partials; the AND join is chunk-keyed between two
-    bitmap relations (each far smaller than the fact), and popcount
-    (bit_count) is codegen in both engines.  At 100 TB bitmaps
-    persist beside the table (the BloomMapFile-sidecar discipline,
-    layout.write_bloom_sidecar) and conjunctions/disjunctions compose
-    as AND/OR word algebra — predicates never rescan the fact.
-    Row-id here is the dense o_orderkey; a real table uses the
-    file+rowgroup ordinal, same algebra.
-    """
-    orders = _t(spark, sf_dir, "orders")
-
-    def bitmap(col):
-        return (
-            orders.groupBy(
-                F.col(col).alias("v"),
-                F.expr("o_orderkey DIV 32").alias("chunk"),
-            )
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 32 AS INT))")
-                ).alias("w")
-            )
-        )
-
-    b1 = bitmap("o_orderpriority").select(
-        F.col("v").alias("o_orderpriority"), "chunk", F.col("w").alias("w1")
-    )
-    b2 = bitmap("o_orderstatus").select(
-        F.col("v").alias("o_orderstatus"), "chunk", F.col("w").alias("w2")
-    )
-    via = (
-        b1.join(b2, "chunk")
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.sum(F.bit_count(F.expr("w1 & w2")))
-            .cast("long")
-            .alias("n_bitmap")
-        )
-    )
-    direct = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n_direct")
-    )
-    return (
-        direct.join(via, ["o_orderpriority", "o_orderstatus"], "left")
-        .select(
-            "o_orderpriority",
-            "o_orderstatus",
-            "n_direct",
-            F.coalesce("n_bitmap", F.lit(0)).cast("long").alias("n_bitmap"),
-            (F.col("n_direct") == F.coalesce("n_bitmap", F.lit(0)))
-            .cast("int")
-            .alias("bitmaps_agree"),
-        )
-        .orderBy("o_orderpriority", "o_orderstatus")
-    )
