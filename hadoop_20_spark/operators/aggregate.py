@@ -209,8 +209,17 @@ def misra_gries_partials(df: DataFrame, col: str, k: int) -> DataFrame:
 
         counts: Counter = Counter()
         for pdf in batches:
-            vc = pdf[col].value_counts()
+            # dropna=False: pandas value_counts silently EXCLUDES nulls by
+            # default, which would make the summary's n differ from the
+            # caller's row count — NULL keys are rejected loudly instead
+            vc = pdf[col].value_counts(dropna=False)
             for item, c in vc.items():
+                if item is None or (isinstance(item, float) and item != item):
+                    raise ValueError(
+                        "misra_gries_partials: NULL key encountered — "
+                        "filter or coalesce NULL keys upstream so the "
+                        "guarantee denominator n is well-defined"
+                    )
                 counts[item] += int(c)
         if not counts:
             return

@@ -608,7 +608,10 @@ def top_k_per_group_combined(
         pdf = pd.concat(parts, ignore_index=True)
         yield (
             pdf.sort_values(scols, ascending=asc)
-            .groupby(gcols, sort=False)
+            # dropna=False: pandas groupby silently DROPS null-keyed groups
+            # by default — the window form keeps them, and the two paths
+            # must agree row-for-row
+            .groupby(gcols, sort=False, dropna=False)
             .head(k)
         )
 

@@ -205,3 +205,16 @@ def test_misra_gries_guarantee_under_any_partitioning(spark):
             assert got >= c - n / (k + 1), (parts, item, got, c)
         # true heavy hitters (count > n/(k+1) = 25) must be present
         assert merged.get("a", 0) > 0
+
+
+def test_misra_gries_rejects_null_keys(spark):
+    """NULL keys make the guarantee denominator ambiguous — fail loud."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.aggregate import misra_gries_partials
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "item string")
+    with pytest.raises(Exception, match="NULL key"):
+        misra_gries_partials(df, "item", 4).collect()

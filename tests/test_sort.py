@@ -440,3 +440,39 @@ def test_top_k_per_group_combined_matches_window(spark):
             ).collect()
         )
         assert got == want and len(got) == 5
+
+
+def test_top_k_per_group_combined_keeps_null_group(spark):
+    """A NULL group key must survive the combined path exactly as it
+    does the window path — pandas groupby drops NaN groups by default,
+    which would silently lose every null-keyed row."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.sort import (
+        top_k_per_group,
+        top_k_per_group_combined,
+    )
+
+    rows = [("a", 1, 10.0), (None, 2, 9.0), (None, 3, 8.0), (None, 4, 7.0),
+            (None, 5, 6.0), ("a", 6, 5.0)]
+    df = spark.createDataFrame(rows, "g string, k long, price double").repartition(3)
+    got = sorted(
+        (
+            tuple(r)
+            for r in top_k_per_group_combined(
+                df, ["g"], ["price", "k"], [False, True], 3
+            ).collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in top_k_per_group(
+                df, ["g"], [F.col("price").desc(), F.col("k").asc()], 3
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    assert sum(1 for g, *_ in got if g is None) == 3
