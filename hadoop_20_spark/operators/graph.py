@@ -97,7 +97,7 @@ def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 30,
+    max_rounds: int = 48,  # covers ~2^46 nodes at O(log n) rounds + slack
 ) -> tuple[DataFrame, int]:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
