@@ -1036,3 +1036,108 @@ def gorilla_timestamp_compression(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 300 AS e,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    ),
+    per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_intervals,
+             SUM(me - ms) AS covered_s
+      FROM merged GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_intervals) AS BIGINT) AS total_intervals,
+           CAST(SUM(covered_s) AS BIGINT) AS total_covered_s,
+           CAST(MIN(n_intervals) AS BIGINT) AS min_intervals,
+           CAST(MAX(n_intervals) AS BIGINT) AS max_intervals
+    FROM per_user
+    """,
+    note=(
+        "interval coalescing (merge overlapping/touching intervals): each event "
+        "opens a 5-minute interval; islands detected by s > running-max(e) over "
+        "ONE user-partitioned window, merged extents and exact covered seconds "
+        "summarized — the union-of-intervals primitive under uptime/SLA math, "
+        "ad frequency capping, and session stitching"
+    ),
+)
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals: overlapping/touching per-user intervals merge
+    into maximal extents; the answer is exact covered time, which
+    double-counts nothing.  The island rule (an interval starts a new
+    island iff its start exceeds the running max of all previous ends)
+    handles nested and chained overlaps that naive lag(e) comparison
+    gets wrong — an interval can overlap an interval BEFORE its
+    immediate predecessor.
+
+    Scale plan: ONE user-partitioned window (running max-end, then a
+    running island-id sum over the same sort) + two bounded aggregates
+    — the sessionize/scd2 island discipline generalized from gaps to
+    arbitrary overlap; integer seconds everywhere.  At 100 TB the
+    window key is the series id; no global ordering exists anywhere.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("s"),
+        (F.expr("unix_micros(ts) DIV 1000000") + 300).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = ev.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # order by the UNIQUE (s, event_id) — (s, e) ties (e is s+300) would
+    # let the two engines order tied rows differently and split islands
+    w2 = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w2).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_user = merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_s"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_intervals").cast("long").alias("total_intervals"),
+        F.sum("covered_s").cast("long").alias("total_covered_s"),
+        F.min("n_intervals").cast("long").alias("min_intervals"),
+        F.max("n_intervals").cast("long").alias("max_intervals"),
+    )

@@ -393,3 +393,27 @@ def test_merge_postings_equals_rebuild(spark):
     assert (
         merged.where((F.col("term") == "d") & (F.col("doc_id") == 2)).count() == 0
     )
+
+
+def test_interval_coalesce_nested_and_chained(spark, monkeypatch, tmp_path):
+    """The running-max island rule must merge an interval that overlaps
+    an interval BEFORE its immediate predecessor (nested case lag(e)
+    gets wrong): [0,100], [10,20], [90,150] is ONE island of 150s."""
+    import pandas as pd
+
+    from hadoop_20_spark.queries.events import interval_coalesce
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": pd.to_datetime([0, 10_000_000, 90_000_000, 10**9], unit="us", utc=True),
+        "event_id": [1, 2, 3, 4],
+    })
+    # stage a one-off events.parquet whose 5-min windows produce:
+    # user 1: [0,300],[10,310],[90,390] -> one island, 390 s
+    # user 2: [1000,1300] -> one island, 300 s
+    p = tmp_path / "events.parquet"
+    rows.to_parquet(p)
+    out = {r["n_users"]: r for r in interval_coalesce(spark, str(tmp_path)).collect()}
+    r = out[2]
+    assert r["total_intervals"] == 2
+    assert r["total_covered_s"] == 390 + 300
