@@ -28,6 +28,7 @@ from hadoop_20_spark.queries import raid  # noqa: F401,E402
 from hadoop_20_spark.queries import basket  # noqa: F401,E402
 from hadoop_20_spark.queries import linkage  # noqa: F401,E402
 from hadoop_20_spark.queries import encodings  # noqa: F401,E402
+from hadoop_20_spark.queries import sketches  # noqa: F401,E402
 
 
 def _driver_seen() -> frozenset[str]:

@@ -1707,122 +1707,6 @@ def grouped_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_below_lo long, n_at_lo long",
     )
     return out.orderBy("pr")
-
-
-_MG_K = 16
-_MG_L = 100_000
-_MG_MIX = 2_654_435_761  # Knuth multiplicative constant; keeps BIGINT range
-
-
-@register(
-    "misra_gries_heavy_hitters",
-    f"""
-    WITH keys AS (
-      SELECT 'u' || CAST({_MG_L} // (1 + (l_orderkey * {_MG_MIX} + l_linenumber) % {_MG_L}) AS VARCHAR) AS item
-      FROM lineitem
-    ),
-    cnt AS (SELECT item, COUNT(*) AS c FROM keys GROUP BY item),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
-    SELECT item,
-           CAST(c AS BIGINT) AS exact_count,
-           (SELECT n FROM tot) AS total_occurrences,
-           CAST(1 AS INT) AS found_by_sketch,
-           CAST(1 AS INT) AS undercount_within_bound
-    FROM cnt
-    WHERE c * {_MG_K + 1} > (SELECT n FROM tot)
-    ORDER BY exact_count DESC, item
-    """,
-    note=(
-        "Misra-Gries mergeable frequent-items summary (k=16) with its deterministic "
-        "guarantee audited: every item above the n/(k+1) frequency threshold MUST "
-        "survive the per-partition trim + merge under ANY partitioning, with "
-        "undercount <= n/(k+1) — the one-sided UNDERcount complement to "
-        "cms_heavy_hitters; input is a derived power-law key (freq ~ 1/(r(r+1))) "
-        "both engines reproduce exactly"
-    ),
-)
-def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via per-partition Misra–Gries summaries merged by a
-    tiny groupBy — the sketch quartet's fourth member (CMS overcount /
-    HLL distinct / quantile histogram / MG undercount), and the only
-    one whose guarantee is DETERMINISTIC with no hashing at all.
-
-    The audited contract (operators/aggregate.misra_gries_partials):
-    merged_count ∈ [exact - n/(k+1), exact] for every item under ANY
-    partitioning, so each true heavy hitter (exact*(k+1) > n) must be
-    found, with its undercount inside the envelope.  The output emits
-    those two facts as always-true flags next to the exact counts; a
-    broken trim or merge would flip a flag or drop a row and fail the
-    hash gate.  Sketch-internal counts are NOT emitted — they depend on
-    the partition layout, which is the algorithm's freedom, not its
-    contract.
-
-    Scale plan: the raw key column is never shuffled — each scan
-    partition collapses to <= k rows map-side (a sublinear combiner),
-    so the merge moves O(partitions * k) rows at ANY corpus size; the
-    exact-count pass here is the test-scale audit certifying the
-    envelope (drop it at 100 TB, same posture as cms_heavy_hitters).
-    The input key is a deterministic power-law (rank-r frequency ~
-    1/(r(r+1)), ~sqrt(L) distinct values) derived in pure integer
-    arithmetic, identical in both engines.
-    """
-    from hadoop_20_spark.operators.aggregate import misra_gries_partials
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.concat(
-            F.lit("u"),
-            F.expr(
-                f"CAST({_MG_L} DIV (1 + (l_orderkey * {_MG_MIX} + l_linenumber) % {_MG_L}) AS STRING)"
-            ),
-        ).alias("item")
-    )
-    merged = (
-        misra_gries_partials(li, "item", _MG_K)
-        .groupBy("item")
-        .agg(F.sum("mg_count").alias("mg_count"))
-    )
-    # persist rule (SCALE.md): exact is bounded by the item domain
-    # (~sqrt(L) rows) and feeds BOTH the total and the HH filter —
-    # without the persist the audit subtree re-scans the fact table.
-    exact = (
-        li.groupBy("item")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
-        .persist()
-    )
-    tot = exact.agg(F.sum("exact_count").cast("long").alias("total_occurrences"))
-    hh = (
-        exact.crossJoin(F.broadcast(tot))
-        .filter(F.col("exact_count") * (_MG_K + 1) > F.col("total_occurrences"))
-    )
-    return (
-        hh.join(merged, "item", "left")
-        .select(
-            "item",
-            "exact_count",
-            "total_occurrences",
-            F.when(
-                F.col("mg_count").isNotNull() & (F.col("mg_count") > 0), 1
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias("found_by_sketch"),
-            F.when(
-                F.col("mg_count").isNotNull()
-                & (F.col("mg_count") <= F.col("exact_count"))
-                & (
-                    (F.col("exact_count") - F.col("mg_count")) * (_MG_K + 1)
-                    <= F.col("total_occurrences")
-                ),
-                1,
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias("undercount_within_bound"),
-        )
-        .orderBy(F.desc("exact_count"), "item")
-    )
-
-
 @register(
     "supplier_pareto_frontier",
     """
@@ -1892,90 +1776,110 @@ def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("suppkey")
 
 
-_AMS_M = 64  # estimators
-
-
 @register(
-    "ams_selfjoin_estimate",
-    f"""
-    WITH x AS (
-      SELECT t.j,
-             SUM(CASE WHEN {_sql_md5_long("'ams_' || CAST(t.j AS VARCHAR) || '_' || CAST(l_orderkey AS VARCHAR)")} % 2 = 1
-                      THEN 1 ELSE -1 END) AS s
-      FROM lineitem, unnest(range(0, {_AMS_M})) t(j)
-      GROUP BY t.j
+    "gini_lorenz_audit",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
     ),
-    est AS (SELECT CAST(SUM(s * s) // {_AMS_M} AS BIGINT) AS est_f2 FROM x),
-    ex AS (
-      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
-      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+    r AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn,
+             (SELECT COUNT(*) FROM c) AS n,
+             (SELECT SUM(rev) FROM c) AS tot
+      FROM c
+    ),
+    gini AS (
+      SELECT CAST(SUM((2 * rn - n - 1) * rev) * 1000000 // (CAST(n AS BIGINT) * tot) AS BIGINT) AS gini_ppm
+      FROM r GROUP BY n, tot
+    ),
+    deciles AS (
+      SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev) * 1000000 // MAX(tot) AS BIGINT) AS share_ppm,
+             CAST(SUM(rev) AS BIGINT) AS rev_cents
+      FROM r GROUP BY 1
     )
-    SELECT exact_f2, est_f2,
-           CAST(ABS(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT) AS err_ppm
-    FROM ex CROSS JOIN est
+    SELECT d.decile, d.n_customers, d.share_ppm,
+           CAST(SUM(d.rev_cents) OVER (ORDER BY d.decile ROWS UNBOUNDED PRECEDING)
+                * 1000000 // (SELECT SUM(rev_cents) FROM deciles) AS BIGINT) AS cum_share_ppm,
+           (SELECT gini_ppm FROM gini) AS gini_ppm
+    FROM deciles d ORDER BY d.decile
     """,
     note=(
-        "AMS (Alon-Matias-Szegedy) F2 sketch estimating the self-join size of the "
-        "lineitem join key from 64 +/-1-sign linear projections (signs = md5 bits, "
-        "zero RNG, so the DuckDB oracle reproduces every estimator exactly); exact "
-        "F2 and integer-ppm error ride as the audit — the sketch the optimizer "
-        "wants before planning a self-join or a groupBy on a possibly-skewed key"
+        "revenue-concentration audit: exact Gini coefficient (rank formula "
+        "sum((2i-n-1)x_i)/(n*sum), integer ppm) + Lorenz decile shares over "
+        "per-customer revenue — global ranks via the bucketed two-pass "
+        "distributed_global_rank (NO single-partition window), ranks tie-broken "
+        "by custkey so both engines sort identically"
     ),
 )
-def ams_selfjoin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment (self-join size) estimation in ONE streaming pass:
-    each estimator j keeps a single counter S_j = sum of md5-derived
-    +/-1 signs over ROW OCCURRENCES (never a per-key aggregate), and
-    E[S_j^2] = F2 = sum of squared key frequencies — the quantity that
-    prices a self-join or detects a skewed groupBy key before running
-    it.  CMS answers point counts, HLL distinct, the quantile sketch
-    ranks, Misra-Gries heavy hitters; AMS completes the sketch family
-    with the frequency-moment axis.
+def gini_lorenz_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is revenue across customers — the inequality
+    readout (Gini + Lorenz deciles) a mixing/rebalancing decision reads
+    before capping hot entities.  Exact integer arithmetic end to end:
+    revenue in DECIMAL-cents, Gini by the rank formula with a single
+    ppm floor division, decile shares as cross-multiplied ppm.
 
-    Scale plan: the m=64 estimator fan-out is row-local; map-side
-    partial aggregation collapses every partition to <= 64 counters
-    before the shuffle, so the sketch shuffle is O(partitions * 64)
-    at any corpus size (the CMS build economics).  The exact-F2 pass
-    is the test-scale audit (one key-keyed aggregate), dropped at
-    100 TB.  Signs from md5 keep the estimate bit-identical across
-    engines and partitionings — a seeded-RNG sketch could never be
-    hash-audited.
+    Scale plan: the only global structure needed is a total order over
+    per-customer revenue, supplied by sort.distributed_global_rank
+    (approxQuantile buckets + per-bucket windows — never an
+    Exchange SinglePartition); everything downstream is two bounded
+    aggregates (one per (n, tot), one per decile) and an 11-row window.
+    Ranks are tie-broken by custkey so the rank assignment — and hence
+    the Gini numerator — is bit-identical across engines.
     """
-    from hadoop_20_spark.functions import md5_long
+    from hadoop_20_spark.operators.sort import distributed_global_rank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    js = F.array(*[F.lit(j) for j in range(_AMS_M)])
-    signs = li.select(
-        F.explode(js).alias("j"),
-        F.when(
-            md5_long(
-                F.concat(
-                    F.lit("ams_"),
-                    F.col("j").cast("string"),
-                    F.lit("_"),
-                    F.col("l_orderkey").cast("string"),
-                )
-            )
-            % 2
-            == 1,
-            1,
-        )
-        .otherwise(-1)
-        .alias("sgn"),
-    )
-    x = signs.groupBy("j").agg(F.sum("sgn").alias("s"))
-    est = x.agg(
-        (F.sum(F.col("s") * F.col("s")) / _AMS_M).cast("long").alias("est_f2")
-    )
-    exact = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
-    )
-    return exact.crossJoin(F.broadcast(est)).select(
-        "exact_f2",
-        "est_f2",
-        F.expr("abs(est_f2 - exact_f2) * 1000000 DIV exact_f2")
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
-        .alias("err_ppm"),
+        .alias("rev")
+    )
+    ranked = distributed_global_rank(c, ["rev", "o_custkey"], rank_col="rn")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("tot"),
+    )
+    r = ranked.crossJoin(F.broadcast(tot))
+    # DECIMAL(38,0) keeps the numerator exact: sum((2i-n-1)*rev)*1e6
+    # overflows BIGINT from sf0.01 up; `div` on decimals is Spark's
+    # exact integral quotient (no rounded-then-floored decimal division)
+    gini = r.groupBy("n", "tot").agg(
+        F.expr(
+            "(sum(CAST((2 * rn - n - 1) AS DECIMAL(38,0)) * rev) * 1000000) "
+            "div (CAST(n AS DECIMAL(38,0)) * tot)"
+        )
+        .cast("long")
+        .alias("gini_ppm")
+    ).select("gini_ppm")
+    deciles = (
+        r.groupBy(F.expr("((rn - 1) * 10) DIV n").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr("(sum(CAST(rev AS DECIMAL(38,0))) * 1000000) div CAST(max(tot) AS DECIMAL(38,0))")
+            .cast("long")
+            .alias("share_ppm"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+    )
+    grand = deciles.agg(F.sum("rev_cents").alias("g"))
+    return (
+        deciles.crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            "n_customers",
+            "share_ppm",
+            F.expr(
+                "(sum(CAST(rev_cents AS DECIMAL(38,0))) over (partition by decile % 1 "
+                "order by decile rows unbounded preceding) * 1000000) div CAST(g AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("cum_share_ppm"),
+            "gini_ppm",
+        )
+        .orderBy("decile")
     )
