@@ -47,10 +47,26 @@ def _pareto_kernel(dims: Sequence[str], signs: Sequence[int]):
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        arr = np.stack(
-            [pdf[c].to_numpy(dtype="int64") * s for c, s in zip(dims, signs)],
-            axis=1,
-        )
+        cols = []
+        for c, s in zip(dims, signs):
+            if pdf[c].isna().any():
+                # NaN would CAST to INT64_MIN silently under numpy
+                raise ValueError(
+                    f"pareto_skyline: objective {c!r} contains NULLs; "
+                    "dominance over missing values is undefined — filter "
+                    "or impute before the skyline"
+                )
+            v = pdf[c].to_numpy(dtype="int64")
+            if s < 0 and (v == np.iinfo(np.int64).min).any():
+                # -INT64_MIN wraps back to INT64_MIN under two's
+                # complement, flipping dominance for minimize objectives
+                raise ValueError(
+                    f"pareto_skyline: objective {c!r} contains INT64_MIN, "
+                    "which cannot be negated for a minimize objective — "
+                    "rescale the column"
+                )
+            cols.append(v * s)
+        arr = np.stack(cols, axis=1)
         # visit rows in descending lexicographic order: a row can only be
         # dominated by one visited before it, so one forward scan suffices
         order = np.lexsort(arr.T[::-1])[::-1]

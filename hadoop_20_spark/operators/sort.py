@@ -209,12 +209,19 @@ def distributed_global_rank(
     toward a single group — same failure mode the reference's
     TotalOrderPartitioner has with a hot key, and visible in the bucket
     counts if it happens.
+
+    The input feeds THREE actions (approxQuantile, the per-bucket
+    counts, and the consumer's own plan), so it is persisted up front —
+    the same multi-consumer discipline as :func:`distributed_cumsum`;
+    without it every consumer recomputes the input's whole upstream
+    plan (six fact-table scans in gini_lorenz_audit before this fix).
     """
     lead = keys[0]
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    df = df.persist()
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(df.approxQuantile(lead, probs, relative_error))) if probs else []
 
@@ -346,8 +353,10 @@ def exact_order_statistic(
     into the cell containing rank k — ceil(log_width(range)) rounds,
     each one column-pruned scan + a <= width-row collect.  The default
     width 256 holds any int64 range to <= 8 rounds (the bucket offset
-    is computed through DECIMAL(38,0), so `col - lo` spanning nearly
-    all of int64 cannot wrap); each round's cost is
+    stays BIGINT while the surviving range fits int64 and widens to
+    DECIMAL(38,0) only when it doesn't — see _offset_bucket_sql — so
+    `col - lo` spanning nearly all of int64 cannot wrap and the common
+    case never pays decimal arithmetic); each round's cost is
     scan-dominated, so fewer-but-wider rounds win (measured 5.2 s -> 3.3 s
     for the two-probe refinement at sf0.1 going 64 -> 256).
 
@@ -366,6 +375,21 @@ def exact_order_statistic(
     """
     values, rounds = exact_order_statistics(df, col, [k], width, max_rounds)
     return values[k], rounds
+
+
+def _offset_bucket_sql(col: str, lo: int, hi: int, w: int) -> str:
+    """SQL for the refinement bucket ``(col - lo) DIV w`` over the
+    surviving range [lo, hi].  The driver holds lo/hi, so the widening
+    is CONDITIONAL: when ``hi - lo`` fits int64 the whole BIGINT
+    expression stays in codegen's long arithmetic (col - lo is in
+    [0, hi - lo], so it cannot wrap); only ranges spanning more than
+    int64 — e.g. lo near INT64_MIN, hi near INT64_MAX — pay the
+    DECIMAL(38,0) form (whose DIV returns BIGINT, and the quotient is
+    < width, so the narrow result is always safe).  Measured at sf0.1:
+    the unconditional DECIMAL form cost b22 ~4.4 s -> ~5.5 s."""
+    if hi - lo <= 0x7FFFFFFFFFFFFFFF:
+        return f"(CAST({col} AS BIGINT) - ({lo})) DIV {w}"
+    return f"(CAST({col} AS DECIMAL(38,0)) - ({lo})) DIV {w}"
 
 
 def exact_order_statistics(
@@ -422,16 +446,13 @@ def exact_order_statistics(
                     c.between(F.lit(active[k][0]), F.lit(active[k][1])),
                     F.struct(
                         F.lit(i).alias("t"),
-                        # widen the offset through DECIMAL(38,0): raw
-                        # int64 `col - lo` wraps (or throws under ANSI)
-                        # when the surviving range spans most of int64 —
-                        # e.g. lo near INT64_MIN, col near INT64_MAX.
-                        # Spark's decimal DIV returns BIGINT, and the
-                        # quotient is < width, so the narrow result is
-                        # safe even though the difference is not.
+                        # conditional widening (see _offset_bucket_sql):
+                        # BIGINT offset when the surviving range fits
+                        # int64, DECIMAL(38,0) only when it doesn't
                         F.expr(
-                            f"(CAST({col} AS DECIMAL(38,0)) - "
-                            f"({active[k][0]})) DIV {widths[k]}"
+                            _offset_bucket_sql(
+                                col, active[k][0], active[k][1], widths[k]
+                            )
                         ).alias("b"),
                     ),
                 )
@@ -520,9 +541,11 @@ def exact_group_order_statistics(
                     & c.between(F.lit(active[t][0]), F.lit(active[t][1])),
                     F.struct(
                         F.lit(i).alias("t"),
+                        # conditional widening (see _offset_bucket_sql)
                         F.expr(
-                            f"(CAST({col} AS DECIMAL(38,0)) - "
-                            f"({active[t][0]})) DIV {widths[t]}"
+                            _offset_bucket_sql(
+                                col, active[t][0], active[t][1], widths[t]
+                            )
                         ).alias("b"),
                     ),
                 )
@@ -594,20 +617,69 @@ def top_k_per_group_combined(
     speed, no per-row Python.  Reference anchor: the combiner running
     the reducer's logic on map output (combiner contract of
     `JobConf.setCombinerClass`).
+
+    Null ordering: pandas ``sort_values`` places ALL missing values per
+    ``na_position`` regardless of direction, but Spark orders NULLs
+    FIRST ascending and LAST descending — a naive kernel would locally
+    prune null-sorted rows the exact window keeps.  The kernel
+    therefore sorts each key behind a Spark-computed null indicator
+    (0 = NULL, 1 = value) with the SAME direction as the key, so the
+    local order matches Spark's exactly and the superset invariant
+    holds for every null mix.  The indicator must be computed BEFORE
+    the Arrow transfer: Arrow conflates NULL and NaN in float columns.
+
+    Float NaN is REJECTED loudly (any float/double column, not just
+    sort keys): the pandas->Arrow return path converts NaN to NULL
+    (``nan_as_null``), so a NaN anywhere in the frame would be
+    silently corrupted — violating the row-for-row contract.  Use the
+    window form for NaN-bearing data.
     """
     import pandas as pd
+    from pyspark.sql.types import DoubleType, FloatType
 
     gcols = list(group_cols)
     scols = list(sort_cols)
     asc = list(ascending)
+
+    # Spark-side null indicator per sort key (see docstring): sorting
+    # [indicator, key] both in the key's direction reproduces Spark's
+    # NULL-first-asc / NULL-last-desc placement inside the pandas kernel.
+    ind_cols = [f"__nullord_{i}" for i in range(len(scols))]
+    src = df
+    for ic, c in zip(ind_cols, scols):
+        ind = F.when(F.col(c).isNull(), F.lit(0)).otherwise(F.lit(1))
+        src = src.withColumn(ic, ind.cast("int"))
+
+    float_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (FloatType, DoubleType))
+    ]
+    nan_flag = "__has_nan"
+    nan_expr = F.lit(0)
+    for c in float_cols:
+        nan_expr = F.when(
+            F.col(c).isNotNull() & F.isnan(F.col(c)), F.lit(1)
+        ).otherwise(nan_expr)
+    src = src.withColumn(nan_flag, nan_expr.cast("int"))
+
+    sort_keys = [x for ic, c in zip(ind_cols, scols) for x in (ic, c)]
+    sort_asc = [x for a in asc for x in (a, a)]
 
     def kernel(batches):
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        if (pdf[nan_flag] == 1).any():
+            raise ValueError(
+                "top_k_per_group_combined: NaN in a float/double column; "
+                "the Arrow return path converts NaN to NULL (nan_as_null), "
+                "silently corrupting rows — use the window form "
+                "(top_k_per_group) for NaN-bearing data"
+            )
         yield (
-            pdf.sort_values(scols, ascending=asc)
+            pdf.sort_values(sort_keys, ascending=sort_asc)
             # dropna=False: pandas groupby silently DROPS null-keyed groups
             # by default — the window form keeps them, and the two paths
             # must agree row-for-row
@@ -615,7 +687,7 @@ def top_k_per_group_combined(
             .head(k)
         )
 
-    local = df.mapInPandas(kernel, df.schema)
+    local = src.mapInPandas(kernel, src.schema).drop(nan_flag, *ind_cols)
     order_keys = [
         F.col(c).asc() if a else F.col(c).desc() for c, a in zip(scols, asc)
     ]

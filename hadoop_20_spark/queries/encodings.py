@@ -59,9 +59,11 @@ from hadoop_20_spark.queries._base import (  # noqa: F401
 )
 def bitmap_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitmap-index semantics as relational bit algebra: each value of a
-    low-cardinality column gets one BIGINT word per 64-row chunk
-    (bit i set = row 64*chunk+i has that value), built in ONE partial-
-    aggregated shuffle; a conjunctive predicate (priority = X AND
+    low-cardinality column gets one BIGINT word per 32-row chunk
+    (bit i set = row 32*chunk+i has that value — 32, not 64, because
+    DuckDB's ``1 << 63`` is overflow-checked on BIGINT while Spark's
+    wraps, and 32-bit payloads keep both engines exact), built in ONE
+    partial-aggregated shuffle; a conjunctive predicate (priority = X AND
     status = Y) is answered WITHOUT touching the fact table again —
     chunk-aligned AND then popcount.  The audit proves every cell of
     the 15-cell conjunction grid equal to the direct count, so the

@@ -672,10 +672,10 @@ def time_travel_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkpoint itself is staged once: state-as-of v1 (last-writer-
     wins over commits 0..1, tombstone-free) written as a plain snapshot
     table.  The query then builds the final state TWO ways — full
-    replay of commits 0..2 vs checkpoint + commit-2 edits (version 100
-    marks the checkpoint generation so max_by prefers real v2 edits) —
-    and full-outer-diffs them (n_diff must be 0) before reporting both
-    aggregates.
+    replay of commits 0..2 vs checkpoint + commit-2 edits (checkpoint
+    rows ride as version 0, so max_by's last-writer-wins prefers real
+    v2 edits because 2 > 0) — and full-outer-diffs them (n_diff must
+    be 0) before reporting both aggregates.
 
     Plan: checkpoint read + ONE pruned log scan (version = 2) on the
     incremental side; full replay scans the log once; the diff is one

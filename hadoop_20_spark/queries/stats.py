@@ -1843,7 +1843,10 @@ def gini_lorenz_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("rev").cast("long").alias("tot"),
     )
-    r = ranked.crossJoin(F.broadcast(tot))
+    # r feeds BOTH the Gini aggregate and the decile aggregate — persist
+    # it (house rule: entity-bounded, one row per customer) so the audit
+    # ranks once instead of re-running the bucketed window per consumer
+    r = ranked.crossJoin(F.broadcast(tot)).persist()
     # DECIMAL(38,0) keeps the numerator exact: sum((2i-n-1)*rev)*1e6
     # overflows BIGINT from sf0.01 up; `div` on decimals is Spark's
     # exact integral quotient (no rounded-then-floored decimal division)

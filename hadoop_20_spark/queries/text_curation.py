@@ -1901,16 +1901,23 @@ def stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields = lambda tk, i: [  # noqa: E731
             F.element_at(tk, i + k).alias(f"w{k + 1}") for k in range(n)
         ]
+        # Guard the expansion: sequence(1, 0) is DESCENDING [1, 0] in
+        # Spark, so an unguarded form would emit i=0 for docs shorter
+        # than n and element_at(tk, 0) raises ("SQL array indices start
+        # at 1").  when() without otherwise yields NULL for short docs
+        # and explode drops NULL arrays — mirroring the oracle's empty
+        # range(1, 1).
         return df.select(
             "doc_id",
             F.explode(
                 _fn_let(
                     toks,
-                    lambda tk: F.transform(
-                        F.sequence(
-                            F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0))
+                    lambda tk: F.when(
+                        F.size(tk) >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                            lambda i: F.struct(*fields(tk, i)),
                         ),
-                        lambda i: F.struct(*fields(tk, i)),
                     ),
                 )
             ).alias("g"),

@@ -681,6 +681,50 @@ def test_shared_subtree_persists_cap_base_scans(spark):
         spark.catalog.clearCache()
 
 
+def test_gini_lorenz_single_structural_scan(spark):
+    """gini_lorenz_audit was round 9's only weak plan: the unpersisted
+    distributed_global_rank input + ranked relation re-derived the
+    per-customer aggregate per consumer (6 structural FileScans of
+    orders, 18 shuffles).  Both now persist — the audit must read
+    orders ONCE structurally (cache reads for every other consumer),
+    and the fact-path window stays bucket-partitioned."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_report import node_counts
+
+    df = REGISTRY["gini_lorenz_audit"].fn(spark, PLAN_SF)
+    jp = df._jdf.queryExecution().executedPlan()
+    n = node_counts(jp)
+    scans = n.get("scan", 0) + n.get("cached.scan", 0)
+    assert scans <= 2, (n, scans)
+    assert n.get("mem_scan", 0) + n.get("cached.mem_scan", 0) >= 2, n
+    plan = jp.toString()
+    assert "__rank_bucket" in plan  # window partitioned by the bucket
+    spark.catalog.clearCache()
+
+
+def test_rle_encoding_audit_no_window_no_fact_scan_in_plan(spark):
+    """rle_encoding_audit finds run boundaries with the dense-key
+    adjacency self-join, never a window: no WindowExec (the ordinal
+    trap), and the only data shuffles are the hash-partitioned join
+    sides — the checkpointed 3-column scan is shared by both column
+    passes, so the final plan holds no FileScan at all."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_report import node_counts
+
+    df = REGISTRY["rle_encoding_audit"].fn(spark, PLAN_SF)
+    jp = df._jdf.queryExecution().executedPlan()
+    n = node_counts(jp)
+    assert n.get("scan", 0) + n.get("cached.scan", 0) == 0, n
+    plan = jp.toString()
+    assert "Window" not in plan, "run detection regressed to a window"
+    assert n.get("shuffle", 0) <= 2, n
+    spark.catalog.clearCache()
+
+
 def test_constraint_suite_one_scan_per_table(spark):
     """The Deequ-style verifier's whole point: an N-check suite costs
     ONE wide aggregate per table, not N scans.  The full query may

@@ -476,3 +476,80 @@ def test_top_k_per_group_combined_keeps_null_group(spark):
     )
     assert got == want
     assert sum(1 for g, *_ in got if g is None) == 3
+
+
+def test_top_k_per_group_combined_null_sort_values(spark):
+    """Nulls in the SORT column must not be dropped or mis-kept by the
+    local combiner pass: Spark orders NULLs first ascending / last
+    descending, while pandas parks all missing values at one end — the
+    kernel's Spark-computed null indicator must reconcile the two for
+    BOTH directions."""
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.operators.sort import (
+        top_k_per_group,
+        top_k_per_group_combined,
+    )
+
+    rows = (
+        [("a", i, float(i)) for i in range(1, 6)]
+        + [("a", 10 + i, None) for i in range(4)]  # > k nulls in one group
+        + [("b", 30, None), ("b", 31, 2.0), ("b", 32, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, price double")
+    for parts in (1, 3, 7):
+        d = df.repartition(parts)
+        for asc in (True, False):
+            got = sorted(
+                (
+                    tuple(r)
+                    for r in top_k_per_group_combined(
+                        d, ["g"], ["price", "k"], [asc, True], 3
+                    ).collect()
+                ),
+                key=repr,
+            )
+            key = F.col("price").asc() if asc else F.col("price").desc()
+            want = sorted(
+                (
+                    tuple(r)
+                    for r in top_k_per_group(
+                        d, ["g"], [key, F.col("k").asc()], 3
+                    ).collect()
+                ),
+                key=repr,
+            )
+            assert got == want, (parts, asc)
+    # integer sort keys with nulls (Arrow turns these into float64 NaN —
+    # placement must still match the window's NULL handling)
+    rows2 = [("a", i, v) for i, v in enumerate([3, None, 1, None, 2, None, 4])]
+    d2 = spark.createDataFrame(rows2, "g string, k long, v long").repartition(3)
+    got2 = sorted(
+        (
+            tuple(r)
+            for r in top_k_per_group_combined(
+                d2, ["g"], ["v", "k"], [True, True], 3
+            ).collect()
+        ),
+        key=repr,
+    )
+    want2 = sorted(
+        (
+            tuple(r)
+            for r in top_k_per_group(
+                d2, ["g"], [F.col("v").asc(), F.col("k").asc()], 3
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got2 == want2
+    assert sum(1 for *_, v, _rn in got2 if v is None) == 3
+    # NaN anywhere in a float column is rejected loudly: the Arrow
+    # return path would silently convert it to NULL
+    import pytest as _pytest
+
+    d3 = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, float("nan"))], "g string, k long, price double"
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        top_k_per_group_combined(d3, ["g"], ["price", "k"], [True, True], 3).collect()

@@ -119,7 +119,8 @@ QUERIES = {
     "bitmap_index_audit": "bitmap build = ONE (value,chunk) shuffle with bit_or map-side partials (~3% of a BIGINT column); conjunction answered by a chunk-keyed join of two bitmap relations + codegen popcount — the fact table is scanned once for the build, once for the direct-count audit",
     "gorilla_timestamp_compression": "ONE user-partitioned window carries both lags (delta and delta-of-delta share the sort); classification is row-local CASE codegen; readout is a 7-value-key bounded aggregate — one fact shuffle total",
     "interval_coalesce": "running-max island rule over ONE user-partitioned window (unique (s,event_id) order — (s,e) ties would split islands differently per engine); merge + covered-time are two bounded aggregates on the same key",
-    "gini_lorenz_audit": "global revenue order via distributed_global_rank (approxQuantile buckets + per-bucket windows, NO single-partition exchange); Gini numerator and ppm shares in DECIMAL(38,0) integral div (BIGINT overflows from sf0.01); deciles + 11-row constant-key window",
+    "gini_lorenz_audit": "global revenue order via distributed_global_rank (approxQuantile buckets + per-bucket windows, NO single-partition exchange on the fact path); the per-customer input and the ranked relation both persist, so Gini + decile consumers read the cache — ONE structural FileScan of orders (was 6); DECIMAL(38,0) integral div ppm arithmetic",
+    "rle_encoding_audit": "run boundaries via the dense-key adjacency self-join (row k vs k+1) off ONE checkpointed 3-column scan — no window, no global order; per-column run counts are scalar aggregates over the hash-partitioned join (the only data shuffles)",
     "bloom_indexed_point_read": "sidecar probe is a driver-side read of <= k word positions; the data scan lists ONLY the passing files (explicit paths), then a pushed key filter",
     "schema_evolution_read": "mergeSchema footer pass unifies two file generations; scan projects NULL for the missing column in v1 files; one small groupBy",
     "incremental_optimize_audit": "read-back of the merged zorder_file=K/ layout; partition column drives the per-cell aggregate — the audit's cost is one scan of the clustered table",
