@@ -1147,6 +1147,51 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ahash_relation(spark: SparkSession, sf_dir: str):
+    """(media_id, base_id, ahash) over the synthesized PPM corpus: the
+    shared front half of the ahash family — numpy PPM encode -> binary
+    column -> builtin P6 decode -> integer luma (two Arrow mapInPandas
+    stages, no shuffle between), then the 16-bit average hash in pure
+    codegen (4x4-cell sums, bit = cell*16 >= total)."""
+    from hadoop_20_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    gray = multimodal.decode_gray(multimodal.synth_gray_ppm(docs))
+    g = F.col("gray")
+    cell = lambda c: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0),
+        lambda a, k: a
+        + F.element_at(
+            g,
+            ((c / 4).cast("int") * 4 + (k / 4).cast("int")) * 16
+            + (c % 4) * 4
+            + (k % 4)
+            + 1,
+        ),
+    )
+    with_tot = gray.select(
+        "media_id",
+        "base_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)), lambda c: cell(c).cast("bigint")
+        ).alias("cells"),
+        F.aggregate(g, F.lit(0), lambda a, x: a + x).cast("bigint").alias("t"),
+    )
+    powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(16)])
+    bits = F.transform(
+        F.col("cells"),
+        lambda x, i: F.when(
+            x * 16 >= F.col("t"), F.element_at(powers, i.cast("int") + 1)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return with_tot.select(
+        "media_id",
+        "base_id",
+        F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("ahash"),
+    )
+
+
 @register(
     "image_ahash_near_dup",
     r"""
@@ -1214,43 +1259,7 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash_fingerprints.  Reference anchor (public hadoop-20):
     BytesWritable payload mappers + mapred/pipes native codecs, here as
     Arrow batches."""
-    from hadoop_20_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    gray = multimodal.decode_gray(multimodal.synth_gray_ppm(docs))
-    g = F.col("gray")
-    cell = lambda c: F.aggregate(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(15)),
-        F.lit(0),
-        lambda a, k: a
-        + F.element_at(
-            g,
-            ((c / 4).cast("int") * 4 + (k / 4).cast("int")) * 16
-            + (c % 4) * 4
-            + (k % 4)
-            + 1,
-        ),
-    )
-    with_tot = gray.select(
-        "media_id",
-        "base_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(15)), lambda c: cell(c).cast("bigint")
-        ).alias("cells"),
-        F.aggregate(g, F.lit(0), lambda a, x: a + x).cast("bigint").alias("t"),
-    )
-    powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(16)])
-    bits = F.transform(
-        F.col("cells"),
-        lambda x, i: F.when(
-            x * 16 >= F.col("t"), F.element_at(powers, i.cast("int") + 1)
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
-    hashed = with_tot.select(
-        "media_id",
-        "base_id",
-        F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("ahash"),
-    )
+    hashed = _ahash_relation(spark, sf_dir)
     return (
         hashed.groupBy("ahash")
         .agg(
@@ -1261,6 +1270,227 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy("ahash")
+    )
+
+
+@register(
+    "image_ahash_multiprobe",
+    r"""
+    WITH px AS (
+      SELECT doc_id, doc_id // 3 AS base, unnest(range(256)) AS i
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, base, i,
+             (('0x' || substr(md5('px:' || base || ':' || i), 1, 2))::INT
+              + CASE WHEN ('0x' || substr(md5('noise:' || doc_id || ':' || i), 1, 15))::BIGINT
+                          % 50 = 0
+                     THEN 128 ELSE 0 END) % 256 AS g
+      FROM px
+    ),
+    cells AS (
+      SELECT doc_id, base,
+             ((i // 16) // 4) * 4 + (i % 16) // 4 AS c,
+             CAST(SUM(g) AS BIGINT) AS cs
+      FROM v GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS t FROM cells GROUP BY 1),
+    h AS (
+      SELECT cells.doc_id, base,
+             CAST(SUM(CASE WHEN cs * 16 >= t THEN 1::BIGINT << c ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+      GROUP BY 1, 2
+    ),
+    hh AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+    bands AS (
+      SELECT ahash, n, b, (ahash >> (4 * b)) & 15 AS v
+      FROM hh, (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.ahash AS ha, c.ahash AS hb, a.n AS na, c.n AS nb
+      FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v AND a.ahash < c.ahash
+    ),
+    ver AS (
+      SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS d, na * nb AS dp
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+    ),
+    samed AS (
+      SELECT ahash AS ha, ahash AS hb, CAST(0 AS BIGINT) AS d,
+             n * (n - 1) // 2 AS dp
+      FROM hh WHERE n >= 2
+    ),
+    alld AS (SELECT * FROM ver UNION ALL SELECT * FROM samed),
+    dist AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_hash_pairs,
+             CAST(SUM(dp) AS BIGINT) AS n_doc_pairs
+      FROM alld GROUP BY d
+    ),
+    pp AS (
+      SELECT LEAST(x.ahash, y.ahash) AS ha, GREATEST(x.ahash, y.ahash) AS hb,
+             CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS d
+      FROM h x JOIN h y ON x.base = y.base AND x.doc_id < y.doc_id
+    ),
+    fnd AS (SELECT DISTINCT ha, hb FROM alld),
+    pl AS (
+      SELECT pp.d, CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
+             CAST(COUNT(f.ha) AS BIGINT) AS n_planted_found
+      FROM pp LEFT JOIN fnd f ON pp.ha = f.ha AND pp.hb = f.hb
+      WHERE pp.d <= 2 GROUP BY pp.d
+    )
+    SELECT dist.d,
+           dist.n_hash_pairs,
+           dist.n_doc_pairs,
+           COALESCE(pl.n_planted_pairs, 0) AS n_planted_pairs,
+           COALESCE(pl.n_planted_found, 0) AS n_planted_found,
+           CASE WHEN COALESCE(pl.n_planted_pairs, 0) = 0 THEN NULL
+                ELSE COALESCE(pl.n_planted_found, 0) * 1000000
+                     // pl.n_planted_pairs END AS recall_ppm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_hash_pairs
+    FROM dist LEFT JOIN pl ON dist.d = pl.d
+    ORDER BY dist.d
+    """,
+    note=(
+        "banded Hamming-<=2 multiprobe over the 16-bit average hash (4x4-bit "
+        "bands, the simhash/srp pattern): near-dup pairs beyond exact-bucket "
+        "equality are found by an equi-join on (band, value) over the DISTINCT-"
+        "hash relation — the quadratic candidate step is bounded by the 2^16 "
+        "hash space, never the corpus; pigeonhole makes banding COMPLETE for "
+        "Hamming <= 3, and the measured recall over planted same-base pairs "
+        "certifies it (recall_ppm = 1000000 at every populated distance)"
+    ),
+)
+def image_ahash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-k near-duplicates WITHOUT all-pairs: band the 16-bit
+    ahash into four 4-bit bands; two hashes within Hamming 3 agree on
+    at least one band (pigeonhole), so an equi-join on (band, value)
+    followed by an exact XOR-popcount verify finds every pair at
+    Hamming <= 2 — the multiprobe discipline simhash_fingerprints and
+    srp_bucketed_neighbors already use, applied to the pixel hash.
+
+    The scale trick: banding runs on the DISTINCT-hash relation
+    (groupBy ahash first), so the candidate join is bounded by the
+    2^16 hash space regardless of corpus size — doc-pair counts come
+    back as n_a * n_b products, never materialized pairs.  Per
+    distance d in {0,1,2}: hash pairs, doc pairs, planted (same-base)
+    pairs, planted pairs found through the banding path, and the
+    measured recall (ppm) — pinned to 1000000 by the pigeonhole
+    completeness argument, which the oracle re-derives independently.
+
+    Plan: one decode pass (the shared _ahash_relation, persisted — it
+    feeds the hash histogram AND the planted ground-truth self-join),
+    a <= 4*|hashes|-row band explode, one (band, value) equi-join, and
+    bounded aggregates; the base-keyed ground-truth join is linear
+    (base groups have <= 3 members).  Reference anchor (public
+    hadoop-20): the banded-key multi-probe is the same key-expansion
+    idiom as contrib/data_join's tagged replication, with the verify
+    as the reducer-side exact filter."""
+    hashed = _ahash_relation(spark, sf_dir).persist()
+    hh = hashed.groupBy("ahash").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bands = hh.select(
+        "ahash",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftrightunsigned(F.col("ahash"), 4 * b)
+                            .bitwiseAND(F.lit(15))
+                        ).alias("v"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("ahash", "n", "bv.b", "bv.v")
+    cand = (
+        bands.select(F.col("ahash").alias("ha"), F.col("n").alias("na"), "b", "v")
+        .join(
+            bands.select(
+                F.col("ahash").alias("hb"), F.col("n").alias("nb"), "b", "v"
+            ),
+            ["b", "v"],
+        )
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "hb", "na", "nb")
+        .dropDuplicates(["ha", "hb"])
+    )
+    # cand feeds the verify AND the candidate-count audit — persist
+    # (bounded by the 2^16 hash space, the house persist rule)
+    cand = cand.persist()
+    ver = cand.select(
+        "ha",
+        "hb",
+        F.bit_count(F.expr("ha ^ hb")).cast("long").alias("d"),
+        (F.col("na") * F.col("nb")).cast("long").alias("dp"),
+    ).filter(F.col("d") <= 2)
+    samed = hh.filter(F.col("n") >= 2).select(
+        F.col("ahash").alias("ha"),
+        F.col("ahash").alias("hb"),
+        F.lit(0).cast("long").alias("d"),
+        F.expr("n * (n - 1) div 2").cast("long").alias("dp"),
+    )
+    alld = ver.unionByName(samed)
+    dist = alld.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hash_pairs"),
+        F.sum("dp").cast("long").alias("n_doc_pairs"),
+    )
+    pp = (
+        hashed.select("base_id", F.col("media_id").alias("ma"), F.col("ahash").alias("xa"))
+        .join(
+            hashed.select(
+                "base_id", F.col("media_id").alias("mb"), F.col("ahash").alias("xb")
+            ),
+            "base_id",
+        )
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.least("xa", "xb").alias("ha"),
+            F.greatest("xa", "xb").alias("hb"),
+            F.bit_count(F.expr("xa ^ xb")).cast("long").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+    )
+    fnd = alld.select("ha", "hb").distinct().withColumn("hit", F.lit(1))
+    pl = (
+        pp.join(fnd, ["ha", "hb"], "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_planted_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_planted_found"
+            ),
+        )
+    )
+    ncand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_hash_pairs")
+    )
+    return (
+        dist.join(pl, "d", "left")
+        .crossJoin(F.broadcast(ncand))
+        .select(
+            "d",
+            "n_hash_pairs",
+            "n_doc_pairs",
+            F.coalesce("n_planted_pairs", F.lit(0)).cast("long").alias(
+                "n_planted_pairs"
+            ),
+            F.coalesce("n_planted_found", F.lit(0)).cast("long").alias(
+                "n_planted_found"
+            ),
+            F.when(
+                F.coalesce("n_planted_pairs", F.lit(0)) == 0, F.lit(None)
+            )
+            .otherwise(
+                F.expr("coalesce(n_planted_found, 0) * 1000000 div n_planted_pairs")
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+            "n_candidate_hash_pairs",
+        )
+        .orderBy("d")
     )
 
 

@@ -128,6 +128,7 @@ QUERIES = {
     "hll_intersect_estimate": "one scan -> persisted distinct (source, token) feeds registers and the exact audit; union sketches are register-max merges; all post-sketch joins are sources^2-sized broadcasts",
     "time_travel_read": "one scan of the commit log joined to the broadcast 3-row as_of spine; (as_of,key) max_by picks last writes, tombstones drop keys; report agg is version-count sized",
     "image_ahash_near_dup": "two Arrow mapInPandas stages (PPM encode, builtin decode) with no shuffle between; 16-bit average hash in pure codegen over the luma array; one 8-byte-key groupBy",
+    "image_ahash_multiprobe": "banded Hamming-<=2 probe over the DISTINCT-hash relation: (band,value) equi-join bounded by the 2^16 hash space (doc pairs ride as n_a*n_b products, never materialized); decode pass persisted and shared with the base-keyed ground-truth join; XOR-popcount verify in codegen",
     "stupid_backoff_logprob": "four column-pruned scans (score trigrams + one per persisted vocab-bounded count table; context denominators read the cache); five vocab-bounded AQE-broadcast joins; one per-doc agg",
     "time_travel_checkpoint": "checkpoint read + version=2-pruned log scan on the incremental side vs one full log scan on the replay side; equality proven by one co-keyed full outer diff; 2-row report",
     "block_placement_audit": "placement row-local codegen off one orders scan; only shuffles are the 40-key per-node count agg and a broadcast 1-row violations attach",
