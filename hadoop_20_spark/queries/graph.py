@@ -806,6 +806,67 @@ def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSSP_ROUNDS = 3
 
 
+_SSSP_CAP = 12  # convergence cap: fixture converges at 5/5/7 rounds
+
+
+def _sssp_converged_oracle() -> str:
+    """Unrolled-to-convergence CTE: d1..d{cap} relaxation rounds plus a
+    per-round improvement count; the reported ``rounds`` is the FIRST
+    round with zero improvements — the same fixpoint test the Spark
+    loop runs — and the reported distances are d{cap}'s, which equal
+    the convergence state because post-fixpoint rounds are no-ops."""
+    ctes = [
+        """we AS MATERIALIZED (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    )""",
+        "edges AS MATERIALIZED (SELECT src, dst, w FROM we UNION ALL "
+        "SELECT dst, src, w FROM we)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        """d0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+      WHERE node % 2 = 0 AND node IN (SELECT c_custkey * 2 FROM customer WHERE c_nationkey = 0)
+    )""",
+    ]
+    for i in range(1, _SSSP_CAP + 1):
+        p = i - 1
+        ctes.append(f"""r{i} AS (
+      SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+      FROM edges e JOIN d{p} d ON d.node = e.src
+      GROUP BY e.dst
+    )""")
+        ctes.append(f"""d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{p} UNION ALL SELECT node, dist FROM r{i}
+      ) GROUP BY node
+    )""")
+        ctes.append(f"""c{i} AS (
+      SELECT {i} AS r, CAST(COUNT(*) AS BIGINT) AS improved
+      FROM d{i} x LEFT JOIN d{p} prev ON x.node = prev.node
+      WHERE prev.node IS NULL OR x.dist < prev.dist
+    )""")
+    ctes.append(
+        "rounds AS (SELECT CAST(MIN(r) AS BIGINT) AS rounds FROM ("
+        + " UNION ALL ".join(f"SELECT r, improved FROM c{i}" for i in range(1, _SSSP_CAP + 1))
+        + ") WHERE improved = 0)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT CASE WHEN l.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(COUNT(d.node) AS BIGINT) AS n_reached,
+           CAST(COUNT(*) - COUNT(d.node) AS BIGINT) AS n_unreached,
+           MIN(d.dist) AS min_dist_cents,
+           MAX(d.dist) AS max_dist_cents,
+           CAST(SUM(d.dist) AS BIGINT) AS sum_dist_cents,
+           (SELECT rounds FROM rounds) AS rounds
+    FROM nodes l LEFT JOIN d{_SSSP_CAP} d ON d.node = l.node
+    GROUP BY 1 ORDER BY node_type"""
+    )
+
+
 def _sssp_oracle() -> str:
     ctes = [
         """we AS (
@@ -929,6 +990,122 @@ def weighted_sssp_relaxation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d.dist").alias("min_dist_cents"),
             F.max("d.dist").alias("max_dist_cents"),
             F.sum("d.dist").cast("long").alias("sum_dist_cents"),
+        )
+        .orderBy("node_type")
+    )
+
+
+@register(
+    "weighted_sssp_converged",
+    _sssp_converged_oracle(),
+    note=(
+        "the data-dependent-stop twin of weighted_sssp_relaxation: Bellman-Ford "
+        "relaxation until a round improves NOTHING (one <=1-row integer collect "
+        "per round, the pagerank_converged discipline), capped at 12 rounds with "
+        "a loud RuntimeError — distances are hop-complete on the fixture "
+        "(converges at 5/5/7 rounds across the three scales) and the fixpoint "
+        "round rides in the result; oracle = 12 unrolled relaxation CTEs with "
+        "per-round improvement counts, rounds = first zero-improvement round"
+    ),
+)
+def weighted_sssp_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-stopped multi-source weighted SSSP — the honest
+    completion of :func:`weighted_sssp_relaxation`, whose 3 rounds
+    bound paths to 3 hops by contract.  Here the driver loop runs
+    min-plus relaxation rounds until a round improves no distance
+    (exact integer comparison: a round's keep-min merge either lowers
+    some node's cents or the fixpoint is reached), so the returned
+    distances are true shortest paths regardless of graph diameter,
+    and the verified fixpoint round is emitted with the result.
+
+    Per round: ONE edges-join-distances shuffle + dst-keyed MIN with
+    map-side partials, a keep-min merge against the previous state,
+    and a single integer improvement COUNT collected to the driver
+    (<= _SSSP_CAP one-row collects total); localCheckpoint cuts
+    lineage per round.  The cap fails LOUDLY (RuntimeError, the
+    connected_components/pagerank discipline) instead of returning
+    silently-truncated distances.  At 100 TB the improvement count is
+    the stopping certificate a fleet scheduler reads; the per-round
+    cost model is identical to the bounded twin's.
+
+    Reference anchor (public hadoop-20): the driver-controlled
+    iterate-until-converged loop of iterative MapReduce jobs
+    (JobClient.runJob resubmission with the convergence test between
+    submissions), with the improvement count as the job counter the
+    driver inspected."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    we = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            cents.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    edges = we.union(
+        we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    cust = _t(spark, sf_dir, "customer")
+    seeds = (
+        cust.filter(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .join(nodes, "node")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    dist = seeds.localCheckpoint()
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > _SSSP_CAP:
+            raise RuntimeError(
+                f"weighted_sssp_converged: no fixpoint within {_SSSP_CAP} "
+                "relaxation rounds — raise _SSSP_CAP (and the oracle's "
+                "unroll) for this graph's diameter"
+            )
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select("dst", (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("nd").alias("dist"))
+        )
+        nd = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        improved = (
+            nd.alias("n")
+            .join(dist.alias("p"), F.col("n.node") == F.col("p.node"), "left")
+            .filter(
+                F.col("p.node").isNull() | (F.col("n.dist") < F.col("p.dist"))
+            )
+            .count()
+        )
+        dist = nd
+        if improved == 0:
+            break
+    node_type = F.when(F.col("n.node") % 2 == 0, "customer").otherwise("supplier")
+    return (
+        nodes.alias("n")
+        .join(dist.alias("d"), F.col("n.node") == F.col("d.node"), "left")
+        .groupBy(node_type.alias("node_type"))
+        .agg(
+            F.count(F.col("d.node")).cast("long").alias("n_reached"),
+            (F.count(F.lit(1)) - F.count(F.col("d.node")))
+            .cast("long")
+            .alias("n_unreached"),
+            F.min("d.dist").alias("min_dist_cents"),
+            F.max("d.dist").alias("max_dist_cents"),
+            F.sum("d.dist").cast("long").alias("sum_dist_cents"),
+            F.lit(rounds).cast("long").alias("rounds"),
         )
         .orderBy("node_type")
     )

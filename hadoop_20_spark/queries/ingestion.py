@@ -744,6 +744,181 @@ def time_travel_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TT_EXPIRE_AT = 1  # checkpoint-then-expire horizon: versions < this die
+
+
+def tt_expire_maintenance(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """The SecondaryNameNode doCheckpoint analog
+    (hdfs/server/namenode/SecondaryNameNode.java#doCheckpoint):
+    compact the commit log by writing a checkpoint at version
+    ``_TT_EXPIRE_AT`` and dropping every edit older than it.  The
+    compacted log holds the checkpoint rows STAMPED WITH the
+    checkpoint version (so as-of reads at the horizon resolve to the
+    checkpoint, newer edits win max_by, and reads BELOW the horizon
+    are detectably expired) plus all newer edits verbatim.
+
+    Returns (compacted_dir, stats): stats carries the byte accounting
+    (log_bytes, compacted_bytes, reclaimed_bytes — the operational
+    point of the reference's periodic fsimage merge: bounded restart
+    replay and reclaimed edit storage).  Build is atomic + idempotent
+    (_publish_atomic); stats are recomputed from the filesystem each
+    call, so repeated maintenance reports the same reclamation."""
+    import os
+
+    tdir = _tt_publish_log(spark, sf_dir)
+    edir = os.path.dirname(tdir) + f"/orders_log_compact_v{_TT_EXPIRE_AT}"
+
+    def build(d):
+        log = spark.read.parquet(tdir)
+        ckpt = (
+            log.filter(F.col("version") <= _TT_EXPIRE_AT)
+            .groupBy("k")
+            .agg(F.expr("max_by(struct(op, cents), version)").alias("last"))
+            .filter(F.col("last.op") != "D")
+            .select(
+                F.lit(_TT_EXPIRE_AT).alias("version"),
+                F.lit("U").alias("op"),
+                "k",
+                F.col("last.cents").alias("cents"),
+            )
+        )
+        ckpt.write.mode("overwrite").parquet(d)
+        log.filter(F.col("version") > _TT_EXPIRE_AT).write.mode("append").parquet(d)
+
+    _publish_atomic(build, edir)
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if not f.startswith("_")
+        )
+
+    lb, cb = _bytes(tdir), _bytes(edir)
+    return edir, {
+        "log_bytes": lb,
+        "compacted_bytes": cb,
+        "reclaimed_bytes": lb - cb,
+        "expire_at": _TT_EXPIRE_AT,
+    }
+
+
+def tt_read_asof(spark: SparkSession, log_dir: str, as_of: int) -> DataFrame:
+    """Snapshot-as-of read over a (possibly compacted) commit log.
+    Fails LOUDLY for expired versions: a compacted log's oldest
+    surviving version is its minimum stamp, and an as-of below it
+    would silently return the checkpoint-truncated state — the exact
+    wrong-answer mode the reference prevented by refusing edits-gap
+    restarts (FSImage loadFSEdits' gap check)."""
+    log = spark.read.parquet(log_dir)
+    oldest = log.agg(F.min("version")).first()[0]
+    if as_of < oldest:
+        raise ValueError(
+            f"time travel: version {as_of} expired — oldest surviving "
+            f"version in {log_dir} is {oldest} (checkpoint-then-expire "
+            "truncated older edits)"
+        )
+    return (
+        log.filter(F.col("version") <= as_of)
+        .groupBy("k")
+        .agg(F.expr("max_by(struct(op, cents), version)").alias("last"))
+        .filter(F.col("last.op") != "D")
+        .select("k", F.col("last.cents").alias("cents"))
+    )
+
+
+@register(
+    "time_travel_expire",
+    rf"""
+    WITH v AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             {_sql_md5_long('CAST(o_orderkey AS VARCHAR)')} % 10 AS m
+      FROM orders
+    ),
+    spine AS (SELECT unnest([1, 2]) AS as_of),
+    vis AS (
+      SELECT as_of, k,
+             cents + CASE WHEN as_of >= 1 AND m = 0 THEN {_TT_UPD1} ELSE 0 END
+                   + CASE WHEN as_of >= 2 AND m = 2 THEN {_TT_UPD2} ELSE 0 END
+               AS cents_eff
+      FROM spine, v
+      WHERE (m <= 7 OR (as_of >= 1 AND m = 8) OR (as_of >= 2 AND m = 9))
+        AND NOT (as_of >= 2 AND m = 1)
+    )
+    SELECT as_of AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents_eff) AS BIGINT) AS sum_cents,
+           MIN(k) AS min_key,
+           MAX(k) AS max_key,
+           CAST(0 AS BIGINT) AS n_diff
+    FROM vis GROUP BY as_of ORDER BY as_of
+    """,
+    note=(
+        "checkpoint-then-expire lifecycle (SecondaryNameNode doCheckpoint): the "
+        "maintenance job writes a version-1 checkpoint into a compacted log, drops "
+        "all older edits, and every surviving version's as-of read from the "
+        "compacted log is full-outer-diffed in-query against the full-log read "
+        "(n_diff 0 both versions); expired reads fail loudly and byte reclamation "
+        "is asserted in the idempotence test — the oracle recomputes surviving "
+        "states arithmetically from the md5 batch classes"
+    ),
+)
+def time_travel_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving-version reads after checkpoint-then-expire must be
+    indistinguishable from full-history replay.  The maintenance job
+    (:func:`tt_expire_maintenance`) compacts the log at version 1;
+    this query reads every surviving version from BOTH logs, diffs
+    them key-by-key (n_diff must be 0), and reports the surviving
+    snapshots — the restart-correctness proof the reference ran every
+    checkpoint cycle (merge fsimage + edits, then verify the new
+    fsimage loads).
+
+    Plan: per surviving version, the compacted side scans checkpoint +
+    newer edits only (the operational win: bounded replay), the full
+    side scans the whole log once; the diff is a co-keyed full outer
+    join.  At 100 TB expiry is what keeps as-of reads proportional to
+    |checkpoint| + |recent edits| instead of |history|."""
+    tdir = _tt_publish_log(spark, sf_dir)
+    edir, _stats = tt_expire_maintenance(spark, sf_dir)
+    rows = []
+    for ver in (1, 2):
+        comp = tt_read_asof(spark, edir, ver)
+        full = tt_read_asof(spark, tdir, ver)
+        diff = (
+            full.withColumnRenamed("cents", "c_full")
+            .join(comp.withColumnRenamed("cents", "c_comp"), "k", "full_outer")
+            .filter(
+                F.col("c_full").isNull()
+                | F.col("c_comp").isNull()
+                | (F.col("c_full") != F.col("c_comp"))
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_diff"))
+        )
+        rows.append(
+            comp.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+            )
+            .crossJoin(F.broadcast(diff))
+            .select(
+                F.lit(ver).cast("long").alias("version"),
+                "n_rows",
+                "sum_cents",
+                "min_key",
+                "max_key",
+                "n_diff",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("version")
+
+
 @register(
     "merge_into_upsert",
     """

@@ -135,7 +135,9 @@ QUERIES = {
     "raid_xor_erasure": "encode + erasure drill in ONE scan + ONE (stripe,pos) aggregate (parity / survivor-xor / original as parallel conditional aggs, map-side partials), then a W-times-smaller stripe roll-up; no joins",
     "raid_parity_delta_maintenance": "old/new words + changed flag row-local; parity_old, delta-XOR and full rebuild are parallel conditional bit_xors in ONE (stripe,pos) aggregate; maintained == rebuilt checked in-query",
     "raid_rs_two_erasure": "same single-scan single-shuffle shape; GF(2^8) P/Q encode and the 2x2 decode solve are flat integer codegen over power columns — no lookup tables, no UDF, no second scan",
+    "time_travel_expire": "compacted side reads checkpoint + newer edits only (bounded replay); full side scans the whole log once per version; equality proven by a co-keyed full outer diff per surviving version",
     "grouped_median_refinement": None,  # driver-paced grouped refinement; result assembled driver-side, rank audits in-query
+    "weighted_sssp_converged": None,  # driver-paced relaxation loop (one-row improvement collect per round); per-round plan identical to weighted_sssp_relaxation's
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
     "histogram_quantile_merge": None,  # same: merged-CDF probes + refinement audit, result assembled driver-side
     "streaming_session_agg": None,  # streaming — skip plan
