@@ -31,7 +31,7 @@ damaged stripes' survivors (partition-prunable by stripe id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_20_spark.functions import md5_long
@@ -739,4 +739,190 @@ def rendezvous_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("moved").cast("long").alias("n_moved"),
         )
         .orderBy("owner_node")
+    )
+
+
+@register(
+    "balancer_move_plan",
+    rf"""
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             {_sql_md5_long("'w:' || o_orderkey")} % {_N_NODES} AS n1,
+             {_sql_md5_long("'r2:' || o_orderkey")} % {_N_RACKS - 1} AS r2_off,
+             {_sql_md5_long("'n2:' || o_orderkey")} % {_NODES_PER_RACK} AS n2_in,
+             {_sql_md5_long("'n3:' || o_orderkey")} % {_NODES_PER_RACK - 1} AS n3_off
+      FROM orders
+    ),
+    placed AS (
+      SELECT k, n1, ((n1 // {_NODES_PER_RACK}) + 1 + r2_off) % {_N_RACKS} AS r2
+      FROM b
+    ),
+    placed2 AS (
+      SELECT b.k, b.n1,
+             p.r2 * {_NODES_PER_RACK} + b.n2_in AS n2,
+             p.r2 * {_NODES_PER_RACK}
+               + (b.n2_in + 1 + b.n3_off) % {_NODES_PER_RACK} AS n3
+      FROM b JOIN placed p ON p.k = b.k
+    ),
+    reps AS (
+      SELECT n1 AS node FROM placed2
+      UNION ALL SELECT n2 FROM placed2
+      UNION ALL SELECT n3 FROM placed2
+    ),
+    spine AS (SELECT unnest(range({_N_NODES})) AS node),
+    pernode AS (
+      SELECT s.node,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_total
+      FROM spine s LEFT JOIN (SELECT node, COUNT(*) AS n FROM reps GROUP BY 1) c
+        ON c.node = s.node
+    ),
+    tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS t FROM pernode),
+    tgt AS (
+      SELECT node, n_total,
+             (SELECT t FROM tot) // {_N_NODES}
+               + CASE WHEN node < (SELECT t FROM tot) % {_N_NODES}
+                      THEN 1 ELSE 0 END AS target
+      FROM pernode
+    ),
+    over_n AS (
+      SELECT node, n_total - target AS surplus,
+             SUM(n_total - target) OVER (ORDER BY node) AS hi
+      FROM tgt WHERE n_total > target
+    ),
+    under_n AS (
+      SELECT node, target - n_total AS deficit,
+             SUM(target - n_total) OVER (ORDER BY node) AS hi
+      FROM tgt WHERE n_total < target
+    ),
+    moves AS (
+      SELECT o.node AS src_node, u.node AS dst_node,
+             CAST(LEAST(o.hi, u.hi)
+                  - GREATEST(o.hi - o.surplus, u.hi - u.deficit) AS BIGINT)
+               AS blocks_moved
+      FROM over_n o JOIN under_n u
+        ON o.hi - o.surplus < u.hi AND u.hi - u.deficit < o.hi
+    )
+    SELECT CAST(src_node AS BIGINT) AS src_node,
+           CAST(dst_node AS BIGINT) AS dst_node,
+           blocks_moved,
+           CAST(SUM(blocks_moved) OVER () AS BIGINT) AS total_moved,
+           CAST((SELECT COUNT(*) FROM over_n) AS BIGINT) AS n_sources,
+           CAST((SELECT COUNT(*) FROM under_n) AS BIGINT) AS n_targets
+    FROM moves ORDER BY src_node, dst_node
+    """,
+    note=(
+        "Balancer move plan (hdfs/server/balancer/Balancer.java): per-node replica "
+        "totals vs the exact balanced allocation (t DIV n + remainder spread), then "
+        "over-nodes and under-nodes each laid out on a cumulative block axis and "
+        "matched by an interval-overlap join — the greedy source->target pairing as "
+        "ONE range join instead of the reference's iterative chooseNodes loop; "
+        "move conservation (sum moved = total surplus = total deficit) rides along, "
+        "post-move every node lands exactly on target"
+    ),
+)
+def balancer_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Balancer's actual OUTPUT — which node ships how many blocks
+    to which — not just the over/under classification
+    (:func:`block_placement_audit` stops there).  Greedy pairing in
+    node order is an interval-alignment: lay the over-nodes' surpluses
+    end to end on a cumulative axis, lay the under-nodes' deficits on
+    the same axis, and every overlap [max(lo_o, lo_u), min(hi_o, hi_u))
+    is a move of that many blocks.  The pairing is deterministic,
+    conserves blocks by construction, and lands every node EXACTLY on
+    the balanced allocation (t DIV n, remainder to the lowest node
+    ids) — stronger than the 10%-band stop condition the reference's
+    iterator used, and exactly reproducible by the oracle.
+
+    Plan: placement is row-local codegen off one orders scan; per-node
+    totals are a 40-key aggregate with map-side partials; everything
+    after (targets, cumulative axes, the overlap join) runs on <= 40
+    rows.  At 100 TB the move plan is node-count-sized regardless of
+    block count — the block-report aggregation is the only fact-scale
+    stage, as in the reference's balancer (which planned from datanode
+    utilization reports, never per-block scans)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    b = o.select(
+        (md5_long(F.concat(F.lit("w:"), k)) % _N_NODES).alias("n1"),
+        (md5_long(F.concat(F.lit("r2:"), k)) % (_N_RACKS - 1)).alias("r2_off"),
+        (md5_long(F.concat(F.lit("n2:"), k)) % _NODES_PER_RACK).alias("n2_in"),
+        (md5_long(F.concat(F.lit("n3:"), k)) % (_NODES_PER_RACK - 1)).alias("n3_off"),
+    )
+    r2 = (F.expr(f"n1 DIV {_NODES_PER_RACK}") + 1 + F.col("r2_off")) % _N_RACKS
+    placed = b.select(
+        "n1",
+        (r2 * _NODES_PER_RACK + F.col("n2_in")).alias("n2"),
+        (
+            r2 * _NODES_PER_RACK
+            + (F.col("n2_in") + 1 + F.col("n3_off")) % _NODES_PER_RACK
+        ).alias("n3"),
+    )
+    reps = (
+        placed.select(F.col("n1").alias("node"))
+        .unionAll(placed.select(F.col("n2").alias("node")))
+        .unionAll(placed.select(F.col("n3").alias("node")))
+    )
+    spine = spark.range(_N_NODES).select(F.col("id").alias("node"))
+    pernode = (
+        spine.join(
+            reps.groupBy("node").agg(F.count(F.lit(1)).alias("n")), "node", "left"
+        )
+        .select("node", F.coalesce("n", F.lit(0)).cast("long").alias("n_total"))
+    )
+    tot = pernode.agg(F.sum("n_total").cast("long").alias("t"))
+    tgt = pernode.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "n_total",
+        (
+            F.expr(f"t DIV {_N_NODES}")
+            + (F.col("node") < F.col("t") % _N_NODES).cast("long")
+        ).alias("target"),
+    )
+    # cumulative axes over <= 40 rows: the non-foldable constant-key
+    # window idiom (node % 1) keeps WindowExec partitioned
+    w = Window.partitionBy(F.col("node") % 1).orderBy("node")
+    over = (
+        tgt.filter(F.col("n_total") > F.col("target"))
+        .select("node", (F.col("n_total") - F.col("target")).alias("surplus"))
+        .withColumn("hi", F.sum("surplus").over(w))
+    )
+    under = (
+        tgt.filter(F.col("n_total") < F.col("target"))
+        .select("node", (F.col("target") - F.col("n_total")).alias("deficit"))
+        .withColumn("hi", F.sum("deficit").over(w))
+    )
+    ov = over.select(
+        F.col("node").alias("src_node"),
+        (F.col("hi") - F.col("surplus")).alias("o_lo"),
+        F.col("hi").alias("o_hi"),
+    )
+    un = under.select(
+        F.col("node").alias("dst_node"),
+        (F.col("hi") - F.col("deficit")).alias("u_lo"),
+        F.col("hi").alias("u_hi"),
+    )
+    moves = (
+        ov.join(un, (F.col("o_lo") < F.col("u_hi")) & (F.col("u_lo") < F.col("o_hi")))
+        .select(
+            F.col("src_node").cast("long").alias("src_node"),
+            F.col("dst_node").cast("long").alias("dst_node"),
+            (
+                F.least("o_hi", "u_hi") - F.greatest("o_lo", "u_lo")
+            ).cast("long").alias("blocks_moved"),
+        )
+    )
+    nsrc = over.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    ndst = under.agg(F.count(F.lit(1)).cast("long").alias("n_targets"))
+    wall = Window.partitionBy(F.col("src_node") % 1)
+    return (
+        moves.withColumn(
+            "total_moved", F.sum("blocks_moved").over(wall).cast("long")
+        )
+        .crossJoin(F.broadcast(nsrc))
+        .crossJoin(F.broadcast(ndst))
+        .select(
+            "src_node", "dst_node", "blocks_moved",
+            "total_moved", "n_sources", "n_targets",
+        )
+        .orderBy("src_node", "dst_node")
     )

@@ -488,3 +488,149 @@ def aqp_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_ppm"),
     ).orderBy("o_orderpriority")
+
+
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle_audit",
+    rf"""
+    WITH r0 AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY {_sql_md5_long("'epoch:0:' || doc_id")}, doc_id
+             ) - 1 AS BIGINT) AS pos
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY {_sql_md5_long("'epoch:1:' || doc_id")}, doc_id
+             ) - 1 AS BIGINT) AS pos
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    disp AS (
+      SELECT CAST(SUM(ABS(a.pos - b.pos)) AS BIGINT) AS disp_sum
+      FROM r0 a JOIN r1 b ON a.doc_id = b.doc_id
+    ),
+    both_e AS (
+      SELECT 0 AS epoch, doc_id, pos FROM r0
+      UNION ALL SELECT 1, doc_id, pos FROM r1
+    ),
+    shards AS (
+      SELECT epoch,
+             pos * {_EPOCH_SHARDS} // (SELECT n FROM n) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_distinct_pos,
+             CAST(MIN(pos) AS BIGINT) AS min_pos,
+             CAST(MAX(pos) AS BIGINT) AS max_pos
+      FROM both_e GROUP BY 1, 2
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           n_docs, n_distinct_pos, min_pos, max_pos,
+           (SELECT disp_sum FROM disp) AS disp_sum,
+           CAST((SELECT disp_sum FROM disp) * 3000000
+                // ((SELECT n FROM n) * (SELECT n FROM n) - 1)
+             AS BIGINT) AS disp_ratio_ppm
+    FROM shards ORDER BY epoch, shard
+    """,
+    note=(
+        "deterministic epoch reshuffle for training loaders: per-epoch global "
+        "position = rank of md5('epoch:e:' || doc_id) (distributed_global_rank, "
+        "never a single-partition window), shard = pos*S DIV n (exact S-way "
+        "count balance by construction); audits per (epoch, shard): doc count, "
+        "distinct-position count (bijection proof: sums to n per epoch, shard "
+        "ranges tile [0, n)) and the cross-epoch mean |displacement| as an "
+        "integer ppm ratio against the random-permutation expectation "
+        "(n^2-1)/(3n) — decorrelation between epochs, measured not assumed"
+    ),
+)
+def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every LLM training run re-orders its corpus per epoch; at 100 TB
+    that order must be (a) deterministic (resumable mid-epoch, same
+    order on every retry), (b) shard-balanced (no loader waits on a fat
+    shard), and (c) decorrelated across epochs (a rerun of the same
+    order defeats the point of shuffling).  This audit produces and
+    certifies such an order for two epochs: position = global rank of
+    md5('epoch:e:' || doc_id) with doc_id tiebreak — a keyed-hash
+    permutation, the Fisher-Yates-by-sort-key equivalent every data
+    loader uses, ranked by sort.distributed_global_rank (approxQuantile
+    buckets + per-bucket windows, NO Exchange SinglePartition).
+
+    Certificates, all exact integers: per (epoch, shard = pos*S DIV n)
+    the doc and distinct-position counts (shards tile [0, n) and sum to
+    n — the bijection proof), and the cross-epoch sum of
+    |pos_1 - pos_0| as a ppm ratio against the uniform-permutation
+    expectation E|pi(i) - sigma(i)| = (n^2-1)/(3n): a ratio near 1e6
+    certifies the two epochs are as uncorrelated as independent random
+    permutations (identical orders would score ~0).
+
+    Plan: two bucketed rank passes over the doc corpus (each one
+    column-pruned scan + B parallel windows), one doc_id-keyed join for
+    the displacement sum, one bounded (epoch, shard) aggregate.  At
+    100 TB the rank IS the shuffle — no secondary sort, no driver-side
+    permutation table.  Reference anchor (public hadoop-20): the
+    shuffle's pseudo-random partition assignment
+    (HashPartitioner.getPartition on a salted key) and
+    TotalOrderPartitioner's sampled ranges, composed: salt for
+    decorrelation, ranges for balance."""
+    from hadoop_20_spark.functions import md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def epoch_rank(e: int) -> DataFrame:
+        keyed = docs.select(
+            "doc_id",
+            md5_long(
+                F.concat(F.lit(f"epoch:{e}:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        ranked = sort_ops.distributed_global_rank(
+            keyed, ["h", "doc_id"], rank_col="rn"
+        )
+        return ranked.select(
+            "doc_id", (F.col("rn").cast("long") - 1).alias("pos")
+        )
+
+    r0, r1 = epoch_rank(0), epoch_rank(1)
+    disp = (
+        r0.select("doc_id", F.col("pos").alias("p0"))
+        .join(r1.select("doc_id", F.col("pos").alias("p1")), "doc_id")
+        .agg(F.sum(F.abs(F.col("p0") - F.col("p1"))).cast("long").alias("disp_sum"))
+    )
+    both = r0.select(F.lit(0).alias("epoch"), "doc_id", "pos").unionByName(
+        r1.select(F.lit(1).alias("epoch"), "doc_id", "pos")
+    )
+    shards = (
+        both.crossJoin(F.broadcast(n))
+        .groupBy(
+            "epoch", F.expr(f"pos * {_EPOCH_SHARDS} DIV n").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("pos").cast("long").alias("n_distinct_pos"),
+            F.min("pos").cast("long").alias("min_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+        )
+    )
+    return (
+        shards.crossJoin(F.broadcast(disp))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_distinct_pos",
+            "min_pos",
+            "max_pos",
+            "disp_sum",
+            F.expr("disp_sum * 3000000 DIV (n * n - 1)")
+            .cast("long")
+            .alias("disp_ratio_ppm"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -136,6 +136,8 @@ QUERIES = {
     "raid_parity_delta_maintenance": "old/new words + changed flag row-local; parity_old, delta-XOR and full rebuild are parallel conditional bit_xors in ONE (stripe,pos) aggregate; maintained == rebuilt checked in-query",
     "raid_rs_two_erasure": "same single-scan single-shuffle shape; GF(2^8) P/Q encode and the 2x2 decode solve are flat integer codegen over power columns — no lookup tables, no UDF, no second scan",
     "time_travel_expire": "compacted side reads checkpoint + newer edits only (bounded replay); full side scans the whole log once per version; equality proven by a co-keyed full outer diff per surviving version",
+    "balancer_move_plan": "placement row-local off one orders scan; per-node totals = 40-key partial-agg'd shuffle; targets, cumulative axes, and the greedy pairing (interval-overlap join) all run on <= 40 rows",
+    "epoch_shuffle_audit": "two bucketed rank passes (distributed_global_rank, no Exchange SinglePartition on the doc path), one doc_id-keyed displacement join, bounded (epoch, shard) aggregate",
     "grouped_median_refinement": None,  # driver-paced grouped refinement; result assembled driver-side, rank audits in-query
     "weighted_sssp_converged": None,  # driver-paced relaxation loop (one-row improvement collect per round); per-round plan identical to weighted_sssp_relaxation's
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
