@@ -619,15 +619,18 @@ def block_placement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violations"),
         (F.count(F.lit(1)) * 3).cast("long").alias("n_replicas"),
     )
-    reps = (
-        placed.select("k", F.col("n1").alias("node"), F.lit(1).alias("is_primary"))
-        .unionByName(
-            placed.select("k", F.col("n2").alias("node"), F.lit(0).alias("is_primary"))
-        )
-        .unionByName(
-            placed.select("k", F.col("n3").alias("node"), F.lit(0).alias("is_primary"))
-        )
-    )
+    # explode, never a 3-branch union: each union branch re-plans the
+    # whole placement subtree (3 structural FileScans of orders for one
+    # logical pass — plan-smell audited)
+    reps = placed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("n1").alias("node"), F.lit(1).alias("is_primary")),
+                F.struct(F.col("n2").alias("node"), F.lit(0).alias("is_primary")),
+                F.struct(F.col("n3").alias("node"), F.lit(0).alias("is_primary")),
+            )
+        ).alias("r")
+    ).select("r.node", "r.is_primary")
     pernode = reps.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum("is_primary").cast("long").alias("n_primary"),
@@ -857,17 +860,24 @@ def balancer_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("n2_in") + 1 + F.col("n3_off")) % _NODES_PER_RACK
         ).alias("n3"),
     )
-    reps = (
-        placed.select(F.col("n1").alias("node"))
-        .unionAll(placed.select(F.col("n2").alias("node")))
-        .unionAll(placed.select(F.col("n3").alias("node")))
+    # explode, never a 3-branch union: each union branch re-plans the
+    # whole placement subtree (3 structural FileScans of orders for one
+    # logical pass — plan-smell audited)
+    reps = placed.select(
+        F.explode(F.array("n1", "n2", "n3")).alias("node")
     )
     spine = spark.range(_N_NODES).select(F.col("id").alias("node"))
+    # pernode is THE fact-scale reduction (40 rows) and every downstream
+    # relation — totals, targets, both cumulative axes, the pairing —
+    # derives from it: persist per the house rule, or each of the ~6
+    # consumers re-scans orders and re-places every block (24 structural
+    # FileScans without this; 1 with it, plan-smell audited)
     pernode = (
         spine.join(
             reps.groupBy("node").agg(F.count(F.lit(1)).alias("n")), "node", "left"
         )
         .select("node", F.coalesce("n", F.lit(0)).cast("long").alias("n_total"))
+        .persist()
     )
     tot = pernode.agg(F.sum("n_total").cast("long").alias("t"))
     tgt = pernode.crossJoin(F.broadcast(tot)).select(

@@ -579,7 +579,10 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelation, ranges for balance."""
     from hadoop_20_spark.functions import md5_long
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # one column-pruned scan feeds the count and both epochs' keyed
+    # relations (each of which distributed_global_rank persists again
+    # for its own three actions) — without this, 4 structural FileScans
+    docs = _t(spark, sf_dir, "documents").select("doc_id").persist()
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
     def epoch_rank(e: int) -> DataFrame:

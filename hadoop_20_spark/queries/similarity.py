@@ -777,7 +777,10 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_reconstruct,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # truly-shared narrow relation (training, encode, query side, exact
+    # side, re-rank all read it): persist once — 11 structural scans
+    # without this, plan-smell audited
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     books, sub = pq_codebooks(emb, m=4, k=16, iterations=2)
     codes = pq_encode(emb, books, sub)
     recon = pq_reconstruct(codes, books).persist()  # scored by all queries
