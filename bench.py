@@ -178,6 +178,15 @@ BENCH_QUERIES = {
     # propagation) or in per-round lineage handling shows up as
     # wall-clock.
     "b24_star_cc": "cc_star_order_chains",
+    # b25: round-10 — the TestDFSIO analog (the last reference harness
+    # without a bench twin): sequential WRITE of a teragen table (100-
+    # byte records, 10x the events row count — ~1M rows / ~100 MB of
+    # row data at sf0.1) followed by a full sequential READ-back, both
+    # through the real parquet path.  Pure I/O + encode/decode profile:
+    # no shuffle, no join — a storage-layer regression (codec, row-group
+    # sizing, commit protocol) moves this entry and nothing else.
+    # write/read split + MB/s recorded in the detail.
+    "b25_dfsio": None,  # special-cased below (write + read-back)
 }
 
 
@@ -276,6 +285,18 @@ def run_once(spark, name: str, ctx: dict | None = None) -> float:
             centroids=ctx["b12_cents"],
         )
         df.write.format("noop").mode("overwrite").save()
+    elif name == "b25_dfsio":
+        from hadoop_20_spark.sources import teragen
+
+        out = os.path.join(
+            os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "bench_dfsio"
+        )
+        tw = time.time()
+        teragen(spark, ctx["b25_n"]).write.mode("overwrite").parquet(out)
+        ctx["b25_write_secs"] = time.time() - tw
+        tr = time.time()
+        spark.read.parquet(out).write.format("noop").mode("overwrite").save()
+        ctx["b25_read_secs"] = time.time() - tr
     elif name == "b7_demux_write":
         # MultipleOutputFormat analog: demux events by event_type.
         from hadoop_20_spark.catalog import load_table
@@ -629,6 +650,12 @@ def main() -> None:
             )
             ctx["b12_cents"].count()  # force the localCheckpoint chain
             d["train_secs"] = round(time.time() - t0, 3)
+        if name == "b25_dfsio":
+            from hadoop_20_spark.catalog import load_table
+
+            # 10x the events row count: ~100 MB of 100-byte records at
+            # sf0.1, scaling with the fixture like TestDFSIO's -fileSize
+            ctx["b25_n"] = 10 * load_table(spark, "events", SF_DIR).count()
         if name == "b19_pq_retrieval":
             from hadoop_20_spark.catalog import load_table
             from hadoop_20_spark.operators import similarity as _sim
@@ -671,6 +698,26 @@ def main() -> None:
                     *sorted(spark.read.parquet(out).columns)
                 )
             )
+        elif name == "b25_dfsio":
+            out = os.path.join(
+                os.environ.get("SPARK_GRAFT_TMP", "/tmp"), "bench_dfsio"
+            )
+            d["rows"], d["hash"] = fingerprint(spark.read.parquet(out))
+            disk_mb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(out)
+                for f in fs
+                if not f.startswith("_")
+            ) / (1024.0 * 1024.0)
+            row_mb = ctx["b25_n"] * 100 / (1024.0 * 1024.0)
+            d["write_secs"] = round(ctx["b25_write_secs"], 3)
+            d["read_secs"] = round(ctx["b25_read_secs"], 3)
+            d["disk_mb"] = round(disk_mb, 1)
+            d["row_mb"] = round(row_mb, 1)
+            # throughput over ROW bytes (the TestDFSIO convention —
+            # parquet compresses the md5 payloads ~nothing here anyway)
+            d["write_mb_s"] = round(row_mb / ctx["b25_write_secs"], 1)
+            d["read_mb_s"] = round(row_mb / ctx["b25_read_secs"], 1)
         else:
             d["rows"], d["hash"] = fingerprint(
                 REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR)
