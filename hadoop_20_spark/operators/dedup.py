@@ -217,6 +217,89 @@ def _shingle_postings(df: DataFrame, id_col: str, text_col: str, shingle: int) -
     )
 
 
+# Default ceiling on the pre-flight candidate-pair bound of the exact
+# Jaccard joins (Σ C(bucket, 2) over the join-key histogram).  2e9 pairs
+# is already far past anything a verifier should materialize; the point
+# is a DESIGNED error with the measured estimate, not an executor OOM.
+JACCARD_MAX_CANDIDATE_PAIRS = 2_000_000_000
+
+
+def _pair_volume_guard(
+    postings: DataFrame, cap: int | None, context: str
+) -> None:
+    """Fail-loud pre-flight bound for self-join pair volume: the join of
+    postings with itself on ``sh`` produces exactly Σ C(n_sh, 2)
+    unordered candidate pairs (counted with multiplicity across
+    shingles), a quantity ONE cheap aggregate over the bucket histogram
+    computes without running the join.  The exact-Jaccard verifiers'
+    OUTPUT is quadratic in duplicate-cluster size (this corpus: ~92k
+    pairs at 500 docs → 8.9M at 5k → ~1e9 at 50k), so past the cap the
+    join dies by executor OOM rather than by design — the same
+    house rule as ``BRUTE_FORCE_MAX_ROWS`` (similarity.py) and the
+    interval-join over-long guard.  The sum rides DECIMAL(38,0) so the
+    bound itself cannot overflow at any corpus size.
+
+    Reference anchor (public hadoop-20): the fan-out-bounding idiom of
+    per-bucket caps in ``mapred/lib/InputSampler.java``-style
+    pre-sampling — measure the histogram BEFORE committing to the
+    shuffle, never after."""
+    if cap is None:
+        return
+    est = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("pairs")
+        )
+        .collect()[0]["pairs"]
+    )
+    est = int(est or 0)
+    if est > cap:
+        raise ValueError(
+            f"{context}: candidate-pair volume bound Σ C(bucket,2) = "
+            f"{est:,} exceeds max_candidate_pairs={cap:,} — the exact "
+            "pair join's OUTPUT would be quadratic in duplicate-cluster "
+            "size at this corpus.  Use the MinHash-LSH / SimHash "
+            "bucket-then-verify path (bounded buckets) or raise the cap "
+            "consciously if you really mean to materialize this many "
+            "pairs."
+        )
+
+
+def _pair_volume_guard_cross(
+    postings_a: DataFrame, postings_b: DataFrame, cap: int | None, context: str
+) -> None:
+    """Two-relation twin of :func:`_pair_volume_guard`: the equi-join of
+    two postings relations on ``sh`` produces exactly Σ n_a(sh)·n_b(sh)
+    candidate rows — computed by joining the two per-shingle histograms
+    (each a bounded aggregate) before the join itself ever runs.  Same
+    DECIMAL(38,0) arithmetic, same designed ValueError over the cap."""
+    if cap is None:
+        return
+    ha = postings_a.groupBy("sh").agg(F.count(F.lit(1)).alias("__na"))
+    hb = postings_b.groupBy("sh").agg(F.count(F.lit(1)).alias("__nb"))
+    est = (
+        ha.join(hb, "sh")
+        .agg(
+            F.sum(F.expr("CAST(__na AS DECIMAL(38,0)) * __nb")).alias("pairs")
+        )
+        .collect()[0]["pairs"]
+    )
+    est = int(est or 0)
+    if est > cap:
+        raise ValueError(
+            f"{context}: cross-side candidate volume bound Σ n_a·n_b = "
+            f"{est:,} exceeds max_candidate_pairs={cap:,} — the postings "
+            "join would materialize a quadratic candidate set on this "
+            "corpus.  Use a bucket-capped approximate path (MinHash-LSH) "
+            "or raise the cap consciously."
+        )
+
+
 def jaccard_verify(
     df: DataFrame,
     id_col: str,
@@ -263,6 +346,7 @@ def jaccard_pairs(
     threshold: float,
     shingle: int = 1,
     allow_full_self_join: bool = False,
+    max_candidate_pairs: int | None = JACCARD_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs (``id_a < id_b``, similarity ≥
     ``threshold``) over distinct token/shingle sets.
@@ -282,6 +366,13 @@ def jaccard_pairs(
     ``allow_full_self_join=True`` selects the naive all-pairs self-join
     instead — comparison/debug only; it is quadratic in the hottest
     shingle's document frequency and must never be the 100 TB path.
+
+    Both paths run the :func:`_pair_volume_guard` pre-flight: even a
+    LOSSLESS prefix filter cannot shrink the OUTPUT, which is itself
+    quadratic in duplicate-cluster size, so past ``max_candidate_pairs``
+    (Σ C(bucket, 2) over the join-key histogram — one cheap aggregate)
+    the call raises with the measured estimate instead of OOMing an
+    executor.  Pass ``max_candidate_pairs=None`` to skip consciously.
     """
     base = _shingle_postings(df, id_col, text_col, shingle)
     if not allow_full_self_join:
@@ -299,6 +390,12 @@ def jaccard_pairs(
             F.col("_pos")
             <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
         )
+        if max_candidate_pairs is not None:
+            # the guard is an extra action over `prefix` — persist so the
+            # candidate join reuses the ranked postings instead of
+            # re-running both windows
+            prefix = prefix.persist()
+            _pair_volume_guard(prefix, max_candidate_pairs, "jaccard_pairs")
         a = prefix.select(F.col("did").alias("id_a"), "sh")
         b = prefix.select(F.col("did").alias("id_b"), "sh")
         cand = (
@@ -309,6 +406,9 @@ def jaccard_pairs(
         )
         return jaccard_verify(df, id_col, text_col, cand, threshold, shingle)
 
+    if max_candidate_pairs is not None:
+        base = base.persist()
+        _pair_volume_guard(base, max_candidate_pairs, "jaccard_pairs(full self-join)")
     sizes = base.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a = base.select(F.col("did").alias("id_a"), "sh")
     b = base.select(F.col("did").alias("id_b"), "sh")
@@ -339,6 +439,7 @@ def incremental_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle: int = 1,
+    max_candidate_pairs: int | None = JACCARD_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """EXACT Jaccard matches of each NEW (batch) doc against the
     EXISTING corpus only — the incremental-ingest dedup path: returns
@@ -368,7 +469,13 @@ def incremental_jaccard_pairs(
     prefixes).
 
     Doc ids must be unique ACROSS the two relations (the verifier keys
-    shingle sets by id over their union)."""
+    shingle sets by id over their union).
+
+    Pre-flight: :func:`_pair_volume_guard_cross` bounds the candidate
+    join (Σ n_batch(sh)·n_corpus(sh) from the two prefix histograms) and
+    raises over ``max_candidate_pairs`` — on a heavy-overlap corpus the
+    cross-side candidate set is quadratic even though the OUTPUT
+    (best-match-per-new-doc) is batch-bounded."""
     ex = _shingle_postings(existing, id_col, text_col, shingle)
     ba = _shingle_postings(batch, id_col, text_col, shingle)
     # Frequency — hence the shared shingle order — comes from the
@@ -394,10 +501,18 @@ def incremental_jaccard_pairs(
             <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
         )
 
+    pre_ba, pre_ex = prefix(ba), prefix(ex)
+    if max_candidate_pairs is not None:
+        # the guard adds one action over each prefix relation — persist
+        # both so the candidate join reuses the ranked postings
+        pre_ba, pre_ex = pre_ba.persist(), pre_ex.persist()
+        _pair_volume_guard_cross(
+            pre_ba, pre_ex, max_candidate_pairs, "incremental_jaccard_pairs"
+        )
     cand = (
-        prefix(ba)
+        pre_ba
         .select(F.col("did").alias("id_a"), "sh")
-        .join(prefix(ex).select(F.col("did").alias("id_b"), "sh"), "sh")
+        .join(pre_ex.select(F.col("did").alias("id_b"), "sh"), "sh")
         .select("id_a", "id_b")
         .distinct()
     )
@@ -418,6 +533,7 @@ def containment_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     shingle: int = 1,
+    max_candidate_pairs: int | None = JACCARD_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """DIRECTED set-containment join: pairs ``(id_a, id_b)``, a ≠ b,
     with ``|A ∩ B| / |A| >= num/den`` over distinct token/shingle sets
@@ -460,6 +576,14 @@ def containment_pairs(
         f"({threshold_num} * _sz + {threshold_den} - 1) DIV {threshold_den}"
     )
     prefix = ranked.filter(F.col("_pos") <= F.col("_sz") - ceil_t + 1)
+    if max_candidate_pairs is not None:
+        # asymmetric join (A-prefix x B-FULL postings): bound it with the
+        # cross-histogram product before running it
+        prefix = prefix.persist()
+        base = base.persist()
+        _pair_volume_guard_cross(
+            prefix, base, max_candidate_pairs, "containment_pairs"
+        )
     cand = (
         prefix.select(F.col("did").alias("id_a"), "sh")
         .join(base.select(F.col("did").alias("id_b"), "sh"), "sh")

@@ -180,6 +180,7 @@ def distributed_global_rank(
     rank_col: str = "rn",
     num_buckets: int | None = None,
     relative_error: float = 0.001,
+    max_bucket_fraction: float = 0.25,
 ) -> DataFrame:
     """Global 1-based row_number in ``keys`` order WITHOUT an
     ``Exchange SinglePartition`` — the zipWithIndex discipline expressed
@@ -206,15 +207,32 @@ def distributed_global_rank(
 
     The leading key must be numeric (approxQuantile contract).  Skewed
     corner: if one leading-key value dominates, its bucket degenerates
-    toward a single group — same failure mode the reference's
-    TotalOrderPartitioner has with a hot key, and visible in the bucket
-    counts if it happens.
+    toward a single window group — the same failure mode the
+    reference's TotalOrderPartitioner has with a hot key
+    (``mapred/lib/InputSampler.java``'s sampled-split caveat).  The
+    exact per-bucket counts are already on the driver, so this is
+    CHECKED, not hoped: once the input is large enough for skew to
+    matter (n >= 50·B) and one bucket holds more than
+    ``max_bucket_fraction`` of all rows, the function raises with the
+    observed histogram instead of silently planning a straggler.
+    Callers with a legitimately dominant key should salt the leading
+    key (or pass a higher fraction consciously).  Rows with a NULL
+    leading key route to bucket 0 — Spark's ascending NULLS FIRST
+    order — instead of a NULL bucket the offsets join would drop
+    (same coalesce as :func:`distributed_cumsum`).
 
-    The input feeds THREE actions (approxQuantile, the per-bucket
-    counts, and the consumer's own plan), so it is persisted up front —
-    the same multi-consumer discipline as :func:`distributed_cumsum`;
-    without it every consumer recomputes the input's whole upstream
-    plan (six fact-table scans in gini_lorenz_audit before this fix).
+    Cache lifecycle: the input feeds THREE actions (approxQuantile, the
+    per-bucket counts, and the consumer's own plan), so it is persisted
+    up front — the same multi-consumer discipline as
+    :func:`distributed_cumsum`; without it every consumer recomputes
+    the input's whole upstream plan (six fact-table scans in
+    gini_lorenz_audit before this fix).  The persist is intentionally
+    NOT released here: the returned (lazy) DataFrame still reads it, so
+    an eager unpersist would forfeit the reuse that motivated it.  The
+    relation is bounded by the input (entity-bounded at every call site
+    per the SCALE.md persist rule); library users running many rank
+    passes in one session should ``spark.catalog.clearCache()`` between
+    logical jobs — the registry/bench/oracle harnesses all do.
     """
     lead = keys[0]
     spark = df.sparkSession
@@ -227,13 +245,32 @@ def distributed_global_rank(
 
     bucket = F.lit(0)
     for b in bounds:
-        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
+        # NULL > b is NULL — coalesce to 0 so NULL keys land in bucket 0
+        # (Spark sorts NULLS FIRST ascending) rather than a NULL bucket
+        # that the inner offsets join would drop.
+        bucket = bucket + F.coalesce((F.col(lead) > F.lit(b)).cast("int"), F.lit(0))
     bucketed = df.withColumn("__rank_bucket", bucket)
 
     counts = {
         r["__rank_bucket"]: r["cnt"]
         for r in bucketed.groupBy("__rank_bucket").agg(F.count("*").alias("cnt")).collect()
     }
+    total = sum(counts.values())
+    # `bounds` empty means the caller asked for ONE bucket (or the key
+    # domain collapsed to a point) — a single window group by design,
+    # not a skew accident worth raising over.
+    if bounds and counts and total >= 50 * num_buckets:
+        hot_bucket, hot = max(counts.items(), key=lambda kv: kv[1])
+        if hot > max_bucket_fraction * total:
+            hist = sorted(counts.items())
+            raise ValueError(
+                "distributed_global_rank: leading key "
+                f"{lead!r} is skewed — bucket {hot_bucket} holds {hot} of "
+                f"{total} rows ({hot / total:.1%} > max_bucket_fraction="
+                f"{max_bucket_fraction:.0%}); one window group would become a "
+                "single-task straggler at scale.  Salt the leading key or "
+                f"raise max_bucket_fraction.  Bucket histogram: {hist}"
+            )
     offsets, running = [], 0
     for i in range(len(bounds) + 1):
         offsets.append((i, running))

@@ -532,8 +532,8 @@ _EPOCH_SHARDS = 8
            CAST(shard AS BIGINT) AS shard,
            n_docs, n_distinct_pos, min_pos, max_pos,
            (SELECT disp_sum FROM disp) AS disp_sum,
-           CAST((SELECT disp_sum FROM disp) * 3000000
-                // ((SELECT n FROM n) * (SELECT n FROM n) - 1)
+           CAST(CAST((SELECT disp_sum FROM disp) AS HUGEINT) * 3000000
+                // (CAST((SELECT n FROM n) AS HUGEINT) * (SELECT n FROM n) - 1)
              AS BIGINT) AS disp_ratio_ppm
     FROM shards ORDER BY epoch, shard
     """,
@@ -631,7 +631,16 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_pos",
             "max_pos",
             "disp_sum",
-            F.expr("disp_sum * 3000000 DIV (n * n - 1)")
+            # disp_sum ~ n^2/3, so disp_sum * 3e6 overflows BIGINT past
+            # ~3M docs — Spark (non-ANSI) would wrap silently while the
+            # DuckDB oracle raises.  Route the numerator through
+            # DECIMAL(38,0) exact integral `div` (the gini_lorenz_audit
+            # discipline); the quotient itself is <= ~3e6 so the final
+            # BIGINT cast is always safe.
+            F.expr(
+                "(CAST(disp_sum AS DECIMAL(38,0)) * 3000000) "
+                "div (CAST(n AS DECIMAL(38,0)) * n - 1)"
+            )
             .cast("long")
             .alias("disp_ratio_ppm"),
         )

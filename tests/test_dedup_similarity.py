@@ -69,6 +69,35 @@ def test_jaccard_prefix_filter_matches_brute_force(spark, tables):
         assert f == p
 
 
+def test_jaccard_pairs_guard_raises_on_planted_blowup(spark):
+    # 600 copies of ONE document: every shingle bucket holds all 600
+    # docs, so the candidate-pair bound is ~|vocab| * C(600, 2) and the
+    # OUTPUT itself is C(600, 2) = 179,700 pairs.  With a tiny cap the
+    # pre-flight Σ C(bucket,2) aggregate must raise BEFORE the join —
+    # the designed-error path that replaces OOM-by-luck at scale.
+    import pytest
+
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma delta").alias("text")
+    )
+    for full in (False, True):
+        with pytest.raises(ValueError, match="candidate-pair volume"):
+            dedup.jaccard_pairs(
+                docs,
+                "doc_id",
+                "text",
+                threshold=0.5,
+                allow_full_self_join=full,
+                max_candidate_pairs=10_000,
+            )
+    # None disables the guard consciously; the join then runs (and is
+    # fine at this toy size).
+    n = dedup.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_candidate_pairs=None
+    ).count()
+    assert n == 600 * 599 // 2
+
+
 def test_simhash_near_dups(spark, tables):
     docs = tables["documents"].select("doc_id", "text").limit(30)
     planted = docs.filter(F.col("doc_id") == 0).select(

@@ -183,6 +183,40 @@ def test_distributed_global_rank_single_bucket_degenerate(spark):
     ]
 
 
+def test_distributed_global_rank_raises_on_planted_hot_key(spark):
+    # 90% of rows share one leading-key value: its bucket degenerates to
+    # a single window group (the TotalOrderPartitioner hot-key failure).
+    # The exact per-bucket counts are already on the driver, so the
+    # operator must raise with the histogram, not plan a straggler.
+    import pytest
+
+    rows = [(7, i) for i in range(1800)] + [(i % 5, 10000 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "sub"]).repartition(13)
+    with pytest.raises(ValueError, match="skewed"):
+        sort_ops.distributed_global_rank(df, ["k", "sub"]).count()
+    # An informed caller can accept the hot key explicitly.
+    out = sort_ops.distributed_global_rank(
+        df, ["k", "sub"], max_bucket_fraction=1.0
+    )
+    assert out.count() == 2000
+
+
+def test_distributed_global_rank_null_leading_key_bucket0(spark):
+    # NULL > bound is NULL; without the coalesce those rows fall into a
+    # NULL bucket that the inner offsets join silently DROPS.  They must
+    # instead rank first (Spark ascending = NULLS FIRST), matching what
+    # a plain orderBy would do.
+    rows = [(None, 0), (5, 1), (None, 2), (1, 3)]
+    df = spark.createDataFrame(rows, "k int, sub int")
+    got = [
+        (r["k"], r["sub"])
+        for r in sort_ops.distributed_global_rank(df, ["k", "sub"], num_buckets=4)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == [(None, 0), (None, 2), (1, 3), (5, 1)]
+
+
 def test_distributed_cumsum_matches_naive(spark):
     """Bucketed two-pass cumulative weight == a plain single-partition
     running sum, element for element."""

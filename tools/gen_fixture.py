@@ -191,10 +191,19 @@ def gen(out: str, mult: int = 10) -> None:
         if r.random() < 0.05:  # rare tail token (~5% at sf0.1)
             t += " dup"
         texts.append(t)
-    # planted exact duplicates: ~8 pairs per 5000 docs at sf0.1
-    for _ in range(8 * mult):
-        a, b = r.integers(0, n_doc, 2)
+    # planted exact duplicates: ~8 pairs per 5000 docs at sf0.1.
+    # Reject a == b (a no-op "pair") and any id already used as a source
+    # or target — overwriting an earlier plant would silently drop the
+    # realized duplicate rate below the documented ~0.16%.
+    planted: set[int] = set()
+    pairs_planted = 0
+    while pairs_planted < 8 * mult:
+        a, b = (int(x) for x in r.integers(0, n_doc, 2))
+        if a == b or a in planted or b in planted:
+            continue
         texts[b] = texts[a]
+        planted.update((a, b))
+        pairs_planted += 1
     langs = np.array(LANGS)[r.choice(5, n_doc, p=LANG_W)]
     write(out, "documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
