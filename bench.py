@@ -636,10 +636,18 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches
     REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR).count()
 
+    # Triage knobs (noise bisection, NOT for recorded rounds): positional
+    # args filter to named entries; SPARK_GRAFT_BENCH_REPS raises the
+    # per-entry sample count (default 3 = 2 timed + 1 metrics-bracketed).
+    only = set(sys.argv[1:])
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
     per_query: dict[str, float] = {}
     detail: dict[str, dict] = {}
     ctx: dict = {}
     for name in BENCH_QUERIES:
+        if only and name not in only:
+            continue
         d: dict = {}
         if name == "b12_semantic_dedup":
             # train once, untimed-loop: the fixed-job-count k-means is
@@ -681,7 +689,7 @@ def main() -> None:
             d["train_secs"] = round(time.time() - t0, 3)
         # exec metrics bracket the LAST timed run only (one clean run's
         # bytes, not a 3x sum)
-        times = [run_once(spark, name, ctx) for _ in range(2)]
+        times = [run_once(spark, name, ctx) for _ in range(reps - 1)]
         mark = _max_stage_id(spark)
         times.append(run_once(spark, name, ctx))
         em = exec_metrics_since(spark, mark)
@@ -783,6 +791,19 @@ def main() -> None:
                 # compare ratios round-over-round, not raw seconds
                 d["ratio"] = round(d["secs"] / d["duckdb_secs"], 2)
         detail[name] = d
+
+    if only:
+        # triage mode: no g-suite (g1 checks against the full serial
+        # hashes), no BENCH_detail.json overwrite — just the JSON line
+        print(json.dumps({
+            "metric": "bench_triage_sec",
+            "value": round(sum(per_query.values()), 3),
+            "unit": "sec",
+            "reps": reps,
+            "queries": per_query,
+            "detail": detail,
+        }))
+        return
 
     # GridMix concurrent mix + MRBench small-job latency (reference's
     # canonical harness shape) — after the serial suite so the serial

@@ -285,6 +285,140 @@ def distributed_global_rank(
     )
 
 
+def _gt_tuple_expr(keys: Sequence[str], t: tuple) -> Column:
+    """Row-local lexicographic ``row > t`` over ``keys`` with Spark's
+    ascending NULLS FIRST semantics: a NULL cell sorts below every
+    non-null value, and a NULL boundary component sorts below every
+    non-null cell.  Built right-to-left as
+    ``gt_1 | (eq_1 & (gt_2 | (eq_2 & ...)))`` — pure codegen, no UDF."""
+    expr: Column = F.lit(False)
+    for col, val in reversed(list(zip(keys, t))):
+        c = F.col(col)
+        if val is None:
+            gt = c.isNotNull()
+            eq = c.isNull()
+        else:
+            # NULL > val is NULL -> treat as False (NULL sorts first);
+            # NULL == val likewise.
+            gt = F.coalesce(c > F.lit(val), F.lit(False))
+            eq = F.coalesce(c == F.lit(val), F.lit(False))
+        expr = gt | (eq & expr)
+    return expr
+
+
+def distributed_global_rank_sampled(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    rank_col: str = "rn",
+    num_buckets: int | None = None,
+    samples_per_bucket: int = 20,
+    max_bucket_fraction: float = 0.25,
+) -> DataFrame:
+    """Skew-proof twin of :func:`distributed_global_rank`:
+    ``mapred/lib/InputSampler.java`` + ``TotalOrderPartitioner`` in
+    COMPOSITE-key form.  The quantile variant buckets on the leading
+    key alone, so a hot leading-key value (one value > 25% of rows —
+    low-cardinality status columns, default-zero metrics) degenerates
+    one bucket into a single-task window straggler and the operator
+    raises.  This variant buckets on sampled boundary TUPLES compared
+    lexicographically, so ties on the leading key are split by the
+    later keys exactly as the sort order itself splits them — correct
+    and balanced under ANY leading-key skew, as long as the composite
+    tuple is near-unique.
+
+      1. deterministic sample: md5(concat(keys)) gate at a fraction
+         targeting ~2·B·``samples_per_bucket`` rows (row-local,
+         seed-free, engine-stable — never ``limit`` over a sample,
+         whose row choice is partition-order-dependent), collected and
+         sorted driver-side (tiny).
+      2. boundaries = every (len/B)-th sampled tuple, deduplicated.
+      3. bucket = #{boundaries strictly below the row's key tuple} via
+         :func:`_gt_tuple_expr` — row-local, so both passes agree on
+         every row's bucket regardless of partitioning.
+      4. exact per-bucket counts -> cumulative offsets broadcast back;
+         rank = offset + row_number over Window.partitionBy(bucket)
+         .orderBy(keys).  Bucket order respects tuple order by
+         construction, so offset + local row_number is the global rank.
+
+    Residual skew is possible only when one FULL tuple dominates — then
+    rows of that tuple share a bucket no matter where boundaries fall.
+    The same driver-side count check raises in that case: equal-tuple
+    rows have interchangeable ranks, so callers should extend ``keys``
+    with any unique column (the md5 sample key itself works) rather
+    than override the fraction.
+
+    Same cache lifecycle as the quantile twin (input persisted for its
+    three actions; harnesses clearCache between queries).  Works for
+    ANY orderable key types, numeric or not — approxQuantile's numeric
+    contract no longer applies."""
+    from hadoop_20_spark.functions import md5_long
+
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    df = df.persist()
+    n = df.count()
+    boundaries: list[tuple] = []
+    if num_buckets > 1 and n:
+        target = 2 * num_buckets * samples_per_bucket
+        mod = 1_000_000
+        thresh = mod if target >= n else max(1, (target * mod) // n)
+        gate = (
+            md5_long(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]))
+            % mod
+            < thresh
+        )
+        sampled = [tuple(r) for r in df.filter(gate).select(*keys).collect()]
+        # None-first sort key mirrors Spark's NULLS FIRST
+        sampled.sort(key=lambda t: tuple((v is not None, v) for v in t))
+        if sampled:
+            step = max(1, len(sampled) // num_buckets)
+            for i in range(1, num_buckets):
+                j = i * step
+                if j >= len(sampled):
+                    break
+                t = sampled[j]
+                if not boundaries or boundaries[-1] != t:
+                    boundaries.append(t)
+
+    bucket: Column = F.lit(0)
+    for t in boundaries:
+        bucket = bucket + _gt_tuple_expr(keys, t).cast("int")
+    bucketed = df.withColumn("__rank_bucket", bucket)
+
+    counts = {
+        r["__rank_bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__rank_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if boundaries and counts and total >= 50 * num_buckets:
+        hot_bucket, hot = max(counts.items(), key=lambda kv: kv[1])
+        if hot > max_bucket_fraction * total:
+            raise ValueError(
+                "distributed_global_rank_sampled: one composite key tuple "
+                f"dominates — bucket {hot_bucket} holds {hot} of {total} "
+                f"rows ({hot / total:.1%} > max_bucket_fraction="
+                f"{max_bucket_fraction:.0%}) even with sampled tuple "
+                "boundaries.  Equal-tuple rows have interchangeable "
+                "ranks: extend `keys` with any unique column to split "
+                f"them.  Bucket histogram: {sorted(counts.items())}"
+            )
+    offsets, running = [], 0
+    for i in range(len(boundaries) + 1):
+        offsets.append((i, running))
+        running += counts.get(i, 0)
+    offsets_df = spark.createDataFrame(offsets, ["__rank_bucket", "__rank_offset"])
+
+    w = Window.partitionBy("__rank_bucket").orderBy(*keys)
+    return (
+        bucketed.join(F.broadcast(offsets_df), "__rank_bucket")
+        .withColumn(rank_col, (F.col("__rank_offset") + F.row_number().over(w)).cast("int"))
+        .drop("__rank_bucket", "__rank_offset")
+    )
+
+
 def distributed_cumsum(
     df: DataFrame,
     keys: list[str],

@@ -61,6 +61,53 @@ def interval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_rank_sample",
+    """
+    SELECT o_orderstatus, o_orderkey, rn FROM (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus, o_orderkey)
+               AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn % 997 = 1
+    ORDER BY rn
+    """,
+    note=(
+        "every-997th record in (o_orderstatus, o_orderkey) order — the "
+        "IntervalSampler shape over a HOT leading key (3 status values at "
+        "~33% each, and VARCHAR besides): ranked by "
+        "distributed_global_rank_sampled (InputSampler-style composite-tuple "
+        "boundaries, no Exchange SinglePartition, no degenerate bucket)"
+    ),
+)
+def status_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global-rank case the quantile-bucketed rank REFUSES: the
+    leading sort key has 3 values at ~33% each, so every leading-key
+    bucketing degenerates (and approxQuantile cannot bucket a VARCHAR
+    at all).  ``distributed_global_rank_sampled`` buckets on sampled
+    composite boundary TUPLES compared lexicographically — the
+    InputSampler + TotalOrderPartitioner discipline on the full key —
+    so the hot statuses split by orderkey into balanced parallel
+    window groups.  Emits every 997th row in global order (the
+    IntervalSampler readout, prime stride so no alignment with any
+    generator pattern).
+
+    Scale plan: one deterministic md5-gated sample collect (~2·B·20
+    tuples), one row-local bucket expression, one exact per-bucket
+    count, B parallel windows — identical economics to
+    interval_sample, now valid under arbitrary leading-key skew."""
+    ranked = sort_ops.distributed_global_rank_sampled(
+        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderkey"),
+        ["o_orderstatus", "o_orderkey"],
+        rank_col="rn",
+    )
+    return (
+        ranked.filter((F.col("rn") % 997) == 1)
+        .select("o_orderstatus", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+        .orderBy("rn")
+    )
+
+
+@register(
     "pps_systematic_sample",
     """
     WITH c AS (

@@ -124,6 +124,16 @@ def test_interval_sample_partitioned_rank(spark):
     assert "__rank_bucket" in plan  # window partitioned by the bucket
 
 
+def test_status_rank_sample_partitioned_rank(spark):
+    """Same pin for the skew-proof composite-boundary rank: the hot
+    3-value leading key must ride bucket-partitioned windows (sampled
+    tuple boundaries), never an Exchange SinglePartition."""
+    df = REGISTRY["status_rank_sample"].fn(spark, PLAN_SF)
+    plan = physical_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "__rank_bucket" in plan
+
+
 def test_equi_depth_histogram_no_global_window(spark):
     """Boundaries-then-count must never plan the NTILE trap: no window
     operator at all (the data-wide bucket pass is a plain aggregate;

@@ -217,6 +217,48 @@ def test_distributed_global_rank_null_leading_key_bucket0(spark):
     assert got == [(None, 0), (None, 2), (1, 3), (5, 1)]
 
 
+def test_distributed_global_rank_sampled_matches_under_hot_key(spark):
+    # The exact input the quantile twin REFUSES (90% of rows on one
+    # leading value): sampled composite-tuple boundaries split the hot
+    # value by the secondary key, so ranks come out balanced AND equal
+    # to the plain sorted enumeration.
+    rows = [(7, i) for i in range(1800)] + [(i % 5, 10000 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "sub"]).repartition(13)
+    out = sort_ops.distributed_global_rank_sampled(df, ["k", "sub"], rank_col="rn")
+    got = {(r["k"], r["sub"]): r["rn"] for r in out.collect()}
+    expect = {kv: i + 1 for i, kv in enumerate(sorted(rows))}
+    assert got == expect
+
+
+def test_distributed_global_rank_sampled_string_and_null_keys(spark):
+    # Non-numeric leading key (approxQuantile can't) + NULLs first:
+    # lexicographic tuple boundaries must reproduce Spark's
+    # NULLS FIRST ascending order exactly.
+    rows = [("b", 1), (None, 2), ("a", 3), ("a", 1), (None, 1), ("c", 0)]
+    df = spark.createDataFrame(rows, "k string, sub int")
+    got = [
+        (r["k"], r["sub"])
+        for r in sort_ops.distributed_global_rank_sampled(
+            df, ["k", "sub"], num_buckets=3
+        )
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == [(None, 1), (None, 2), ("a", 1), ("a", 3), ("b", 1), ("c", 0)]
+
+
+def test_distributed_global_rank_sampled_raises_on_duplicate_tuple(spark):
+    # One FULL tuple on 90% of rows: no boundary placement can split it
+    # (equal tuples must share a bucket), so the operator raises and
+    # points at the fix — extend keys with a unique column.
+    import pytest
+
+    rows = [(7, 7) for _ in range(1800)] + [(i % 5, i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "sub"])
+    with pytest.raises(ValueError, match="dominates"):
+        sort_ops.distributed_global_rank_sampled(df, ["k", "sub"])
+
+
 def test_distributed_cumsum_matches_naive(spark):
     """Bucketed two-pass cumulative weight == a plain single-partition
     running sum, element for element."""

@@ -138,6 +138,7 @@ QUERIES = {
     "time_travel_expire": "compacted side reads checkpoint + newer edits only (bounded replay); full side scans the whole log once per version; equality proven by a co-keyed full outer diff per surviving version",
     "balancer_move_plan": "placement row-local off one orders scan; per-node totals = 40-key partial-agg'd shuffle; targets, cumulative axes, and the greedy pairing (interval-overlap join) all run on <= 40 rows",
     "epoch_shuffle_audit": "two bucketed rank passes (distributed_global_rank, no Exchange SinglePartition on the doc path), one doc_id-keyed displacement join, bounded (epoch, shard) aggregate",
+    "status_rank_sample": "global rank under a HOT leading key (3 statuses ~33% each): sampled composite-tuple boundaries (md5-gated deterministic sample, row-local lexicographic bucket expression) -> exact bucket counts -> B parallel windows; no Exchange SinglePartition, no degenerate bucket",
     "grouped_median_refinement": None,  # driver-paced grouped refinement; result assembled driver-side, rank audits in-query
     "weighted_sssp_converged": None,  # driver-paced relaxation loop (one-row improvement collect per round); per-round plan identical to weighted_sssp_relaxation's
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
