@@ -1377,7 +1377,9 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_quality_oracle() -> str:
     """Estimator-quality audit oracle: 16-hash MinHash estimate vs exact
-    3-shingle Jaccard over deterministic blocked pairs (doc_id % 25)."""
+    3-shingle Jaccard over deterministic blocked pairs
+    (doc_id % GREATEST(25, n // 200) — see the query docstring for why
+    the block count scales with the corpus)."""
     from hadoop_20_spark.functions import MERSENNE31, hash_coeffs
 
     shingle_arr = (
@@ -1398,10 +1400,13 @@ def _minhash_quality_oracle() -> str:
          s AS (SELECT doc_id, list_distinct({shingle_arr}) AS sh FROM t),
          hh AS (SELECT doc_id, list_transform({shingle_arr}, s -> {base}) AS hs FROM t),
          sig AS (SELECT doc_id, {mh_cols} FROM hh),
+         nb AS (SELECT GREATEST(25, COUNT(*) // 200) AS n_blocks FROM documents),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({matches}) AS m
            FROM sig a JOIN sig b
-             ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id),
+             ON a.doc_id % (SELECT n_blocks FROM nb)
+                  = b.doc_id % (SELECT n_blocks FROM nb)
+            AND a.doc_id < b.doc_id),
          scored AS (
            SELECT p.m,
                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -1425,14 +1430,22 @@ def _minhash_quality_oracle() -> str:
 )
 def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How good is the 16-hash MinHash estimator on THIS corpus: for a
-    deterministic sample of pairs (same doc_id % 25 block), compare the
-    matching-component estimate m/16 against the exact shingle Jaccard,
-    bucketed by exact similarity.  All means aggregate integer match
-    counts or DECIMAL-cast doubles (order-independent).  Scale plan: the
-    block join bounds pairs at Σ|block|² with #blocks a free knob (the
-    audit runs on a sample, never the corpus²); signatures and shingle
-    sets are the same narrow per-doc passes the production path uses."""
+    deterministic sample of pairs (same ``doc_id % n_blocks`` block),
+    compare the matching-component estimate m/16 against the exact
+    shingle Jaccard, bucketed by exact similarity.  All means aggregate
+    integer match counts or DECIMAL-cast doubles (order-independent).
+
+    Scale plan: ``n_blocks = max(25, n // 200)`` keeps the BLOCK SIZE
+    constant (~200 docs), so the blocked pair volume is
+    ``n_blocks · C(200, 2) ≈ 100·n`` — LINEAR in the corpus, with block
+    count (= join parallelism) growing instead.  A fixed block count
+    would make the audit quadratic (n²/50: fine at 5k docs, 50M exact
+    intersects at 50k, dead at 100 TB) — round-11 fix; at sf0.01/sf0.1
+    n_blocks stays 25, so the audit's pair sample (and hash) there is
+    unchanged.  Signatures and shingle sets are the same narrow per-doc
+    passes the production path uses."""
     docs = _t(spark, sf_dir, "documents")
+    n_blocks = max(25, docs.count() // 200)
     sig = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle=3)
     sets = docs.select(
         "doc_id",
@@ -1440,12 +1453,12 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sig.select(
         F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") % 25).alias("blk"),
+        (F.col("doc_id") % n_blocks).alias("blk"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
     )
     b = sig.select(
         F.col("doc_id").alias("id_b"),
-        (F.col("doc_id") % 25).alias("blk"),
+        (F.col("doc_id") % n_blocks).alias("blk"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
     )
     m_expr = sum(

@@ -237,11 +237,17 @@ def interesting(plan: str, limit: int = 14) -> list[str]:
 
 def main() -> None:
     spark = get_spark("plan_report")
+    narrated = sum(1 for why in QUERIES.values() if why is not None)
     lines = [
         "# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
         "",
-        f"Source scale: `{SF}`. Shapes asserted in `tests/test_registry_plans.py`;",
-        "scale rationale in `SCALE.md`. Regenerate after plan-affecting changes.",
+        f"Source scale: `{SF}`. Registry: {len(REGISTRY)} queries; {narrated} narrated",
+        f"here ({len(QUERIES) - narrated} driver-paced/streaming entries documented in the",
+        "QUERIES dict; the rest are single-shape TPC-H/scan/join entries swept",
+        "structurally by `tools/plan_smells.py`). Shapes asserted in",
+        "`tests/test_registry_plans.py`; scale rationale in `SCALE.md`.",
+        "Regenerate after plan-affecting changes —",
+        "`tests/test_plans_doc.py` fails if this file trails the QUERIES dict.",
         "",
     ]
     for name, why in QUERIES.items():
