@@ -936,3 +936,179 @@ def balancer_move_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_node", "dst_node")
     )
+
+
+@register(
+    "namespace_quota_audit",
+    """
+    WITH cg AS (
+      SELECT r_name, n_name, n_nationkey, c_custkey,
+             COUNT(*) AS files,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS DECIMAL(38,0))) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name, n_nationkey, c_custkey
+    ),
+    rolled AS (
+      SELECT r_name, n_name,
+             GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
+             SUM(files) AS file_count,
+             SUM(cents) AS bytes_dec,
+             COUNT(*) AS n_cust,
+             COUNT(DISTINCT n_name) AS cd_nation,
+             COUNT(DISTINCT r_name) AS cd_region,
+             MAX(n_nationkey) AS nkey
+      FROM cg GROUP BY ROLLUP (r_name, n_name)
+    ),
+    lv AS (
+      SELECT *,
+             CASE WHEN g_n = 0 THEN 2 WHEN g_r = 0 THEN 1 ELSE 0 END AS level
+      FROM rolled
+    ),
+    summary AS (
+      SELECT
+        CASE level WHEN 0 THEN '/'
+                   WHEN 1 THEN '/' || r_name
+                   ELSE '/' || r_name || '/' || n_name END AS path,
+        CAST(level AS BIGINT) AS level,
+        CAST(1 + CASE level WHEN 0 THEN cd_region + cd_nation
+                            WHEN 1 THEN cd_nation ELSE 0 END + n_cust
+             AS BIGINT) AS dir_count,
+        CAST(file_count AS BIGINT) AS file_count,
+        CAST(CASE level WHEN 0 THEN 50000000 WHEN 1 THEN 5000000
+                        ELSE 512 * (1 + nkey % 4) END AS BIGINT) AS ns_quota,
+        CAST(bytes_dec AS BIGINT) AS bytes_used,
+        CAST(CASE level WHEN 0 THEN 1000000000000000
+                        WHEN 1 THEN 200000000000000
+                        ELSE 8000000000 * (1 + nkey % 3) END
+             AS BIGINT) AS space_quota,
+        n_cust, cd_nation, cd_region, nkey
+      FROM lv
+    )
+    SELECT path, level, dir_count, file_count,
+           CAST(dir_count + file_count AS BIGINT) AS ns_used,
+           ns_quota,
+           CAST(ns_quota - (dir_count + file_count) AS BIGINT) AS ns_remaining,
+           CAST(CASE WHEN dir_count + file_count > ns_quota
+                     THEN 1 ELSE 0 END AS BIGINT) AS over_ns,
+           bytes_used, space_quota,
+           CAST(space_quota - bytes_used AS BIGINT) AS space_remaining,
+           CAST(CASE WHEN bytes_used > space_quota THEN 1 ELSE 0 END
+                AS BIGINT) AS over_space
+    FROM summary
+    ORDER BY level, path
+    """,
+    note=(
+        "NameNode namespace + space quota audit (ContentSummary / `fs "
+        "-count -q` readout) over the /region/nation/customer/order file "
+        "tree: customer-grain pre-agg (ONE fact shuffle), then ONE "
+        "rollup(region, nation) — 31 subtree rows at any corpus size; "
+        "quotas deterministic per level, remaining may go negative"
+    ),
+)
+def namespace_quota_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference NameNode's quota machinery re-expressed as a
+    relational rollup: every order is a file at
+    /<region>/<nation>/<customer>/<order> of size o_totalprice cents;
+    the audit emits, per directory at root/region/nation level, the
+    ContentSummary tuple (dir_count including self, file_count,
+    ns_used = dirs + files, bytes_used) against per-level namespace and
+    space quotas (FSDirectory#updateCount / INodeDirectoryWithQuota /
+    ContentSummary semantics; QuotaExceededException becomes the
+    over_ns/over_space flags with signed remaining columns).
+    Directories exist only on file paths (a customer with no orders has
+    no directory), matching HDFS where quota is checked on the INode
+    tree that actually exists.
+
+    Determinism: all counts/quotas are integers; bytes ride
+    DECIMAL(38,0) cents (the gini cast idiom) and quotas are
+    deterministic functions of n_nationkey, so over_* flags flip with
+    scale factor and the oracle recomputes them bit-for-bit.
+
+    Scale plan: the ONLY fact-scale exchange is the customer-grain
+    pre-aggregation (partial count/sum map-side); the rollup + its
+    3-way distinct expand runs on the customer-count-sized relation
+    (150k rows at sf1 — never the orders).  dir_count at level L needs
+    the distinct-descendant counts, which is why the rollup rides the
+    customer grain rather than re-scanning orders per level.  At 100 TB
+    the pre-agg is the same one shuffle any per-customer query pays;
+    the subtree report stays 31 rows."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("decimal(38,0)")
+    cg = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name", "n_nationkey", "c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    rolled = cg.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").alias("g_r"),
+        F.grouping("n_name").alias("g_n"),
+        F.sum("files").alias("file_count"),
+        F.sum("cents").alias("bytes_dec"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.countDistinct("n_name").alias("cd_nation"),
+        F.countDistinct("r_name").alias("cd_region"),
+        F.max("n_nationkey").alias("nkey"),
+    )
+    level = F.when(F.col("g_n") == 0, 2).when(F.col("g_r") == 0, 1).otherwise(0)
+    lv = rolled.withColumn("level", level)
+    path = (
+        F.when(F.col("level") == 0, F.lit("/"))
+        .when(F.col("level") == 1, F.concat(F.lit("/"), F.col("r_name")))
+        .otherwise(
+            F.concat(F.lit("/"), F.col("r_name"), F.lit("/"), F.col("n_name"))
+        )
+    )
+    dir_count = (
+        F.lit(1)
+        + F.when(F.col("level") == 0, F.col("cd_region") + F.col("cd_nation"))
+        .when(F.col("level") == 1, F.col("cd_nation"))
+        .otherwise(F.lit(0))
+        + F.col("n_cust")
+    ).cast("long")
+    ns_quota = (
+        F.when(F.col("level") == 0, F.lit(50000000))
+        .when(F.col("level") == 1, F.lit(5000000))
+        .otherwise(512 * (1 + F.col("nkey") % 4))
+    ).cast("long")
+    space_quota = (
+        F.when(F.col("level") == 0, F.lit(1000000000000000))
+        .when(F.col("level") == 1, F.lit(200000000000000))
+        .otherwise(F.lit(8000000000) * (1 + F.col("nkey") % 3))
+    ).cast("long")
+    summary = lv.select(
+        path.alias("path"),
+        F.col("level").cast("long").alias("level"),
+        dir_count.alias("dir_count"),
+        F.col("file_count").cast("long").alias("file_count"),
+        ns_quota.alias("ns_quota"),
+        F.col("bytes_dec").cast("long").alias("bytes_used"),
+        space_quota.alias("space_quota"),
+    )
+    ns_used = (F.col("dir_count") + F.col("file_count")).cast("long")
+    return summary.select(
+        "path", "level", "dir_count", "file_count",
+        ns_used.alias("ns_used"),
+        "ns_quota",
+        (F.col("ns_quota") - ns_used).cast("long").alias("ns_remaining"),
+        F.when(ns_used > F.col("ns_quota"), 1).otherwise(0).cast("long").alias("over_ns"),
+        "bytes_used", "space_quota",
+        (F.col("space_quota") - F.col("bytes_used")).cast("long").alias("space_remaining"),
+        F.when(F.col("bytes_used") > F.col("space_quota"), 1)
+        .otherwise(0).cast("long").alias("over_space"),
+    ).orderBy("level", "path")

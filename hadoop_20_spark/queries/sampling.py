@@ -693,3 +693,67 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             power(
+               ({_sql_md5_long("'wrs_' || CAST(o_orderkey AS VARCHAR)")} + 1)
+                 / 1152921504606846976.0,
+               1.0 / o_totalprice) AS k
+      FROM orders
+    )
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS weight,
+           ROUND(k, 7) AS ares_key
+    FROM keyed
+    ORDER BY k DESC, o_orderkey
+    LIMIT 200
+    """,
+    note=(
+        "Efraimidis-Spirakis A-Res weighted reservoir sample (k=200, weight "
+        "= o_totalprice): key = u^(1/w) with u an md5-derived uniform, "
+        "top-k by key — TakeOrderedAndProject per-partition heaps, zero "
+        "data shuffle; the engine-portable u makes the sample itself "
+        "deterministic, so the oracle reproduces the exact member set"
+    ),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional without-replacement sample via the A-Res key
+    (Efraimidis & Spirakis 2006): every row draws u ~ U(0,1] and keeps
+    key = u^(1/w); the k largest keys ARE a weighted reservoir sample.
+    This is the weighted analog of InputSampler.RandomSampler
+    (mapred/lib/InputSampler.java) with the house determinism twist:
+    u = (md5_long('wrs_' || orderkey) + 1) / 2^60 instead of a seeded
+    RNG, so any engine reproduces the identical sample membership.
+
+    Determinism note: pow() may differ between engines in the last ulp;
+    membership flips only if the k-th/k+1-th keys collide within ~1 ulp
+    (md5-uniform keys — ~2^-60 probability class; the bm25 ln()
+    precedent).  The emitted key is rounded once; ranking orders the
+    unrounded key with an orderkey tie-break.
+
+    Scale plan: the key is row-local (no shuffle), the reservoir is
+    TakeOrderedAndProject — per-partition k-heaps merged on the driver,
+    O(partitions * k) driver memory, the same economics as top_k.  At
+    100 TB this is the ONLY shape that gives an exact weighted sample
+    in one pass with no fact-scale exchange."""
+    from hadoop_20_spark.functions import md5_long
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = (
+        md5_long(F.concat(F.lit("wrs_"), F.col("o_orderkey").cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    keyed = orders.withColumn("k", F.pow(u, F.lit(1.0) / F.col("o_totalprice")))
+    return (
+        keyed.orderBy(F.desc("k"), "o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("weight"),
+            F.round("k", 7).alias("ares_key"),
+        )
+    )

@@ -928,3 +928,167 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.truncation_recall_audit(
         emb, emb.filter(F.col("vec_id") < 10), dims=(8, 16, 32, 64), k=5
     )
+
+
+@register(
+    "rrf_hybrid_topk",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+    st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    p AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      WHERE term IN ('slow', 'hash', 'batch')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    lex AS (
+      SELECT doc_id, score FROM (
+        SELECT p.doc_id,
+               CAST(SUM(CAST(
+                 ln((n - df + 0.5) / (df + 0.5) + 1)
+                 * (CAST(tf AS DOUBLE)
+                    / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+               AS DECIMAL(38,18))) AS DOUBLE) AS score
+        FROM p JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN st GROUP BY p.doc_id)
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             {{cos}} AS score
+      FROM embeddings, qv WHERE vec_id <> 0
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    u AS (
+      SELECT 'lex' AS retr, doc_id, score FROM lex
+      UNION ALL
+      SELECT 'sem' AS retr, doc_id, score FROM sem
+    ),
+    ranked AS (
+      SELECT retr, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY retr
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM u
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(38,18))) AS DOUBLE)
+               AS rrf_raw,
+             MAX(CASE WHEN retr = 'lex' THEN rank END) AS lex_rank,
+             MAX(CASE WHEN retr = 'sem' THEN rank END) AS sem_rank
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, ROUND(rrf_raw, 6) AS rrf_score
+    FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10
+    """.format(cos=_sql_cos("embedding", "q_vec")),
+    note=(
+        "reciprocal-rank fusion (Cormack/Clarke/Buettcher k=60) of two "
+        "retrievers — BM25 lexical top-50 for {slow,hash,batch} and "
+        "embedding-cosine top-50 vs the vec_id=0 query vector: one "
+        "retriever-partitioned rank window over the 100-row union, "
+        "decimal-summed 1/(60+rank), top-10 by fused score"
+    ),
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval the way a training-data curation stack fuses a
+    lexical and a semantic ranker: RRF(d) = sum over retrievers of
+    1/(k + rank_r(d)), k=60 — rank-based, so the two incomparable score
+    scales never mix.  Lexical = the bm25_topk scorer (persisted
+    postings, DECIMAL-summed addends); semantic = exact cosine vs the
+    vec_id=0 query embedding (norms precomputed, 4dp-rounded like
+    embedding_topk).
+
+    Determinism: each retriever's candidate list is cut at 50 on
+    (score DESC, doc_id) — both scores are identical IEEE expressions
+    in both engines (the bm25/ln precedent); ranks come from ONE window
+    PARTITIONED by retriever (never a no-partition window); the fused
+    sum has <= 2 addends, each routed through DECIMAL(38,18); final
+    top-10 orders the unrounded fusion with a doc_id tie-break.
+
+    Scale plan: each retriever ends in TakeOrderedAndProject (k-bounded
+    heaps), so fusion operates on a 2k-row relation no matter the
+    corpus size; the rank window partitions by retriever (2 parallel
+    groups); everything upstream is the already-audited bm25/cosine
+    machinery.  Adding retrievers (more LSH tables, a second query
+    field) grows the union linearly, never the corpus work."""
+    from pyspark.sql import Window
+
+    from hadoop_20_spark.functions import tokens as _tok
+    from hadoop_20_spark.operators import invindex
+
+    terms = ["slow", "hash", "batch"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = docs.select("doc_id", F.size(_tok("text")).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        invindex.inverted_postings(docs, "doc_id", "text")
+        .where(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf")
+        .persist()
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    addend = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    ) * (
+        F.col("tf").cast("double")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+    )
+    lex = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", addend.cast("decimal(38,18)").alias("a"))
+        .groupBy("doc_id")
+        .agg(F.sum("a").cast("double").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select(F.lit("lex").alias("retr"), "doc_id", "score")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec")
+    )
+    sem = (
+        cand.crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(similarity.cosine(F.col("c_vec"), F.col("q_vec")), 4).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select(F.lit("sem").alias("retr"), "doc_id", "score")
+    )
+    w = Window.partitionBy("retr").orderBy(F.desc("score"), "doc_id")
+    ranked = lex.unionByName(sem).select(
+        "retr", "doc_id", F.row_number().over(w).cast("long").alias("rank")
+    )
+    fused = ranked.groupBy("doc_id").agg(
+        F.sum((F.lit(1.0) / (F.lit(60) + F.col("rank"))).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("rrf_raw"),
+        F.max(F.when(F.col("retr") == "lex", F.col("rank"))).alias("lex_rank"),
+        F.max(F.when(F.col("retr") == "sem", F.col("rank"))).alias("sem_rank"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id", "lex_rank", "sem_rank",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+        )
+    )

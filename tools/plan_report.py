@@ -139,6 +139,9 @@ QUERIES = {
     "balancer_move_plan": "placement row-local off one orders scan; per-node totals = 40-key partial-agg'd shuffle; targets, cumulative axes, and the greedy pairing (interval-overlap join) all run on <= 40 rows",
     "epoch_shuffle_audit": "two bucketed rank passes (distributed_global_rank, no Exchange SinglePartition on the doc path), one doc_id-keyed displacement join, bounded (epoch, shard) aggregate",
     "status_rank_sample": "global rank under a HOT leading key (3 statuses ~33% each): sampled composite-tuple boundaries (md5-gated deterministic sample, row-local lexicographic bucket expression) -> exact bucket counts -> B parallel windows; no Exchange SinglePartition, no degenerate bucket",
+    "weighted_reservoir_sample": "A-Res key row-local (md5 uniform ^ 1/weight); the whole sample is ONE TakeOrderedAndProject — per-partition k-heaps, zero Exchange, zero Window",
+    "rrf_hybrid_topk": "each retriever (bm25 postings, broadcast-query cosine) ends in TakeOrderedAndProject; ranks from ONE retriever-partitioned window over the 100-row union; fused top-10 is a third bounded heap",
+    "namespace_quota_audit": "customer-grain pre-agg is the ONLY fact shuffle (one orders scan, dims broadcast); rollup(region,nation) + its 3-way distinct Expand run on the customer-sized relation; 31-row readout",
     "grouped_median_refinement": None,  # driver-paced grouped refinement; result assembled driver-side, rank audits in-query
     "weighted_sssp_converged": None,  # driver-paced relaxation loop (one-row improvement collect per round); per-round plan identical to weighted_sssp_relaxation's
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)
