@@ -132,3 +132,33 @@ def test_namespace_quota_single_fact_shuffle(spark):
     assert plan.count("orders.parquet") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "Expand" in plan  # the rollup+distinct expand (customer grain)
+
+
+def test_srp_multiprobe2_recovers_two_flip_pairs(spark):
+    """The sf1 regression in miniature: a qualifying pair whose buckets
+    differ in exactly TWO planes of the (single) table is invisible to
+    Hamming-1 probing but a candidate under the depth-2 default."""
+    import numpy as np
+
+    from hadoop_20_spark.operators import similarity
+    from hadoop_20_spark.operators.similarity import _srp_signs
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((120, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.array(_srp_signs(64, 4, 0))
+    b = (((V @ S.T) > 0) << np.arange(4)).sum(axis=1)
+    pair = next(
+        (i, j)
+        for i in range(len(V))
+        for j in range(i + 1, len(V))
+        if bin(int(b[i]) ^ int(b[j])).count("1") == 2
+    )
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in V[pair[0]]]), (1, [float(x) for x in V[pair[1]]])],
+        "vec_id long, embedding array<float>",
+    )
+    h1 = similarity.srp_candidate_pairs(df, n_tables=1, multiprobe=1).collect()
+    h2 = similarity.srp_candidate_pairs(df, n_tables=1, multiprobe=2).collect()
+    assert not h1, "two-flip pair must NOT collide under Hamming-1 probing"
+    assert [(r["id_a"], r["id_b"]) for r in h2] == [(0, 1)]
