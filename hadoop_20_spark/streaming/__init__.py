@@ -79,7 +79,11 @@ def read_events_stream(
         pass  # unreadable footer: keep the legacy nanos-as-long path
     if os.path.isfile(src):
         d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        # abspath, not src: a RELATIVE sf_dir would make the symlink
+        # target resolve against the temp dir — a dangling link that
+        # FileStreamSource silently lists as zero files (found by the
+        # round-11 sf1 sweep, which passed `fixtures/sf1` relative).
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
         if sentinel:
             # TWO sentinel batches: the watermark advanced by file 1 is
             # only applied at the start of file 2's batch, and
