@@ -667,7 +667,13 @@ def main() -> None:
 
             # 10x the events row count: ~100 MB of 100-byte records at
             # sf0.1, scaling with the fixture like TestDFSIO's -fileSize
-            ctx["b25_n"] = 10 * load_table(spark, "events", SF_DIR).count()
+            # — but CAPPED at 10M rows (~1 GB): TestDFSIO measures fixed
+            # FILE sizes, not data-scaled ones, and the uncapped form at
+            # sf1 checkpointed 100M generator rows into the block
+            # manager and GC-thrashed the JVM to death in the big pass
+            ctx["b25_n"] = min(
+                10 * load_table(spark, "events", SF_DIR).count(), 10_000_000
+            )
             # materialize the synthetic rows once, UNTIMED (localCheckpoint
             # is eager): the timed passes then measure parquet encode +
             # storage only, not the md5 row synthesis
@@ -746,7 +752,8 @@ def main() -> None:
             mult = int(os.environ.get("SPARK_GRAFT_DFSIO_MULT", "10"))
             if mult > 1:
                 big_out = out + "_big"
-                n_big = ctx["b25_n"] * mult
+                # same fixed-file-size cap as the base pass: ~4 GB max
+                n_big = min(ctx["b25_n"] * mult, 40_000_000)
                 big = teragen(spark, n_big).localCheckpoint()  # untimed gen
                 tw = time.time()
                 big.write.mode("overwrite").parquet(big_out)

@@ -363,7 +363,11 @@ def dedup_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     th = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "threshold double")
     removed = (
-        th.crossJoin(mx)
+        # explicit broadcast (blessed: fixed 3-row literal relation) —
+        # createDataFrame is RDD-backed with UNKNOWN size stats, so
+        # without the hint the round-11 guard persists shifted the mx
+        # estimate and JoinSelection fell back to CartesianProduct
+        F.broadcast(th).crossJoin(mx)
         .filter(F.col("mj") >= F.col("threshold"))
         .groupBy("threshold")
         .agg(F.count(F.lit(1)).alias("n_removed"))

@@ -1104,7 +1104,14 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    toks = _fn_tokens("text")
+    # Materialize the token array as an ATTRIBUTE before the pair
+    # transform: element_at(<full tokenize expr>, i) inside the lambda
+    # re-evaluates the regexp split PER INDEX (O(len²) tokenization per
+    # doc — measured 84 s at sf1; the attribute form tokenizes once).
+    toked = docs.select(_fn_tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    toks = F.col("toks")
     pairs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda i: F.struct(
@@ -1112,11 +1119,7 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 1).alias("w2"),
         ),
     )
-    big = (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(pairs).alias("pr"))
-        .select("pr.w1", "pr.w2")
-    )
+    big = toked.select(F.explode(pairs).alias("pr")).select("pr.w1", "pr.w2")
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     s = c2.withColumn("n1", F.sum("n12").over(Window.partitionBy("w1")))
     w = Window.partitionBy("w1").orderBy(F.col("n12").desc(), "w2")

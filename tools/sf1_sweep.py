@@ -40,6 +40,18 @@ from tools.oracle_check import canonicalize, value_hash  # noqa: E402
 # join-key histogram) must RAISE — the sweep asserts the designed error
 # instead of running the blowup.  The DuckDB oracles for these are the
 # same brute-force self-join and would be equally quadratic.
+# Entries whose SPARK side is fine at sf1 but whose DuckDB ORACLE is
+# infeasible on this box at this scale (measured, not assumed).  The
+# sweep runs the Spark side and records rows + wall as SPARK-ONLY.
+ORACLE_INFEASIBLE: dict[str, str] = {
+    "kcore_peel_audit": (
+        "oracle is an iterative recursive-CTE peel that materializes "
+        "every round: its temp spill exceeded the box's 79 GB free disk "
+        "at sf1 (Spark side: 7.7 s, 5 rows); oracle-checked at "
+        "sf0.001/0.01/0.1"
+    ),
+}
+
 EXCLUDED_BY_DESIGN: dict[str, str] = {
     "jaccard_pairs": "quadratic OUTPUT (exact pair list); guard must raise",
     "jaccard_pairs_pruned": "quadratic OUTPUT (exact pair list); guard must raise",
@@ -117,6 +129,12 @@ def main() -> int:
             spark.catalog.clearCache()
         rec["spark_secs"] = round(time.time() - t0, 1)
         rec["rows"] = len(sdf)
+        if name in ORACLE_INFEASIBLE:
+            rec["status"] = "SPARK-ONLY"
+            rec["reason"] = ORACLE_INFEASIBLE[name]
+            print(f"SPARK-ONLY {name}: {len(sdf)} rows ({rec['spark_secs']}s)")
+            flush()
+            continue
         if q.oracle is None:
             rec["status"] = "ROWS-ONLY"
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({rec['spark_secs']}s)")

@@ -27,6 +27,7 @@ def main() -> int:
     raises = sorted(by_status.get("RAISES-BY-DESIGN", []))
     fails = sorted(by_status.get("FAIL", []))
     rows_only = sorted(by_status.get("ROWS-ONLY", []))
+    spark_only = sorted(by_status.get("SPARK-ONLY", []))
 
     spark_total = sum(r.get("spark_secs", 0) for r in results.values())
     oracle_total = sum(r.get("oracle_secs", 0) for r in results.values())
@@ -35,14 +36,22 @@ def main() -> int:
         f"Full-registry sweep at the generated sf1 fixture "
         f"(`tools/sf1_sweep.py fixtures/sf1`): **{n_pass} PASS / "
         f"{len(fails)} FAIL / {len(rows_only)} rows-only / "
-        f"{len(raises)} RAISES-BY-DESIGN** "
-        f"(total Spark wall {spark_total:.0f} s, DuckDB oracle "
-        f"{oracle_total:.0f} s)."
+        f"{len(raises)} RAISES-BY-DESIGN / {len(spark_only)} "
+        f"SPARK-ONLY** (total Spark wall {spark_total:.0f} s, DuckDB "
+        f"oracle {oracle_total:.0f} s)."
     )
     if fails:
         print(f"\nFAILING: {', '.join(fails)}")
     if rows_only:
         print(f"\nRows-only (no oracle by design): {', '.join(rows_only)}")
+    if spark_only:
+        print("\nSpark-only at this scale (oracle infeasible on this box; "
+              "oracle-checked at sf0.001/0.01/0.1):")
+        for name in spark_only:
+            rec = results[name]
+            print(f"- `{name}` — {rec.get('reason', '')} "
+                  f"(Spark {rec.get('spark_secs', '?')} s, "
+                  f"{rec.get('rows', '?')} rows)")
     if raises:
         print(
             "\nDesigned raises (quadratic-OUTPUT guards verified to fire "
