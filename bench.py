@@ -656,11 +656,16 @@ def main() -> None:
             from hadoop_20_spark.operators import similarity as _sim
 
             t0 = time.time()
-            ctx["b12_cents"] = _sim.kmeans_centroids(
-                load_table(spark, "embeddings", SF_DIR), k=16, iterations=3
-            )
+            emb = load_table(spark, "embeddings", SF_DIR)
+            # corpus-scaled k (occupancy-constant cells): a k pinned at
+            # 16 made the sf1 decade x23.6 super-linear (r11 sweep) —
+            # the in-cell quadratic prune is linear-in-n only if the
+            # cluster count grows with the corpus
+            k12 = _sim.auto_n_centroids(emb.count())
+            ctx["b12_cents"] = _sim.kmeans_centroids(emb, k=k12, iterations=3)
             ctx["b12_cents"].count()  # force the localCheckpoint chain
             d["train_secs"] = round(time.time() - t0, 3)
+            d["n_centroids"] = k12
         if name == "b25_dfsio":
             from hadoop_20_spark.catalog import load_table
             from hadoop_20_spark.sources import teragen

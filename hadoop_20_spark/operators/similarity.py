@@ -24,6 +24,8 @@ engine-comparable to the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +40,31 @@ from hadoop_20_spark.functions import ensure_parallelism, md5_long
 # Total shuffle bytes are unchanged (each pass ships only its own
 # coordinate slice + the cell key); only the stage count grows.
 KMEANS_MEAN_CHUNK = 256
+
+#: target mean cell occupancy for corpus-scaled k-means cluster counts.
+#: SemDeDup's in-cell verify work is quadratic in occupancy, so the
+#: cluster count must grow WITH the corpus (cells ≈ n / occupancy keeps
+#: per-cell pair volume flat and total within-cell work linear in n).
+#: 128 reproduces the historical k=16 at the 2k-vector bench fixture
+#: and was sized so a cell's pair block (~8k pairs) is trivially
+#: executor-resident at any corpus size.
+AUTO_CELL_OCCUPANCY = 128
+
+
+def auto_n_centroids(n_rows: int, occupancy: int = AUTO_CELL_OCCUPANCY) -> int:
+    """Corpus-scaled k-means cluster count: ``max(16, n // occupancy)``.
+
+    The round-11 sf1 sweep measured the cost of NOT scaling k: with 16
+    centroids pinned at every scale, 10× the vectors made every cell 10×
+    fatter and the within-cell quadratic verify 100× heavier — ×23.6
+    wall for ×10 data.  Deriving k from the corpus count keeps occupancy
+    (hence per-cell work) constant, the same
+    partition-count-scales-with-data discipline as
+    ``mapred/lib/TotalOrderPartitioner.java`` (R grows with the corpus;
+    bucket size stays fixed).  The floor of 16 preserves the historical
+    small-fixture behavior, so oracle gates at sf ≤ 0.1 are unchanged.
+    """
+    return max(16, n_rows // occupancy)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -468,6 +495,75 @@ def query_ivf_index(
     )
 
 
+#: designed ceiling on the SRP candidate equi-join's pre-distinct row
+#: volume.  Sized from measurement, not hope: the 20k-vector sf1 fixture
+#: measures ~3.3e9 with the recall-first defaults (k=4, d=2) and runs in
+#: ~5 min on 32 local threads; 1e10 is the "minutes on a cluster, an
+#: hour on this box" line.  One decade up (200k vectors) the bound is
+#: ~3.3e11 and the guard raises BY DESIGN — the same posture as
+#: ``dedup.jaccard_pairs`` at sf1.
+SRP_MAX_CANDIDATE_PAIRS = 10_000_000_000
+
+
+def _srp_volume_guard(
+    a: DataFrame,
+    b: DataFrame,
+    cap: int | None,
+    n_planes: int,
+    multiprobe: int,
+    context: str,
+) -> None:
+    """Fail-loud pre-flight bound for the SRP candidate join: the
+    equi-join of the probe-exploded side ``a`` with the exact-bucket
+    side ``b`` on (tbl, bkt) produces exactly Σ n_a(tbl,bkt)·n_b(tbl,bkt)
+    pre-distinct rows — computed by joining the two (table, bucket)
+    histograms (≤ n_tables·2^n_planes rows each) BEFORE the join ever
+    runs.  DECIMAL(38,0) arithmetic so the bound itself cannot overflow.
+
+    This is the enforcement half of ``srp_bucket_stats``: with few
+    planes the probe set covers most of bucket space (k=4, d=2 probes
+    11/16 buckets), so on a random corpus per-bucket occupancy — hence
+    the join's fan-out — grows quadratically with corpus size, and
+    unlike MinHash-LSH (hard ``max_bucket`` cap) nothing else stops it.
+    Same measure-the-histogram-first discipline as
+    ``dedup._pair_volume_guard`` and the ``InputSampler``-style
+    pre-sampling idiom (public hadoop-20 ``mapred/lib/InputSampler.java``).
+    """
+    if cap is None:
+        return
+    ha = a.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__na"))
+    hb = b.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).alias("__nb"))
+    est = (
+        ha.join(hb, ["tbl", "bkt"])
+        .agg(
+            F.sum(
+                (
+                    F.col("__na").cast("decimal(38,0)")
+                    * F.col("__nb").cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias("pairs")
+        )
+        .collect()[0]["pairs"]
+    )
+    est = int(est or 0)
+    if est > cap:
+        cover = sum(
+            math.comb(n_planes, j) for j in range(min(multiprobe, n_planes) + 1)
+        )
+        raise ValueError(
+            f"{context}: SRP candidate-join volume bound Σ n_a·n_b = "
+            f"{est:,} exceeds max_candidate_pairs={cap:,} (n_planes="
+            f"{n_planes}, multiprobe={multiprobe}: the probe set covers "
+            f"{cover}/{2**n_planes} of each table's bucket space).  "
+            "Raise n_planes so buckets split this corpus (each extra "
+            "plane roughly halves occupancy; keep "
+            "Σ_{j<=multiprobe} C(k,j)/2^k << 1), lower multiprobe, use "
+            "the IVF/semantic_dedup cell path for moderate thresholds, "
+            "or pass max_candidate_pairs=None to consciously run this "
+            "volume."
+        )
+
+
 def srp_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -476,16 +572,36 @@ def srp_candidate_pairs(
     n_planes: int = 4,
     n_tables: int = 12,
     multiprobe: int = 2,
+    max_candidate_pairs: int | None = SRP_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Candidate pairs (``id_a < id_b``) sharing an SRP bucket in ANY of
     ``n_tables`` hash tables — the bucketed candidate generator for
     embedding near-dup detection.  Cost: ``n_tables`` narrow projection
-    passes + one equi-join on (table, bucket); never an all-pairs cross
-    product.
+    passes + one equi-join on (table, bucket), whose pre-distinct volume
+    is MEASURED before the join runs (:func:`_srp_volume_guard`) and
+    raises past ``max_candidate_pairs``.
 
-    ``multiprobe=d`` also probes every bucket within Hamming distance
-    ``d`` on ONE side of the join — a pair disagreeing on at most ``d``
-    planes in a table still collides.  Per-table recall with p = 1-θ/π,
+    **Honest scale accounting** (the k=4 defaults are recall-first, not
+    occupancy-first): with ``n_planes=4, multiprobe=2`` the probe set
+    covers 11 of 16 buckets per table, so on a random corpus (cos ≈ 0,
+    per-table collision ≈ 11/16) an unrelated pair collides in ≥1 of 12
+    tables with probability ≈ 1-(5/16)^12 — candidate generation is
+    effectively quadratic with an 11× explode fan-out, sane ONLY while
+    Σ n_a·n_b fits the cap (the 20k-vector sf1 fixture measures ~3.3e9;
+    one decade up the guard raises by design).  Results stay exact
+    regardless (the verify step filters), but at corpus scale you must
+    raise ``n_planes`` so buckets actually split the data — and that
+    trades recall at LOW thresholds: matching pairs at sim t differ on
+    ~k·θ/π planes, so d=2 probing loses them once k >> 2π/θ.  SRP
+    bucket-then-verify is the scale path for HIGH thresholds (θ small:
+    at sim 0.95, k=16, d=2, 12 tables the per-pair miss is ~1e-8 with
+    137/65536 bucket coverage); for moderate thresholds (~0.5) use the
+    IVF cell path (``semantic_dedup``) whose occupancy is controlled by
+    a corpus-scaled cluster count instead.
+
+    ``multiprobe=d`` probes every bucket within Hamming distance ``d``
+    on ONE side of the join — a pair disagreeing on at most ``d`` planes
+    in a table still collides.  Per-table recall with p = 1-θ/π,
     k = n_planes: ``Σ_{{j<=d}} C(k,j) p^(k-j) (1-p)^j`` — at sim 0.5
     (p = 2/3, k = 4) that is 0.20 exact / 0.59 at d=1 / 0.89 at d=2,
     i.e. a 12-table miss probability of 2e-5 at d=1 but 4e-12 at d=2.
@@ -495,9 +611,7 @@ def srp_candidate_pairs(
     while d=2 recovers the full set (verified pair-by-pair in numpy).
     Probe fan-out per row is ``1 + k + C(k,2)`` = 11 (was 5): recall
     from probes instead of more corpus passes, the classic multiprobe
-    trade.  ``multiprobe=0`` probes exact buckets only.  Raise
-    ``n_planes`` for finer buckets at corpus scale; recall knobs are
-    tables × probes."""
+    trade.  ``multiprobe=0`` probes exact buckets only."""
     def exploded(role: str, probe: bool) -> DataFrame:
         per_table = []
         for t in range(n_tables):
@@ -522,6 +636,9 @@ def srp_candidate_pairs(
 
     a = exploded("a", probe=True)
     b = exploded("b", probe=False)
+    _srp_volume_guard(
+        a, b, max_candidate_pairs, n_planes, multiprobe, "srp_candidate_pairs"
+    )
     # one-sided probing covers both orientations (Hamming-1 is
     # symmetric), so normalize the pair order after the join.
     return (
@@ -610,6 +727,7 @@ def embedding_near_dups(
     multiprobe: int = 2,
     brute_force: bool = False,
     method: str | None = None,
+    max_candidate_pairs: int | None = SRP_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (``id_a < id_b``, sim ≥ t).
 
@@ -629,7 +747,15 @@ def embedding_near_dups(
       12-table miss ≈ 4e-12 per pair).  The planes are md5-seeded
       constants, so recall on a given corpus is deterministic and
       testable, not a per-run coin flip; :func:`srp_bucket_stats`
-      reports bucket occupancy for coverage monitoring.
+      reports bucket occupancy for coverage monitoring, and the
+      candidate join's pre-distinct volume is MEASURED up front
+      (:func:`_srp_volume_guard`) and raises past
+      ``max_candidate_pairs`` with the observed bound — the k=4
+      defaults keep recall at moderate thresholds but make candidate
+      generation effectively quadratic, so past the cap you must raise
+      ``n_planes`` (high thresholds) or switch to the
+      ``semantic_dedup`` cell path (moderate thresholds); see
+      :func:`srp_candidate_pairs` for the full accounting.
     - ``"brute"`` — the exact all-pairs cross join, guarded by
       :data:`BRUTE_FORCE_MAX_ROWS` (the count is one cheap action) so
       the O(n²) path can never silently run on a 100 TB corpus.
@@ -642,7 +768,14 @@ def embedding_near_dups(
         raise ValueError(f"method must be 'srp' or 'brute', got {method!r}")
     if method == "srp":
         cand = srp_candidate_pairs(
-            df, id_col, vec_col, dim, n_planes, n_tables, multiprobe
+            df,
+            id_col,
+            vec_col,
+            dim,
+            n_planes,
+            n_tables,
+            multiprobe,
+            max_candidate_pairs=max_candidate_pairs,
         )
         return embedding_verify(df, cand, id_col, vec_col, threshold)
 
@@ -775,7 +908,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iterations: int = 3,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -788,24 +921,28 @@ def semantic_dedup(
     keeper is the most-similar lower-id cluster-mate (ties by id).
 
     Scale plan (100 TB): the quadratic step is confined WITHIN Voronoi
-    cells — cost Σ|cell|², never n² — and the cluster count grows with
-    the corpus so |cell| stays bounded; centroids broadcast, cell
-    assignment is map-side, and the only data shuffle is the equi-join
-    on cell.  Oversized cells should be split by raising n_centroids
-    (or sub-bucketing hot cells with SRP, as embedding_near_dups
-    does).
+    cells — cost Σ|cell|², never n² — and the cluster count MUST grow
+    with the corpus so |cell| stays bounded.  ``n_centroids=None`` (the
+    default) enforces that rule instead of documenting it: k is derived
+    from the corpus count as :func:`auto_n_centroids` (one cheap count
+    action; ``max(16, n // 128)`` — occupancy-constant, so within-cell
+    work is LINEAR in n).  The round-11 sf1 sweep measured what a
+    pinned k costs: ×23.6 wall for ×10 data at k=16.  Pass an explicit
+    ``n_centroids`` to override.  Centroids broadcast, cell assignment
+    is map-side, and the only data shuffle is the equi-join on cell.
 
     Pass ``centroids=`` (a trained ``(cent_id, c_vec)`` table) to skip
     training — used by the bench to time the prune path separately from
     the fixed-job-count k-means loop, and the natural production shape
     (train once, dedup many shards against the same model)."""
-    cents = (
-        centroids
-        if centroids is not None
-        else kmeans_centroids(
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(corpus.count())
+        cents = kmeans_centroids(
             corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iterations=iterations
         )
-    )
     # per-vector norm materialized ONCE after assignment (row-local,
     # non-cheap so CollapseProject keeps it) — the within-cell pair
     # scoring below then does one dot per pair, not dot + two norms

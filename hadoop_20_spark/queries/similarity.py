@@ -149,17 +149,21 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int, iterations: int) -> str:
+def _kmeans_ctes(k: int | str, iterations: int) -> str:
     """Unrolled Lloyd's-iteration CTE chain mirroring
     ``similarity.kmeans_centroids`` (fixed iteration count makes the
     'training' expressible as plain SQL): assignment by 4dp-rounded
     cosine argmax (cent_id tie-break), per-coordinate means as exact
     DECIMAL(30,10) sums / COUNT rounded to 8dp, empty cells keep their
-    previous centroid.  Final centroids are ``c{iterations}``."""
+    previous centroid.  Final centroids are ``c{iterations}``.
+
+    ``k`` may be a SQL scalar expression string (e.g. a corpus-count
+    subquery) so corpus-scaled cluster counts stay oracle-checkable at
+    every scale factor."""
     parts = [
         "v AS (SELECT vec_id, embedding FROM embeddings)",
         f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cent_id, "
-        f"CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings WHERE vec_id < {k})",
+        f"CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings WHERE vec_id < ({k}))",
     ]
     for i in range(iterations):
         parts.append(
@@ -500,10 +504,16 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the oracle spelling of ``similarity.auto_n_centroids`` — corpus-scaled
+#: cluster count so the gate checks the SAME k at every scale factor
+#: (16 at the ≤2k-vector gate fixtures; 156 at the 20k-vector sf1).
+_AUTO_K_SQL = "GREATEST(16, (SELECT COUNT(*) FROM embeddings) // 128)"
+
+
 @register(
     "semantic_dedup",
     f"""
-    WITH {_kmeans_ctes(16, 3)},
+    WITH {_kmeans_ctes(_AUTO_K_SQL, 3)},
          cent AS (SELECT cent_id, c_vec FROM c3),
          corpus AS (SELECT vec_id, embedding AS n_vec FROM embeddings),
          asg AS (SELECT vec_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
@@ -522,13 +532,16 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk = 1
     ORDER BY vec_id
     """,
-    note="SemDeDup semantic deduplication (arXiv:2303.09540): k-means cluster then within-cluster cosine prune, keep-lowest-id — quadratic work confined to Voronoi cells; the oracle unrolls k-means training as CTEs",
+    note="SemDeDup semantic deduplication (arXiv:2303.09540): corpus-scaled k-means cluster (k = max(16, n//128), occupancy-constant) then within-cluster cosine prune, keep-lowest-id — quadratic work confined to Voronoi cells; the oracle unrolls k-means training as CTEs with the same count-derived k",
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-prune semantic dedup over the embeddings fixture:
     real (deterministic) k-means quantizer, within-cell cosine ≥ 0.45,
     keep-lowest-id.  Every stage — training included — hash-matches the
-    unrolled-SQL oracle."""
+    unrolled-SQL oracle.  k is corpus-scaled on BOTH engines
+    (``auto_n_centroids`` / ``_AUTO_K_SQL``): the round-11 sf1 sweep
+    measured ×23.6 wall for ×10 data with k pinned at 16 — the in-cell
+    quadratic verify is only linear-in-n if cell occupancy stays flat."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, threshold=0.45)
 

@@ -246,6 +246,35 @@ def test_embedding_near_dups_method_param(spark, tables):
         similarity.embedding_near_dups(emb, method="annoy")
 
 
+def test_srp_volume_guard_raises_on_degenerate_corpus(spark, tables):
+    """All-equal vectors co-bucket in every table, so the candidate
+    join's pre-distinct volume is exactly n_tables·n² — the guard must
+    measure it BEFORE the join and raise with remediation (raise
+    n_planes / the cell path), never let the quadratic join run."""
+    import pytest
+
+    one = tables["embeddings"].select("embedding").first()["embedding"]
+    deg = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in one]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="n_planes") as ei:
+        similarity.srp_candidate_pairs(deg, max_candidate_pairs=1_000_000)
+    # the bound is exact for the degenerate corpus: only the exact probe
+    # finds b-side rows, so Σ n_a·n_b = 12 tables × 2000²
+    assert "48,000,000" in str(ei.value)
+    # opting out (cap=None) must skip the pre-flight action entirely
+    similarity.srp_candidate_pairs(deg, max_candidate_pairs=None)
+
+
+def test_srp_volume_guard_passes_fixture_scale(spark, tables):
+    """The default cap must not fire at gate scale (the sf1 fixture
+    measures ~3.3e9 < 1e10; this 500-vector corpus is ~2e6)."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    out = similarity.srp_candidate_pairs(emb)
+    assert out.count() > 0
+
+
 def test_srp_bucket_stats(spark, tables):
     emb = tables["embeddings"].select("vec_id", "embedding")
     n = emb.count()
@@ -421,6 +450,38 @@ def test_semantic_dedup_planted_duplicate(spark, tables):
     assert {k: (v["keeper_id"], v["cosine_sim"]) for k, v in rows.items()} == {
         k: (v["keeper_id"], v["cosine_sim"]) for k, v in again.items()
     }
+
+
+def test_auto_n_centroids_scales_with_corpus():
+    """The cluster count must grow with the corpus (occupancy-constant
+    cells keep the in-cell quadratic prune linear in n — the r11 sf1
+    sweep measured ×23.6 wall for ×10 data with k pinned at 16).  The
+    floor of 16 preserves the historical small-fixture behavior."""
+    assert similarity.auto_n_centroids(500) == 16
+    assert similarity.auto_n_centroids(2000) == 16  # sf0.1 fixture: unchanged
+    assert similarity.auto_n_centroids(20_000) == 156  # sf1: 128-occupancy cells
+    assert similarity.auto_n_centroids(200_000) == 1562
+    # ratio n/k stays ~constant past the floor: within-cell work is flat
+    assert abs(200_000 / similarity.auto_n_centroids(200_000) - 128) < 1
+
+
+def test_semantic_dedup_auto_k_matches_explicit(spark, tables):
+    """``n_centroids=None`` must be exactly ``auto_n_centroids(count)``
+    spelled out — same rows, so the count-derived k is a config
+    convenience, not a semantic fork."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    k = similarity.auto_n_centroids(emb.count())
+    auto = {
+        (r["vec_id"], r["keeper_id"], r["cosine_sim"])
+        for r in similarity.semantic_dedup(emb, threshold=0.45).collect()
+    }
+    explicit = {
+        (r["vec_id"], r["keeper_id"], r["cosine_sim"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.45, n_centroids=k
+        ).collect()
+    }
+    assert auto == explicit and len(auto) > 0
 
 
 def test_semantic_dedup_no_corpus_cross_join(spark, tables):
