@@ -271,13 +271,21 @@ def _pair_volume_guard(
 
 
 def _pair_volume_guard_cross(
-    postings_a: DataFrame, postings_b: DataFrame, cap: int | None, context: str
+    postings_a: DataFrame,
+    postings_b: DataFrame,
+    cap: int | None,
+    context: str,
+    hint: str = (
+        "Use a bucket-capped approximate path (MinHash-LSH) or raise "
+        "the cap consciously."
+    ),
 ) -> None:
     """Two-relation twin of :func:`_pair_volume_guard`: the equi-join of
     two postings relations on ``sh`` produces exactly Σ n_a(sh)·n_b(sh)
     candidate rows — computed by joining the two per-shingle histograms
     (each a bounded aggregate) before the join itself ever runs.  Same
-    DECIMAL(38,0) arithmetic, same designed ValueError over the cap."""
+    DECIMAL(38,0) arithmetic, same designed ValueError over the cap.
+    ``hint`` names the path that still works past the cap."""
     if cap is None:
         return
     ha = postings_a.groupBy("sh").agg(F.count(F.lit(1)).alias("__na"))
@@ -295,8 +303,7 @@ def _pair_volume_guard_cross(
             f"{context}: cross-side candidate volume bound Σ n_a·n_b = "
             f"{est:,} exceeds max_candidate_pairs={cap:,} — the postings "
             "join would materialize a quadratic candidate set on this "
-            "corpus.  Use a bucket-capped approximate path (MinHash-LSH) "
-            "or raise the cap consciously."
+            f"corpus.  {hint}"
         )
 
 
@@ -526,6 +533,31 @@ def incremental_jaccard_pairs(
     )
 
 
+def _containment_prefix(
+    base: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """Rarest-first prefix postings for a directed containment join at
+    rational threshold num/den: each doc keeps its first
+    ``sz - ceil(num*sz/den) + 1`` shingles under the (document
+    frequency, shingle) total order — lossless (prefix theorem) and
+    all-integer (the double ``ceil(0.8*sz)`` rounds up for many sz and
+    would silently shorten the prefix)."""
+    from pyspark.sql import Window
+
+    freq = base.groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
+    w = Window.partitionBy("did").orderBy("_fr", "sh")
+    ranked = base.join(freq, "sh").select(
+        "did",
+        "sh",
+        F.row_number().over(w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("did")).alias("_sz"),
+    )
+    ceil_t = F.expr(
+        f"({threshold_num} * _sz + {threshold_den} - 1) DIV {threshold_den}"
+    )
+    return ranked.filter(F.col("_pos") <= F.col("_sz") - ceil_t + 1)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -561,28 +593,23 @@ def containment_pairs(
     8.000000000000002 → ceil 9), silently shortening the prefix and
     losing pairs — the integer form cannot."""
     base = _shingle_postings(df, id_col, text_col, shingle)
-    from pyspark.sql import Window
-
-    freq = base.groupBy("sh").agg(F.count(F.lit(1)).alias("_fr"))
-    w = Window.partitionBy("did").orderBy("_fr", "sh")
-    ranked = base.join(freq, "sh").select(
-        "did",
-        "sh",
-        F.row_number().over(w).alias("_pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("did")).alias("_sz"),
-    )
-    # prefix length = sz - ceil(num*sz/den) + 1, all-integer
-    ceil_t = F.expr(
-        f"({threshold_num} * _sz + {threshold_den} - 1) DIV {threshold_den}"
-    )
-    prefix = ranked.filter(F.col("_pos") <= F.col("_sz") - ceil_t + 1)
+    prefix = _containment_prefix(base, threshold_num, threshold_den)
     if max_candidate_pairs is not None:
         # asymmetric join (A-prefix x B-FULL postings): bound it with the
         # cross-histogram product before running it
         prefix = prefix.persist()
         base = base.persist()
         _pair_volume_guard_cross(
-            prefix, base, max_candidate_pairs, "containment_pairs"
+            prefix,
+            base,
+            max_candidate_pairs,
+            "containment_pairs",
+            hint=(
+                "For an output-linear report that still works past this "
+                "volume, use containment_topk (per-doc top-k containers "
+                "with a deterministic per-shingle posting cap) instead "
+                "of the full pair join, or raise the cap consciously."
+            ),
         )
     cand = (
         prefix.select(F.col("did").alias("id_a"), "sh")
@@ -607,6 +634,109 @@ def containment_pairs(
         )
         .withColumn("containment", F.round(F.col("_i") / F.size("_shs_a"), 6))
         .select("id_a", "id_b", "containment")
+    )
+
+
+def containment_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle: int = 1,
+    max_posting_df: int | None = 1000,
+    max_candidate_pairs: int | None = JACCARD_MAX_CANDIDATE_PAIRS,
+) -> DataFrame:
+    """OUTPUT-LINEAR containment report: for every doc, its top-``k``
+    containers — ``(doc_id, container_id, containment, rank)`` with
+    ``|A ∩ B| / |A| ≥ num/den``, ranked by (containment desc,
+    container_id).  The report form of :func:`containment_pairs` for
+    the curation question "which docs are quoted inside which" at
+    corpus scale: the PAIR form's output is quadratic in
+    duplicate-cluster size (477 s at the 50k-doc sf1 fixture; its guard
+    raises one decade up), while this report is ≤ n·k rows at any
+    corpus size — the same report-not-pairs discipline as
+    ``dup_span_report`` and the batch-bounded shape of
+    ``incremental_jaccard_pairs``.
+
+    Candidate volume is bounded BY CONSTRUCTION, not merely checked:
+    the container side's postings are capped at ``max_posting_df``
+    docs per shingle — the ``max_bucket`` discipline of
+    ``minhash_lsh_candidates``, made DETERMINISTIC (each shingle keeps
+    its lowest-``max_posting_df`` doc ids via one rank window), so the
+    exact same cap is expressible in the DuckDB oracle and the result
+    stays hash-checkable at every scale: the approximation lives in
+    the operator's CONTRACT, never in engine drift.  Candidates are
+    then ≤ Σ_A |prefix(A)| · max_posting_df — LINEAR in the corpus —
+    versus the uncapped Σ n_prefix(sh)·df(sh), which is quadratic on
+    duplicate-heavy corpora.  A shingle hits the cap only when > cap
+    docs contain it, i.e. when it is common — and a doc whose ENTIRE
+    rarest-first prefix is capped-out shingles is boilerplate cloned
+    across > cap docs, whose top-k containers are interchangeable
+    members of that clone set anyway.  Recall for everything else is
+    the prefix theorem, unweakened (prefixes are never capped, only
+    the probe-target side).  Pass ``max_posting_df=None`` for the
+    exact-candidate form (then the volume guard is the only backstop).
+
+    Verification is exact set intersection over FULL shingle sets
+    (never capped — the cap can only drop candidates, never corrupt a
+    reported containment), so every emitted row is a true containment.
+    Integer threshold arithmetic throughout, as in the pair form."""
+    from pyspark.sql import Window
+
+    base = _shingle_postings(df, id_col, text_col, shingle)
+    prefix = _containment_prefix(base, threshold_num, threshold_den)
+    target = base
+    if max_posting_df is not None:
+        wc = Window.partitionBy("sh").orderBy("did")
+        target = (
+            base.select("did", "sh", F.row_number().over(wc).alias("_rn"))
+            .filter(F.col("_rn") <= max_posting_df)
+            .drop("_rn")
+        )
+    if max_candidate_pairs is not None:
+        prefix = prefix.persist()
+        target = target.persist()
+        _pair_volume_guard_cross(
+            prefix,
+            target,
+            max_candidate_pairs,
+            "containment_topk",
+            hint=(
+                "Lower max_posting_df (the per-shingle posting cap "
+                "bounds candidates at Σ|prefix|·cap) or raise the cap "
+                "consciously."
+            ),
+        )
+    cand = (
+        prefix.select(F.col("did").alias("id_a"), "sh")
+        .join(target.select(F.col("did").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = base.groupBy("did").agg(F.sort_array(F.collect_set("sh")).alias("shs"))
+    a = sets.select(F.col("did").alias("id_a"), F.col("shs").alias("_shs_a"))
+    b = sets.select(F.col("did").alias("id_b"), F.col("shs").alias("_shs_b"))
+    inter = F.size(F.array_intersect(F.col("_shs_a"), F.col("_shs_b")))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_i", inter)
+        .filter(F.col("_i") * threshold_den >= F.size("_shs_a") * threshold_num)
+        .withColumn("containment", F.round(F.col("_i") / F.size("_shs_a"), 6))
+    )
+    wk = Window.partitionBy("id_a").orderBy(F.col("containment").desc(), "id_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("container_id"),
+            "containment",
+            "rank",
+        )
     )
 
 

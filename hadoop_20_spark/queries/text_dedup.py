@@ -1579,6 +1579,92 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_report",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                                 i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      FROM tok
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+    freq AS (SELECT sh, COUNT(*) AS fr FROM g GROUP BY sh),
+    ranked AS (
+      SELECT g.doc_id, g.sh, sz.s,
+             ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY freq.fr, g.sh) AS pos
+      FROM g JOIN freq USING (sh) JOIN sz USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, sh FROM ranked
+      WHERE pos <= s - ((4 * s + 4) // 5) + 1
+    ),
+    capped AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh,
+               ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
+        FROM g)
+      WHERE rn <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
+      FROM prefix p JOIN capped c ON c.sh = p.sh AND c.doc_id <> p.doc_id
+    ),
+    common AS (
+      SELECT n.id_a, n.id_b, COUNT(*) AS c
+      FROM cand n
+      JOIN g a ON a.doc_id = n.id_a
+      JOIN g b ON b.doc_id = n.id_b AND b.sh = a.sh
+      GROUP BY n.id_a, n.id_b
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) AS containment
+      FROM common c JOIN sz sa ON sa.doc_id = c.id_a
+      WHERE 5 * c.c >= 4 * sa.s
+    )
+    SELECT id_a AS doc_id, id_b AS container_id, containment, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                ORDER BY containment DESC, id_b) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    note=(
+        "output-linear containment report: per-doc top-3 containers (|A∩B|/|A| >= 4/5 over "
+        "3-gram shingles) — the scale form of containment_pairs, whose pair output is quadratic "
+        "in clone-cluster size; candidates bounded BY CONSTRUCTION via a deterministic "
+        "per-shingle posting cap (lowest-1000 doc ids, the LSH max_bucket discipline made "
+        "oracle-expressible), verify exact over full sets"
+    ),
+)
+def containment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 containers at containment ≥ 0.8 over 3-gram
+    shingles — the report form of ``containment_pairs`` for "which docs
+    are quoted inside which" at 100 TB.  Output is ≤ 3 rows per doc at
+    any corpus size, and the candidate join is LINEAR by construction:
+    the container side keeps at most 1000 postings per shingle (the
+    lowest doc ids — deterministic, so the DuckDB oracle applies the
+    SAME cap and the gate stays hash-exact at every scale; the
+    approximation is in the contract, not engine drift).  The pair
+    form's guard raise names this entry as the path that still works
+    one decade past its cap."""
+    return dedup.containment_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold_num=4,
+        threshold_den=5,
+        shingle=3,
+        max_posting_df=1000,
+    ).orderBy("doc_id", "rank")
+
+
+@register(
     "paragraph_dedup",
     r"""
     WITH w AS (

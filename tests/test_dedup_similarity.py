@@ -515,6 +515,94 @@ def test_containment_finds_quote_expansion_jaccard_misses(spark):
     assert jac == []  # Jaccard at the same threshold cannot see the pair
 
 
+def test_containment_topk_reports_quote_expansion(spark):
+    """The report form must surface the short-doc-in-long-doc case at
+    rank 1, bounded per doc, and never emit the reverse direction."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        ["doc_id", "text"],
+    )
+    rows = dedup.containment_topk(
+        df, "doc_id", "text", k=3, threshold_num=4, threshold_den=5, shingle=3
+    ).collect()
+    got = {(r["doc_id"], r["container_id"]): (r["containment"], r["rank"]) for r in rows}
+    assert got == {(1, 2): (1.0, 1)}
+
+
+def test_containment_topk_equals_ranked_pair_form_when_cap_slack(spark):
+    """With max_posting_df far above every shingle's document frequency
+    the cap is inert: the report must be EXACTLY the pair form's output
+    ranked per doc and cut at k — same candidates, same verify."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(10)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 16))))
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    k = 2
+    pairs = dedup.containment_pairs(
+        df, "doc_id", "text", threshold_num=3, threshold_den=5, shingle=2
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in pairs:
+        by_doc.setdefault(r["id_a"], []).append((-r["containment"], r["id_b"]))
+    expect = set()
+    for a, lst in by_doc.items():
+        for rank, (negc, b) in enumerate(sorted(lst)[:k], start=1):
+            expect.add((a, b, -negc, rank))
+    got = {
+        (r["doc_id"], r["container_id"], r["containment"], r["rank"])
+        for r in dedup.containment_topk(
+            df,
+            "doc_id",
+            "text",
+            k=k,
+            threshold_num=3,
+            threshold_den=5,
+            shingle=2,
+            max_posting_df=10_000,
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_containment_topk_cap_is_deterministic_lowest_ids(spark):
+    """When a shingle's df exceeds the cap, the kept postings are the
+    LOWEST container ids — so a clone flood still yields a full-rank
+    report drawn deterministically from the clone set, identically
+    under any partitioning (the property that lets the DuckDB oracle
+    mirror the cap)."""
+    body = "alpha beta gamma delta epsilon zeta"
+    clones = [(i, body) for i in range(30)]
+    df = spark.createDataFrame(clones, ["doc_id", "text"])
+    rows = dedup.containment_topk(
+        df, "doc_id", "text", k=2, threshold_num=4, threshold_den=5,
+        shingle=3, max_posting_df=5,
+    ).collect()
+    got = {(r["doc_id"], r["container_id"], r["rank"]) for r in rows}
+    # every doc reports 2 containers from the capped (lowest-5-id) set
+    for i in range(30):
+        ranked = sorted(
+            (c for d, c, _ in got if d == i), key=lambda c: c
+        )
+        assert len(ranked) == 2
+        assert all(c < 5 or (i < 5 and c < 6) for c in ranked)
+    # stability under repartitioning
+    again = {
+        (r["doc_id"], r["container_id"], r["rank"])
+        for r in dedup.containment_topk(
+            df.repartition(7), "doc_id", "text", k=2, threshold_num=4,
+            threshold_den=5, shingle=3, max_posting_df=5,
+        ).collect()
+    }
+    assert got == again
+
+
 def test_containment_prefix_filter_matches_python_model(spark):
     """Fuzz the lossless-prefix claim: random small corpora, compare the
     prefix-filtered output against a plain-Python brute force."""
