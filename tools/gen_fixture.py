@@ -8,8 +8,10 @@ measured from sf0.1 (all columns are independent there: corr(extended-
 price, quantity*retailprice) ~ 0.001, shipdate unrelated to orderdate,
 o_totalprice unrelated to lineitem sums), and the corpus' planted
 structure (31-word vocab with the rare 'dup' tail token on ~5% of
-docs, ~0.16% exact-duplicate pairs, 'en' at ~2x the other four langs,
-unit-norm 64-dim embeddings) — at 10x the rows, so the engine can be
+docs, ~0.16% exact-duplicate pairs sharing lang/source with their
+source doc, 'en' at ~2x the other four langs, unit-norm 64-dim
+embeddings with planted cos∈[0.505,0.535) boundary near-dup pairs so
+SRP recall is tested AT the threshold) — at 10x the rows, so the engine can be
 validated one decade above the largest driver fixture.
 
 Usage:
@@ -195,6 +197,8 @@ def gen(out: str, mult: int = 10) -> None:
     # Reject a == b (a no-op "pair") and any id already used as a source
     # or target — overwriting an earlier plant would silently drop the
     # realized duplicate rate below the documented ~0.16%.
+    langs = np.array(LANGS)[r.choice(5, n_doc, p=LANG_W)]
+    sources = np.array([f"src{i}" for i in r.integers(0, 20, n_doc)])
     planted: set[int] = set()
     pairs_planted = 0
     while pairs_planted < 8 * mult:
@@ -202,20 +206,45 @@ def gen(out: str, mult: int = 10) -> None:
         if a == b or a in planted or b in planted:
             continue
         texts[b] = texts[a]
+        # a real duplicate is the SAME document crawled twice: it shares
+        # lang and (usually) source, so metadata-aware dedup queries see
+        # the planted pairs too — independent metadata on an identical
+        # text would be a fixture artifact, not a realistic duplicate
+        langs[b] = langs[a]
+        sources[b] = sources[a]
         planted.update((a, b))
         pairs_planted += 1
-    langs = np.array(LANGS)[r.choice(5, n_doc, p=LANG_W)]
     write(out, "documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": texts,
         "lang": pa.array(langs),
-        "source": pa.array([f"src{i}" for i in r.integers(0, 20, n_doc)]),
+        "source": pa.array(sources),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
     r = _rng("embeddings")
     vecs = r.standard_normal((n_emb, 64)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # planted BOUNDARY near-dup pairs: cosine just above the 0.5
+    # threshold the near-dup queries use, a handful per decade — so the
+    # SRP recall pin keeps testing the hardest (most-plane-flips) pairs
+    # at every scale, not just whatever the random corpus happens to
+    # produce.  vecs[b] = t*a + sqrt(1-t^2)*u with u ⟂ a keeps unit norm.
+    emb_planted: set[int] = set()
+    boundary_planted = 0
+    while boundary_planted < 4 * mult:
+        a, b = (int(x) for x in r.integers(0, n_emb, 2))
+        if a == b or a in emb_planted or b in emb_planted:
+            continue
+        t_cos = 0.505 + 0.03 * r.random()  # in [0.505, 0.535): above 0.5 after 4dp rounding
+        va = vecs[a].astype(np.float64)
+        u = r.standard_normal(64)
+        u -= (u @ va) * va
+        u /= np.linalg.norm(u)
+        vb = t_cos * va + np.sqrt(1.0 - t_cos * t_cos) * u
+        vecs[b] = (vb / np.linalg.norm(vb)).astype(np.float32)
+        emb_planted.update((a, b))
+        boundary_planted += 1
     write(out, "embeddings", pa.table({
         "vec_id": pa.array(range(n_emb), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
@@ -229,6 +258,11 @@ def gen(out: str, mult: int = 10) -> None:
             "supplier": n_supp, "customer": n_cust, "part": n_part,
             "orders": n_ord, "lineitem": n_li, "events": n_ev,
             "documents": n_doc, "embeddings": n_emb,
+        },
+        "planted": {
+            "exact_dup_doc_pairs": pairs_planted,
+            "boundary_embedding_pairs": boundary_planted,
+            "boundary_cos_range": [0.505, 0.535],
         },
     }
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
