@@ -676,9 +676,14 @@ def main() -> None:
             # FILE sizes, not data-scaled ones, and the uncapped form at
             # sf1 checkpointed 100M generator rows into the block
             # manager and GC-thrashed the JVM to death in the big pass
-            ctx["b25_n"] = min(
-                10 * load_table(spark, "events", SF_DIR).count(), 10_000_000
-            )
+            scaled = 10 * load_table(spark, "events", SF_DIR).count()
+            ctx["b25_n"] = min(scaled, 10_000_000)
+            # above ~sf1 the cap silently changes the entry from
+            # fixture-scaled to fixed-size — record the effective n and
+            # a capped flag so cross-scale throughput readers can tell
+            # the regimes apart
+            d["n_rows"] = ctx["b25_n"]
+            d["capped"] = bool(scaled > ctx["b25_n"])
             # materialize the synthetic rows once, UNTIMED (localCheckpoint
             # is eager): the timed passes then measure parquet encode +
             # storage only, not the md5 row synthesis
@@ -759,6 +764,8 @@ def main() -> None:
                 big_out = out + "_big"
                 # same fixed-file-size cap as the base pass: ~4 GB max
                 n_big = min(ctx["b25_n"] * mult, 40_000_000)
+                d["big_n_rows"] = n_big
+                d["big_capped"] = bool(ctx["b25_n"] * mult > n_big)
                 big = teragen(spark, n_big).localCheckpoint()  # untimed gen
                 tw = time.time()
                 big.write.mode("overwrite").parquet(big_out)

@@ -277,12 +277,19 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     q.processAllAvailable()
     rows_by_batch = []
     mem_peak = 0
+    batch_ms = []
     for p in q.recentProgress:
         ops = p.get("stateOperators") or []
         rows_by_batch.append(sum(op.get("numRowsTotal", 0) for op in ops))
         mem_peak = max(
             mem_peak, sum(op.get("memoryUsedBytes", 0) for op in ops)
         )
+        # per-batch latency: the quantity a real streaming regression
+        # moves — total wall is micro-batch fixed cost (sf1 ×1.0), so a
+        # per-batch slowdown can hide under the suite floor
+        dur = (p.get("durationMs") or {}).get("triggerExecution")
+        if dur is not None:
+            batch_ms.append(int(dur))
     LAST_QUERY_PROGRESS.clear()
     LAST_QUERY_PROGRESS.update(
         {
@@ -290,6 +297,10 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
             "state_rows_peak": max(rows_by_batch, default=0),
             "state_rows_final": rows_by_batch[-1] if rows_by_batch else 0,
             "state_memory_peak_bytes": mem_peak,
+            "batch_ms_p50": (
+                sorted(batch_ms)[len(batch_ms) // 2] if batch_ms else 0
+            ),
+            "batch_ms_max": max(batch_ms, default=0),
         }
     )
     q.stop()
