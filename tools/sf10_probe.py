@@ -1,0 +1,262 @@
+"""Targeted TWO-decade probe at the generated sf10 fixture (~60M-row
+lineitem, 500k docs, 200k embeddings, 10M events): the heaviest /
+riskiest registry families, each checked the strongest way that is
+feasible at this scale —
+
+  * ORACLE entries re-run the full sf-gate semantics (Spark vs DuckDB,
+    canonicalize, hash-compare) where the DuckDB side is tractable;
+  * GUARD entries assert the designed fail-loud pre-flight raises (an
+    entry that silently succeeds or OOMs is recorded FAIL) — at sf10
+    this includes the round-12 SRP volume guard firing its first real
+    decade (Σ n_a·n_b ≈ 3e11 >> the 1e10 cap);
+  * VALIDATOR entries use the reference's own at-scale trust model
+    (ex/terasort/TeraValidate.java, src/test/org/apache/hadoop/mapred/
+    SortValidator.java): global-order across partition boundaries,
+    row-count + checksum conservation through the shuffle, soundness
+    recomputation on a sample — where the oracle would spill the box.
+
+Resumable: names already recorded (status != FAIL) are skipped, so a
+long probe survives interruption; FAIL entries re-run on resume.
+
+Usage: python tools/sf10_probe.py [sf_dir] [out_json] [probe ...]
+Defaults: /root/repo/fixtures/sf10, /root/repo/SCALE_sf10.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_20_spark import get_spark  # noqa: E402
+from hadoop_20_spark.catalog import TABLES, load_table, table_path  # noqa: E402
+from hadoop_20_spark.plans import (  # noqa: E402
+    conservation_stats,
+    validate_global_order,
+)
+from hadoop_20_spark.registry import REGISTRY  # noqa: E402
+from tools.oracle_check import canonicalize, value_hash  # noqa: E402
+
+# Registry entries whose DuckDB oracle is tractable at sf10 — the
+# full gate semantics two decades above the driver's sf0.1.  Chosen to
+# cover the riskiest machinery: rank/sampling (sampled total-order
+# partitioner, A-Res reservoir), exact dedup + LSH near-dup on the
+# planted pairs, sketch merge==rebuild, the new containment report's
+# bounded-candidate claim, stream-join vs its batch twin, fusion, the
+# quota rollup, and two TPC-H anchors.
+ORACLE_PROBES = [
+    "q1_pricing_summary",
+    "q17_small_quantity",
+    "status_rank_sample",
+    "weighted_reservoir_sample",
+    "exact_median_refinement",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "cms_sketch_merge",
+    "hll_distinct_merge",
+    "heavy_hitter_tokens",
+    "dsir_importance_sample",
+    "namespace_quota_audit",
+    "streaming_stream_join",
+    "rrf_hybrid_topk",
+    "containment_report",
+    "cc_star_order_chains",
+]
+
+# Entries whose pre-flight guards MUST raise at this corpus (measured
+# candidate volumes past their caps) — the designed error is the pass.
+GUARD_PROBES = {
+    "jaccard_pairs": "Σ C(n,2) pair volume ~2e12 at 500k docs",
+    "incremental_dedup": "cross-side candidate volume ~5.7e11",
+    "embedding_near_dups": (
+        "SRP candidate-join bound ~3e11 at 200k vectors (> the 1e10 "
+        "cap): the round-12 occupancy guard's first real decade"
+    ),
+}
+
+
+def _oracle_probe(spark, con, sf_dir: str, name: str) -> dict:
+    q = REGISTRY[name]
+    rec: dict = {"kind": "oracle"}
+    t0 = time.time()
+    sdf = q.fn(spark, sf_dir).toPandas()
+    rec["spark_secs"] = round(time.time() - t0, 1)
+    rec["rows"] = len(sdf)
+    t0 = time.time()
+    odf = con.execute(q.oracle).df()
+    rec["oracle_secs"] = round(time.time() - t0, 1)
+    s_c, o_c = canonicalize(sdf), canonicalize(odf)
+    problems = []
+    if len(s_c) != len(o_c):
+        problems.append(f"rows {len(s_c)} vs {len(o_c)}")
+    if list(s_c.columns) != list(o_c.columns):
+        problems.append(f"cols {list(s_c.columns)} vs {list(o_c.columns)}")
+    if not problems and value_hash(s_c) != value_hash(o_c):
+        problems.append("value-hash mismatch")
+    rec["status"] = "FAIL" if problems else "PASS"
+    if problems:
+        rec["err"] = "; ".join(problems)
+    return rec
+
+
+def _guard_probe(spark, sf_dir: str, name: str, why: str) -> dict:
+    rec: dict = {"kind": "guard", "reason": why}
+    t0 = time.time()
+    try:
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except ValueError as e:
+        msg = str(e)
+        if "volume" in msg and ("candidate" in msg or "pair" in msg):
+            rec.update(
+                status="RAISES-BY-DESIGN",
+                guard_secs=round(time.time() - t0, 1),
+                bound=msg.split("=")[1].split(" ")[1] if "=" in msg else None,
+            )
+        else:
+            rec.update(status="FAIL", err=f"unexpected ValueError: {e}")
+    else:
+        rec.update(status="FAIL", err="guard did NOT raise at sf10")
+    return rec
+
+
+def _v_total_order_sort(spark, con, sf_dir: str) -> dict:
+    """TeraValidate + SortValidator on a full-table total-order sort of
+    the 60M-row lineitem: global order across partition boundaries,
+    count + checksum conservation through the range-partition shuffle.
+    (The registry entry's toPandas/oracle compare would ship 60M rows
+    into pandas AND DuckDB — the validator checks the same contract
+    entirely JVM-side.)"""
+    li = load_table(spark, "lineitem", sf_dir)
+    before = conservation_stats(li, "l_extendedprice")
+    t0 = time.time()
+    ordered = li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    ordered.write.format("noop").mode("overwrite").save()
+    sort_secs = round(time.time() - t0, 1)
+    t0 = time.time()
+    order_ok = validate_global_order(
+        ordered, "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    after = conservation_stats(ordered, "l_extendedprice")
+    return {
+        "kind": "validator",
+        "rows": before[0],
+        "sort_secs": sort_secs,
+        "validate_secs": round(time.time() - t0, 1),
+        "globally_ordered": bool(order_ok),
+        "conserved": before == after,
+        "status": "PASS" if (order_ok and before == after) else "FAIL",
+    }
+
+
+def _v_semantic_dedup(spark, con, sf_dir: str) -> dict:
+    """The round-12 corpus-scaled-k claim, one decade past where the fix
+    was measured: k = max(16, 200k // 128) = 1562 cells, wall expected
+    ~linear vs sf1's 33 s.  The unrolled-CTE oracle at this k is DuckDB-
+    infeasible (312M cosine evals per Lloyd iteration), so the check is
+    a SOUNDNESS validator: every reported (vec_id, keeper_id, cosine)
+    recomputed bit-for-bit in numpy on a 500-row sample, keeper_id <
+    vec_id everywhere, threshold respected everywhere."""
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    out = REGISTRY["semantic_dedup"].fn(spark, sf_dir).toPandas()
+    wall = round(time.time() - t0, 1)
+    t = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    vecs = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    pos = {int(i): j for j, i in enumerate(ids)}
+    sample = out.sample(n=min(500, len(out)), random_state=7)
+    bad = 0
+    for _, r in sample.iterrows():
+        a, b = vecs[pos[int(r.vec_id)]], vecs[pos[int(r.keeper_id)]]
+        cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+        if cos != round(float(r.cosine_sim), 4):
+            bad += 1
+    ok = (
+        bad == 0
+        and (out.keeper_id < out.vec_id).all()
+        and (out.cosine_sim >= 0.45).all()
+    )
+    return {
+        "kind": "validator",
+        "rows": len(out),
+        "spark_secs": wall,
+        "n_centroids": max(16, len(ids) // 128),
+        "sample_recompute_mismatches": bad,
+        "status": "PASS" if ok else "FAIL",
+    }
+
+
+VALIDATOR_PROBES = {
+    "total_order_sort_validate": _v_total_order_sort,
+    "semantic_dedup_scale": _v_semantic_dedup,
+}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/repo/fixtures/sf10"
+    out_json = args[1] if len(args) > 1 else "/root/repo/SCALE_sf10.json"
+    only = set(args[2:])
+
+    results: dict[str, dict] = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            results = json.load(f)
+
+    spark = get_spark("sf10_probe")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    def flush() -> None:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1)
+
+    plan: list[tuple[str, str]] = (
+        [(n, "oracle") for n in ORACLE_PROBES]
+        + [(n, "guard") for n in GUARD_PROBES]
+        + [(n, "validator") for n in VALIDATOR_PROBES]
+    )
+    for name, kind in plan:
+        if only and name not in only:
+            continue
+        if name in results and results[name].get("status") not in (None, "FAIL"):
+            continue
+        try:
+            if kind == "oracle":
+                rec = _oracle_probe(spark, con, sf_dir, name)
+            elif kind == "guard":
+                rec = _guard_probe(spark, sf_dir, name, GUARD_PROBES[name])
+            else:
+                rec = VALIDATOR_PROBES[name](spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            rec = {"kind": kind, "status": "FAIL", "err": str(e)[:500]}
+        finally:
+            spark.catalog.clearCache()
+        results[name] = rec
+        print(f"{rec.get('status')} {name}: {json.dumps({k: v for k, v in rec.items() if k != 'status'})[:200]}")
+        flush()
+
+    counts: dict[str, int] = {}
+    for rec in results.values():
+        counts[rec.get("status", "?")] = counts.get(rec.get("status", "?"), 0) + 1
+    print("\n" + json.dumps(counts))
+    return 1 if counts.get("FAIL") else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
