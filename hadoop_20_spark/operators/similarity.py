@@ -84,12 +84,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: designed ceiling on the broadcast-side row count of the exact
+#: brute-force top-k: per-corpus-row work is |queries|, so a
+#: corpus-sized query set turns the scan into an unguarded n² nested
+#: loop (knn_label_agreement passes the WHOLE corpus as queries — fine
+#: at the 20k-vector sf1, a 4e10-pair loop at 200k).  Past the cap the
+#: raise names the bucketed generators; the swap point was documented
+#: since round 8, now it is enforced.
+QUERY_BROADCAST_MAX_ROWS = 100_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_queries: int | None = QUERY_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -98,6 +109,12 @@ def cosine_topk(
     row_number window.  Excludes self-matches.  Ties broken by neighbor
     id (SURVEY §7.4 determinism rule).
 
+    Pre-flight: per-corpus-row work is |queries|, so the query count is
+    measured (one cheap action) and raises past
+    ``max_broadcast_queries`` — beyond ~10⁵ queries swap the candidate
+    generator for ``srp_candidate_pairs`` (same downstream scoring) or
+    the IVF cell path; ``None`` opts out consciously.
+
     Norms are precomputed ONCE PER VECTOR in each side's projection
     (row-local; the higher-order expression is non-cheap so
     CollapseProject leaves it materialized), so per-pair work is a
@@ -105,6 +122,19 @@ def cosine_topk(
     interpreted lambda aggregates on the |corpus|×|queries| hot path.
     Values are bit-identical: same dot, same norms, same
     ``n_q * n_c`` multiplication order as ``cosine()``."""
+    if max_broadcast_queries is not None:
+        n_q = queries.count()
+        if n_q > max_broadcast_queries:
+            raise ValueError(
+                f"cosine_topk: {n_q:,} query vectors exceed "
+                f"max_broadcast_queries={max_broadcast_queries:,} — the "
+                "broadcast nested-loop scan does |queries| dot products "
+                "per corpus row, quadratic when the query set tracks the "
+                "corpus.  Swap the candidate generator for "
+                "srp_candidate_pairs (same scoring downstream) or the "
+                "IVF cell path, or pass max_broadcast_queries=None to "
+                "consciously run this volume."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("_nq", norm(F.col("q_vec")))

@@ -267,6 +267,26 @@ def test_srp_volume_guard_raises_on_degenerate_corpus(spark, tables):
     similarity.srp_candidate_pairs(deg, max_candidate_pairs=None)
 
 
+def test_cosine_topk_query_broadcast_guard(spark, tables):
+    """A corpus-sized query set makes the broadcast nested loop n² —
+    the documented ~10⁵ swap point is now a measured pre-flight raise
+    naming the bucketed generators, with a conscious opt-out."""
+    import pytest
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="srp_candidate_pairs"):
+        similarity.cosine_topk(emb, emb, max_broadcast_queries=100)
+    # opt-out and under-cap paths still run
+    small = emb.filter(F.col("vec_id") < 5)
+    assert similarity.cosine_topk(emb, small, k=2).count() > 0
+    assert (
+        similarity.cosine_topk(
+            emb, small, k=2, max_broadcast_queries=None
+        ).count()
+        > 0
+    )
+
+
 def test_srp_volume_guard_passes_fixture_scale(spark, tables):
     """The default cap must not fire at gate scale (the sf1 fixture
     measures ~3.3e9 < 1e10; this 500-vector corpus is ~2e6)."""
