@@ -1141,3 +1141,139 @@ def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_intervals").cast("long").alias("min_intervals"),
         F.max("n_intervals").cast("long").alias("max_intervals"),
     )
+
+
+@register(
+    "speculative_straggler_audit",
+    """
+    WITH task AS (
+      SELECT event_type, user_id,
+             COUNT(*) AS n_events,
+             CAST((CAST(COUNT(*) AS HUGEINT) * 3600000000000000)
+                  // (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS BIGINT)
+               AS rate_ppm
+      FROM events
+      GROUP BY event_type, user_id
+      HAVING COUNT(*) >= 2 AND epoch_us(MAX(ts)) > epoch_us(MIN(ts))
+    ),
+    job AS (
+      SELECT event_type,
+             COUNT(*) AS n_tasks,
+             SUM(CAST(rate_ppm AS HUGEINT)) AS s1,
+             SUM(CAST(rate_ppm AS HUGEINT) * rate_ppm) AS s2
+      FROM task GROUP BY event_type
+    ),
+    flagged AS (
+      SELECT t.event_type, t.user_id, t.n_events, t.rate_ppm,
+             j.n_tasks,
+             CAST(j.s1 // j.n_tasks AS BIGINT) AS job_mean_ppm,
+             ((j.s1 - j.n_tasks * CAST(t.rate_ppm AS HUGEINT)) > 0
+              AND (j.s1 - j.n_tasks * CAST(t.rate_ppm AS HUGEINT))
+                  * (j.s1 - j.n_tasks * CAST(t.rate_ppm AS HUGEINT))
+                  > j.n_tasks * j.s2 - j.s1 * j.s1) AS speculatable
+      FROM task t JOIN job j USING (event_type)
+    )
+    SELECT event_type, user_id, n_events, rate_ppm, n_tasks, job_mean_ppm,
+           job_mean_ppm - rate_ppm AS lag_ppm
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY rate_ppm, user_id) AS rn
+          FROM flagged WHERE speculatable)
+    WHERE rn <= 10
+    ORDER BY event_type, rate_ppm, user_id
+    """,
+    note=(
+        "speculative-execution candidate selection: task = (event_type, "
+        "user_id) attempt, progress rate = events/hour in exact integer "
+        "ppm; a task is speculatable when its rate is more than one "
+        "population stddev below its job's mean, decided by the EXACT "
+        "integer predicate (S1-n*r)^2 > n*S2-S1^2 (no sqrt, no float "
+        "boundary) — slowest 10 candidates per job"
+    ),
+)
+def speculative_straggler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straggler detection, the speculative-execution scheduling readout
+    (mapred/JobInProgress.java findSpeculativeTask / TaskInProgress.java
+    hasSpeculativeTask — the reference flags tasks whose progress lags
+    the job; the variance-aware rate criterion here is the LATE
+    discipline, Zaharia et al. OSDI'08).  Jobs = event_type, task
+    attempts = user_id streams, progress rate = events per hour over the
+    attempt's observed span.
+
+    Exactness: rate rides ONE exact integral division (events*3.6e15
+    div elapsed_us = events/hour in ppm, DECIMAL(38,0) `div`), and the
+    one-stddev rule is decided WITHOUT sqrt or float means: r below
+    mean-stddev  <=>  S1-n*r > 0  AND  (S1-n*r)^2 > n*S2-S1^2, all in
+    exact DECIMAL integer arithmetic over the per-job sufficient
+    statistics (S1=sum r, S2=sum r^2) — the grouped_ols_trend
+    discipline, so both engines flag the identical task set with zero
+    last-ulp boundary risk.
+
+    Scale plan: ONE fact-scale partial-agg shuffle at (event_type,
+    user_id) task grain; job stats are a second aggregate over the task
+    grain (n_jobs rows) broadcast back; the slowest-10-per-job window
+    runs on the flagged subset with WindowGroupLimit pre-trim.  Scale
+    envelope: the squared-deficit DECIMAL(38,0) products hold while
+    n_tasks * max_rate_ppm < ~1e19 — at a 100 TB corpus with billions of
+    tasks, drop the rate unit a decade (per-hour ppb -> ppm) before the
+    predicate overflows; the unit is a literal in one place."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    task = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "elapsed_us"
+            ),
+        )
+        .filter((F.col("n_events") >= 2) & (F.col("elapsed_us") > 0))
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                "CAST((CAST(n_events AS DECIMAL(38,0)) * 3600000000000000) "
+                "div elapsed_us AS BIGINT)"
+            ),
+        )
+        .drop("elapsed_us")
+    )
+    job = task.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum(F.col("rate_ppm").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("rate_ppm").cast("decimal(38,0)") * F.col("rate_ppm")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    deficit = F.col("s1") - F.col("n_tasks") * F.col("rate_ppm").cast(
+        "decimal(38,0)"
+    )
+    flagged = (
+        task.join(F.broadcast(job), "event_type")
+        .withColumn("deficit", deficit.cast("decimal(38,0)"))
+        .filter(
+            (F.col("deficit") > 0)
+            & (
+                F.col("deficit") * F.col("deficit")
+                > F.col("n_tasks") * F.col("s2") - F.col("s1") * F.col("s1")
+            )
+        )
+        .withColumn(
+            "job_mean_ppm",
+            F.expr("CAST(s1 div n_tasks AS BIGINT)"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("rate_ppm", "user_id")
+    return (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "event_type",
+            "user_id",
+            "n_events",
+            "rate_ppm",
+            F.col("n_tasks").cast("long").alias("n_tasks"),
+            "job_mean_ppm",
+            (F.col("job_mean_ppm") - F.col("rate_ppm")).alias("lag_ppm"),
+        )
+        .orderBy("event_type", "rate_ppm", "user_id")
+    )

@@ -757,3 +757,76 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("k", 7).alias("ares_key"),
         )
     )
+
+
+@register(
+    "weighted_reservoir_per_group",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             power(
+               ({_sql_md5_long("'wrg_' || CAST(doc_id AS VARCHAR)")} + 1)
+                 / 1152921504606846976.0,
+               1.0 / n_chars) AS k
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars AS weight, ROUND(k, 7) AS ares_key
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY k DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 40
+    ORDER BY lang, ares_key DESC, doc_id
+    """,
+    note=(
+        "per-stratum Efraimidis-Spirakis A-Res (k=40 per lang, weight = "
+        "n_chars): the per-language quota sampler of a training-data mix "
+        "— one rank<=k window on the lang key, which Spark rewrites to "
+        "WindowGroupLimit so every map task pre-trims to its local "
+        "top-40 per lang before the exchange"
+    ),
+)
+def weighted_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted reservoir: an independent A-Res sample of 40
+    docs per language, weight-proportional to n_chars WITHIN each
+    stratum.  The grouped twin of ``weighted_reservoir_sample`` — the
+    shape a data-mix pipeline needs when each language (or source, or
+    quality bucket) carries its own quota, the per-stratum analog of
+    InputSampler.RandomSampler (mapred/lib/InputSampler.java) the same
+    way the global entry is its whole-input analog.
+
+    Scale plan: the A-Res key is row-local; the per-group top-k is ONE
+    rank<=40 window on lang, which Spark's WindowGroupLimit rewrite
+    turns into per-map-task group heaps BEFORE the exchange — shuffle
+    volume is bounded by partitions * n_groups * k rows regardless of
+    corpus size, so the 2x-skewed 'en' stratum costs the same as the
+    rest.  No driver collect, no SinglePartition (plan-asserted in
+    tests/test_round12_queries.py).  Determinism: u = md5-derived
+    uniform (the weighted_reservoir_sample discipline), so both engines
+    reproduce the identical member set; ranking orders the unrounded
+    key with a doc_id tie-break, the emitted key is rounded once."""
+    from hadoop_20_spark.functions import md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (
+        md5_long(F.concat(F.lit("wrg_"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    keyed = docs.filter(F.col("n_chars") > 0).withColumn(
+        "k", F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round("k", 7).alias("ares_key"),
+        )
+        .orderBy("lang", F.desc("ares_key"), "doc_id")
+    )

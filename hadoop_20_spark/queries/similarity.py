@@ -1105,3 +1105,166 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 6).alias("rrf_score"),
         )
     )
+
+
+@register(
+    "embedding_covariance_topk",
+    """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i - 1 AS d, COUNT(*) AS n,
+             SUM(CAST(q[i] AS HUGEINT)) AS sx,
+             SUM(CAST(q[i] AS HUGEINT) * q[i]) AS sxx
+      FROM u, range(1, 65) r(i) GROUP BY i
+    ),
+    pairs AS (
+      SELECT r1.i - 1 AS di, r2.i - 1 AS dj,
+             SUM(CAST(q[r1.i] AS HUGEINT) * q[r2.i]) AS sxy
+      FROM u, range(1, 65) r1(i), range(1, 65) r2(i)
+      WHERE r1.i < r2.i GROUP BY r1.i, r2.i
+    ),
+    cov AS (
+      SELECT p.di AS dim_i, p.dj AS dim_j, a.n AS n_vecs,
+             a.n * p.sxy - a.sx * b.sx AS cov_num,
+             a.n * a.sxx - a.sx * a.sx AS var_i,
+             a.n * b.sxx - b.sx * b.sx AS var_j
+      FROM pairs p
+      JOIN dims a ON a.d = p.di
+      JOIN dims b ON b.d = p.dj
+    )
+    SELECT dim_i, dim_j, n_vecs,
+           ROUND(CAST(cov_num AS DOUBLE) / n_vecs / n_vecs / 1e12, 9)
+             AS covariance,
+           ROUND(CAST(cov_num AS DOUBLE)
+                 / sqrt(CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE)), 6)
+             AS correlation
+    FROM cov
+    ORDER BY abs(cov_num) DESC, dim_i, dim_j
+    LIMIT 10
+    """,
+    note=(
+        "full 64x64 covariance/correlation of the embedding corpus from "
+        "ONE pass of exact fixed-point sufficient statistics (per-row "
+        "micro-quantized outer product, map-side combine to <= dim^2/2 "
+        "cells per partition) — the PCA/whitening prep of an embedding-"
+        "compression pipeline; top-10 dimension pairs by |covariance|, "
+        "ranked on the exact integer numerator"
+    ),
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over the embedding corpus — the
+    sufficient-statistics pass a PCA / whitening / decorrelation stage
+    runs before compressing vectors at 100 TB (the Welford-free batch
+    form).  Per the int8-quantization discipline, components are first
+    micro-quantized (round(x*1e6) as BIGINT, per-row deterministic on
+    both engines), so every aggregate is EXACT integer arithmetic —
+    cov rank order and the emitted numerator carry zero float
+    accumulation-order risk; only the two final per-output-row readouts
+    (covariance, correlation) are doubles, computed with an identical
+    op sequence in both engines and rounded once.
+
+    Shape: cov(i,j) needs Sxy for all i<j — inherently a dim^2/2
+    product pass (2,016 products/row at dim 64, a row-local GEMM-like
+    fan-out).  The explode feeds a (i,j)-keyed partial aggregate, so
+    each map task combines down to <= 2,016 cells BEFORE the exchange:
+    shuffle volume is partitions * dim^2/2 cells regardless of corpus
+    size, the CMS build economics on the covariance axis.  Per-dim
+    moments (Sx, Sxx) ride a second 64-cell posexplode aggregate and
+    join the pair relation broadcast.  At higher dim, screen with the
+    per-dim variance relation first (top-v dims) to keep the fan-out
+    v^2/2 — the knob is the slice width.
+
+    Reference analog: the two-level sufficient-statistics rollup of
+    mapred/lib/aggregate (ValueAggregatorJob partial sums merged at the
+    reducer); grouped_ols_trend is the 1-D sibling."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+            "* 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    dims = (
+        q.select(F.posexplode("q").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                (F.col("x").cast("decimal(38,0)") * F.col("x")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sxx"),
+        )
+    )
+    pair_products = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) -> "
+                "transform(slice(q, i + 2, 64), (xj, k) -> "
+                "struct(i AS di, i + 1 + k AS dj, xi * xj AS p))))"
+            )
+        ).alias("s")
+    )
+    pairs = pair_products.groupBy(
+        F.col("s.di").alias("di"), F.col("s.dj").alias("dj")
+    ).agg(F.sum(F.col("s.p").cast("decimal(38,0)")).alias("sxy"))
+    a = dims.select(
+        F.col("d").alias("di"),
+        F.col("n").alias("n_vecs"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+    )
+    b = dims.select(
+        F.col("d").alias("dj"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    cov = (
+        pairs.join(F.broadcast(a), "di")
+        .join(F.broadcast(b), "dj")
+        .select(
+            F.col("di").cast("long").alias("dim_i"),
+            F.col("dj").cast("long").alias("dj_tmp"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            (F.col("n_vecs") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+            .cast("decimal(38,0)")
+            .alias("cov_num"),
+            (F.col("n_vecs") * F.col("sxx_i") - F.col("sx_i") * F.col("sx_i"))
+            .cast("decimal(38,0)")
+            .alias("var_i"),
+            (F.col("n_vecs") * F.col("sxx_j") - F.col("sx_j") * F.col("sx_j"))
+            .cast("decimal(38,0)")
+            .alias("var_j"),
+        )
+        .withColumnRenamed("dj_tmp", "dim_j")
+    )
+    return (
+        cov.orderBy(F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j")
+        .limit(10)
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vecs",
+            F.round(
+                F.col("cov_num").cast("double")
+                / F.col("n_vecs")
+                / F.col("n_vecs")
+                / F.lit(1e12),
+                9,
+            ).alias("covariance"),
+            F.round(
+                F.col("cov_num").cast("double")
+                / F.sqrt(
+                    F.col("var_i").cast("double") * F.col("var_j").cast("double")
+                ),
+                6,
+            ).alias("correlation"),
+        )
+    )
