@@ -413,9 +413,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT event_type, COUNT(*) AS nd,
-             CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS DOUBLE) AS s,
-             CAST(SUM(CAST(n_events AS DECIMAL(18,0))
-                      * CAST(n_events AS DECIMAL(18,0))) AS DOUBLE) AS ss
+             CAST(CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(n_events AS DECIMAL(18,0))
+                      * CAST(n_events AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) AS ss
       FROM daily GROUP BY event_type
     ),
     scored AS (
@@ -568,8 +568,8 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(SUM(attributed) AS BIGINT) AS n_attributed,
            ROUND(CAST(SUM(attributed) AS DOUBLE) / COUNT(*), 6) AS attribution_rate,
-           CAST(SUM(CASE WHEN attributed = 1
-                         THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS attributed_value
+           CAST(CAST(SUM(CASE WHEN attributed = 1
+                         THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR) AS DOUBLE) AS attributed_value
     FROM purchases GROUP BY day ORDER BY day
     """,
     note=(

@@ -40,7 +40,7 @@ from hadoop_20_spark.queries._base import (  # noqa: F401
     """
     SELECT l_returnflag,
            CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS longvaluesum_l_linenumber,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS doublevaluesum_l_extendedprice,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS doublevaluesum_l_extendedprice,
            CAST(MAX(l_orderkey) AS BIGINT) AS longvaluemax_l_orderkey,
            CAST(MIN(l_orderkey) AS BIGINT) AS longvaluemin_l_orderkey,
            MAX(l_linestatus) AS stringvaluemax_l_linestatus,
@@ -117,7 +117,7 @@ def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     note="grouping-sets extension (absent in reference; free via Catalyst)",
@@ -137,8 +137,8 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_agg",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS O,
-           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS F
+           CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS O,
+           CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
     note="pivot (extension; reference encodes this as per-key demux + per-file aggs)",
@@ -229,7 +229,7 @@ def inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -266,7 +266,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_outer",
     """
     SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_spent
+           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS VARCHAR) AS DOUBLE) AS total_spent
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
     """,
@@ -624,7 +624,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('month', o_orderdate) AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS month_revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS month_revenue
     FROM orders GROUP BY date_trunc('month', o_orderdate)
     """,
     note="date/time surface (reference keeps raw longs; ds= partition convention)",
@@ -692,7 +692,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
     note="F.window tumbling 1h (batch semantics identical to the streaming agg; streaming path in streaming/ + tests)",
@@ -869,7 +869,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range",
     """
     SELECT o.o_orderpriority, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
     GROUP BY o.o_orderpriority
@@ -1024,7 +1024,7 @@ def union_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_agg",
     """
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_orders,
            GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp_id
     FROM orders
@@ -1042,7 +1042,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_price,
                COUNT(*) AS n_orders,
                CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS BIGINT) AS grp_id
         FROM orders_gs
@@ -1062,7 +1062,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM w GROUP BY window_start, event_type
     """,
     note="sliding window (1h window / 30m slide): each event lands in 2 overlapping windows via Expand",
@@ -1102,7 +1102,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTES AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_seq
     """,
     note="native F.session_window (30m gap) in batch groupBy; oracle = gap-detection cumsum equivalence",
@@ -1177,9 +1177,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trailing_window_sum",
     """
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6)))
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS trailing_1h_sum,
            CAST(COUNT(*)
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1725,7 +1725,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_price,
            ROUND(MIN(o_totalprice), 6) AS min_price,
            ROUND(MAX(o_totalprice), 6) AS max_price,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT))

@@ -177,7 +177,7 @@ def _kmeans_ctes(k: int | str, iterations: int) -> str:
         parts.append(
             f"""m{i} AS (
       SELECT cell, pos,
-             ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 8) AS m
+             ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 8) AS m
       FROM (SELECT a{i}.cell, generate_subscripts(v.embedding, 1) AS pos,
                    unnest(v.embedding) AS val
             FROM a{i} JOIN v USING (vec_id))
@@ -353,14 +353,14 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
       SELECT label, ord,
-             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+             CAST(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
       FROM pos GROUP BY label, ord
     ),
     scored AS (
       SELECT p.vec_id, p.label,
-             CAST(SUM(CAST(p.val * c.c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-             CAST(SUM(CAST(p.val * p.val AS DECIMAL(38,18))) AS DOUBLE) AS nv,
-             CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,18))) AS DOUBLE) AS nc
+             CAST(CAST(SUM(CAST(p.val * c.c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS dot,
+             CAST(CAST(SUM(CAST(p.val * p.val AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS nv,
+             CAST(CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS nc
       FROM pos p JOIN cent c ON c.label = p.label AND c.ord = p.ord
       GROUP BY p.vec_id, p.label
     ),
@@ -654,7 +654,7 @@ def _pq_kmeans_ctes(pfx: str, lo: int, sub: int, k: int, iterations: int) -> str
         parts.append(
             f"""{pfx}m{i} AS (
       SELECT cell, pos,
-             ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 8) AS m
+             ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 8) AS m
       FROM (SELECT a.cell, generate_subscripts(v.embedding, 1) AS pos,
                    unnest(v.embedding) AS val
             FROM {pfx}a{i} a JOIN {pfx}v v USING (vec_id))
@@ -963,11 +963,11 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex AS (
       SELECT doc_id, score FROM (
         SELECT p.doc_id,
-               CAST(SUM(CAST(
+               CAST(CAST(SUM(CAST(
                  ln((n - df + 0.5) / (df + 0.5) + 1)
                  * (CAST(tf AS DOUBLE)
                     / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
-               AS DECIMAL(38,18))) AS DOUBLE) AS score
+               AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS score
         FROM p JOIN dfreq USING (term) JOIN dl USING (doc_id)
         CROSS JOIN st GROUP BY p.doc_id)
       ORDER BY score DESC, doc_id LIMIT 50
@@ -992,7 +992,7 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fused AS (
       SELECT doc_id,
-             CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(38,18))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
                AS rrf_raw,
              MAX(CASE WHEN retr = 'lex' THEN rank END) AS lex_rank,
              MAX(CASE WHEN retr = 'sem' THEN rank END) AS sem_rank

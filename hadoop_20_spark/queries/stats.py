@@ -1251,11 +1251,11 @@ def retraction_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
       UNION ALL
       SELECT 'orders', 'totalprice_mean', 'mean_between', 'o_totalprice',
-             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                    / COUNT(o_totalprice), 6),
-             CASE WHEN ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             CASE WHEN ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                              / COUNT(o_totalprice), 6) >= 1000.0
-                   AND ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AND ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                              / COUNT(o_totalprice), 6) <= 400000.0
                   THEN 1 ELSE 0 END
       FROM o

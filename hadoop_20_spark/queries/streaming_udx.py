@@ -79,7 +79,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     note="REAL Structured Streaming run (file source, 1-file microbatches, watermark, memory sink) — oracle is the batch equivalence",
@@ -109,7 +109,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_static_join",
     """
     SELECT c_mktsegment, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events JOIN customer ON c_custkey = user_id
     GROUP BY c_mktsegment
     """,
@@ -224,7 +224,7 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM w GROUP BY window_start, event_type
     """,
     note="REAL streaming sliding windows (1h/30m, file microbatches, watermark); oracle is the batch expansion",
@@ -514,7 +514,7 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(600) t(i)
     )
     SELECT event_type, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM log GROUP BY event_type ORDER BY event_type
     """,
     note="REAL custom Python streaming source driven end-to-end (EventGenStreamSource: offset cursor, range partitions, deterministic replay) — the md5-derived log is reproduced row-exactly in SQL, so even a custom source gets a full oracle",
@@ -638,7 +638,7 @@ def image_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1 ORDER BY day
     """,
     note=(
@@ -1099,7 +1099,7 @@ REGISTRY["streaming_cms_sketch"] = Query(
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTES AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_seq
     """,
     note=(

@@ -1191,8 +1191,7 @@ def normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS t FROM tok),
     per_doc AS (
       SELECT doc_id, source, COUNT(*) AS n_tokens,
-             CAST(FLOOR(CAST(SUM(CAST(-ln(CAST(n AS DOUBLE) / t) AS DECIMAL(38,18)))
-                             AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS ce_micros
+             CAST(FLOOR(CAST(CAST(SUM(CAST(-ln(CAST(n AS DOUBLE) / t) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS ce_micros
       FROM tok JOIN cnt USING (term) CROSS JOIN tot
       GROUP BY doc_id, source
     ),
@@ -1662,7 +1661,7 @@ _DSIR_B = 1024  # hashed feature buckets (the paper uses 10k; plan-identical)
     pd AS (
       SELECT doc_id, lang, source,
              CAST(SUM(c) AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST(c * lam AS DECIMAL(38,18))) AS DOUBLE) AS w
+             CAST(CAST(SUM(CAST(c * lam AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
       FROM dcnt JOIN lam USING (bucket) GROUP BY 1, 2, 3
     ),
     g AS (
@@ -1862,7 +1861,7 @@ def _sb_grams_sql(n: int, who: str) -> str:
            CAST(SUM(CASE WHEN tier >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_bigram,
            CAST(SUM(CASE WHEN tier >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_unigram,
            CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS cross_entropy
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,

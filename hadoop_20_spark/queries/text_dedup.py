@@ -1189,7 +1189,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok JOIN cnt USING (term) CROSS JOIN tot
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+           ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
     FROM s GROUP BY doc_id ORDER BY doc_id
     """,
     note="unigram LM cross-entropy per doc (CCNet-style perplexity filtering signal): corpus unigram probs -> per-doc mean -ln p(token), decimal-exact mean",
@@ -1420,8 +1420,8 @@ def _minhash_quality_oracle() -> str:
     SELECT CAST(LEAST(FLOOR(exact_j * 100), 9) AS BIGINT) AS j_bucket,
            COUNT(*) AS n_pairs,
            ROUND(CAST(SUM(m) AS DOUBLE) / (16 * COUNT(*)), 6) AS avg_estimate,
-           ROUND(CAST(SUM(CAST(exact_j AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_exact,
-           ROUND(CAST(SUM(CAST(ABS(m / 16.0 - exact_j) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+           ROUND(CAST(CAST(SUM(CAST(exact_j AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_exact,
+           ROUND(CAST(CAST(SUM(CAST(ABS(m / 16.0 - exact_j) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
     FROM scored GROUP BY j_bucket ORDER BY j_bucket
     """
 
@@ -1827,11 +1827,11 @@ def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
     scored AS (
       SELECT p.doc_id,
-             CAST(SUM(CAST(
+             CAST(CAST(SUM(CAST(
                ln((n - df + 0.5) / (df + 0.5) + 1)
                * (CAST(tf AS DOUBLE)
                   / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
-             AS DECIMAL(38,18))) AS DOUBLE) AS score
+             AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS score
       FROM p
       JOIN dfreq USING (term)
       JOIN dl USING (doc_id)

@@ -70,6 +70,10 @@ ORACLE_PROBES = [
     "rrf_hybrid_topk",
     "containment_report",
     "cc_star_order_chains",
+    # round-12 additions, probed at their birth round's decade
+    "weighted_reservoir_per_group",
+    "speculative_straggler_audit",
+    "embedding_covariance_topk",
 ]
 
 # Entries whose pre-flight guards MUST raise at this corpus (measured
