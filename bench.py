@@ -661,8 +661,15 @@ def main() -> None:
             # 16 made the sf1 decade x23.6 super-linear (r11 sweep) —
             # the in-cell quadratic prune is linear-in-n only if the
             # cluster count grows with the corpus
-            k12 = _sim.auto_n_centroids(emb.count())
-            ctx["b12_cents"] = _sim.kmeans_centroids(emb, k=k12, iterations=3)
+            n12 = emb.count()
+            k12 = _sim.auto_n_centroids(n12)
+            # Lloyd passes on the ~25k md5-gated sample (inert below
+            # 25k vectors): with corpus-scaled k the full-corpus loop
+            # is the Theta(n^2) term the sf10 probe measured at 1630 s
+            ctx["b12_cents"] = _sim.kmeans_centroids(
+                emb, k=k12, iterations=3,
+                train_sample_mod=_sim.kmeans_train_mod(n12),
+            )
             ctx["b12_cents"].count()  # force the localCheckpoint chain
             d["train_secs"] = round(time.time() - t0, 3)
             d["n_centroids"] = k12

@@ -637,6 +637,28 @@ def containment_pairs(
     )
 
 
+def _auto_posting_cap(
+    n_prefix_rows: int,
+    budget: int = 1_800_000_000,
+    lo: int = 64,
+    hi: int = 1000,
+) -> int:
+    """Corpus-scaled per-shingle posting cap: candidates are bounded by
+    ``cap * n_prefix_rows`` (each prefix posting meets at most ``cap``
+    container postings), so ``cap = budget // n_prefix_rows`` keeps the
+    candidate join under ``budget`` AT ANY CORPUS SIZE — the
+    corpus-scaled-k discipline of ``auto_n_centroids`` applied to the
+    containment report (the sf10 probe caught the fixed cap of 1000
+    tripping the 2e9 volume guard at 500k docs: linear, but with a
+    constant one decade too fat).  Clamped to [lo, hi]: small corpora
+    keep the full cap (gate scales are bit-for-bit unchanged), and the
+    floor keeps recall from collapsing on extreme corpora — past that,
+    batch the probe side (the incremental_jaccard_pairs shape)."""
+    if n_prefix_rows <= 0:
+        return hi
+    return max(lo, min(hi, budget // n_prefix_rows))
+
+
 def containment_topk(
     df: DataFrame,
     id_col: str,
@@ -645,7 +667,7 @@ def containment_topk(
     threshold_num: int = 4,
     threshold_den: int = 5,
     shingle: int = 1,
-    max_posting_df: int | None = 1000,
+    max_posting_df: int | None | str = "auto",
     max_candidate_pairs: int | None = JACCARD_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """OUTPUT-LINEAR containment report: for every doc, its top-``k``
@@ -679,6 +701,16 @@ def containment_topk(
     the probe-target side).  Pass ``max_posting_df=None`` for the
     exact-candidate form (then the volume guard is the only backstop).
 
+    The default ``"auto"`` derives the cap from the measured prefix
+    size via :func:`_auto_posting_cap` (one count on the persisted
+    prefix relation): ``min(1000, 1.8e9 // n_prefix_rows)``, which
+    bounds the candidate join under 1.8e9 at ANY corpus — at every
+    gate scale and sf1 the clamp resolves to the full 1000 (results
+    bit-for-bit unchanged); at sf10 (5.2M prefix rows) it tightens to
+    346 and the entry keeps running where the fixed cap tripped the
+    volume guard.  The DuckDB oracle spells the same clamp over the
+    same COUNT, so the gate stays hash-exact at every scale.
+
     Verification is exact set intersection over FULL shingle sets
     (never capped — the cap can only drop candidates, never corrupt a
     reported containment), so every emitted row is a true containment.
@@ -687,6 +719,9 @@ def containment_topk(
 
     base = _shingle_postings(df, id_col, text_col, shingle)
     prefix = _containment_prefix(base, threshold_num, threshold_den)
+    if max_posting_df == "auto":
+        prefix = prefix.persist()
+        max_posting_df = _auto_posting_cap(prefix.count())
     target = base
     if max_posting_df is not None:
         wc = Window.partitionBy("sh").orderBy("did")

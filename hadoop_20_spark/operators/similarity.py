@@ -67,6 +67,30 @@ def auto_n_centroids(n_rows: int, occupancy: int = AUTO_CELL_OCCUPANCY) -> int:
     return max(16, n_rows // occupancy)
 
 
+#: k-means training-sample target.  Lloyd iterations over the FULL
+#: corpus cost n·k cosines per pass, and with corpus-scaled k (∝ n)
+#: that term is Θ(n²/occupancy) — the sf10 probe measured it: ×49 wall
+#: for ×10 vectors AFTER the k fix (training dominated; the prune and
+#: the final assignment were fine).  Training on a ~25k-vector
+#: deterministic sample caps the per-iteration cost at sample·k while
+#: centroid QUALITY is statistically unchanged (k-means means converge
+#: in sample size; 25k ≥ 16 vectors/cell at the largest auto-k this
+#: box reaches).  25_000 ≥ every gate fixture (sf0.1 has 20k vectors),
+#: so sampling is INERT — bit-for-bit — at every oracle-gate scale.
+KMEANS_TRAIN_SAMPLE = 25_000
+
+
+def kmeans_train_mod(n_rows: int, sample: int = KMEANS_TRAIN_SAMPLE) -> int:
+    """Deterministic training-sample modulus: keep vectors whose
+    ``md5_long('kmtrain_' || id) % mod == 0`` — mod = ceil(n/sample),
+    so the kept sample is ~``sample`` rows, row-local, engine-portable
+    (the md5 gate of ``sample_percent_deterministic``), and == 1 (keep
+    everything) whenever the corpus already fits the budget."""
+    if n_rows <= 0:
+        return 1
+    return (n_rows + sample - 1) // sample
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in doubles with deterministic (sequential) addition order."""
     return F.aggregate(
@@ -296,6 +320,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iterations: int = 3,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for IVF coarse quantization, fully deterministic:
 
@@ -331,6 +356,19 @@ def kmeans_centroids(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     )
+    # Lloyd passes run on the md5-gated training sample (seeds above
+    # stay the full-corpus lowest-k ids, so mod == 1 reproduces the
+    # historical training bit-for-bit).  See KMEANS_TRAIN_SAMPLE for
+    # why: with corpus-scaled k the full-corpus assignment inside the
+    # loop is the Θ(n²) term the sf10 probe caught.
+    if train_sample_mod is not None and train_sample_mod > 1:
+        c = c.filter(
+            md5_long(
+                F.concat(F.lit("kmtrain_"), F.col("_vid").cast("string"))
+            )
+            % F.lit(train_sample_mod)
+            == 0
+        )
     # model-shape inference, once (a 1-row driver action, not a data pull).
     # All vectors are assumed to share the seed centroid's length; ragged
     # inputs average only the coordinates they have (try_element_at below)
@@ -968,10 +1006,20 @@ def semantic_dedup(
     if centroids is not None:
         cents = centroids
     else:
+        n = corpus.count()
         if n_centroids is None:
-            n_centroids = auto_n_centroids(corpus.count())
+            n_centroids = auto_n_centroids(n)
         cents = kmeans_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, k=n_centroids, iterations=iterations
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=n_centroids,
+            iterations=iterations,
+            # cap the Lloyd passes at ~25k training vectors: with
+            # corpus-scaled k the full-corpus loop is Θ(n²/occupancy)
+            # (sf10: 1630 s, training-dominated); inert (mod=1) at
+            # every gate fixture
+            train_sample_mod=kmeans_train_mod(n),
         )
     # per-vector norm materialized ONCE after assignment (row-local,
     # non-cheap so CollapseProject keeps it) — the within-cell pair

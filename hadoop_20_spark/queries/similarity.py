@@ -149,7 +149,9 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int | str, iterations: int) -> str:
+def _kmeans_ctes(
+    k: int | str, iterations: int, train_mod_sql: str | None = None
+) -> str:
     """Unrolled Lloyd's-iteration CTE chain mirroring
     ``similarity.kmeans_centroids`` (fixed iteration count makes the
     'training' expressible as plain SQL): assignment by 4dp-rounded
@@ -160,8 +162,15 @@ def _kmeans_ctes(k: int | str, iterations: int) -> str:
     ``k`` may be a SQL scalar expression string (e.g. a corpus-count
     subquery) so corpus-scaled cluster counts stay oracle-checkable at
     every scale factor."""
+    train_where = ""
+    if train_mod_sql is not None:
+        # md5-gated training sample — the kmeans_train_mod mirror
+        # (seeds in c0 stay the FULL-corpus lowest-k ids); mod == 1
+        # keeps every row, so gate scales are bit-for-bit unchanged
+        gate = _sql_md5_long("'kmtrain_' || CAST(vec_id AS VARCHAR)")
+        train_where = f" WHERE {gate} % ({train_mod_sql}) = 0"
     parts = [
-        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        f"v AS (SELECT vec_id, embedding FROM embeddings{train_where})",
         f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cent_id, "
         f"CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings WHERE vec_id < ({k}))",
     ]
@@ -513,7 +522,11 @@ _AUTO_K_SQL = "GREATEST(16, (SELECT COUNT(*) FROM embeddings) // 128)"
 @register(
     "semantic_dedup",
     f"""
-    WITH {_kmeans_ctes(_AUTO_K_SQL, 3)},
+    WITH {_kmeans_ctes(
+        _AUTO_K_SQL,
+        3,
+        train_mod_sql="((SELECT COUNT(*) FROM embeddings) + 24999) // 25000",
+    )},
          cent AS (SELECT cent_id, c_vec FROM c3),
          corpus AS (SELECT vec_id, embedding AS n_vec FROM embeddings),
          asg AS (SELECT vec_id, n_vec, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
@@ -532,7 +545,14 @@ _AUTO_K_SQL = "GREATEST(16, (SELECT COUNT(*) FROM embeddings) // 128)"
     WHERE rk = 1
     ORDER BY vec_id
     """,
-    note="SemDeDup semantic deduplication (arXiv:2303.09540): corpus-scaled k-means cluster (k = max(16, n//128), occupancy-constant) then within-cluster cosine prune, keep-lowest-id — quadratic work confined to Voronoi cells; the oracle unrolls k-means training as CTEs with the same count-derived k",
+    note=(
+        "SemDeDup semantic deduplication (arXiv:2303.09540): corpus-scaled k-means cluster "
+        "(k = max(16, n//128), occupancy-constant) then within-cluster cosine prune, "
+        "keep-lowest-id — quadratic work confined to Voronoi cells; Lloyd passes train on a "
+        "~25k md5-gated sample (mod = ceil(n/25000), inert at every gate fixture) so training "
+        "is sample*k, not the Θ(n²/128) full-corpus loop the sf10 probe measured; the oracle "
+        "unrolls the same sampled training with the same count-derived k and mod"
+    ),
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-prune semantic dedup over the embeddings fixture:
@@ -541,7 +561,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-SQL oracle.  k is corpus-scaled on BOTH engines
     (``auto_n_centroids`` / ``_AUTO_K_SQL``): the round-11 sf1 sweep
     measured ×23.6 wall for ×10 data with k pinned at 16 — the in-cell
-    quadratic verify is only linear-in-n if cell occupancy stays flat."""
+    quadratic verify is only linear-in-n if cell occupancy stays flat.
+    Training is additionally capped at a ~25k md5-gated sample on BOTH
+    engines (``kmeans_train_mod`` / the mirrored mod subquery): with
+    k ∝ n, full-corpus Lloyd passes are Θ(n²/128) — the sf10 probe
+    measured 1630 s, training-dominated — while sampled training keeps
+    centroid quality and is inert (mod=1) at every gate fixture."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, threshold=0.45)
 

@@ -1602,12 +1602,16 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sh FROM ranked
       WHERE pos <= s - ((4 * s + 4) // 5) + 1
     ),
+    cap AS (
+      SELECT GREATEST(64, LEAST(1000, 1800000000 // GREATEST(COUNT(*), 1))) AS c
+      FROM prefix
+    ),
     capped AS (
       SELECT doc_id, sh FROM (
         SELECT doc_id, sh,
                ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
         FROM g)
-      WHERE rn <= 1000
+      WHERE rn <= (SELECT c FROM cap)
     ),
     cand AS (
       SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
@@ -1637,21 +1641,27 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "output-linear containment report: per-doc top-3 containers (|A∩B|/|A| >= 4/5 over "
         "3-gram shingles) — the scale form of containment_pairs, whose pair output is quadratic "
         "in clone-cluster size; candidates bounded BY CONSTRUCTION via a deterministic "
-        "per-shingle posting cap (lowest-1000 doc ids, the LSH max_bucket discipline made "
-        "oracle-expressible), verify exact over full sets"
+        "per-shingle posting cap (lowest doc ids; cap = min(1000, 1.8e9 // prefix rows), the "
+        "corpus-scaled clamp spelled identically on both engines — 1000 at every gate scale, "
+        "tightening only past sf1), verify exact over full sets"
     ),
 )
 def containment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 containers at containment ≥ 0.8 over 3-gram
     shingles — the report form of ``containment_pairs`` for "which docs
     are quoted inside which" at 100 TB.  Output is ≤ 3 rows per doc at
-    any corpus size, and the candidate join is LINEAR by construction:
-    the container side keeps at most 1000 postings per shingle (the
-    lowest doc ids — deterministic, so the DuckDB oracle applies the
-    SAME cap and the gate stays hash-exact at every scale; the
-    approximation is in the contract, not engine drift).  The pair
-    form's guard raise names this entry as the path that still works
-    one decade past its cap."""
+    any corpus size, and the candidate join is BOUNDED by construction:
+    the container side keeps at most cap postings per shingle, the
+    lowest doc ids, with cap = min(1000, 1.8e9 // prefix-posting count)
+    (``dedup._auto_posting_cap``) — deterministic AND corpus-scaled, so
+    the DuckDB oracle applies the SAME clamp and the gate stays
+    hash-exact at every scale while the candidate join never exceeds
+    1.8e9 rows at any corpus (the sf10 probe caught the fixed-1000 cap
+    tripping the 2e9 volume guard at 500k docs).  At every gate scale
+    and sf1 the clamp resolves to 1000, so those results are
+    bit-for-bit what the fixed cap produced.  The pair form's guard
+    raise names this entry as the path that still works decades past
+    its cap."""
     return dedup.containment_topk(
         _t(spark, sf_dir, "documents"),
         "doc_id",
@@ -1660,7 +1670,7 @@ def containment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=4,
         threshold_den=5,
         shingle=3,
-        max_posting_df=1000,
+        max_posting_df="auto",
     ).orderBy("doc_id", "rank")
 
 

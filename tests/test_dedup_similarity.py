@@ -850,3 +850,101 @@ def test_deletion_blocking_complete_for_indels(spark):
     assert got == want
     assert (0, 1) in want and (0, 4) in want  # indel pairs are present
     assert (4, 5) not in got  # 'ab' vs 'ba' shares keys but is distance 2
+
+
+def test_auto_posting_cap_clamp_and_scale():
+    """The corpus-scaled cap (sf10 fix): full 1000 through sf1-sized
+    prefix volumes, tightening past ~1.8M prefix rows so the candidate
+    join stays under the 1.8e9 budget at any corpus, floored at 64."""
+    from hadoop_20_spark.operators.dedup import _auto_posting_cap
+
+    assert _auto_posting_cap(0) == 1000          # empty corpus: inert
+    assert _auto_posting_cap(60_000) == 1000     # sf0.01-sized
+    assert _auto_posting_cap(522_000) == 1000    # sf1-sized
+    assert _auto_posting_cap(5_200_000) == 346   # sf10: the probe's case
+    assert _auto_posting_cap(5_200_000) * 5_200_000 <= 1_800_000_000
+    assert _auto_posting_cap(10**12) == 64       # floor, never 0
+    # monotone non-increasing in corpus size
+    caps = [_auto_posting_cap(n) for n in (1, 10**6, 10**7, 10**9, 10**12)]
+    assert caps == sorted(caps, reverse=True)
+
+
+def test_containment_topk_auto_cap_inert_at_small_corpus(spark):
+    """'auto' must resolve to the full 1000 cap on a gate-scale corpus —
+    identical output to the explicit fixed cap (the bit-for-bit
+    backward-compatibility claim at every gate scale)."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18))))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fixed = {
+        tuple(r)
+        for r in dedup.containment_topk(
+            df, "doc_id", "text", k=3, threshold_num=3, threshold_den=5,
+            shingle=2, max_posting_df=1000,
+        ).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in dedup.containment_topk(
+            df, "doc_id", "text", k=3, threshold_num=3, threshold_den=5,
+            shingle=2, max_posting_df="auto",
+        ).collect()
+    }
+    assert auto == fixed and len(auto) > 0
+
+
+def test_kmeans_train_mod_clamp():
+    """ceil(n/25000): 1 (inert) through every gate fixture, growing
+    only past the training budget so Lloyd passes stay ~25k rows."""
+    from hadoop_20_spark.operators.similarity import kmeans_train_mod
+
+    assert kmeans_train_mod(0) == 1
+    assert kmeans_train_mod(2_000) == 1      # sf0.01 embeddings
+    assert kmeans_train_mod(20_000) == 1     # sf0.1 embeddings
+    assert kmeans_train_mod(25_000) == 1
+    assert kmeans_train_mod(25_001) == 2
+    assert kmeans_train_mod(200_000) == 8    # the sf10 probe corpus
+    assert kmeans_train_mod(10**9) == 40_000
+
+
+def test_kmeans_sampled_training_differs_but_cells_sound(spark):
+    """With mod > 1 the Lloyd passes see only the md5-gated sample:
+    centroids may differ from full-corpus training, but the final
+    assignment still covers EVERY vector and semantic_dedup output
+    stays sound (keeper < vec_id, threshold respected) — the contract
+    the sf10 validator checks at scale."""
+    import numpy as np
+
+    from hadoop_20_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    V = rng.standard_normal((300, 8))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    full = similarity.kmeans_centroids(df, k=4, iterations=2)
+    sampled = similarity.kmeans_centroids(
+        df, k=4, iterations=2, train_sample_mod=3
+    )
+    assert full.count() == sampled.count() == 4
+    # mod=1 is exactly the historical training
+    inert = similarity.kmeans_centroids(
+        df, k=4, iterations=2, train_sample_mod=1
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, inert.collect())
+    )
+    out = similarity.semantic_dedup(
+        df, threshold=0.3, n_centroids=4, centroids=sampled
+    ).collect()
+    for r in out:
+        assert r["keeper_id"] < r["vec_id"]
+        assert r["cosine_sim"] >= 0.3
