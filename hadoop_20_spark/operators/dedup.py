@@ -639,7 +639,7 @@ def containment_pairs(
 
 def _auto_posting_cap(
     n_prefix_rows: int,
-    budget: int = 1_800_000_000,
+    budget: int = 600_000_000,
     lo: int = 64,
     hi: int = 1000,
 ) -> int:
@@ -650,10 +650,14 @@ def _auto_posting_cap(
     corpus-scaled-k discipline of ``auto_n_centroids`` applied to the
     containment report (the sf10 probe caught the fixed cap of 1000
     tripping the 2e9 volume guard at 500k docs: linear, but with a
-    constant one decade too fat).  Clamped to [lo, hi]: small corpora
-    keep the full cap (gate scales are bit-for-bit unchanged), and the
-    floor keeps recall from collapsing on extreme corpora — past that,
-    batch the probe side (the incremental_jaccard_pairs shape)."""
+    constant one decade too fat; a 1.8e9 first cut then measured ~40
+    min of verify wall, so the budget is sized to the verify's real
+    cost, not just the guard).  Clamped to [lo, hi]: small corpora keep
+    the full cap (every gate scale AND sf1 resolve to 1000 — ~52k and
+    ~522k prefix rows respectively — so those results are bit-for-bit
+    unchanged), and the floor keeps recall from collapsing on extreme
+    corpora — past that, batch the probe side (the
+    incremental_jaccard_pairs shape)."""
     if n_prefix_rows <= 0:
         return hi
     return max(lo, min(hi, budget // n_prefix_rows))
@@ -703,11 +707,11 @@ def containment_topk(
 
     The default ``"auto"`` derives the cap from the measured prefix
     size via :func:`_auto_posting_cap` (one count on the persisted
-    prefix relation): ``min(1000, 1.8e9 // n_prefix_rows)``, which
-    bounds the candidate join under 1.8e9 at ANY corpus — at every
+    prefix relation): ``min(1000, 6e8 // n_prefix_rows)``, which
+    bounds the candidate join under 6e8 at ANY corpus — at every
     gate scale and sf1 the clamp resolves to the full 1000 (results
     bit-for-bit unchanged); at sf10 (5.2M prefix rows) it tightens to
-    346 and the entry keeps running where the fixed cap tripped the
+    115 and the entry keeps running where the fixed cap tripped the
     volume guard.  The DuckDB oracle spells the same clamp over the
     same COUNT, so the gate stays hash-exact at every scale.
 
@@ -751,13 +755,33 @@ def containment_topk(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = base.groupBy("did").agg(F.sort_array(F.collect_set("sh")).alias("shs"))
+    # Verify against COMPACT, BROADCAST shingle sets.  The pair form
+    # attaches string-shingle arrays through candidate-keyed shuffle
+    # joins; at sf10 that shipped ~KB-wide rows through two exchanges
+    # (30 GB of shuffle blocks before the first task finished — the
+    # probe's measured cliff: at sf1 AQE still broadcast the sets side,
+    # one decade up it silently flipped to a fat-row shuffle join).
+    # Here each doc's set is its distinct 60-bit shingle HASHES (sorted
+    # array<long> — ~25x narrower than the strings) and the sets
+    # relation is broadcast EXPLICITLY, so both attaches stay map-side
+    # at any candidate volume and the only candidate-scale exchange is
+    # the thin (id_a, id_b) distinct.  |A∩B| over hashed sets equals
+    # the string-set count unless two of a doc-pair's shingles collide
+    # in 60 bits (~2^-60 per pair — the md5-uniform risk class the
+    # engine accepts everywhere); the oracle intersects the SAME
+    # md5_long values, so the gate stays engine-exact regardless.
+    # Envelope: the broadcast needs sets to fit executor memory (~1.6
+    # KB/doc at 200 shingles — ~800 MB at 500k docs); past that,
+    # bucket both sides on doc id and co-partition the verify.
+    sets = base.groupBy("did").agg(
+        F.sort_array(F.collect_set(md5_long(F.col("sh")))).alias("shs")
+    )
     a = sets.select(F.col("did").alias("id_a"), F.col("shs").alias("_shs_a"))
     b = sets.select(F.col("did").alias("id_b"), F.col("shs").alias("_shs_b"))
     inter = F.size(F.array_intersect(F.col("_shs_a"), F.col("_shs_b")))
     scored = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .withColumn("_i", inter)
         .filter(F.col("_i") * threshold_den >= F.size("_shs_a") * threshold_num)
         .withColumn("containment", F.round(F.col("_i") / F.size("_shs_a"), 6))

@@ -1603,7 +1603,7 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE pos <= s - ((4 * s + 4) // 5) + 1
     ),
     cap AS (
-      SELECT GREATEST(64, LEAST(1000, 1800000000 // GREATEST(COUNT(*), 1))) AS c
+      SELECT GREATEST(64, LEAST(1000, 600000000 // GREATEST(COUNT(*), 1))) AS c
       FROM prefix
     ),
     capped AS (
@@ -1617,17 +1617,23 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
       FROM prefix p JOIN capped c ON c.sh = p.sh AND c.doc_id <> p.doc_id
     ),
+    gh AS (
+      SELECT DISTINCT doc_id,
+             (('0x' || substr(md5(sh), 1, 15))::BIGINT) AS h
+      FROM g
+    ),
+    szh AS (SELECT doc_id, COUNT(*) AS s FROM gh GROUP BY doc_id),
     common AS (
       SELECT n.id_a, n.id_b, COUNT(*) AS c
       FROM cand n
-      JOIN g a ON a.doc_id = n.id_a
-      JOIN g b ON b.doc_id = n.id_b AND b.sh = a.sh
+      JOIN gh a ON a.doc_id = n.id_a
+      JOIN gh b ON b.doc_id = n.id_b AND b.h = a.h
       GROUP BY n.id_a, n.id_b
     ),
     scored AS (
       SELECT c.id_a, c.id_b,
              ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) AS containment
-      FROM common c JOIN sz sa ON sa.doc_id = c.id_a
+      FROM common c JOIN szh sa ON sa.doc_id = c.id_a
       WHERE 5 * c.c >= 4 * sa.s
     )
     SELECT id_a AS doc_id, id_b AS container_id, containment, rank FROM (
@@ -1641,7 +1647,7 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "output-linear containment report: per-doc top-3 containers (|A∩B|/|A| >= 4/5 over "
         "3-gram shingles) — the scale form of containment_pairs, whose pair output is quadratic "
         "in clone-cluster size; candidates bounded BY CONSTRUCTION via a deterministic "
-        "per-shingle posting cap (lowest doc ids; cap = min(1000, 1.8e9 // prefix rows), the "
+        "per-shingle posting cap (lowest doc ids; cap = min(1000, 6e8 // prefix rows), the "
         "corpus-scaled clamp spelled identically on both engines — 1000 at every gate scale, "
         "tightening only past sf1), verify exact over full sets"
     ),
@@ -1652,11 +1658,11 @@ def containment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are quoted inside which" at 100 TB.  Output is ≤ 3 rows per doc at
     any corpus size, and the candidate join is BOUNDED by construction:
     the container side keeps at most cap postings per shingle, the
-    lowest doc ids, with cap = min(1000, 1.8e9 // prefix-posting count)
+    lowest doc ids, with cap = min(1000, 6e8 // prefix-posting count)
     (``dedup._auto_posting_cap``) — deterministic AND corpus-scaled, so
     the DuckDB oracle applies the SAME clamp and the gate stays
     hash-exact at every scale while the candidate join never exceeds
-    1.8e9 rows at any corpus (the sf10 probe caught the fixed-1000 cap
+    6e8 rows at any corpus (the sf10 probe caught the fixed-1000 cap
     tripping the 2e9 volume guard at 500k docs).  At every gate scale
     and sf1 the clamp resolves to 1000, so those results are
     bit-for-bit what the fixed cap produced.  The pair form's guard

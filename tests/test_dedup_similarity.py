@@ -854,15 +854,15 @@ def test_deletion_blocking_complete_for_indels(spark):
 
 def test_auto_posting_cap_clamp_and_scale():
     """The corpus-scaled cap (sf10 fix): full 1000 through sf1-sized
-    prefix volumes, tightening past ~1.8M prefix rows so the candidate
-    join stays under the 1.8e9 budget at any corpus, floored at 64."""
+    prefix volumes, tightening past ~600k prefix rows so the candidate
+    join stays under the 6e8 budget at any corpus, floored at 64."""
     from hadoop_20_spark.operators.dedup import _auto_posting_cap
 
     assert _auto_posting_cap(0) == 1000          # empty corpus: inert
     assert _auto_posting_cap(60_000) == 1000     # sf0.01-sized
     assert _auto_posting_cap(522_000) == 1000    # sf1-sized
-    assert _auto_posting_cap(5_200_000) == 346   # sf10: the probe's case
-    assert _auto_posting_cap(5_200_000) * 5_200_000 <= 1_800_000_000
+    assert _auto_posting_cap(5_200_000) == 115   # sf10: the probe's case
+    assert _auto_posting_cap(5_200_000) * 5_200_000 <= 600_000_000
     assert _auto_posting_cap(10**12) == 64       # floor, never 0
     # monotone non-increasing in corpus size
     caps = [_auto_posting_cap(n) for n in (1, 10**6, 10**7, 10**9, 10**12)]
