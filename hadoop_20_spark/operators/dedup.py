@@ -755,6 +755,26 @@ def containment_topk(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Exact-twin channel: every doc additionally probes its exact-text
+    # cluster keeper (md5 groupBy — the exact_dedup primitive; ≤ 1 row
+    # per doc at any corpus).  The sf10 validator caught why this
+    # matters: on a degenerate corpus where EVERY shingle's df exceeds
+    # the posting cap (the fixture's 31-word vocab at 500k docs), the
+    # capped postings admit only lowest-id candidates, and an exact
+    # twin planted at a high id never meets its pair — planted-dup
+    # recall measured 0.29.  The exact-hash channel restores recall
+    # 1.0 for identical docs (containment exactly 1.0, the strongest
+    # containments in the report) without touching the bounded
+    # shingle-candidate volume.  Mirrored in the oracle.
+    twins = (
+        df.select(F.col(id_col).alias("_tid"), F.md5(F.col(text_col)).alias("_h"))
+        .withColumn(
+            "_keeper", F.min("_tid").over(Window.partitionBy("_h"))
+        )
+        .filter(F.col("_tid") != F.col("_keeper"))
+        .select(F.col("_tid").alias("id_a"), F.col("_keeper").alias("id_b"))
+    )
+    cand = cand.unionByName(twins).distinct()
     # Verify against COMPACT, BROADCAST shingle sets.  The pair form
     # attaches string-shingle arrays through candidate-keyed shuffle
     # joins; at sf10 that shipped ~KB-wide rows through two exchanges

@@ -1613,10 +1613,18 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g)
       WHERE rn <= (SELECT c FROM cap)
     ),
-    cand AS (
+    cand0 AS (
       SELECT DISTINCT p.doc_id AS id_a, c.doc_id AS id_b
       FROM prefix p JOIN capped c ON c.sh = p.sh AND c.doc_id <> p.doc_id
     ),
+    tw AS (
+      SELECT d.doc_id AS id_a, k.kid AS id_b
+      FROM documents d
+      JOIN (SELECT md5(text) AS h, MIN(doc_id) AS kid
+            FROM documents GROUP BY md5(text)) k
+        ON md5(d.text) = k.h AND d.doc_id <> k.kid
+    ),
+    cand AS (SELECT * FROM cand0 UNION SELECT * FROM tw),
     gh AS (
       SELECT DISTINCT doc_id,
              (('0x' || substr(md5(sh), 1, 15))::BIGINT) AS h

@@ -948,3 +948,26 @@ def test_kmeans_sampled_training_differs_but_cells_sound(spark):
     for r in out:
         assert r["keeper_id"] < r["vec_id"]
         assert r["cosine_sim"] >= 0.3
+
+
+def test_containment_topk_exact_twin_survives_capped_postings(spark):
+    """The sf10 validator's catch in miniature: when EVERY shingle's df
+    exceeds the posting cap (degenerate vocab), shingle candidates only
+    reach the lowest-id cohort — a high-id exact twin is invisible to
+    them.  The exact-twin md5 channel must still surface it at rank 1
+    with containment 1.0."""
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "iota kappa lambda mu nu xi omicron pi"
+    docs = [(i, body) for i in range(20)] + [(i, other) for i in range(20, 40)]
+    docs += [(99, other)]  # high-id exact twin, far past the cap
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = dedup.containment_topk(
+        df, "doc_id", "text", k=2, threshold_num=4, threshold_den=5,
+        shingle=3, max_posting_df=3,
+    ).collect()
+    mine = [r for r in rows if r["doc_id"] == 99]
+    assert mine, "high-id twin missing from the report entirely"
+    top = min(mine, key=lambda r: r["rank"])
+    assert top["rank"] == 1 and top["containment"] == 1.0
+    # its keeper channel points into the exact-clone cohort
+    assert top["container_id"] == 20

@@ -68,7 +68,13 @@ ORACLE_PROBES = [
     "namespace_quota_audit",
     "streaming_stream_join",
     "rrf_hybrid_topk",
-    "containment_report",
+    # containment_report is VALIDATOR-tier at sf10 (below): its oracle
+    # verifies candidates by joining per-doc hash postings — ~200
+    # rows per candidate pair into a COUNT group-by, ~1.2e11 DuckDB
+    # intermediate rows at this corpus (53 GB RES and still grinding
+    # when killed) — the kcore_peel_audit precedent from sf1.  The
+    # Spark side's array_intersect does the same verify at ~1 row per
+    # pair.  Oracle-checked at sf0.001/0.01/0.1.
     "cc_star_order_chains",
     # round-12 additions, probed at their birth round's decade
     "weighted_reservoir_per_group",
@@ -202,9 +208,68 @@ def _v_semantic_dedup(spark, con, sf_dir: str) -> dict:
     }
 
 
+def _v_containment_report(spark, con, sf_dir: str) -> dict:
+    """Soundness + planted-recall validator for the containment report
+    (oracle infeasible at sf10 — see the ORACLE_PROBES note).  Every
+    sampled reported row is recomputed in pure python from the parquet
+    (3-gram shingle sets, hashed-set intersection over md5_long — the
+    query's own contract); planted exact-duplicate docs (same text,
+    higher id) must report a containment-1.0 container at rank 1."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    out = REGISTRY["containment_report"].fn(spark, sf_dir).toPandas()
+    wall = round(time.time() - t0, 1)
+    t = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    text = dict(zip(t["doc_id"].to_numpy(), t["text"].to_pylist()))
+
+    def hset(did: int) -> set:
+        toks = [w for w in text[did].split() if w]
+        shs = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+            if toks[i : i + 3]
+        }
+        return {
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs
+        }
+
+    sample = out.sample(n=min(300, len(out)), random_state=7)
+    bad = 0
+    for _, r in sample.iterrows():
+        a, b = hset(int(r.doc_id)), hset(int(r.container_id))
+        want = round(len(a & b) / len(a), 6)
+        if want != round(float(r.containment), 6) or want < 0.8:
+            bad += 1
+    # planted recall: exact text duplicates (higher id) must surface a
+    # 1.0 container at rank 1 (their rare shingles never hit the cap)
+    by_text: dict[str, list] = {}
+    for did, tx in text.items():
+        by_text.setdefault(tx, []).append(int(did))
+    dup_docs = {
+        d for ids in by_text.values() if len(ids) > 1 for d in sorted(ids)[1:]
+    }
+    rank1 = out[(out["rank"] == 1) & (out["containment"] >= 0.999999)]
+    found = dup_docs & set(rank1["doc_id"].astype(int))
+    recall = len(found) / max(len(dup_docs), 1)
+    ok = bad == 0 and recall >= 0.99 and (out["rank"] <= 3).all()
+    return {
+        "kind": "validator",
+        "rows": len(out),
+        "spark_secs": wall,
+        "sample_recompute_mismatches": bad,
+        "planted_dup_docs": len(dup_docs),
+        "planted_recall": round(recall, 4),
+        "status": "PASS" if ok else "FAIL",
+    }
+
+
 VALIDATOR_PROBES = {
     "total_order_sort_validate": _v_total_order_sort,
     "semantic_dedup_scale": _v_semantic_dedup,
+    "containment_report_validate": _v_containment_report,
 }
 
 
