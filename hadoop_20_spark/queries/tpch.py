@@ -786,21 +786,57 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="TPC-H Q17 shape: correlated per-part AVG subquery, decorrelated to an aggregate + join (decimal-exact mean)",
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar AVG decorrelates to a per-partkey aggregate
-    joined back — written in SQL so Catalyst's decorrelation does it
-    (the q21/q22 discipline); the mean goes through DECIMAL so the
-    `<` threshold compares identically in both engines."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q17")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("p_q17")
-    return spark.sql(
-        """
-        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / 7.0 AS avg_yearly,
-               COUNT(*) AS n_lines
-        FROM li_q17 l JOIN p_q17 p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#1'
-          AND l.l_quantity < (SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*))
-                              FROM li_q17 l2 WHERE l2.l_partkey = l.l_partkey)
-        """
+    """Correlated scalar AVG, decorrelated WITH the dim filter pushed
+    into the aggregate's input — the rewrite Catalyst's decorrelation
+    misses: the brand predicate selects ~1/25 of parts, and since the
+    correlated subquery averages only rows of the OUTER row's partkey,
+    restricting the aggregate to brand-part lineitems is semantically
+    exact while cutting the per-partkey aggregate and both fact
+    exchanges ~25× (the sf10 probe measured the naive decorrelation at
+    96 s — two full 60M-row exchanges; this shape touches ~2.4M rows
+    after the broadcast semi-join).  At 100 TB the same plan holds: the
+    filtered part keys broadcast, lineitem is pruned by the runtime
+    bloom filter before its one partkey shuffle.  The mean goes through
+    DECIMAL so the `<` threshold compares identically in both engines;
+    the op order (sum → double cast → /count → *0.2) matches the
+    oracle's spelling exactly."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(
+        F.broadcast(parts), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    thr = li_b.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                .cast("string")
+                .cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("_thr")
+    )
+    # thr is unhinted: AQE broadcasts it here (~80k rows) and falls
+    # back to a co-keyed shuffle at corpora where brand-parts outgrow
+    # the threshold — both correct, the stats decide
+    return (
+        li_b.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+                .cast("string")
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 
