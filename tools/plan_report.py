@@ -45,7 +45,7 @@ QUERIES = {
     "q20_dominant_supplier": "per-(part,supp) agg re-aggregated per part (shared partitioning); part-name + dominant sets as semi joins",
     "dup_ngram_fraction": "shingle-keyed df count + join back — never a doc×doc join; token array materialized before the shingle transform",
     "knn_label_agreement": "broadcast-nested-loop scoring (queries broadcast, norms precomputed per vector), window top-k, integer vote sums",
-    "semantic_dedup": "k-means (one-shuffle positional means, argmax agg) then within-cell pair join — quadratic work confined to cells, norms precomputed, k corpus-scaled (max(16, n//128)) so cell occupancy (hence per-cell pair work) stays flat across decades",
+    "semantic_dedup": "k-means (one-shuffle positional means, argmax agg; Lloyd passes on the ~25k md5-gated sample — full-corpus training is Theta(n^2/128) with corpus-scaled k, the sf10 catch) then within-cell pair join — quadratic work confined to cells, norms precomputed, k corpus-scaled (max(16, n//128)) so cell occupancy stays flat across decades",
     "vocab_oov_rate": "top-500 vocab via TakeOrderedAndProject (per-partition heaps, no global window), broadcast probe, integer OOV sums",
     "dedup_retention_curve": "one lossless prefix-filtered candidate pass at the lowest threshold serves the whole curve; per-doc max + 3-row aggregation",
     "bpe_merge_pairs": "row-local pair extraction (token explode → per-index substr), one partial-agg'd shuffle on the char-bigram key, TakeOrderedAndProject top-50",
@@ -71,7 +71,7 @@ QUERIES = {
     "vocab_growth_curve": "shingle→min-doc aggregate is the only fact shuffle; decile bucket row-local vs broadcast 1-row max; ≤10-row cumulative window",
     "ngram_novelty": "min-doc aggregate then join back on the SAME shingle key (co-partitioned); per-doc and per-source aggregates on shrinking keys",
     "containment_pairs": "prefix postings (rarest shingles only) equi-join FULL postings on sh; verify = |candidates| rows through two doc-id joins — no CartesianProduct",
-    "containment_report": "prefix postings equi-join CAPPED postings (rank window keeps lowest-1000 dids per shingle: candidates linear by construction); exact verify, then per-doc rank window cuts to top-3 — output <= 3n at any corpus",
+    "containment_report": "prefix postings equi-join CAPPED postings (rank window keeps lowest-cap dids per shingle, cap corpus-scaled = clamp(6e8 // prefix rows, 64, 1000): candidate volume bounded at any corpus) + the exact-twin md5 channel; verify intersects hashed sets against an EXPLICITLY broadcast sets relation (the sf10 fat-shuffle catch), then per-doc rank window cuts to top-3 — output <= 3n",
     "peak_concurrency_daily": "raw events collapse to 2 boundary rows per user-day BEFORE the sweep; running-sum window partitioned by day — no global window",
     "quality_gate_adaptive": "CDF windows partition by source over the (source,n_chars) HISTOGRAM; thresholds broadcast back; verdict one source-keyed reduce",
     "pagerank_top20": "per iteration: edges⋈ranks⋈deg on the node key then contribution agg by dst; localCheckpoint per round; top-20 TakeOrderedAndProject",
