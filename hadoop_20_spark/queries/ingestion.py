@@ -113,7 +113,7 @@ def _publish_atomic(build_fn, target: str) -> None:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(k) AS min_key,
            MAX(k) AS max_key,
-           CAST(SUM(p) AS DOUBLE) AS recovered_value
+           CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS recovered_value
     FROM labeled GROUP BY err_class ORDER BY err_class
     """,
     note=(

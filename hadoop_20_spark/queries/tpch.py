@@ -984,7 +984,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_year,
            CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+             / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share,
            COUNT(*) AS n_items
     FROM vols GROUP BY o_year ORDER BY o_year
     """,

@@ -58,14 +58,36 @@ def _balanced_span(s: str, i: int) -> int:
 
 
 def test_no_oracle_casts_decimal_sum_directly_to_double():
-    """Source audit over every registered oracle: a decimal-typed SUM
-    must reach DOUBLE via the VARCHAR hop, never a direct cast."""
+    """Source audit over every registered oracle: a SUM cast directly to
+    DOUBLE is an offender UNLESS the operand is PROVABLY integer-typed.
+
+    The old audit keyed on the literal substring 'DECIMAL' inside the
+    cast, which missed decimal-typed columns reached via an alias (q8's
+    ``SUM(volume)`` denominator — the ADVICE r12 medium item).  The
+    proof here is the DuckDB binder itself, not a regex: each
+    ``CAST(SUM(...) AS DOUBLE)`` site is rewritten in place to
+    ``CAST(((SUM(...)) & CAST(0 AS BIGINT)) AS DOUBLE)`` and the full
+    query is DESCRIBEd (plan-only, no execution).  Bitwise ``&`` binds
+    only on integer types — TINYINT…HUGEINT — so the DESCRIBE succeeds
+    iff the summed operand is integer (where the direct cast is exact)
+    and raises a binder error on DECIMAL or DOUBLE operands, aliased or
+    not, CTE-internal or not.  Sites already using the VARCHAR hop are
+    compliant and skipped."""
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from hadoop_20_spark.catalog import TABLES, table_path
     from hadoop_20_spark.registry import REGISTRY
 
+    sf_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
     offenders = []
+    n_sites = n_proved = 0
     for name, q in REGISTRY.items():
         sql = q.oracle
         if not sql:
@@ -77,17 +99,30 @@ def test_no_oracle_casts_decimal_sum_directly_to_double():
                 break
             end = _balanced_span(sql, m.end() - 1)
             inner = sql[m.end() : end - 1]
-            m2 = re.search(r"\s+AS\s+DOUBLE\s*$", inner)
-            if m2:
-                expr = inner[: m2.start()]
-                if (
-                    re.match(r"\s*(COALESCE\(\s*)?SUM\s*\(", expr)
-                    and "DECIMAL" in expr
-                    and "AS VARCHAR" not in expr
-                ):
-                    offenders.append((name, expr[:80]))
             pos = m.end()
+            m2 = re.search(r"\s+AS\s+DOUBLE\s*$", inner)
+            if not m2:
+                continue
+            expr = inner[: m2.start()]
+            if not re.match(r"\s*(COALESCE\(\s*)?SUM\s*\(", expr):
+                continue
+            if "AS VARCHAR" in expr:
+                continue  # compliant: the hop is in place
+            n_sites += 1
+            probe = (
+                sql[: m.start()]
+                + f"CAST((({expr}) & CAST(0 AS BIGINT)) AS DOUBLE)"
+                + sql[end:]
+            )
+            try:
+                con.execute("DESCRIBE " + probe)
+                n_proved += 1
+            except duckdb.Error as e:
+                offenders.append(
+                    (name, " ".join(expr.split())[:80], str(e).split("\n")[0][:100])
+                )
+    assert n_sites > 0, "audit found no direct SUM->DOUBLE sites at all (regex broke?)"
     assert not offenders, (
-        "oracles casting a decimal SUM directly to DOUBLE (1-ulp engine "
+        "oracles casting a non-integer SUM directly to DOUBLE (1-ulp engine "
         f"skew past ~1e10 magnitude — use the VARCHAR hop): {offenders}"
     )
