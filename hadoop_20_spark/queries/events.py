@@ -1211,11 +1211,21 @@ def speculative_straggler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: ONE fact-scale partial-agg shuffle at (event_type,
     user_id) task grain; job stats are a second aggregate over the task
     grain (n_jobs rows) broadcast back; the slowest-10-per-job window
-    runs on the flagged subset with WindowGroupLimit pre-trim.  Scale
-    envelope: the squared-deficit DECIMAL(38,0) products hold while
-    n_tasks * max_rate_ppm < ~1e19 — at a 100 TB corpus with billions of
-    tasks, drop the rate unit a decade (per-hour ppb -> ppm) before the
-    predicate overflows; the unit is a literal in one place."""
+    runs on the flagged subset with WindowGroupLimit pre-trim.
+
+    Scale envelope, ENFORCED: the squared-deficit DECIMAL(38,0)
+    products hold while n_tasks * max_rate_ppm < 1e19 (deficit <= S1 <=
+    n*max_r, so every product is < 1e38).  Past that, Spark's non-ANSI
+    decimal overflow would return NULL and the filter would silently
+    DROP tasks from the flagged set, while DuckDB's HUGEINT raises —
+    the one divergence class the gate cannot see (ADVICE r12).  So the
+    predicate is wrapped in a per-job envelope check on (n_tasks,
+    max rate) — two agg columns that themselves cannot overflow — that
+    ``raise_error``s BEFORE the first overflowing product evaluates:
+    same fail-loud discipline as the volume guards, zero extra jobs
+    (the check rides the same broadcast join).  Remediation is in the
+    message: drop the rate unit a decade (per-hour ppm -> per-hour
+    per-mille); the unit is a literal in one place."""
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
     task = (
         ev.groupBy("event_type", "user_id")
@@ -1243,20 +1253,51 @@ def speculative_straggler_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,0)"
             )
         ).alias("s2"),
+        F.max("rate_ppm").alias("max_r"),
     )
     deficit = F.col("s1") - F.col("n_tasks") * F.col("rate_ppm").cast(
         "decimal(38,0)"
     )
+    # n_tasks (a COUNT) and max_r (a MAX) cannot overflow; their
+    # DECIMAL(38,0) product maxes at ~8.5e37 < 1e38, so the envelope
+    # check itself is exact.  CASE short-circuits: raise_error only
+    # evaluates when the envelope is exceeded.
+    envelope = (
+        F.col("n_tasks").cast("decimal(38,0)")
+        * F.col("max_r").cast("decimal(38,0)")
+    )
+    exact_predicate = F.col("deficit") * F.col("deficit") > F.col(
+        "n_tasks"
+    ) * F.col("s2") - F.col("s1") * F.col("s1")
+    # The guard must be the FIRST conjunct: And short-circuits, so a
+    # guard placed after `deficit > 0` would never evaluate on a row
+    # whose deficit already overflowed to NULL (NULL left -> row
+    # silently dropped, the exact failure being guarded against).
+    guarded_check = F.when(
+        envelope >= F.lit("10000000000000000000").cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "speculative_straggler_audit: n_tasks * max_rate_ppm = "
+                ),
+                envelope.cast("string"),
+                F.lit(
+                    " >= 1e19 for job "
+                ),
+                F.col("event_type"),
+                F.lit(
+                    " — the DECIMAL(38,0) LATE predicate would overflow to "
+                    "NULL and silently drop tasks from the flagged set.  "
+                    "Drop the rate unit a decade (the 3600000000000000 "
+                    "ppm-per-hour literal) and rerun."
+                ),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     flagged = (
         task.join(F.broadcast(job), "event_type")
         .withColumn("deficit", deficit.cast("decimal(38,0)"))
-        .filter(
-            (F.col("deficit") > 0)
-            & (
-                F.col("deficit") * F.col("deficit")
-                > F.col("n_tasks") * F.col("s2") - F.col("s1") * F.col("s1")
-            )
-        )
+        .filter(guarded_check & (F.col("deficit") > 0) & exact_predicate)
         .withColumn(
             "job_mean_ppm",
             F.expr("CAST(s1 div n_tasks AS BIGINT)"),

@@ -1657,7 +1657,8 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in clone-cluster size; candidates bounded BY CONSTRUCTION via a deterministic "
         "per-shingle posting cap (lowest doc ids; cap = min(1000, 6e8 // prefix rows), the "
         "corpus-scaled clamp spelled identically on both engines — 1000 at every gate scale, "
-        "tightening only past sf1), verify exact over full sets"
+        "tightening only past sf1), verify exact over each pair's full (never capped) "
+        "60-bit-hashed shingle sets, same md5 values on both engines"
     ),
 )
 def containment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -287,6 +287,27 @@ def test_cosine_topk_query_broadcast_guard(spark, tables):
     )
 
 
+def test_cosine_topk_guard_count_is_memoized(spark, tables):
+    """The pre-flight count must run ONCE per query plan, not once per
+    invocation (the r12 bench measured the per-call guard job as +52%
+    on b9b).  Proof: after one call populates the memo, poisoning the
+    memoized value above the cap makes the next identical call raise —
+    i.e. the guard read the memo instead of recounting."""
+    import pytest
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    small = emb.filter(F.col("vec_id") < 5)
+    similarity.cosine_topk(emb, small, k=2).count()
+    key = small._jdf.queryExecution().analyzed().semanticHash()
+    assert similarity._QUERY_COUNT_MEMO.get(key) == small.count()
+    try:
+        similarity._QUERY_COUNT_MEMO[key] = 10**9
+        with pytest.raises(ValueError, match="query vectors exceed"):
+            similarity.cosine_topk(emb, small, k=2)
+    finally:
+        similarity._QUERY_COUNT_MEMO.pop(key, None)
+
+
 def test_srp_volume_guard_passes_fixture_scale(spark, tables):
     """The default cap must not fire at gate scale (the sf1 fixture
     measures ~3.3e9 < 1e10; this 500-vector corpus is ~2e6)."""

@@ -1,0 +1,70 @@
+"""Round-13 pins: straggler-audit overflow guard, containment_topk
+cache hygiene, plan-smell sweep wiring."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_20_spark.registry import REGISTRY
+
+
+def test_straggler_audit_raises_before_decimal_overflow(spark, tmp_path):
+    """Past n_tasks * max_rate_ppm >= 1e19 Spark's non-ANSI DECIMAL(38,0)
+    products return NULL and the LATE filter silently DROPS tasks, while
+    the DuckDB oracle's HUGEINT raises — the one divergence the gate
+    can't see (ADVICE r12).  The per-job envelope check must turn the
+    silent drop into a designed raise BEFORE the predicate overflows."""
+    q = REGISTRY["speculative_straggler_audit"].fn
+    base = 1_700_000_000_000_000  # µs epoch
+
+    def write_events(n_users: int) -> str:
+        # each user: 2 events 1 µs apart -> rate = 2*3.6e15 ppm/h
+        rows = []
+        for u in range(n_users):
+            rows.append(("jobA", u, base))
+            rows.append(("jobA", u, base + 1))
+        sf = str(tmp_path / f"sf_{n_users}")
+        os.makedirs(sf, exist_ok=True)
+        (
+            spark.createDataFrame(rows, "event_type string, user_id long, ts long")
+            .withColumn("ts", F.timestamp_micros("ts"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sf, "events.parquet"))
+        )
+        return sf
+
+    # under the envelope: runs clean (identical rates -> variance 0 ->
+    # nothing speculatable, and crucially NO raise)
+    assert q(spark, write_events(100)).count() == 0
+    # over it: 1400 * 7.2e15 = 1.008e19 >= 1e19 -> designed raise, not
+    # a silent NULL-drop
+    with pytest.raises(Exception, match="overflow to NULL"):
+        q(spark, write_events(1400)).count()
+
+
+def test_containment_topk_releases_postings_cache(spark, tables):
+    """containment_topk persists the fat shingle-postings relation while
+    it works; it must NOT leak it for the session lifetime (ADVICE r12:
+    every bench/probe invocation stacked cached blocks).  After the call
+    returns, at most the one small (<= n*k rows) result cache remains."""
+    from hadoop_20_spark.operators import dedup
+
+    docs = tables["documents"].select("doc_id", "text").limit(300)
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached() -> int:
+        # materialized cached relations only (storage blocks present)
+        return len(jsc.getRDDStorageInfo())
+
+    docs.count()  # materialize the fixture's own table cache first
+    start = n_cached()
+    out1 = dedup.containment_topk(docs, "doc_id", "text", k=2)
+    assert out1.count() >= 0
+    after1 = n_cached()
+    assert after1 <= start + 1, "postings cache leaked past the call"
+    # second invocation releases the first result's cache
+    dedup.containment_topk(docs, "doc_id", "text", k=2).count()
+    assert n_cached() <= start + 1, "result caches accumulate across calls"
