@@ -283,6 +283,9 @@ def run_once(spark, name: str, ctx: dict | None = None) -> float:
             load_table(spark, "embeddings", SF_DIR),
             threshold=0.45,
             centroids=ctx["b12_cents"],
+            # known k flips the assignment two-level past the swap
+            # point (inert at sf<=1 where auto-k < 256)
+            n_centroids=ctx["b12_k"],
         )
         df.write.format("noop").mode("overwrite").save()
     elif name == "b25_dfsio":
@@ -381,12 +384,26 @@ SMALL_JOB = "q6_forecast_revenue"
 SMALL_JOB_REPS = 20
 
 
+#: g1 runs this many timed trials and reports the MEDIAN throughput.
+#: One trial is NOT a measurement here: the mix's wall is always the
+#: slowest streaming copy, whose micro-batch jobs queue behind the
+#: other seven jobs' wide stages — a per-trial scheduling lottery the
+#: round-13 triage measured at 0.8×–3.2× across five back-to-back
+#: trials on an idle box, under FIFO and FAIR alike (tools/g1_triage.py;
+#: SCALE.md "g1 variance").  r11's 2.08× and r12's 0.69×/0.92× were
+#: single samples of that distribution, not a regression.
+GRIDMIX_TRIALS = 3
+
+
 def run_gridmix_concurrent(spark, serial_detail: dict) -> dict:
     """Submit GRIDMIX_WAVES copies of each mix entry at once; each task
     times its own noop-write run, then fingerprints its output so the
     concurrent results are hash-checked against the serial runs (a
     concurrency bug that corrupts shared state must shift a hash, not
-    just a latency)."""
+    just a latency).  GRIDMIX_TRIALS timed trials; the headline
+    throughput is the median trial's, and every trial's wall plus each
+    streaming copy's per-batch latencies are kept in the detail so a
+    real streaming regression is separable from scheduling luck."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(name: str) -> dict:
@@ -398,15 +415,41 @@ def run_gridmix_concurrent(spark, serial_detail: dict) -> dict:
         rows, h = fingerprint(REGISTRY[BENCH_QUERIES[name]].fn(spark, SF_DIR))
         return {"name": name, "rows": rows, "hash": h}
 
+    from hadoop_20_spark import streaming as _stream_ops
+
     jobs = [n for n in GRIDMIX_MIX for _ in range(GRIDMIX_WAVES)]
+    serial_equiv = round(sum(serial_detail[n]["secs"] for n in jobs), 3)
+
+    trials: list[dict] = []
+    results: list[dict] = []
+    for _ in range(GRIDMIX_TRIALS):
+        _stream_ops.pop_query_progress()  # drain earlier runs
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            t0 = time.time()
+            timed = list(pool.map(one, jobs))
+            wall = time.time() - t0
+        # per-copy micro-batch latency under concurrency is the triage
+        # signal (two concurrent copies race on LAST_QUERY_PROGRESS, so
+        # the per-run log is the only attribution that works here)
+        stream_runs = [
+            {k: p[k] for k in ("sink", "wall_secs", "n_batches",
+                               "batch_ms_p50", "batch_ms_max")}
+            for p in _stream_ops.pop_query_progress()
+        ]
+        trials.append({
+            "wall_secs": round(wall, 3),
+            "throughput_x": round(serial_equiv / wall, 2),
+            "lats": {f"{n}#{i}": t["lat"] for i, (n, t) in
+                     enumerate(zip(jobs, timed))},
+            "stream_runs": stream_runs,
+        })
+        results = timed  # last trial's latencies feed per_entry below
+        spark.catalog.clearCache()
+    # hash checks run CONCURRENTLY once (a concurrency bug must shift
+    # a hash) but outside the timed trials
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        t0 = time.time()
-        timed = list(pool.map(one, jobs))
-        wall = time.time() - t0
-        # hash checks still run CONCURRENTLY (a concurrency bug must
-        # shift a hash) but outside the timed wall
         checks = list(pool.map(check, jobs))
-    results = [{**t, **c} for t, c in zip(timed, checks)]
+    results = [{**t, **c} for t, c in zip(results, checks)]
     spark.catalog.clearCache()
 
     lats = sorted(r["lat"] for r in results)
@@ -422,17 +465,18 @@ def run_gridmix_concurrent(spark, serial_detail: dict) -> dict:
                 for r in rs
             ),
         }
-    serial_equiv = round(
-        sum(serial_detail[n]["secs"] for n in jobs), 3
-    )
+    mid = sorted(trials, key=lambda t: t["throughput_x"])[len(trials) // 2]
     return {
         "n_jobs": len(jobs),
-        "wall_secs": round(wall, 3),
+        "n_trials": len(trials),
+        "wall_secs": mid["wall_secs"],
         "serial_equiv_secs": serial_equiv,
-        "throughput_x": round(serial_equiv / wall, 2),
+        "throughput_x": mid["throughput_x"],
+        "throughput_x_trials": [t["throughput_x"] for t in trials],
         "p50_lat": lats[len(lats) // 2],
         "p95_lat": lats[min(len(lats) - 1, int(len(lats) * 0.95))],
         "per_entry": per_entry,
+        "trials": trials,
         "all_hashes_match": all(e["hash_match"] for e in per_entry.values()),
     }
 
@@ -671,6 +715,7 @@ def main() -> None:
                 train_sample_mod=_sim.kmeans_train_mod(n12),
             )
             ctx["b12_cents"].count()  # force the localCheckpoint chain
+            ctx["b12_k"] = k12
             d["train_secs"] = round(time.time() - t0, 3)
             d["n_centroids"] = k12
         if name == "b25_dfsio":

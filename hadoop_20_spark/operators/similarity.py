@@ -301,6 +301,27 @@ def lsh_topk(
     )
 
 
+#: assignment-strategy swap point.  Below this centroid count the flat
+#: broadcast argmax (n·k cosines per corpus pass) is both cheapest and
+#: the exact quantizer contract the DuckDB oracles spell; at/above it
+#: ``assign_cells`` switches to the TWO-LEVEL assignment (coarse √k
+#: centroids over the centroid table itself, then argmax within the
+#: ``TWO_LEVEL_COARSE_NPROBE`` nearest coarse groups), capping per-row
+#: work at ~(√k + nprobe·√k) cosines instead of k.  With corpus-scaled
+#: k (∝ n) the flat assignment is the deferred Θ(n²/occupancy) term the
+#: r12 sf10 probe measured (assignment-dominated 569 s); two-level
+#: makes it Θ(n^1.5).  Every oracle-gate fixture resolves auto-k to 16,
+#: so the flat path — hence gate bit-exactness — is untouched below the
+#: threshold; above it the assignment is approximate-by-design (the
+#: true argmax centroid can live in an unprobed coarse group) and is
+#: soundness-validated at probe scales instead of oracle-matched.
+#: Reference anchor: the two-level trie of
+#: ex/terasort/TeraSort.java#TotalOrderPartitioner (coarse split, then
+#: local refinement, instead of one flat comparison per partition).
+TWO_LEVEL_ASSIGN_MIN_K = 256
+TWO_LEVEL_COARSE_NPROBE = 4
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -309,6 +330,8 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    n_centroids: int | None = None,
+    coarse_nprobe: int = TWO_LEVEL_COARSE_NPROBE,
 ) -> DataFrame:
     """Nearest-centroid assignment — THE one place that encodes the
     quantizer contract every DuckDB oracle replicates: argmax of the
@@ -316,12 +339,94 @@ def assign_cells(
     input row.  Centroids broadcast; assignment is map-side except the
     per-id ranking window.  Shared by ivf_topk (corpus cells + query
     probes), build_ivf_index, query_ivf_index, and semantic_dedup, so
-    the rounding/tie-break rules cannot drift between them."""
-    cent = F.broadcast(centroids.select("cent_id", "c_vec"))
+    the rounding/tie-break rules cannot drift between them.
+
+    ``n_centroids`` is the caller's known centroid count (no count job
+    is ever run here): when it is ≥ ``TWO_LEVEL_ASSIGN_MIN_K`` the flat
+    n·k scoring pass switches to the two-level scheme — ~√k coarse
+    centroids are trained over the CENTROID TABLE (k rows, driver-cheap
+    Lloyd), each fine centroid is grouped under its nearest coarse one,
+    and a corpus row scores only the fine centroids of its
+    ``coarse_nprobe`` nearest coarse groups.  The coarse ranking is
+    row-local (one collect_list'd coarse array broadcast as a 1-row
+    scalar attach; top-``coarse_nprobe`` via array_sort over
+    (-sim, coarse_id) structs — no extra shuffle), so the plan keeps
+    the flat path's single per-id window shuffle.  When ``n_centroids``
+    is None (caller holds a trained table of unknown size) the flat
+    exact path is used — correctness-preserving, merely slower."""
+    cent = centroids.select("cent_id", "c_vec")
     x = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
     w = Window.partitionBy(id_alias).orderBy(F.col("sim").desc(), "cent_id")
+    if n_centroids is None or n_centroids < TWO_LEVEL_ASSIGN_MIN_K:
+        return (
+            x.crossJoin(F.broadcast(cent))
+            .select(
+                id_alias,
+                vec_alias,
+                "cent_id",
+                F.round(cosine(F.col(vec_alias), F.col("c_vec")), 4).alias("sim"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= nprobe)
+            .select(id_alias, vec_alias, F.col("cent_id").alias("cell"))
+        )
+    # ---- two-level path (k >= TWO_LEVEL_ASSIGN_MIN_K) ----
+    n_coarse = max(16, math.isqrt(n_centroids))
+    coarse = kmeans_centroids(
+        cent.select(
+            F.col("cent_id").alias("vec_id"), F.col("c_vec").alias("embedding")
+        ),
+        k=n_coarse,
+        iterations=2,
+    ).select(F.col("cent_id").alias("coarse_id"), F.col("c_vec").alias("g_vec"))
+    # 1-row scalar attach: the whole coarse model as ONE array column,
+    # so coarse ranking is a row-local expression (no window, no extra
+    # shuffle).  √k structs of dim doubles — a few hundred KB broadcast.
+    coarse_arr = coarse.agg(
+        F.collect_list(F.struct("coarse_id", "g_vec")).alias("_coarse")
+    )
+
+    def _neg_sims(vec: Column) -> Column:
+        # struct(-sim, coarse_id): ascending struct order == sim DESC
+        # with coarse_id tie-break — the house ranking rule, row-local
+        return F.transform(
+            F.col("_coarse"),
+            lambda g: F.struct(
+                (-F.round(cosine(vec, g["g_vec"]), 4)).alias("_neg"),
+                g["coarse_id"].alias("coarse_id"),
+            ),
+        )
+
+    # fine -> coarse group map: argmin over the coarse array (k rows,
+    # one tiny job); checkpointed so both it and its join below don't
+    # re-derive the Lloyd training lineage
+    grouped = (
+        cent.crossJoin(F.broadcast(coarse_arr))
+        .select(
+            "cent_id",
+            "c_vec",
+            F.array_min(_neg_sims(F.col("c_vec")))["coarse_id"].alias(
+                "coarse_id"
+            ),
+        )
+        .localCheckpoint()
+    )
+    probes = x.crossJoin(F.broadcast(coarse_arr)).select(
+        id_alias,
+        vec_alias,
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_neg_sims(F.col(vec_alias))),
+                    1,
+                    coarse_nprobe,
+                ),
+                lambda s: s["coarse_id"],
+            )
+        ).alias("coarse_id"),
+    )
     return (
-        x.crossJoin(cent)
+        probes.join(F.broadcast(grouped), "coarse_id")
         .select(
             id_alias,
             vec_alias,
@@ -495,10 +600,12 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
         )
     cells = assign_cells(
-        ensure_parallelism(corpus), centroids, "neighbor_id", "n_vec", id_col, vec_col
+        ensure_parallelism(corpus), centroids, "neighbor_id", "n_vec",
+        id_col, vec_col, n_centroids=n_centroids,
     )
     qcells = assign_cells(
-        queries, centroids, "query_id", "q_vec", id_col, vec_col, nprobe=nprobe
+        queries, centroids, "query_id", "q_vec", id_col, vec_col,
+        nprobe=nprobe, n_centroids=n_centroids,
     )
     scored = (
         cells.join(qcells, "cell")
@@ -536,7 +643,10 @@ def build_ivf_index(
     centroids = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
     )
-    cells = assign_cells(corpus, centroids, "neighbor_id", "n_vec", id_col, vec_col)
+    cells = assign_cells(
+        corpus, centroids, "neighbor_id", "n_vec", id_col, vec_col,
+        n_centroids=n_centroids,
+    )
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -561,7 +671,8 @@ def query_ivf_index(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
     )
     qcells = assign_cells(
-        queries, centroids, "query_id", "q_vec", id_col, vec_col, nprobe=nprobe
+        queries, centroids, "query_id", "q_vec", id_col, vec_col,
+        nprobe=nprobe, n_centroids=n_centroids,
     )
     index = spark.read.parquet(path)
     scored = (
@@ -1019,6 +1130,15 @@ def semantic_dedup(
     ``n_centroids`` to override.  Centroids broadcast, cell assignment
     is map-side, and the only data shuffle is the equi-join on cell.
 
+    With k ∝ n the flat n·k assignment is itself Θ(n²/occupancy) — the
+    r12 sf10 probe measured it as the dominant term (569 s) after the
+    training fix.  Past ``TWO_LEVEL_ASSIGN_MIN_K`` (k ≥ 256; never at
+    an oracle-gate scale, where auto-k = 16) :func:`assign_cells`
+    therefore switches to the two-level coarse→fine scheme (Θ(n·√k)),
+    approximate-by-design and soundness-validated at probe scales; the
+    within-cell dedup semantics are unchanged (a vector is still
+    compared exactly against every cluster-mate).
+
     Pass ``centroids=`` (a trained ``(cent_id, c_vec)`` table) to skip
     training — used by the bench to time the prune path separately from
     the fixed-job-count k-means loop, and the natural production shape
@@ -1044,8 +1164,13 @@ def semantic_dedup(
     # per-vector norm materialized ONCE after assignment (row-local,
     # non-cheap so CollapseProject keeps it) — the within-cell pair
     # scoring below then does one dot per pair, not dot + two norms
+    # n_centroids is known on the auto/trained path; with corpus-scaled
+    # k it is what flips the assignment to two-level past the swap
+    # point (the r12-deferred n·k term).  A caller-supplied centroid
+    # table without n_centroids stays on the flat exact path.
     cells = assign_cells(
-        ensure_parallelism(corpus), cents, "_id", "_vec", id_col, vec_col
+        ensure_parallelism(corpus), cents, "_id", "_vec", id_col, vec_col,
+        n_centroids=n_centroids,
     ).withColumn("_nrm", norm(F.col("_vec")))
     hi = cells.select(
         F.col("cell"),

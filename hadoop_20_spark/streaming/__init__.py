@@ -15,6 +15,9 @@ bound state size; ``dropDuplicatesWithinWatermark`` bounds dedup state.
 
 from __future__ import annotations
 
+import threading
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -265,9 +268,28 @@ def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
 # tests/test_streaming.py asserts the sentinel flush drains state.
 LAST_QUERY_PROGRESS: dict = {}
 
+# Per-invocation progress log for CONCURRENT streaming runs: the
+# GridMix mix (g1) runs two stream-join copies at once, and two threads
+# racing on LAST_QUERY_PROGRESS leave one run's metrics unrecorded.
+# Every run_append_to_memory appends (sink name incl. nonce, metrics,
+# wall) here under a lock; g1 drains it to attribute per-batch latency
+# to each concurrent copy.  Bounded; drain with pop_query_progress().
+_PROGRESS_LOCK = threading.Lock()
+RECENT_PROGRESS_LOG: list[dict] = []
+_PROGRESS_LOG_MAX = 256
+
+
+def pop_query_progress() -> list[dict]:
+    """Drain and return the accumulated per-run streaming metrics."""
+    with _PROGRESS_LOCK:
+        out = list(RECENT_PROGRESS_LOG)
+        RECENT_PROGRESS_LOG.clear()
+    return out
+
 
 def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     name = _unique_sink_name(name)
+    t0 = time.time()
     q = (
         stream_df.writeStream.outputMode("append")
         .format("memory")
@@ -290,19 +312,29 @@ def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
         dur = (p.get("durationMs") or {}).get("triggerExecution")
         if dur is not None:
             batch_ms.append(int(dur))
+    metrics = {
+        "n_batches": len(rows_by_batch),
+        "state_rows_peak": max(rows_by_batch, default=0),
+        "state_rows_final": rows_by_batch[-1] if rows_by_batch else 0,
+        "state_memory_peak_bytes": mem_peak,
+        "batch_ms_p50": (
+            sorted(batch_ms)[len(batch_ms) // 2] if batch_ms else 0
+        ),
+        "batch_ms_max": max(batch_ms, default=0),
+    }
     LAST_QUERY_PROGRESS.clear()
-    LAST_QUERY_PROGRESS.update(
-        {
-            "n_batches": len(rows_by_batch),
-            "state_rows_peak": max(rows_by_batch, default=0),
-            "state_rows_final": rows_by_batch[-1] if rows_by_batch else 0,
-            "state_memory_peak_bytes": mem_peak,
-            "batch_ms_p50": (
-                sorted(batch_ms)[len(batch_ms) // 2] if batch_ms else 0
-            ),
-            "batch_ms_max": max(batch_ms, default=0),
-        }
-    )
+    LAST_QUERY_PROGRESS.update(metrics)
+    with _PROGRESS_LOCK:
+        if len(RECENT_PROGRESS_LOG) >= _PROGRESS_LOG_MAX:
+            del RECENT_PROGRESS_LOG[: _PROGRESS_LOG_MAX // 2]
+        RECENT_PROGRESS_LOG.append(
+            {
+                "sink": name,
+                "wall_secs": round(time.time() - t0, 3),
+                "batch_ms": batch_ms,
+                **metrics,
+            }
+        )
     q.stop()
     return stream_df.sparkSession.table(name)
 

@@ -68,3 +68,63 @@ def test_containment_topk_releases_postings_cache(spark, tables):
     # second invocation releases the first result's cache
     dedup.containment_topk(docs, "doc_id", "text", k=2).count()
     assert n_cached() <= start + 1, "result caches accumulate across calls"
+
+
+def _clustered_corpus(spark, n_clusters=300, per_cluster=6, dim=12):
+    """Well-separated synthetic clusters: cluster j's members are the
+    j-th basis-ish direction plus tiny deterministic jitter, so the
+    nearest centroid is unambiguous and flat-vs-two-level agreement
+    must be EXACT (no boundary ties for the probe to miss)."""
+    rows = []
+    for j in range(n_clusters):
+        for m in range(per_cluster):
+            base = [0.05] * dim
+            base[j % dim] = 10.0 + (j // dim) * 3.0
+            base[(j + 5) % dim] += (j % 7) * 1.3
+            base[(j + 2) % dim] += 0.001 * m  # jitter within the cluster
+            rows.append((j * per_cluster + m, base))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_two_level_assignment_matches_flat_on_separated_clusters(spark):
+    """assign_cells' two-level path (k >= TWO_LEVEL_ASSIGN_MIN_K) is
+    approximate-by-design, but on well-separated clusters the coarse
+    probe cannot miss the true cell, so it must reproduce the flat
+    argmax EXACTLY — and be deterministic run-over-run."""
+    from hadoop_20_spark.operators import similarity as sim
+
+    df = _clustered_corpus(spark)
+    k = 300
+    assert k >= sim.TWO_LEVEL_ASSIGN_MIN_K
+    cents = sim.kmeans_centroids(df, k=k, iterations=1)
+    flat = (
+        sim.assign_cells(df, cents, "_id", "_vec")
+        .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
+    )
+    two = (
+        sim.assign_cells(df, cents, "_id", "_vec", n_centroids=k)
+        .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
+    )
+    again = (
+        sim.assign_cells(df, cents, "_id", "_vec", n_centroids=k)
+        .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
+    )
+    assert len(two) == len(flat)
+    assert (two == flat).all(), "two-level missed the unambiguous argmax"
+    assert (two == again).all(), "two-level assignment is nondeterministic"
+
+
+def test_assignment_flat_below_swap_point(spark, tables):
+    """Below TWO_LEVEL_ASSIGN_MIN_K a known n_centroids must NOT change
+    the plan or the result — gate-scale oracles spell the flat argmax,
+    so the swap point is what keeps them bit-exact."""
+    from hadoop_20_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(400)
+    cents = emb.filter(F.col("vec_id") < 16).selectExpr(
+        "vec_id AS cent_id", "embedding AS c_vec"
+    )
+    a = sim.assign_cells(emb, cents, "_id", "_vec")
+    b = sim.assign_cells(emb, cents, "_id", "_vec", n_centroids=16)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -266,10 +266,77 @@ def _v_containment_report(spark, con, sf_dir: str) -> dict:
     }
 
 
+def _v_two_level_assignment(spark, con, sf_dir: str) -> dict:
+    """Agreement audit for the round-13 two-level (coarse→fine) cell
+    assignment against the exact flat argmax, at the first scale where
+    the two-level path actually engages (k = 200k//128 = 1562 ≥ 256).
+
+    The exact side is recomputed INDEPENDENTLY in numpy: the trained
+    centroid table (deterministic Lloyd, so both sides see the same
+    model) is collected (k×dim ≈ 800 KB) and the true argmax of the
+    4dp-rounded cosine with cent_id tie-break is evaluated for a
+    deterministic 2,000-vector sample; agreement is the fraction of
+    sampled vectors whose two-level cell equals the true argmax cell.
+    PASS needs ≥ 0.95 (structured real-ish embeddings; the in-repo
+    worst case — structureless gaussian noise — measures ~0.85) plus
+    bit-exact determinism across two Spark runs of the sample."""
+    from hadoop_20_spark.operators import similarity as sim
+
+    t0 = time.time()
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    k = sim.auto_n_centroids(n)
+    cents_df = sim.kmeans_centroids(
+        emb, k=k, iterations=3, train_sample_mod=sim.kmeans_train_mod(n)
+    )
+    cents_df = cents_df.coalesce(1).localCheckpoint()
+    cents = cents_df.orderBy("cent_id").collect()
+    c_ids = np.array([r.cent_id for r in cents])
+    c_vecs = np.stack([np.array(r.c_vec, dtype=np.float64) for r in cents])
+    c_norms = np.linalg.norm(c_vecs, axis=1)
+
+    sample = emb.filter(F.col("vec_id") % 100 == 7)  # ~2k deterministic
+    two = (
+        sim.assign_cells(sample, cents_df, "_id", "_vec", n_centroids=k)
+        .select("_id", "cell")
+        .toPandas()
+        .set_index("_id")["cell"]
+        .sort_index()
+    )
+    again = (
+        sim.assign_cells(sample, cents_df, "_id", "_vec", n_centroids=k)
+        .select("_id", "cell")
+        .toPandas()
+        .set_index("_id")["cell"]
+        .sort_index()
+    )
+    rows = sample.collect()
+    agree = 0
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        sims = np.round(c_vecs @ v / (c_norms * np.linalg.norm(v)), 4)
+        best = sims.max()
+        true_cell = int(c_ids[np.flatnonzero(sims == best).min()])
+        if int(two.loc[r.vec_id]) == true_cell:
+            agree += 1
+    rate = agree / max(1, len(rows))
+    det = bool((two == again).all()) and len(two) == len(rows)
+    return {
+        "kind": "validator",
+        "n_centroids": k,
+        "sample_n": len(rows),
+        "agreement_vs_flat_argmax": round(rate, 4),
+        "deterministic": det,
+        "secs": round(time.time() - t0, 1),
+        "status": "PASS" if (rate >= 0.95 and det) else "FAIL",
+    }
+
+
 VALIDATOR_PROBES = {
     "total_order_sort_validate": _v_total_order_sort,
     "semantic_dedup_scale": _v_semantic_dedup,
     "containment_report_validate": _v_containment_report,
+    "two_level_assignment_agreement": _v_two_level_assignment,
 }
 
 
