@@ -302,24 +302,113 @@ def lsh_topk(
 
 
 #: assignment-strategy swap point.  Below this centroid count the flat
-#: broadcast argmax (n·k cosines per corpus pass) is both cheapest and
-#: the exact quantizer contract the DuckDB oracles spell; at/above it
-#: ``assign_cells`` switches to the TWO-LEVEL assignment (coarse √k
-#: centroids over the centroid table itself, then argmax within the
-#: ``TWO_LEVEL_COARSE_NPROBE`` nearest coarse groups), capping per-row
-#: work at ~(√k + nprobe·√k) cosines instead of k.  With corpus-scaled
-#: k (∝ n) the flat assignment is the deferred Θ(n²/occupancy) term the
-#: r12 sf10 probe measured (assignment-dominated 569 s); two-level
-#: makes it Θ(n^1.5).  Every oracle-gate fixture resolves auto-k to 16,
-#: so the flat path — hence gate bit-exactness — is untouched below the
-#: threshold; above it the assignment is approximate-by-design (the
-#: true argmax centroid can live in an unprobed coarse group) and is
-#: soundness-validated at probe scales instead of oracle-matched.
-#: Reference anchor: the two-level trie of
-#: ex/terasort/TeraSort.java#TotalOrderPartitioner (coarse split, then
-#: local refinement, instead of one flat comparison per partition).
-TWO_LEVEL_ASSIGN_MIN_K = 256
+#: JVM broadcast argmax (n·k higher-order-expression cosines) is both
+#: cheap and the exact quantizer contract the DuckDB oracles spell;
+#: at/above it ``assign_cells`` switches to the GEMM strategy — the
+#: SAME flat argmax, evaluated as one numpy float64 (batch×dim)@(dim×k)
+#: matmul per Arrow batch against the driver-collected centroid model,
+#: with the identical 4dp HALF-UP rounding and cent_id tie-break.  The
+#: semantics are the flat contract (same candidate set, same ranking
+#: rule); the only divergence channel is float summation order inside
+#: a dot product (numpy pairwise vs the expression fold), which 4dp
+#: rounding absorbs except on exact rounding boundaries — measured
+#: agreement 1.0 at the sf10 probe.  With corpus-scaled k (∝ n) the
+#: assignment is still Θ(n²/occupancy) FLOPs, but at BLAS constants
+#: (~50× less CPU than the expression fan-out, the r12-measured 569 s
+#: assignment term) — the crossover where asymptotics beat constants
+#: moves out past the fourth decade, and past it the opt-in two-level
+#: strategy below is the named path.  Every oracle-gate fixture
+#: resolves auto-k to 16, so gate plans and results are bit-for-bit
+#: the JVM flat path.
+ASSIGN_GEMM_MIN_K = 256
+#: driver-side centroid-model ceiling for the GEMM strategy (k×dim
+#: float64 collect + broadcast; 200k×64 ≈ 100 MB).  Past it the call
+#: raises with the two_level/flat remediation — fail loud, never an
+#: unbounded driver pull.
+ASSIGN_GEMM_MAX_K = 200_000
+#: coarse cells probed per row by the OPT-IN two-level strategy.  NOT a
+#: default: on the house synthetic fixtures (random unit vectors — no
+#: cluster structure, the coarse quantizer's worst case) the sf10 probe
+#: measured only 0.438 agreement with the flat argmax at 4/√k probing,
+#: which silently cost semantic_dedup 22% of its reported duplicates.
+#: Use strategy="two_level" only for corpora with real cluster
+#: structure, and validate agreement first (the probe's
+#: two_level_assignment_agreement entry is the template).
 TWO_LEVEL_COARSE_NPROBE = 4
+# back-compat alias (r13 interim name for the swap point)
+TWO_LEVEL_ASSIGN_MIN_K = ASSIGN_GEMM_MIN_K
+
+
+def _assign_cells_gemm(
+    x: DataFrame,
+    cent: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The flat argmax as an Arrow-batched numpy GEMM (see
+    ASSIGN_GEMM_MIN_K).  The centroid table is a trained MODEL, not
+    data: it is collected once (bounded by ASSIGN_GEMM_MAX_K — fail
+    loud past ~100 MB) and shipped as a spark broadcast; each batch
+    computes all batch×k rounded cosines in one float64 matmul and
+    ranks with the house rule — HALF-UP 4dp rounding (sign-aware
+    floor(|x|·1e4+0.5), matching Spark's BigDecimal HALF_UP, NOT
+    numpy's banker's round) and stable argsort on -sim so equal sims
+    keep ascending cent_id order.  Zero shuffles: the per-id window of
+    the expression path collapses into the row-local ranking."""
+    import numpy as np
+
+    rows = cent.orderBy("cent_id").collect()
+    k = len(rows)
+    if k > ASSIGN_GEMM_MAX_K:
+        raise ValueError(
+            f"assign_cells: {k:,} centroids exceed ASSIGN_GEMM_MAX_K="
+            f"{ASSIGN_GEMM_MAX_K:,} (driver model ceiling) — pass "
+            "strategy='two_level' (cluster-structured corpora; validate "
+            "agreement first) or strategy='flat'"
+        )
+    c_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    c_mat = np.stack(
+        [np.asarray(r["c_vec"], dtype=np.float64) for r in rows]
+    )
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    spark = x.sparkSession
+    bc = spark.sparkContext.broadcast((c_ids, c_mat.T.copy(), c_norm))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(x.schema.fields) + [StructField("cell", LongType())]
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, ct, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_alias]]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (V @ ct) / np.outer(vn, cn)
+            # HALF-UP at 4dp, sign-aware (Spark round() semantics)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            # stable sort on -sim: ties keep ascending cent_id order
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            rep = pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias].to_numpy().repeat(nprobe),
+                    vec_alias: pdf[vec_alias].to_numpy().repeat(nprobe),
+                    "cell": ids[order].reshape(-1),
+                }
+            )
+            yield rep
+
+    return x.mapInPandas(part, out_schema)
 
 
 def assign_cells(
@@ -331,6 +420,7 @@ def assign_cells(
     vec_col: str = "embedding",
     nprobe: int = 1,
     n_centroids: int | None = None,
+    strategy: str | None = None,
     coarse_nprobe: int = TWO_LEVEL_COARSE_NPROBE,
 ) -> DataFrame:
     """Nearest-centroid assignment — THE one place that encodes the
@@ -341,23 +431,28 @@ def assign_cells(
     probes), build_ivf_index, query_ivf_index, and semantic_dedup, so
     the rounding/tie-break rules cannot drift between them.
 
-    ``n_centroids`` is the caller's known centroid count (no count job
-    is ever run here): when it is ≥ ``TWO_LEVEL_ASSIGN_MIN_K`` the flat
-    n·k scoring pass switches to the two-level scheme — ~√k coarse
-    centroids are trained over the CENTROID TABLE (k rows, driver-cheap
-    Lloyd), each fine centroid is grouped under its nearest coarse one,
-    and a corpus row scores only the fine centroids of its
-    ``coarse_nprobe`` nearest coarse groups.  The coarse ranking is
-    row-local (one collect_list'd coarse array broadcast as a 1-row
-    scalar attach; top-``coarse_nprobe`` via array_sort over
-    (-sim, coarse_id) structs — no extra shuffle), so the plan keeps
-    the flat path's single per-id window shuffle.  When ``n_centroids``
-    is None (caller holds a trained table of unknown size) the flat
-    exact path is used — correctness-preserving, merely slower."""
+    ``strategy`` (default auto):
+
+    - ``"flat"`` — the JVM expression argmax, the oracle contract.
+      Auto-chosen when ``n_centroids`` is None (caller holds a trained
+      table of unknown size; correctness-preserving, merely slower at
+      big k) or below ``ASSIGN_GEMM_MIN_K``.
+    - ``"gemm"`` — the same flat argmax as one numpy matmul per Arrow
+      batch (see ASSIGN_GEMM_MIN_K); auto-chosen at/above the swap
+      point.  Exact-same ranking rule; sf10-measured agreement 1.0.
+    - ``"two_level"`` — OPT-IN Θ(n·√k) coarse→fine probing; see the
+      TWO_LEVEL_COARSE_NPROBE warning (0.438 agreement on
+      structureless corpora — cluster-structured data only)."""
     cent = centroids.select("cent_id", "c_vec")
     x = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
     w = Window.partitionBy(id_alias).orderBy(F.col("sim").desc(), "cent_id")
-    if n_centroids is None or n_centroids < TWO_LEVEL_ASSIGN_MIN_K:
+    if strategy is None:
+        strategy = (
+            "flat"
+            if n_centroids is None or n_centroids < ASSIGN_GEMM_MIN_K
+            else "gemm"
+        )
+    if strategy == "flat":
         return (
             x.crossJoin(F.broadcast(cent))
             .select(
@@ -370,7 +465,18 @@ def assign_cells(
             .filter(F.col("rk") <= nprobe)
             .select(id_alias, vec_alias, F.col("cent_id").alias("cell"))
         )
-    # ---- two-level path (k >= TWO_LEVEL_ASSIGN_MIN_K) ----
+    if strategy == "gemm":
+        return _assign_cells_gemm(
+            x, cent, id_alias, vec_alias, nprobe=nprobe
+        )
+    if strategy != "two_level":
+        raise ValueError(f"assign_cells: unknown strategy {strategy!r}")
+    # ---- two-level path (OPT-IN; see TWO_LEVEL_COARSE_NPROBE) ----
+    if n_centroids is None:
+        raise ValueError(
+            "assign_cells: strategy='two_level' needs n_centroids (the "
+            "coarse model is sized ~sqrt(k))"
+        )
     n_coarse = max(16, math.isqrt(n_centroids))
     coarse = kmeans_centroids(
         cent.select(
@@ -1132,12 +1238,16 @@ def semantic_dedup(
 
     With k ∝ n the flat n·k assignment is itself Θ(n²/occupancy) — the
     r12 sf10 probe measured it as the dominant term (569 s) after the
-    training fix.  Past ``TWO_LEVEL_ASSIGN_MIN_K`` (k ≥ 256; never at
-    an oracle-gate scale, where auto-k = 16) :func:`assign_cells`
-    therefore switches to the two-level coarse→fine scheme (Θ(n·√k)),
-    approximate-by-design and soundness-validated at probe scales; the
-    within-cell dedup semantics are unchanged (a vector is still
-    compared exactly against every cluster-mate).
+    training fix.  Past ``ASSIGN_GEMM_MIN_K`` (k ≥ 256; never at an
+    oracle-gate scale, where auto-k = 16) :func:`assign_cells`
+    therefore evaluates the SAME flat argmax as an Arrow-batched numpy
+    GEMM (sf10-measured agreement 1.0, ~50× less CPU than the
+    expression fan-out); the within-cell dedup semantics are unchanged
+    (a vector is still compared exactly against every cluster-mate).
+    The Θ(n·√k) two-level scheme stays opt-in — it measured 0.438
+    argmax agreement on this fixture's structureless random vectors
+    and silently cost 22% of reported duplicates when it was briefly
+    the default (see TWO_LEVEL_COARSE_NPROBE).
 
     Pass ``centroids=`` (a trained ``(cent_id, c_vec)`` table) to skip
     training — used by the bench to time the prune path separately from
@@ -1207,6 +1317,70 @@ def semantic_dedup(
         .select("vec_id", "cell", "keeper_id", "cosine_sim")
         .orderBy("vec_id")
     )
+
+
+def covariance_sufficient_stats(q: DataFrame, dim: int = 64) -> DataFrame:
+    """ALL covariance sufficient statistics from ONE Arrow-batched pass
+    over a micro-quantized (BIGINT component) embedding relation ``q``
+    (single array column ``q``): per batch of vectors Q, one int64
+    Gram product QᵀQ yields every pairwise Σqᵢqⱼ (i<j) AND the
+    diagonal Σqᵢ² — plus column sums Σqᵢ and the row count — emitted as
+    (di, dj, p) partials:
+
+      di <  dj : Σ qᵢ·qⱼ  (the covariance numerator's cross term)
+      di == dj : Σ qᵢ²
+      dj == -1 : Σ qᵢ
+      (-1, -1) : batch row count
+
+    EXACT integer arithmetic end-to-end: numpy int64 matmul of the
+    already-quantized components is the same multiset of products the
+    Catalyst expression fan-out sums, and integer addition is
+    order-free, so the downstream DECIMAL(38,0) aggregate is
+    bit-identical to the expression form at every scale — this kernel
+    is a pure physical swap (the r12 verdict's named optimization: the
+    2,016-product-per-row expression fan-out cost ~13× DuckDB's
+    vectorized scan at 200k×64).  Per-batch partials are emitted
+    without cross-batch accumulation so the int64 envelope is
+    provable: |component| ≤ 1e6 ⇒ |product| ≤ 1e12, and the kernel
+    asserts batch_rows ≤ 1e6 ⇒ |partial| ≤ 1e18 < 2⁶³ (Arrow batches
+    default to 10k rows; the assert turns a silent wrap into a loud
+    failure if someone raises maxRecordsPerBatch past the envelope).
+    Shuffle volume: ≤ (dim²/2 + 3·dim/2 + 1) rows per batch —
+    corpus-size-free, the map-side-combine economics of the expression
+    form preserved.
+
+    This is one of the repo's documented Arrow-batched exceptions to
+    the builtins-first rule (a GEMM is exactly what expression codegen
+    cannot vectorize across columns)."""
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(dim)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            assert n <= 1_000_000, (
+                "covariance_sufficient_stats: arrow batch of "
+                f"{n:,} rows exceeds the 1e6 int64-overflow envelope"
+            )
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            G = Q.T @ Q
+            sx = Q.sum(axis=0)
+            di = np.concatenate(
+                [iu0, np.arange(dim), np.array([-1])]
+            ).astype(np.int32)
+            dj = np.concatenate(
+                [iu1, np.full(dim, -1), np.array([-1])]
+            ).astype(np.int32)
+            p = np.concatenate([G[iu0, iu1], sx, np.array([n])]).astype(
+                np.int64
+            )
+            yield pd.DataFrame({"di": di, "dj": dj, "p": p})
+
+    return q.select("q").mapInPandas(part, "di int, dj int, p long")
 
 
 # --- product quantization (IVF-PQ's compression half) -----------------------

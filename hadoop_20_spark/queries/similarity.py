@@ -1215,38 +1215,44 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000) AS BIGINT))"
         ).alias("q"),
     )
-    dims = (
-        q.select(F.posexplode("q").alias("d", "x"))
-        .groupBy("d")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-            F.sum(
-                (F.col("x").cast("decimal(38,0)") * F.col("x")).cast(
-                    "decimal(38,0)"
-                )
-            ).alias("sxx"),
+    # ONE Arrow-batched sufficient-statistics pass (int64 QᵀQ per
+    # batch + column sums + count — operators/similarity.py
+    # covariance_sufficient_stats): bit-identical integer partials to
+    # the 2,016-product expression fan-out this replaced (the r12
+    # verdict's ~13×-vs-DuckDB constant), one corpus scan for pairs,
+    # moments AND the row count.  The ≤2,145-row aggregate is
+    # localCheckpointed so its four consumers don't re-derive the
+    # corpus pass (house scan-fanout rule).
+    stats = (
+        similarity.covariance_sufficient_stats(q, dim=64)
+        .groupBy("di", "dj")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+        .localCheckpoint()
+    )
+    nrow = stats.filter((F.col("di") == -1) & (F.col("dj") == -1)).select(
+        F.col("s").cast("long").alias("n")
+    )
+    moments = (
+        stats.filter((F.col("di") >= 0) & (F.col("dj") == -1))
+        .select(F.col("di").alias("d"), F.col("s").alias("sx"))
+        .join(
+            stats.filter(
+                (F.col("di") >= 0) & (F.col("di") == F.col("dj"))
+            ).select(F.col("di").alias("d"), F.col("s").alias("sxx")),
+            "d",
         )
+        .crossJoin(F.broadcast(nrow))
     )
-    pair_products = q.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (xi, i) -> "
-                "transform(slice(q, i + 2, 64), (xj, k) -> "
-                "struct(i AS di, i + 1 + k AS dj, xi * xj AS p))))"
-            )
-        ).alias("s")
-    )
-    pairs = pair_products.groupBy(
-        F.col("s.di").alias("di"), F.col("s.dj").alias("dj")
-    ).agg(F.sum(F.col("s.p").cast("decimal(38,0)")).alias("sxy"))
-    a = dims.select(
+    pairs = stats.filter(
+        (F.col("di") >= 0) & (F.col("dj") > F.col("di"))
+    ).select("di", "dj", F.col("s").alias("sxy"))
+    a = moments.select(
         F.col("d").alias("di"),
         F.col("n").alias("n_vecs"),
         F.col("sx").alias("sx_i"),
         F.col("sxx").alias("sxx_i"),
     )
-    b = dims.select(
+    b = moments.select(
         F.col("d").alias("dj"),
         F.col("sx").alias("sx_j"),
         F.col("sxx").alias("sxx_j"),

@@ -168,11 +168,33 @@ def test_embedding_covariance_matches_numpy(spark):
 def test_embedding_covariance_plan_partial_agg_no_vector_shuffle(spark):
     from hadoop_20_spark.registry import REGISTRY
 
+    from pyspark.sql import functions as F
+
+    from hadoop_20_spark.catalog import load_table
+    from hadoop_20_spark.operators.similarity import (
+        covariance_sufficient_stats,
+    )
+
+    # round 13: the sufficient statistics come from ONE Arrow-batched
+    # mapInPandas GEMM (<= 2145 cells per batch leave the kernel) — the
+    # raw vectors still never shuffle.  The registry query
+    # localCheckpoints the tiny aggregate, so ITS plan shows the
+    # checkpoint scan; the kernel's own plan is asserted directly.
+    q = load_table(spark, "embeddings", SF).select(
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+            "* 1000000) AS BIGINT))"
+        ).alias("q")
+    )
+    kplan = _plan(covariance_sufficient_stats(q))
+    assert "MapInPandas" in kplan, kplan
+    assert "Exchange" not in kplan, kplan  # partials leave map-side only
+
     plan = _plan(REGISTRY["embedding_covariance_topk"].fn(spark, SF))
-    # the explode feeds a partial aggregate: each map task combines to
-    # <= dim^2/2 cells before its exchange — the raw vectors never move
-    assert "Generate explode" in plan or "Generate posexplode" in plan, plan
-    assert "partial" in plan.lower(), plan
+    # above the checkpointed aggregate: no explode fan-out remains, the
+    # tiny readers join broadcast, top-10 is TakeOrderedAndProject
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Generate explode" not in plan and "posexplode" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan

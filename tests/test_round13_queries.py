@@ -87,31 +87,77 @@ def _clustered_corpus(spark, n_clusters=300, per_cluster=6, dim=12):
 
 
 def test_two_level_assignment_matches_flat_on_separated_clusters(spark):
-    """assign_cells' two-level path (k >= TWO_LEVEL_ASSIGN_MIN_K) is
-    approximate-by-design, but on well-separated clusters the coarse
-    probe cannot miss the true cell, so it must reproduce the flat
-    argmax EXACTLY — and be deterministic run-over-run."""
+    """The OPT-IN two-level path is approximate-by-design (and measured
+    at 0.438 agreement on structureless corpora — why it is opt-in),
+    but on well-separated clusters the coarse probe cannot miss the
+    true cell, so it must reproduce the flat argmax EXACTLY — and be
+    deterministic run-over-run."""
     from hadoop_20_spark.operators import similarity as sim
 
     df = _clustered_corpus(spark)
     k = 300
-    assert k >= sim.TWO_LEVEL_ASSIGN_MIN_K
+    assert k >= sim.ASSIGN_GEMM_MIN_K
     cents = sim.kmeans_centroids(df, k=k, iterations=1)
     flat = (
         sim.assign_cells(df, cents, "_id", "_vec")
         .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
     )
     two = (
-        sim.assign_cells(df, cents, "_id", "_vec", n_centroids=k)
+        sim.assign_cells(
+            df, cents, "_id", "_vec", n_centroids=k, strategy="two_level"
+        )
         .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
     )
     again = (
-        sim.assign_cells(df, cents, "_id", "_vec", n_centroids=k)
+        sim.assign_cells(
+            df, cents, "_id", "_vec", n_centroids=k, strategy="two_level"
+        )
         .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
     )
     assert len(two) == len(flat)
     assert (two == flat).all(), "two-level missed the unambiguous argmax"
     assert (two == again).all(), "two-level assignment is nondeterministic"
+
+
+def test_gemm_assignment_matches_flat_exactly(spark):
+    """The DEFAULT big-k strategy (auto past ASSIGN_GEMM_MIN_K) is the
+    flat argmax as a numpy GEMM — same 4dp HALF-UP rounding, same
+    cent_id tie-break — so on ANY corpus (structureless gaussian
+    included, the two-level worst case) it must match the JVM flat
+    path exactly, for nprobe=1 and as a probe SET for nprobe=3."""
+    import numpy as np
+
+    from hadoop_20_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 2000, 16, 300
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sim.kmeans_centroids(df, k=k, iterations=1)
+    flat = (
+        sim.assign_cells(df, cents, "_id", "_vec")
+        .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
+    )
+    gemm = (
+        sim.assign_cells(df, cents, "_id", "_vec", n_centroids=k)
+        .select("_id", "cell").toPandas().set_index("_id")["cell"].sort_index()
+    )
+    assert len(gemm) == len(flat) == n
+    assert (gemm == flat).all(), "GEMM diverged from the flat argmax"
+    f3 = (
+        sim.assign_cells(df, cents, "_id", "_vec", nprobe=3)
+        .select("_id", "cell").toPandas()
+        .groupby("_id")["cell"].apply(frozenset).sort_index()
+    )
+    g3 = (
+        sim.assign_cells(df, cents, "_id", "_vec", nprobe=3, n_centroids=k)
+        .select("_id", "cell").toPandas()
+        .groupby("_id")["cell"].apply(frozenset).sort_index()
+    )
+    assert (f3 == g3).all(), "GEMM nprobe>1 probe set diverged"
 
 
 def test_assignment_flat_below_swap_point(spark, tables):

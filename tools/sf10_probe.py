@@ -266,20 +266,18 @@ def _v_containment_report(spark, con, sf_dir: str) -> dict:
     }
 
 
-def _v_two_level_assignment(spark, con, sf_dir: str) -> dict:
-    """Agreement audit for the round-13 two-level (coarse→fine) cell
-    assignment against the exact flat argmax, at the first scale where
-    the two-level path actually engages (k = 200k//128 = 1562 ≥ 256).
+def _v_assignment_agreement(spark, con, sf_dir: str) -> dict:
+    """Agreement audit for the big-k cell-assignment strategies against
+    an INDEPENDENT numpy recomputation of the exact flat argmax
+    (HALF-UP 4dp rounding, cent_id tie-break), at the first scale where
+    the swap point engages (k = 200k//128 = 1562 >= 256).
 
-    The exact side is recomputed INDEPENDENTLY in numpy: the trained
-    centroid table (deterministic Lloyd, so both sides see the same
-    model) is collected (k×dim ≈ 800 KB) and the true argmax of the
-    4dp-rounded cosine with cent_id tie-break is evaluated for a
-    deterministic 2,000-vector sample; agreement is the fraction of
-    sampled vectors whose two-level cell equals the true argmax cell.
-    PASS needs ≥ 0.95 (structured real-ish embeddings; the in-repo
-    worst case — structureless gaussian noise — measures ~0.85) plus
-    bit-exact determinism across two Spark runs of the sample."""
+    - The DEFAULT strategy (``gemm`` -- the same flat semantics at BLAS
+      constants) must agree >= 0.999 and be deterministic: PASS/FAIL.
+    - The OPT-IN ``two_level`` strategy's agreement is RECORDED for the
+      caveat docs (round 13 measured 0.438 here -- random unit vectors
+      are the coarse quantizer's worst case; that number is why
+      two-level is not the default)."""
     from hadoop_20_spark.operators import similarity as sim
 
     t0 = time.time()
@@ -296,39 +294,44 @@ def _v_two_level_assignment(spark, con, sf_dir: str) -> dict:
     c_norms = np.linalg.norm(c_vecs, axis=1)
 
     sample = emb.filter(F.col("vec_id") % 100 == 7)  # ~2k deterministic
-    two = (
-        sim.assign_cells(sample, cents_df, "_id", "_vec", n_centroids=k)
-        .select("_id", "cell")
-        .toPandas()
-        .set_index("_id")["cell"]
-        .sort_index()
-    )
-    again = (
-        sim.assign_cells(sample, cents_df, "_id", "_vec", n_centroids=k)
-        .select("_id", "cell")
-        .toPandas()
-        .set_index("_id")["cell"]
-        .sort_index()
-    )
+
+    def assigned(strategy):
+        return (
+            sim.assign_cells(
+                sample, cents_df, "_id", "_vec",
+                n_centroids=k, strategy=strategy,
+            )
+            .select("_id", "cell")
+            .toPandas()
+            .set_index("_id")["cell"]
+            .sort_index()
+        )
+
+    gemm = assigned("gemm")
+    gemm_again = assigned("gemm")
+    two = assigned("two_level")
     rows = sample.collect()
-    agree = 0
+    g_agree = t_agree = 0
     for r in rows:
         v = np.array(r.embedding, dtype=np.float64)
-        sims = np.round(c_vecs @ v / (c_norms * np.linalg.norm(v)), 4)
-        best = sims.max()
-        true_cell = int(c_ids[np.flatnonzero(sims == best).min()])
-        if int(two.loc[r.vec_id]) == true_cell:
-            agree += 1
-    rate = agree / max(1, len(rows))
-    det = bool((two == again).all()) and len(two) == len(rows)
+        s = c_vecs @ v / (c_norms * np.linalg.norm(v))
+        s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4  # HALF-UP
+        true_cell = int(c_ids[np.flatnonzero(s == s.max()).min()])
+        g_agree += int(gemm.loc[r.vec_id]) == true_cell
+        t_agree += int(two.loc[r.vec_id]) == true_cell
+    g_rate = g_agree / max(1, len(rows))
+    det = bool((gemm == gemm_again).all()) and len(gemm) == len(rows)
     return {
         "kind": "validator",
         "n_centroids": k,
         "sample_n": len(rows),
-        "agreement_vs_flat_argmax": round(rate, 4),
+        "gemm_agreement_vs_flat_argmax": round(g_rate, 4),
+        "two_level_agreement_informational": round(
+            t_agree / max(1, len(rows)), 4
+        ),
         "deterministic": det,
         "secs": round(time.time() - t0, 1),
-        "status": "PASS" if (rate >= 0.95 and det) else "FAIL",
+        "status": "PASS" if (g_rate >= 0.999 and det) else "FAIL",
     }
 
 
@@ -336,7 +339,7 @@ VALIDATOR_PROBES = {
     "total_order_sort_validate": _v_total_order_sort,
     "semantic_dedup_scale": _v_semantic_dedup,
     "containment_report_validate": _v_containment_report,
-    "two_level_assignment_agreement": _v_two_level_assignment,
+    "assignment_agreement": _v_assignment_agreement,
 }
 
 
