@@ -96,7 +96,7 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN pc ca ON ca.l_partkey = part_a
       JOIN pc cb ON cb.l_partkey = part_b
     )
-    SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS n_orders, ROUND(lift, 6) AS lift
+    SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS n_orders, (ROUND(lift, 6) + 0) AS lift
     FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 20
     """,
     note=(

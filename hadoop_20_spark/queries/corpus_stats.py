@@ -154,9 +154,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
            w AS token,
            CAST(c AS BIGINT) AS cnt,
-           ROUND(CAST(SUM(c) OVER (ORDER BY c DESC, w
+           (ROUND(CAST(SUM(c) OVER (ORDER BY c DESC, w
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / (SELECT n FROM tot), 6) AS cum_share
+                 / (SELECT n FROM tot), 6) + 0) AS cum_share
     FROM top
     ORDER BY rank
     """,
@@ -314,7 +314,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
            CAST(SUM(n_novel) AS BIGINT) AS n_novel,
-           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh), 6) AS novelty_rate
+           (ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh), 6) + 0) AS novelty_rate
     FROM per_doc GROUP BY source ORDER BY source
     """,
     note=(
@@ -512,12 +512,12 @@ _HLL_V = f"(({_sql_md5_long('w')} >> 6) & 4294967295)"
       FROM stats JOIN ex ON stats.source = ex.source
     ),
     est AS (
-      SELECT *, ROUND({_HLL_NUM!r} / s_scaled, 4) AS est_raw FROM base
+      SELECT *, (ROUND({_HLL_NUM!r} / s_scaled, 4) + 0) AS est_raw FROM base
     ),
     corr AS (  -- small-range (linear counting) correction, Flajolet et al. fig. 3
       SELECT *,
              CASE WHEN est_raw <= {2.5 * _HLL_M!r} AND zero_buckets > 0
-                  THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_buckets), 4)
+                  THEN (ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_buckets), 4) + 0)
                   ELSE est_raw END AS est_hll,
              CASE WHEN est_raw <= {2.5 * _HLL_M!r} AND zero_buckets > 0
                   THEN 'linear' ELSE 'raw' END AS est_mode
@@ -525,7 +525,7 @@ _HLL_V = f"(({_sql_md5_long('w')} >> 6) & 4294967295)"
     )
     SELECT source, occupied_buckets, zero_buckets, s_scaled, est_raw, est_hll,
            est_mode, exact_distinct,
-           ROUND(100.0 * ABS(est_hll / exact_distinct - 1.0), 2) AS rel_err_pct
+           (ROUND(100.0 * ABS(est_hll / exact_distinct - 1.0), 2) + 0) AS rel_err_pct
     FROM corr ORDER BY source
     """,
     note=(
@@ -690,11 +690,11 @@ def _sql_hll_est(regs_cte: str, keys: str) -> str:
     return f"""(
       SELECT {keys},
              CASE WHEN est_raw <= {2.5 * _HLL_M!r} AND zero_buckets > 0
-                  THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_buckets), 4)
+                  THEN (ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_buckets), 4) + 0)
                   ELSE est_raw END AS est_hll
       FROM (
         SELECT {keys}, zero_buckets,
-               ROUND({_HLL_NUM!r} / s_scaled, 4) AS est_raw
+               (ROUND({_HLL_NUM!r} / s_scaled, 4) + 0) AS est_raw
         FROM (
           SELECT {keys},
                  CAST({_HLL_M} - COUNT(*) AS BIGINT) AS zero_buckets,
@@ -745,11 +745,11 @@ def _sql_hll_est(regs_cte: str, keys: str) -> str:
            ea.est_hll AS est_a,
            eb.est_hll AS est_b,
            eu.est_hll AS est_union,
-           ROUND(GREATEST(ea.est_hll + eb.est_hll - eu.est_hll, 0.0), 4)
+           (ROUND(GREATEST(ea.est_hll + eb.est_hll - eu.est_hll, 0.0), 4) + 0)
              AS est_intersect,
            x.exact_intersect,
-           ROUND(ABS(ROUND(GREATEST(ea.est_hll + eb.est_hll - eu.est_hll, 0.0), 4)
-                     - x.exact_intersect), 4) AS abs_err
+           (ROUND(ABS((ROUND(GREATEST(ea.est_hll + eb.est_hll - eu.est_hll, 0.0), 4) + 0)
+                     - x.exact_intersect), 4) + 0) AS abs_err
     FROM pairs p
     JOIN est_s ea ON ea.source = p.s1
     JOIN est_s eb ON eb.source = p.s2

@@ -45,7 +45,7 @@ from hadoop_20_spark.queries._base import (  # noqa: F401
     per_user AS (SELECT DISTINCT user_id, v, c, p FROM w3),
     agg AS (SELECT COUNT(v) AS nv, COUNT(c) AS nc, COUNT(p) AS np FROM per_user)
     SELECT stage_idx, stage, n_users,
-           ROUND(n_users * 1.0 / NULLIF(nv, 0), 6) AS conversion
+           (ROUND(n_users * 1.0 / NULLIF(nv, 0), 6) + 0) AS conversion
     FROM (
       SELECT 1 AS stage_idx, 'view' AS stage, CAST(nv AS BIGINT) AS n_users, nv FROM agg
       UNION ALL
@@ -148,17 +148,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_events,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           (ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6) + 0)
              AS slope_per_day,
-           ROUND((CAST(sy AS DOUBLE)
+           (ROUND((CAST(sy AS DOUBLE)
                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0) AS intercept
     FROM s ORDER BY event_type
     """,
     note="per-group closed-form OLS (value ~ time): slope/day + intercept from five decimal-exact sufficient statistics in one partial-agg'd pass — never regr_slope's float accumulation",
@@ -235,7 +235,7 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
       FROM unioned
     )
-    SELECT user_id, ts AS grid_ts, ROUND(v, 6) AS value
+    SELECT user_id, ts AS grid_ts, (ROUND(v, 6) + 0) AS value
     FROM filled WHERE event_id IS NULL
     ORDER BY user_id, grid_ts
     """,
@@ -302,8 +302,8 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM act GROUP BY 1, 2
     )
     SELECT cohort_week, week_offset, n_active,
-           ROUND(n_active * 1.0 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
-                 OVER (PARTITION BY cohort_week), 6) AS retention
+           (ROUND(n_active * 1.0 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_week), 6) + 0) AS retention
     FROM cells
     ORDER BY cohort_week, week_offset
     """,
@@ -368,7 +368,7 @@ def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type, next_type
     )
     SELECT from_type, to_type, n,
-           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+           (ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) + 0) AS p
     FROM grid ORDER BY from_type, to_type
     """,
     note="per-user event-type transition matrix (first-order Markov counts + row-normalized probabilities): LEAD over the user stream, aggregate on the tiny type x type grid",
@@ -424,7 +424,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d JOIN stats st ON st.event_type = d.event_type
       WHERE nd >= 2 AND (ss - s * s / nd) > 0
     )
-    SELECT event_type, day, n_events, ROUND(z, 6) AS z
+    SELECT event_type, day, n_events, (ROUND(z, 6) + 0) AS z
     FROM scored WHERE ABS(z) >= 2
     ORDER BY event_type, day
     """,
@@ -567,7 +567,7 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(SUM(attributed) AS BIGINT) AS n_attributed,
-           ROUND(CAST(SUM(attributed) AS DOUBLE) / COUNT(*), 6) AS attribution_rate,
+           (ROUND(CAST(SUM(attributed) AS DOUBLE) / COUNT(*), 6) + 0) AS attribution_rate,
            CAST(CAST(SUM(CASE WHEN attributed = 1
                          THEN CAST(value AS DECIMAL(18,3)) END) AS VARCHAR) AS DOUBLE) AS attributed_value
     FROM purchases GROUP BY day ORDER BY day
@@ -659,8 +659,8 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(LEAST(gap_days, 10) AS BIGINT) AS gap_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_gaps,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM gaps WHERE gap_days IS NOT NULL), 6) AS share
+           (ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM gaps WHERE gap_days IS NOT NULL), 6) + 0) AS share
     FROM gaps WHERE gap_days IS NOT NULL
     GROUP BY gap_bucket ORDER BY gap_bucket
     """,
@@ -723,9 +723,9 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day,
            CAST(n_events AS BIGINT) AS n_events,
            CAST(n_errors AS BIGINT) AS n_errors,
-           ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) AS err_rate,
-           ROUND(AVG(CAST(n_errors AS DOUBLE) / n_events) OVER (
-                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+           (ROUND(CAST(n_errors AS DOUBLE) / n_events, 6) + 0) AS err_rate,
+           (ROUND(AVG(CAST(n_errors AS DOUBLE) / n_events) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) + 0)
              AS err_rate_7d
     FROM daily ORDER BY day
     """,
@@ -781,8 +781,8 @@ def error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(touch_bucket AS BIGINT) AS touch_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM purchases), 6) AS share
+           (ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM purchases), 6) + 0) AS share
     FROM purchases GROUP BY touch_bucket ORDER BY touch_bucket
     """,
     note=(

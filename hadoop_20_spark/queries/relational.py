@@ -78,10 +78,10 @@ def agg_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS n_distinct_values,
            CAST(MIN(freq) AS BIGINT) AS min_freq,
-           ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
+           (ROUND(quantile_cont(freq, 0.5), 6) + 0) AS median_freq,
            CAST(MAX(freq) AS BIGINT) AS max_freq,
-           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
-           ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) AS stddev_freq
+           (ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) + 0) AS avg_freq,
+           (ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) + 0) AS stddev_freq
     FROM freq GROUP BY o_orderpriority
     """,
     note="mapred/lib/aggregate/ValueHistogram.java as scalable two-level agg",
@@ -444,8 +444,8 @@ def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     """
     SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+           (ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0) AS running_value
     FROM events
     """,
     note="window frames (absent in reference; hand-rolled in reducers over secondary sort)",
@@ -469,7 +469,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_lead",
     """
     SELECT user_id, event_id,
-           ROUND(value - COALESCE(LAG(value) OVER w, 0), 6) AS delta_prev,
+           (ROUND(value - COALESCE(LAG(value) OVER w, 0), 6) + 0) AS delta_prev,
            LEAD(event_type) OVER w AS next_type
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -902,8 +902,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK() OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
            NTILE(4) OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           (ROUND(PERCENT_RANK() OVER w, 6) + 0) AS pct_rank,
+           (ROUND(CUME_DIST() OVER w, 6) + 0) AS cume,
            FIRST_VALUE(o_orderkey) OVER w AS top_order
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -975,7 +975,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(COALESCE(MAX(gap_s), 0.0), 6) AS max_gap_s
+           (ROUND(COALESCE(MAX(gap_s), 0.0), 6) + 0) AS max_gap_s
     FROM g GROUP BY user_id
     """,
     note="Reducer.reduce over sorted groups via applyInPandas (grouped_reduce): order-dependent state in pandas",
@@ -1235,8 +1235,8 @@ def _halton_sql(var: str, base: int, digits: int) -> str:
     SELECT COUNT(*) AS n_points,
            CAST(SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
-           ROUND(4.0 * SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
-                                THEN 1 ELSE 0 END) / COUNT(*), 6) AS pi_estimate
+           (ROUND(4.0 * SUM(CASE WHEN (x - 0.5) * (x - 0.5) + (y - 0.5) * (y - 0.5) <= 0.25
+                                THEN 1 ELSE 0 END) / COUNT(*), 6) + 0) AS pi_estimate
     FROM pts
     """,
     note="PiEstimator (ex/PiEstimator.java): Halton low-discrepancy points — deterministic Monte Carlo, exact oracle",
@@ -1530,8 +1530,8 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2, length(p_name))) AS name_title,
            levenshtein(p_brand, 'Brand#1') AS brand_dist,
            CAST(sign(p_size - 25) AS BIGINT) AS size_side,
-           ROUND(log2(CAST(p_size AS DOUBLE)), 6) AS size_log2,
-           ROUND(degrees(CAST(p_size AS DOUBLE) / 50.0), 6) AS size_deg,
+           (ROUND(log2(CAST(p_size AS DOUBLE)), 6) + 0) AS size_log2,
+           (ROUND(degrees(CAST(p_size AS DOUBLE) / 50.0), 6) + 0) AS size_deg,
            CAST(p_size % 7 AS BIGINT) AS size_mod,
            greatest(p_size, 10) AS size_floor10,
            least(p_size, 40) AS size_cap40,
@@ -1588,8 +1588,8 @@ def scalar_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_orderpriority,
            ntile(4) OVER w AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume,
+           (ROUND(percent_rank() OVER w, 6) + 0) AS pct_rank,
+           (ROUND(cume_dist() OVER w, 6) + 0) AS cume,
            rank() OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
@@ -1726,8 +1726,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_price,
-           ROUND(MIN(o_totalprice), 6) AS min_price,
-           ROUND(MAX(o_totalprice), 6) AS max_price,
+           (ROUND(MIN(o_totalprice), 6) + 0) AS min_price,
+           (ROUND(MAX(o_totalprice), 6) + 0) AS max_price,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT))
                 // COUNT(*) AS BIGINT) AS avg_price_micros
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority

@@ -706,8 +706,8 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                1.0 / o_totalprice) AS k
       FROM orders
     )
-    SELECT o_orderkey, ROUND(o_totalprice, 2) AS weight,
-           ROUND(k, 7) AS ares_key
+    SELECT o_orderkey, (ROUND(o_totalprice, 2) + 0) AS weight,
+           (ROUND(k, 7) + 0) AS ares_key
     FROM keyed
     ORDER BY k DESC, o_orderkey
     LIMIT 200
@@ -771,7 +771,7 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE n_chars > 0
     )
-    SELECT lang, doc_id, n_chars AS weight, ROUND(k, 7) AS ares_key
+    SELECT lang, doc_id, n_chars AS weight, (ROUND(k, 7) + 0) AS ares_key
     FROM (SELECT *,
                  ROW_NUMBER() OVER (PARTITION BY lang
                                     ORDER BY k DESC, doc_id) AS rn

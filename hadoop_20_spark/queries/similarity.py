@@ -42,13 +42,13 @@ from hadoop_20_spark.queries._base import (  # noqa: F401
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          scored AS (
       SELECT query_id, neighbor_id,
-             ROUND(
+             (ROUND(
                list_aggregate(list_transform(range(1, 65),
                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
                / (sqrt(list_aggregate(list_transform(range(1, 65),
                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
                 * sqrt(list_aggregate(list_transform(range(1, 65),
-                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))), 4) AS cosine_sim
+                   i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))), 4) + 0) AS cosine_sim
       FROM c, q WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, cosine_sim, rank FROM (
@@ -84,13 +84,13 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, embedding FROM embeddings),
          pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(
+             (ROUND(
                list_aggregate(list_transform(range(1, 65),
                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
                / (sqrt(list_aggregate(list_transform(range(1, 65),
                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
                 * sqrt(list_aggregate(list_transform(range(1, 65),
-                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))), 4) AS cosine_sim
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))), 4) + 0) AS cosine_sim
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.5
@@ -116,7 +116,7 @@ def _sql_cos(a: str, b: str) -> str:
             f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')"
         )
 
-    return f"ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 4)"
+    return f"(ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 4) + 0)"
 
 
 @register(
@@ -186,7 +186,7 @@ def _kmeans_ctes(
         parts.append(
             f"""m{i} AS (
       SELECT cell, pos,
-             ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 8) AS m
+             (ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 8) + 0) AS m
       FROM (SELECT a{i}.cell, generate_subscripts(v.embedding, 1) AS pos,
                    unnest(v.embedding) AS val
             FROM a{i} JOIN v USING (vec_id))
@@ -334,7 +334,7 @@ REGISTRY["srp_bucket_stats"] = Query(
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
       FROM embeddings
     )
-    SELECT vec_id, ROUND(sc, 6) AS scale,
+    SELECT vec_id, (ROUND(sc, 6) + 0) AS scale,
            array_to_string(
              CASE WHEN sc > 0
                   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT))
@@ -374,9 +374,9 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.vec_id, p.label
     ),
     r AS (
-      SELECT vec_id, label, ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) AS centroid_cos,
+      SELECT vec_id, label, (ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) + 0) AS centroid_cos,
              ROW_NUMBER() OVER (PARTITION BY label
-                                ORDER BY ROUND(dot / (sqrt(nv) * sqrt(nc)), 6), vec_id) AS outlier_rank
+                                ORDER BY (ROUND(dot / (sqrt(nv) * sqrt(nc)), 6) + 0), vec_id) AS outlier_rank
       FROM scored
     )
     SELECT vec_id, label, centroid_cos, outlier_rank
@@ -470,7 +470,7 @@ REGISTRY["quantized_topk"] = Query(
            FROM ranked WHERE rank <= 10 GROUP BY query_id, own_label
          )
     SELECT own_label AS label, COUNT(*) AS n_vecs,
-           ROUND(CAST(SUM(m) AS DOUBLE) / (10 * COUNT(*)), 6) AS avg_agreement,
+           (ROUND(CAST(SUM(m) AS DOUBLE) / (10 * COUNT(*)), 6) + 0) AS avg_agreement,
            CAST(SUM(CASE WHEN m < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
     FROM per_q GROUP BY own_label ORDER BY label
     """,
@@ -598,7 +598,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM brute_scored) WHERE rank <= 5)
     SELECT b.query_id,
            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6) AS recall
+           (ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 6) + 0) AS recall
     FROM brute b LEFT JOIN ivf i
       ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
     GROUP BY b.query_id ORDER BY b.query_id
@@ -654,7 +654,7 @@ def _sql_cos_d(a: str, b: str, d: int) -> str:
             f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')"
         )
 
-    return f"ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 4)"
+    return f"(ROUND({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 4) + 0)"
 
 
 def _pq_kmeans_ctes(pfx: str, lo: int, sub: int, k: int, iterations: int) -> str:
@@ -679,7 +679,7 @@ def _pq_kmeans_ctes(pfx: str, lo: int, sub: int, k: int, iterations: int) -> str
         parts.append(
             f"""{pfx}m{i} AS (
       SELECT cell, pos,
-             ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 8) AS m
+             (ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 8) + 0) AS m
       FROM (SELECT a.cell, generate_subscripts(v.embedding, 1) AS pos,
                    unnest(v.embedding) AS val
             FROM {pfx}a{i} a JOIN {pfx}v v USING (vec_id))
@@ -765,9 +765,9 @@ def _pq_oracle() -> str:
       GROUP BY r.query_id)
     SELECT q.query_id,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10, 6) AS recall_at_10,
+           (ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10, 6) + 0) AS recall_at_10,
            CAST(COALESCE(rh.n_hits_rerank, 0) AS BIGINT) AS n_hits_rerank,
-           ROUND(CAST(COALESCE(rh.n_hits_rerank, 0) AS DOUBLE) / 10, 6) AS recall_rerank
+           (ROUND(CAST(COALESCE(rh.n_hits_rerank, 0) AS DOUBLE) / 10, 6) + 0) AS recall_rerank
     FROM q LEFT JOIN hits h USING (query_id)
          LEFT JOIN rhits rh USING (query_id)
     ORDER BY q.query_id
@@ -919,14 +919,14 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
     scored AS (
       SELECT d.dim, q.query_id, c.neighbor_id,
-             ROUND(
+             (ROUND(
                list_aggregate(list_transform(range(1, d.dim + 1),
                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')
                / (sqrt(list_aggregate(list_transform(range(1, d.dim + 1),
                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
                 * sqrt(list_aggregate(list_transform(range(1, d.dim + 1),
                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))),
-               4) AS cosine_sim
+               4) + 0) AS cosine_sim
       FROM q JOIN c ON c.neighbor_id <> q.query_id CROSS JOIN dims d
     ),
     topk AS (
@@ -940,7 +940,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.dim AS trunc_dim,
            CAST(COUNT(*) AS BIGINT) AS topk_pairs,
            CAST(COUNT(b.neighbor_id) AS BIGINT) AS overlap_with_full,
-           ROUND(COUNT(b.neighbor_id) * 1.0 / COUNT(*), 4) AS recall_at_k
+           (ROUND(COUNT(b.neighbor_id) * 1.0 / COUNT(*), 4) + 0) AS recall_at_k
     FROM topk t
     LEFT JOIN base b
       ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
@@ -1023,7 +1023,7 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN retr = 'sem' THEN rank END) AS sem_rank
       FROM ranked GROUP BY doc_id
     )
-    SELECT doc_id, lex_rank, sem_rank, ROUND(rrf_raw, 6) AS rrf_score
+    SELECT doc_id, lex_rank, sem_rank, (ROUND(rrf_raw, 6) + 0) AS rrf_score
     FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10
     """.format(cos=_sql_cos("embedding", "q_vec")),
     note=(
@@ -1163,10 +1163,10 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dims b ON b.d = p.dj
     )
     SELECT dim_i, dim_j, n_vecs,
-           ROUND(CAST(cov_num AS DOUBLE) / n_vecs / n_vecs / 1e12, 9)
+           (ROUND(CAST(cov_num AS DOUBLE) / n_vecs / n_vecs / 1e12, 9) + 0)
              AS covariance,
-           ROUND(CAST(cov_num AS DOUBLE)
-                 / sqrt(CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE)), 6)
+           (ROUND(CAST(cov_num AS DOUBLE)
+                 / sqrt(CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE)), 6) + 0)
              AS correlation
     FROM cov
     ORDER BY abs(cov_num) DESC, dim_i, dim_j

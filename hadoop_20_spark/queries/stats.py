@@ -26,7 +26,7 @@ from hadoop_20_spark.queries._base import (  # noqa: F401
     "approx_quantiles",
     """
     SELECT l_returnflag,
-           ROUND(CAST(median(l_extendedprice) AS DOUBLE), 6) AS exact_median,
+           (ROUND(CAST(median(l_extendedprice) AS DOUBLE), 6) + 0) AS exact_median,
            TRUE AS within_tol
     FROM lineitem
     GROUP BY l_returnflag
@@ -74,8 +74,8 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(c) AS BIGINT) AS n_rows FROM per_key)
     SELECT c AS rows_per_key,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n_keys, 6) AS key_share,
-           ROUND(CAST(c * COUNT(*) AS DOUBLE) / tot.n_rows, 6) AS row_share
+           (ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n_keys, 6) + 0) AS key_share,
+           (ROUND(CAST(c * COUNT(*) AS DOUBLE) / tot.n_rows, 6) + 0) AS row_share
     FROM per_key CROSS JOIN tot
     GROUP BY c, tot.n_keys, tot.n_rows
     ORDER BY rows_per_key
@@ -131,14 +131,14 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
-           ROUND(MIN(o_custkey), 6) AS min_num,
-           ROUND(MAX(o_custkey), 6) AS max_num,
+           (ROUND(MIN(o_custkey), 6) + 0) AS min_num,
+           (ROUND(MAX(o_custkey), 6) + 0) AS max_num,
            NULL AS min_str, NULL AS max_str
     FROM s
     UNION ALL
     SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
            COUNT(DISTINCT o_orderdate),
-           ROUND(EPOCH(MIN(o_orderdate)), 6), ROUND(EPOCH(MAX(o_orderdate)), 6),
+           (ROUND(EPOCH(MIN(o_orderdate)), 6) + 0), (ROUND(EPOCH(MAX(o_orderdate)), 6) + 0),
            NULL, NULL
     FROM s
     UNION ALL
@@ -154,7 +154,7 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
            COUNT(DISTINCT o_totalprice),
-           ROUND(MIN(o_totalprice), 6), ROUND(MAX(o_totalprice), 6),
+           (ROUND(MIN(o_totalprice), 6) + 0), (ROUND(MAX(o_totalprice), 6) + 0),
            NULL, NULL
     FROM s
     ORDER BY column_name
@@ -242,7 +242,7 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(MIN(p), 6) AS lo, ROUND(MAX(p), 6) AS hi
+           (ROUND(MIN(p), 6) + 0) AS lo, (ROUND(MAX(p), 6) + 0) AS hi
     FROM (
       SELECT o_totalprice AS p,
              CAST(1 + (CASE WHEN o_totalprice > b.b1 THEN 1 ELSE 0 END)
@@ -296,12 +296,12 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_metrics",
     """
-    SELECT l_returnflag, metric, ROUND(amount, 6) AS amount
+    SELECT l_returnflag, metric, (ROUND(amount, 6) + 0) AS amount
     FROM (
       SELECT l_returnflag,
-             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 6) AS extendedprice,
-             ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 6) AS discount,
-             ROUND(SUM(CAST(l_tax AS DECIMAL(28,6))), 6) AS tax
+             (ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 6) + 0) AS extendedprice,
+             (ROUND(SUM(CAST(l_discount AS DECIMAL(28,6))), 6) + 0) AS discount,
+             (ROUND(SUM(CAST(l_tax AS DECIMAL(28,6))), 6) + 0) AS tax
       FROM lineitem GROUP BY l_returnflag
     )
     UNPIVOT (amount FOR metric IN (extendedprice, discount, tax))
@@ -554,8 +554,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            CAST(obs AS BIGINT) AS observed,
-           ROUND(expected, 6) AS expected,
-           ROUND((obs - expected) * (obs - expected) / expected, 6) AS chi2_term
+           (ROUND(expected, 6) + 0) AS expected,
+           (ROUND((obs - expected) * (obs - expected) / expected, 6) + 0) AS chi2_term
     FROM cells ORDER BY lang, source
     """,
     note=(
@@ -653,7 +653,7 @@ def chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(MAX(num) AS BIGINT) AS ks_num,
-           ROUND(CAST(MAX(num) AS DOUBLE) / MAX(den), 6) AS ks_stat
+           (ROUND(CAST(MAX(num) AS DOUBLE) / MAX(den), 6) + 0) AS ks_stat
     FROM diffs GROUP BY source ORDER BY source
     """,
     note=(
@@ -750,8 +750,8 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT n FROM exact) AS BIGINT) AS exact_rows,
            CAST((SELECT s FROM sampled) * 10 AS BIGINT) AS estimated_rows,
-           ROUND(ABS(CAST((SELECT s FROM sampled) * 10 - (SELECT n FROM exact) AS DOUBLE))
-                 / (SELECT n FROM exact), 6) AS rel_error
+           (ROUND(ABS(CAST((SELECT s FROM sampled) * 10 - (SELECT n FROM exact) AS DOUBLE))
+                 / (SELECT n FROM exact), 6) + 0) AS rel_error
     """.replace("{gate}", "(('0x' || substr(md5('uni_' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)"),
     note=(
         "join-cardinality estimation by UNIVERSE sampling: the same md5-gated 10% of JOIN "
@@ -844,8 +844,8 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
            CAST((SELECT n_true FROM tm) AS BIGINT) AS n_true_match,
            CAST(SUM(pass) - (SELECT n_true FROM tm) AS BIGINT) AS n_false_pos,
-           ROUND(CAST(SUM(pass) - (SELECT n_true FROM tm) AS DOUBLE)
-                 / GREATEST(COUNT(*) - (SELECT n_true FROM tm), 1), 6) AS fp_rate
+           (ROUND(CAST(SUM(pass) - (SELECT n_true FROM tm) AS DOUBLE)
+                 / GREATEST(COUNT(*) - (SELECT n_true FROM tm), 1), 6) + 0) AS fp_rate
     FROM tested
     """,
     note=(
@@ -1217,71 +1217,71 @@ def retraction_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep AS (
       SELECT 'orders' AS table_name, 'custkey_complete' AS check_name,
              'completeness' AS kind, 'o_custkey' AS col_name,
-             ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6) AS metric,
+             (ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6) + 0) AS metric,
              CASE WHEN COUNT(o_custkey) * 1000000 >= 1000000 * COUNT(*)
                   THEN 1 ELSE 0 END AS passed
       FROM o
       UNION ALL
       SELECT 'orders', 'orderkey_complete', 'completeness', 'o_orderkey',
-             ROUND(COUNT(o_orderkey) * 1.0 / COUNT(*), 6),
+             (ROUND(COUNT(o_orderkey) * 1.0 / COUNT(*), 6) + 0),
              CASE WHEN COUNT(o_orderkey) * 1000000 >= 1000000 * COUNT(*)
                   THEN 1 ELSE 0 END
       FROM o
       UNION ALL
       SELECT 'orders', 'orderkey_unique', 'key_uniqueness', 'o_orderkey',
-             ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(o_orderkey), 6),
+             (ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(o_orderkey), 6) + 0),
              CASE WHEN COUNT(DISTINCT o_orderkey) * 1000000
                        >= 1000000 * COUNT(o_orderkey) THEN 1 ELSE 0 END
       FROM o
       UNION ALL
       SELECT 'orders', 'priority_format', 'matches', 'o_orderpriority',
-             ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
-                            THEN 1 ELSE 0 END) * 1.0 / COUNT(o_orderpriority), 6),
+             (ROUND(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(o_orderpriority), 6) + 0),
              CASE WHEN SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
                                THEN 1 ELSE 0 END) * 1000000
                        >= 1000000 * COUNT(o_orderpriority) THEN 1 ELSE 0 END
       FROM o
       UNION ALL
       SELECT 'orders', 'status_domain', 'isin', 'o_orderstatus',
-             ROUND(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
-                            THEN 1 ELSE 0 END) * 1.0 / COUNT(o_orderstatus), 6),
+             (ROUND(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(o_orderstatus), 6) + 0),
              CASE WHEN SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
                                THEN 1 ELSE 0 END) * 1000000
                        >= 1000000 * COUNT(o_orderstatus) THEN 1 ELSE 0 END
       FROM o
       UNION ALL
       SELECT 'orders', 'totalprice_mean', 'mean_between', 'o_totalprice',
-             ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-                   / COUNT(o_totalprice), 6),
-             CASE WHEN ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-                             / COUNT(o_totalprice), 6) >= 1000.0
-                   AND ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-                             / COUNT(o_totalprice), 6) <= 400000.0
+             (ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(o_totalprice), 6) + 0),
+             CASE WHEN (ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                             / COUNT(o_totalprice), 6) + 0) >= 1000.0
+                   AND (ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                             / COUNT(o_totalprice), 6) + 0) <= 400000.0
                   THEN 1 ELSE 0 END
       FROM o
       UNION ALL
       SELECT 'orders', 'totalprice_min', 'min_at_least', 'o_totalprice',
-             ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6),
+             (ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) + 0),
              CASE WHEN MIN(o_totalprice) >= 0.0 THEN 1 ELSE 0 END
       FROM o
       UNION ALL
       SELECT 'lineitem', 'discount_max', 'max_at_most', 'l_discount',
-             ROUND(CAST(MAX(l_discount) AS DOUBLE), 6),
+             (ROUND(CAST(MAX(l_discount) AS DOUBLE), 6) + 0),
              CASE WHEN MAX(l_discount) <= 0.1 THEN 1 ELSE 0 END
       FROM l
       UNION ALL
       SELECT 'lineitem', 'quantity_min', 'min_at_least', 'l_quantity',
-             ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6),
+             (ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) + 0),
              CASE WHEN MIN(l_quantity) >= 1.0 THEN 1 ELSE 0 END
       FROM l
       UNION ALL
       SELECT 'lineitem', 'quantity_max', 'max_at_most', 'l_quantity',
-             ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6),
+             (ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) + 0),
              CASE WHEN MAX(l_quantity) <= 50.0 THEN 1 ELSE 0 END
       FROM l
       UNION ALL
       SELECT 'lineitem', 'shipdate_complete', 'completeness', 'l_shipdate',
-             ROUND(COUNT(l_shipdate) * 1.0 / COUNT(*), 6),
+             (ROUND(COUNT(l_shipdate) * 1.0 / COUNT(*), 6) + 0),
              CASE WHEN COUNT(l_shipdate) * 1000000 >= 1000000 * COUNT(*)
                   THEN 1 ELSE 0 END
       FROM l

@@ -510,7 +510,7 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5('ev_' || i), 1, 8))::BIGINT % 100 AS user_id,
              list_extract(['view','click','purchase'],
                  CAST(('0x' || substr(md5('ev_' || i), 9, 2))::BIGINT % 3 AS INTEGER) + 1) AS event_type,
-             ROUND(('0x' || substr(md5('ev_' || i), 11, 6))::BIGINT / 1000.0, 3) AS value
+             (ROUND(('0x' || substr(md5('ev_' || i), 11, 6))::BIGINT / 1000.0, 3) + 0) AS value
       FROM range(600) t(i)
     )
     SELECT event_type, COUNT(*) AS n_events,

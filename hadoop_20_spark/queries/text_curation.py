@@ -49,7 +49,7 @@ from hadoop_20_spark.queries._base import (  # noqa: F401
            COUNT(*) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
            CAST(SUM(n_oov) AS BIGINT) AS n_oov,
-           ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_toks), 6) AS oov_rate
+           (ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_toks), 6) + 0) AS oov_rate
     FROM per_doc GROUP BY source ORDER BY source
     """,
     note="tokenizer vocab coverage: corpus-frequency top-500 vocab (deterministic tie-break), per-source OOV rate — the 'will my tokenizer fragment this source' pipeline signal",
@@ -105,7 +105,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(LEAST(n // 64, 15) AS BIGINT) AS bucket,
            COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(n) AS DOUBLE) / (SELECT SUM(n) FROM tok), 6) AS token_share
+           (ROUND(CAST(SUM(n) AS DOUBLE) / (SELECT SUM(n) FROM tok), 6) + 0) AS token_share
     FROM tok GROUP BY bucket ORDER BY bucket
     """,
     note="doc token-length histogram (64-token buckets, capped) with per-bucket corpus token share — the packing/context-window planning signal that sizes sequence_packing bins",
@@ -217,7 +217,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT batch_id, existing_id,
-             ROUND(n_common * 1.0 / (sb.sz + se.sz - n_common), 6) AS jaccard
+             (ROUND(n_common * 1.0 / (sb.sz + se.sz - n_common), 6) + 0) AS jaccard
       FROM common
       JOIN sizes sb ON sb.did = batch_id
       JOIN sizes se ON se.did = existing_id
@@ -331,7 +331,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.did, b.did
     ),
     scored AS (
-      SELECT id_b, ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS j
+      SELECT id_b, (ROUND(n_common / (sa.sz + sb.sz - n_common), 6) + 0) AS j
       FROM common
       JOIN sizes sa ON sa.did = id_a
       JOIN sizes sb ON sb.did = id_b
@@ -342,8 +342,8 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.threshold,
            CAST((SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS BIGINT) AS n_removed,
            CAST(tot.n_docs - (SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS BIGINT) AS n_kept,
-           ROUND(CAST(tot.n_docs - (SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS DOUBLE)
-                 / tot.n_docs, 6) AS retention
+           (ROUND(CAST(tot.n_docs - (SELECT COUNT(*) FROM mx WHERE mj >= t.threshold) AS DOUBLE)
+                 / tot.n_docs, 6) + 0) AS retention
     FROM (VALUES (0.25), (0.5), (0.75)) t(threshold) CROSS JOIN tot
     ORDER BY threshold
     """,
@@ -701,8 +701,8 @@ def _bpe_apply_oracle_sql(n_merges: int) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word,
-           ROUND(CAST(SUM(n_syms) AS DOUBLE) / SUM(n_chars), 6) AS compression
+           (ROUND(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 6) + 0) AS tokens_per_word,
+           (ROUND(CAST(SUM(n_syms) AS DOUBLE) / SUM(n_chars), 6) + 0) AS compression
     FROM enc GROUP BY source ORDER BY source"""
     )
 
@@ -770,7 +770,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT COUNT(*) AS n FROM tok)
     SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-           ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+           (ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) + 0) AS share
     FROM tok GROUP BY w
     HAVING COUNT(*) * 50 > (SELECT n FROM tot)
     ORDER BY n_occurrences DESC, w
@@ -865,10 +865,10 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.threshold AS BIGINT) AS threshold,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS kept_rate,
-           ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN d.n_chars ELSE 0 END) AS DOUBLE)
-                 / SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END), 6) AS avg_kept_chars
+           (ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0) AS kept_rate,
+           (ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN d.n_chars ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END), 6) + 0) AS avg_kept_chars
     FROM documents d JOIN thr t ON t.source = d.source
     GROUP BY d.source, t.threshold ORDER BY d.source
     """,
@@ -955,8 +955,8 @@ def quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n FROM documents)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_small_groups,
            CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS BIGINT) AS n_exposed_docs,
-           ROUND(CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE)
-                 / (SELECT n FROM tot), 6) AS exposed_share,
+           (ROUND(CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k END), 0) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) + 0) AS exposed_share,
            CAST(MIN(k) AS BIGINT) AS min_group_size
     FROM g WHERE k < 5
     """,
@@ -1232,7 +1232,7 @@ def normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_kept AS BIGINT) AS n_kept,
            CAST(tokens_kept AS BIGINT) AS tokens_kept,
-           ROUND(CAST(n_kept AS DOUBLE) / (SELECT total_kept FROM denom), 6) AS kept_share
+           (ROUND(CAST(n_kept AS DOUBLE) / (SELECT total_kept FROM denom), 6) + 0) AS kept_share
     FROM agg ORDER BY source, bucket
     """,
     note=(
@@ -1412,7 +1412,7 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
            CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
            CAST(total_tokens AS BIGINT) AS total_tokens,
-           ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / total_tokens, 6)
+           (ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / total_tokens, 6) + 0)
              AS dup_share
     FROM tt LEFT JOIN per_src USING (source)
     ORDER BY source
@@ -1672,7 +1672,7 @@ _DSIR_B = 1024  # hashed feature buckets (the paper uses 10k; plan-identical)
     ),
     k AS (SELECT GREATEST(COUNT(*) // 20, 1) AS kk FROM documents)
     SELECT doc_id, lang, source, n_tokens,
-           ROUND(w, 6) AS iw_logratio, ROUND(score, 6) AS sel_score
+           (ROUND(w, 6) + 0) AS iw_logratio, (ROUND(score, 6) + 0) AS sel_score
     FROM g CROSS JOIN k
     QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= kk
     ORDER BY sel_score DESC, doc_id
@@ -1861,7 +1861,7 @@ def _sb_grams_sql(n: int, who: str) -> str:
            CAST(SUM(CASE WHEN tier >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_bigram,
            CAST(SUM(CASE WHEN tier >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_unigram,
            CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+           (ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) + 0)
              AS cross_entropy
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,

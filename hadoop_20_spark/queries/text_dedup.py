@@ -110,7 +110,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.did, b.did
     )
     SELECT id_a, id_b,
-           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+           (ROUND(n_common / (sa.sz + sb.sz - n_common), 6) + 0) AS jaccard
     FROM common
     JOIN sizes sa ON sa.did = id_a
     JOIN sizes sb ON sb.did = id_b
@@ -142,7 +142,7 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.did, b.did
     )
     SELECT id_a, id_b,
-           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+           (ROUND(n_common / (sa.sz + sb.sz - n_common), 6) + 0) AS jaccard
     FROM common
     JOIN sizes sa ON sa.did = id_a
     JOIN sizes sb ON sb.did = id_b
@@ -219,13 +219,13 @@ def _text_stats_oracle() -> str:
     SELECT doc_id,
            n_tokens,
            length(text) AS n_chars_measured,
-           ROUND(CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
-           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END, 6) AS distinct_ratio,
-           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
-           ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+           (ROUND(CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) + 0) AS avg_token_len,
+           (ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END, 6) + 0) AS distinct_ratio,
+           (ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) + 0) AS stopword_ratio,
+           (ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
                  + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END) * 0.3
                  + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
-                         BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+                         BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) + 0) AS quality,
            CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
                 THEN 'en' ELSE 'unknown' END AS lang_pred,
            list_aggregate(list_transform(range(1, greatest(n_tokens - 7, 1) + 1),
@@ -319,10 +319,10 @@ _CURATION_QUALITY_CTE = """
       FROM t),
          scored AS (
       SELECT doc_id, text, toks, n_tokens,
-             ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
+             (ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END) * 0.4
                    + (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END) * 0.3
                    + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
-                           BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+                           BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3, 6) + 0) AS quality,
              CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
                   THEN 'en' ELSE 'unknown' END AS lang_pred
       FROM m),
@@ -456,7 +456,7 @@ def _minhash_near_dups_oracle() -> str:
       GROUP BY a.did, b.did
     )
     SELECT p.id_a, p.id_b,
-           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+           (ROUND(n_common / (sa.sz + sb.sz - n_common), 6) + 0) AS jaccard
     FROM pairs p
     JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
     JOIN sizes sa ON sa.did = p.id_a
@@ -772,10 +772,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'WORD_HISTOGRAM' AS histogram,
            COUNT(*) AS n_distinct_values,
            CAST(MIN(freq) AS BIGINT) AS min_freq,
-           ROUND(quantile_cont(freq, 0.5), 6) AS median_freq,
+           (ROUND(quantile_cont(freq, 0.5), 6) + 0) AS median_freq,
            CAST(MAX(freq) AS BIGINT) AS max_freq,
-           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_freq,
-           ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) AS stddev_freq
+           (ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) + 0) AS avg_freq,
+           (ROUND(sqrt((CAST(SUM(freq*freq) AS DOUBLE) - CAST(SUM(freq) AS DOUBLE) * SUM(freq) / COUNT(*)) / COUNT(*)), 6) + 0) AS stddev_freq
     FROM freq
     """,
     note="AggregateWordHistogram (ex/AggregateWordHistogram.java): ValueHistogram over the corpus token stream",
@@ -809,7 +809,7 @@ def word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(n) AS BIGINT) AS n_bigrams,
            CAST(MAX(n) AS BIGINT) AS top_bigram_count,
-           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
+           (ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) + 0) AS top_bigram_frac
     FROM counts GROUP BY doc_id ORDER BY doc_id
     """,
     note="Gopher-style repetition metrics: top-bigram fraction per doc (repetitious docs filtered before training)",
@@ -910,7 +910,7 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
       FROM s
     )
-    SELECT doc_id, term, ROUND(score, 6) AS tfidf, rk
+    SELECT doc_id, term, (ROUND(score, 6) + 0) AS tfidf, rk
     FROM r WHERE rk <= 3 ORDER BY doc_id, rk
     """,
     note="TF-IDF top-3 terms per document (keyword extraction): two partial-agg passes + one broadcast scalar + per-doc WindowGroupLimit",
@@ -1012,7 +1012,7 @@ def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.source, b.source
     )
     SELECT src_a, src_b, n_shared,
-           ROUND(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coef
+           (ROUND(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) + 0) AS overlap_coef
     FROM shared
     JOIN sizes sa ON sa.source = src_a
     JOIN sizes sb ON sb.source = src_b
@@ -1081,7 +1081,7 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT w1, w2, n12, n1,
-             ROUND(CAST(n12 AS DOUBLE) / n1, 6) AS p,
+             (ROUND(CAST(n12 AS DOUBLE) / n1, 6) + 0) AS p,
              ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n12 DESC, w2) AS rk
       FROM s
     )
@@ -1144,8 +1144,8 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (SELECT hh, MIN(doc_id) AS keeper FROM h GROUP BY hh)
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
-           ROUND(CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS dup_rate
+           (ROUND(CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0) AS dup_rate
     FROM h JOIN f USING (hh)
     GROUP BY source ORDER BY source
     """,
@@ -1189,7 +1189,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok JOIN cnt USING (term) CROSS JOIN tot
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+           (ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) + 0) AS cross_entropy
     FROM s GROUP BY doc_id ORDER BY doc_id
     """,
     note="unigram LM cross-entropy per doc (CCNet-style perplexity filtering signal): corpus unigram probs -> per-doc mean -ln p(token), decimal-exact mean",
@@ -1288,8 +1288,8 @@ def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-           ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS dup_fraction
+           (ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) + 0) AS dup_fraction
     FROM g JOIN df ON df.ng = g.ng
     GROUP BY g.doc_id
     ORDER BY doc_id
@@ -1338,9 +1338,9 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)) AS s FROM per_src)
     SELECT source, n_docs, n_tokens,
-           ROUND(CAST(s AS DOUBLE) / CAST((SELECT SUM(s) FROM w) AS DOUBLE), 6) AS weight,
-           ROUND(CAST(s AS DOUBLE) / CAST((SELECT SUM(s) FROM w) AS DOUBLE)
-                 * 1000000 / n_tokens, 6) AS epochs_at_1m
+           (ROUND(CAST(s AS DOUBLE) / CAST((SELECT SUM(s) FROM w) AS DOUBLE), 6) + 0) AS weight,
+           (ROUND(CAST(s AS DOUBLE) / CAST((SELECT SUM(s) FROM w) AS DOUBLE)
+                 * 1000000 / n_tokens, 6) + 0) AS epochs_at_1m
     FROM w ORDER BY source
     """,
     note="training-mix sampling weights per source: sqrt-temperature reweighting (w ∝ n_tokens^0.5) + effective epochs at a 1M-token budget — the data-mixing step of an LLM pipeline",
@@ -1419,9 +1419,9 @@ def _minhash_quality_oracle() -> str:
            JOIN s sb ON sb.doc_id = p.id_b)
     SELECT CAST(LEAST(FLOOR(exact_j * 100), 9) AS BIGINT) AS j_bucket,
            COUNT(*) AS n_pairs,
-           ROUND(CAST(SUM(m) AS DOUBLE) / (16 * COUNT(*)), 6) AS avg_estimate,
-           ROUND(CAST(CAST(SUM(CAST(exact_j AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_exact,
-           ROUND(CAST(CAST(SUM(CAST(ABS(m / 16.0 - exact_j) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+           (ROUND(CAST(SUM(m) AS DOUBLE) / (16 * COUNT(*)), 6) + 0) AS avg_estimate,
+           (ROUND(CAST(CAST(SUM(CAST(exact_j AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) + 0) AS avg_exact,
+           (ROUND(CAST(CAST(SUM(CAST(ABS(m / 16.0 - exact_j) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) + 0) AS mean_abs_err
     FROM scored GROUP BY j_bucket ORDER BY j_bucket
     """
 
@@ -1539,7 +1539,7 @@ REGISTRY["minhash_estimate_quality"] = Query(
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.id_a, c.id_b,
-           ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) AS containment
+           (ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) + 0) AS containment
     FROM common c JOIN sz sa ON sa.doc_id = c.id_a
     WHERE 5 * c.c >= 4 * sa.s
     ORDER BY id_a, id_b
@@ -1640,7 +1640,7 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT c.id_a, c.id_b,
-             ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) AS containment
+             (ROUND(CAST(c.c AS DOUBLE) / sa.s, 6) + 0) AS containment
       FROM common c JOIN szh sa ON sa.doc_id = c.id_a
       WHERE 5 * c.c >= 4 * sa.s
     )
@@ -1863,7 +1863,7 @@ def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN stats
       GROUP BY p.doc_id
     )
-    SELECT doc_id, ROUND(score, 6) AS score
+    SELECT doc_id, (ROUND(score, 6) + 0) AS score
     FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """,
     note=(

@@ -696,10 +696,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
            CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_revenue,
-           ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+           (ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                          THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 4) AS promo_pct
+                 / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 4) + 0) AS promo_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'

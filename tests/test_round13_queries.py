@@ -174,3 +174,60 @@ def test_assignment_flat_below_swap_point(spark, tables):
     b = sim.assign_cells(emb, cents, "_id", "_vec", n_centroids=16)
     assert a.schema == b.schema
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_oracle_round_sites_normalize_negative_zero():
+    """DuckDB's ROUND keeps IEEE sign (ROUND(-1e-9, 6) = -0.0, CSV
+    '-0.000000') while Spark's round goes through BigDecimal (no signed
+    zero, always +0.0) — the gate's value-hash diverges on any rounded
+    double that realizes a tiny negative.  sf100de caught it live:
+    dsir_importance_sample's iw_logratio hit -0.0 on 5 of 250k selected
+    docs at 5M-doc scale after 13 rounds of green gates below it.
+
+    Two pins: (1) the live engine repro (flags if a DuckDB upgrade
+    changes the semantics); (2) a paren-aware static audit that EVERY
+    SQL ROUND( site in every oracle is wrapped `(ROUND(...) + 0)` —
+    IEEE +0 normalization, a no-op except -0.0 → +0.0 — so a new query
+    can't reintroduce the class."""
+    import glob
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    v = con.execute("SELECT ROUND(-0.000000001::DOUBLE, 6)").fetchone()[0]
+    import math
+
+    assert math.copysign(1.0, v) == -1.0, (
+        "DuckDB ROUND no longer emits -0.0 — the +0 normalization is "
+        "now redundant (keep or drop consciously)"
+    )
+    v2 = con.execute("SELECT ROUND(-0.000000001::DOUBLE, 6) + 0").fetchone()[0]
+    assert math.copysign(1.0, v2) == 1.0
+
+    def find_matching(s, open_idx):
+        depth = 0
+        for i in range(open_idx, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        raise ValueError("unbalanced")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = []
+    for path in sorted(
+        glob.glob(os.path.join(repo, "hadoop_20_spark", "queries", "*.py"))
+    ):
+        src = open(path).read()
+        for m in re.finditer(r"(?<![A-Za-z0-9_.])ROUND\(", src):
+            close = find_matching(src, m.start() + len("ROUND"))
+            if not src[close + 1:close + 6].startswith(" + 0"):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{os.path.basename(path)}:{line}")
+    assert not offenders, (
+        "oracle ROUND( sites missing the `+ 0` negative-zero "
+        f"normalization: {offenders}"
+    )
