@@ -1105,6 +1105,109 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_ivf(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_centroids: int | None = None,
+    iterations: int = 3,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    max_candidate_pairs: int | None = SRP_MAX_CANDIDATE_PAIRS,
+) -> DataFrame:
+    """IVF-bucketed near-duplicate PAIRS — the runnable answer to "and
+    then what" past :func:`embedding_near_dups`'s SRP volume guard.
+
+    The SRP path's guard raises by design once per-bucket occupancy
+    makes its candidate join quadratic (measured Σ n_a·n_b ≈ 3.3e11 at
+    200k vectors, two decades past the 1e10 cap at 2M) and its message
+    names this cell path as the moderate-threshold remediation; this is
+    that remediation as a first-class operator.  Bucket by nearest
+    Voronoi cell (the :func:`semantic_dedup` quantizer: corpus-scaled
+    ``k = max(16, n//128)`` via :func:`auto_n_centroids`, ~25k-sample
+    Lloyd training via :func:`kmeans_train_mod`, argmax of the
+    4dp-rounded cosine with cent_id tie-break), assign every vector to
+    its top-``nprobe`` cells, take same-cell id-ordered pairs as
+    candidates, then verify with the exact cosine
+    (:func:`embedding_verify`).  Emitted similarities are exact;
+    **recall is approximate by construction** — a qualifying pair is
+    found iff the two vectors share ≥1 of their ``nprobe`` probed
+    cells (the standard IVF trade; ``nprobe=2`` roughly squares the
+    co-bucketing chance at 4× the candidate volume).  Measure recall on
+    planted structure before trusting it (the sf100de probe records it
+    against the fixture's boundary-cosine pairs).
+
+    Scale plan (100 TB): with occupancy-constant k the candidate
+    volume is Σ_cell C(n_cell, 2) ≈ n·occupancy·nprobe²/2 — LINEAR in
+    n, the whole point.  Candidates carry only (id_a, id_b): the
+    self-join runs on an (id, cell) projection and vectors re-attach
+    in the verify's two hash joins, so the pair shuffle never ships
+    vector payloads.  A degenerate corpus (every vector in one cell)
+    would still go quadratic, so the same measure-the-histogram-first
+    discipline as :func:`_srp_volume_guard` applies: Σ C(n_cell, 2) is
+    computed from the assignment histogram (DECIMAL(38,0)) BEFORE the
+    join and raises past ``max_candidate_pairs`` with the observed
+    bound.  Pass ``centroids=`` (a trained ``(cent_id, c_vec)`` table)
+    to skip training — the production train-once shape.
+
+    Output: (id_a, id_b, cosine_sim) with ``id_a < id_b``, one row per
+    pair (a pair sharing several probed cells is emitted once).
+    """
+    if centroids is not None:
+        cents = centroids
+    else:
+        n = corpus.count()
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(n)
+        cents = kmeans_centroids(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=n_centroids,
+            iterations=iterations,
+            train_sample_mod=kmeans_train_mod(n),
+        )
+    cells = assign_cells(
+        ensure_parallelism(corpus), cents, "_id", "_vec", id_col, vec_col,
+        nprobe=nprobe, n_centroids=n_centroids,
+    ).select("_id", "cell")
+    if max_candidate_pairs is not None:
+        hist = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+        est = (
+            hist.agg(
+                F.sum(
+                    (
+                        F.col("__n").cast("decimal(38,0)")
+                        * (F.col("__n") - 1).cast("decimal(38,0)")
+                        / 2
+                    ).cast("decimal(38,0)")
+                ).alias("pairs")
+            ).collect()[0]["pairs"]
+        )
+        est = int(est or 0)
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"embedding_near_dups_ivf: cell candidate-pair volume "
+                f"bound Σ C(n_cell, 2) = {est:,} exceeds "
+                f"max_candidate_pairs={max_candidate_pairs:,} "
+                f"(nprobe={nprobe}).  With corpus-scaled k this means "
+                "cell occupancy is degenerate (vectors collapsing into "
+                "few cells) — raise n_centroids / lower the "
+                "auto_n_centroids occupancy so cells split this corpus, "
+                "lower nprobe, or pass max_candidate_pairs=None to "
+                "consciously run this volume."
+            )
+    a = cells.select(F.col("cell"), F.col("_id").alias("id_a"))
+    b = cells.select(F.col("cell").alias("cell2"), F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, (a.cell == b.cell2) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return embedding_verify(corpus, cand, id_col, vec_col, threshold)
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -572,6 +572,54 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dups_ivf",
+    f"""
+    WITH {_kmeans_ctes(
+        _AUTO_K_SQL,
+        3,
+        train_mod_sql="((SELECT COUNT(*) FROM embeddings) + 24999) // 25000",
+    )},
+         cent AS (SELECT cent_id, c_vec FROM c3),
+         corpus AS (SELECT vec_id, embedding AS n_vec FROM embeddings),
+         asg AS (SELECT vec_id, cent_id, {_sql_cos('n_vec', 'c_vec')} AS sim FROM corpus, cent),
+         cells AS (SELECT vec_id, cent_id AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rk FROM asg)
+            WHERE rk <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         scored AS (SELECT c.id_a, c.id_b,
+                           {_sql_cos('ea.embedding', 'eb.embedding')} AS cosine_sim
+                    FROM cand c
+                    JOIN embeddings ea ON ea.vec_id = c.id_a
+                    JOIN embeddings eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, cosine_sim FROM scored
+    WHERE cosine_sim >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    note=(
+        "IVF-bucketed near-dup pairs (nprobe=2) — the runnable moderate-threshold path PAST "
+        "the SRP volume guard (which raises by design at sf10+ and names this remediation): "
+        "same corpus-scaled sampled-training k-means quantizer as semantic_dedup, top-2 cell "
+        "probing, same-cell candidates verified with the exact cosine; candidate volume is "
+        "Σ C(n_cell,2) ≈ n·occupancy·nprobe²/2 — linear in n — and histogram-guarded against "
+        "degenerate cells; the oracle unrolls training and both probe assignments"
+    ),
+)
+def embedding_near_dups_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via IVF cells at any corpus size: where
+    ``embedding_near_dups`` (SRP) measures its candidate join past the
+    1e10 cap and raises with this query named as the remediation, this
+    path's candidate volume is occupancy-bounded by construction.
+    Recall is approximate (pair found iff the two vectors share one of
+    their two probed cells); precision is exact (every emitted cosine
+    recomputed from the raw vectors).  The sf100de probe measures the
+    recall claim against the fixture's planted boundary-cosine pairs
+    at 2M vectors — where the SRP guard's bound is ~3e13."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups_ivf(emb, threshold=0.5, nprobe=2)
+
+
+@register(
     "ivf_recall_audit",
     f"""
     WITH {_kmeans_ctes(16, 3)},

@@ -176,6 +176,77 @@ def test_assignment_flat_below_swap_point(spark, tables):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_ivf_near_dups_sound_and_subset_of_brute(spark, tables):
+    """embedding_near_dups_ivf is the runnable pairs path past the SRP
+    guard: precision must be EXACT (every emitted cosine equals the
+    brute-force cosine for that pair and clears the threshold) and the
+    pair set must be a SUBSET of the brute-force qualifying set —
+    recall is the approximate half, precision never is.  Each pair is
+    emitted ONCE even when it shares both probed cells (nprobe=2)."""
+    from hadoop_20_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(600)
+    ivf = sim.embedding_near_dups_ivf(emb, threshold=0.3, nprobe=2).toPandas()
+    brute = sim.embedding_near_dups(
+        emb, threshold=0.3, method="brute"
+    ).toPandas()
+    bmap = {
+        (int(r.id_a), int(r.id_b)): float(r.cosine_sim)
+        for _, r in brute.iterrows()
+    }
+    assert len(ivf) == len(ivf.drop_duplicates(["id_a", "id_b"])), (
+        "a pair sharing both probed cells was emitted twice"
+    )
+    for _, r in ivf.iterrows():
+        key = (int(r.id_a), int(r.id_b))
+        assert key in bmap, f"{key} not a true qualifying pair"
+        assert float(r.cosine_sim) == bmap[key]
+        assert float(r.cosine_sim) >= 0.3
+        assert key[0] < key[1]
+
+
+def test_ivf_near_dups_volume_guard_on_degenerate_corpus(spark):
+    """All-identical vectors collapse into one Voronoi cell, making the
+    candidate join quadratic — the histogram pre-flight must raise with
+    the measured bound BEFORE the join runs (the house volume-guard
+    discipline), and max_candidate_pairs=None must consciously run it."""
+    import pytest as _pytest
+
+    from hadoop_20_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [1.0] + [0.0] * 7) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="candidate-pair volume"):
+        sim.embedding_near_dups_ivf(
+            df, n_centroids=4, nprobe=1, max_candidate_pairs=1000
+        ).count()
+    out = sim.embedding_near_dups_ivf(
+        df, n_centroids=4, nprobe=1, max_candidate_pairs=None, threshold=0.99
+    )
+    assert out.count() == 200 * 199 // 2  # all pairs are exact dups
+
+
+def test_ivf_near_dups_pretrained_centroids_skip_training(spark, tables):
+    """centroids= (the production train-once shape) must skip training
+    and reproduce the trained-in-line result given the same model."""
+    from hadoop_20_spark.operators import similarity as sim
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(400)
+    cents = sim.kmeans_centroids(
+        emb, k=16, iterations=3, train_sample_mod=sim.kmeans_train_mod(400)
+    )
+    inline = sim.embedding_near_dups_ivf(
+        emb, threshold=0.3, n_centroids=16, nprobe=2
+    )
+    pre = sim.embedding_near_dups_ivf(
+        emb, threshold=0.3, nprobe=2, centroids=cents, n_centroids=16
+    )
+    assert inline.exceptAll(pre).count() == 0
+    assert pre.exceptAll(inline).count() == 0
+
+
 def test_oracle_round_sites_normalize_negative_zero():
     """DuckDB's ROUND keeps IEEE sign (ROUND(-1e-9, 6) = -0.0, CSV
     '-0.000000') while Spark's round goes through BigDecimal (no signed
