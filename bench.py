@@ -187,6 +187,14 @@ BENCH_QUERIES = {
     # sizing, commit protocol) moves this entry and nothing else.
     # write/read split + MB/s recorded in the detail.
     "b25_dfsio": None,  # special-cased below (write + read-back)
+    # b26: round-13 — IVF-bucketed near-dup PAIRS (the runnable path the
+    # SRP guard's raise names as remediation).  The suite's
+    # quantize-then-pair profile: sampled k-means training, top-2 cell
+    # assignment, id-only candidate self-join on cell, exact-cosine
+    # verify re-attaching vectors by id.  In the bench so a regression
+    # to vector-carrying candidates (payload through the pair shuffle)
+    # or a broken histogram pre-flight shows up as wall-clock.
+    "b26_ivf_near_dups": "embedding_near_dups_ivf",
 }
 
 
