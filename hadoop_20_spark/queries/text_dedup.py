@@ -696,6 +696,65 @@ REGISTRY["dedup_clusters"] = Query(
 
 
 @register(
+    "soft_dedup_weights",
+    f"""
+    WITH cc AS ({_dedup_clusters_oracle()}),
+         sizes AS (SELECT cluster_id, COUNT(*) AS m FROM cc GROUP BY cluster_id)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(s.m, 1) AS BIGINT) AS multiplicity,
+           (ROUND(1.0 / COALESCE(s.m, 1), 6) + 0) AS weight
+    FROM documents d
+    LEFT JOIN cc ON cc.doc_id = d.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = COALESCE(cc.cluster_id, d.doc_id)
+    ORDER BY d.doc_id
+    """,
+    note=(
+        "soft deduplication (SoftDedup, ACL 2024): keep EVERY document, downweight by "
+        "near-dup multiplicity — weight = 1/|cluster| from the MinHash-LSH connected "
+        "components, singletons weight 1.0 — so a training mix sees each content unit with "
+        "total mass ~1 instead of dropping all-but-keeper; the oracle nests the recursive-CTE "
+        "cluster fixpoint and re-derives the same weights"
+    ),
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sampling weights for a training mix that KEEPS
+    near-duplicates instead of dropping them: every doc in a near-dup
+    cluster gets weight 1/|cluster| (singletons 1.0), so each content
+    unit contributes ~unit mass regardless of how often it was crawled
+    — the reweighting form of dedup (SoftDedup; the hard form is
+    ``dedup_exact``/``dedup_clusters`` keep-lowest-id).
+
+    Scale plan (100 TB): clusters come from the same bucketed
+    MinHash-LSH pair graph + O(diameter)-round min-label CC as
+    ``dedup_clusters`` (band buckets capped with drop observability;
+    no quadratic path), sizes are one groupBy on cluster_id, and the
+    weight attach is two hash joins on doc_id/cluster_id — everything
+    linear in corpus + pairs.  Output is one row per document
+    (output-linear by construction)."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .join(sizes, "cluster_id", "left")
+        .withColumn(
+            "multiplicity", F.coalesce(F.col("multiplicity"), F.lit(1)).cast("long")
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "multiplicity",
+            F.round(F.lit(1.0) / F.col("multiplicity"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "bpe_token_count",
     r"""
     SELECT doc_id,

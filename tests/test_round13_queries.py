@@ -247,6 +247,31 @@ def test_ivf_near_dups_pretrained_centroids_skip_training(spark, tables):
     assert pre.exceptAll(inline).count() == 0
 
 
+def test_soft_dedup_weights_unit_mass_per_cluster(spark):
+    """soft_dedup_weights keeps every doc exactly once and gives each
+    content unit ~unit total mass: Σ weight over a cluster = 1 (up to
+    the 6dp rounding), singletons get weight exactly 1.0, and the
+    cluster partition agrees with dedup_clusters' labels."""
+    import os
+
+    from tests.conftest import SF_DIR
+
+    from hadoop_20_spark.catalog import load_table
+
+    out = REGISTRY["soft_dedup_weights"].fn(spark, SF_DIR).toPandas()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert len(out) == out.doc_id.nunique() == n_docs
+    # per-cluster mass: multiplicity * round(1/m, 6) within 6dp slack
+    mass = out.groupby("cluster_id")["weight"].sum()
+    assert ((mass - 1.0).abs() < 1e-3).all()
+    singles = out[out.multiplicity == 1]
+    assert (singles.weight == 1.0).all()
+    assert (singles.cluster_id == singles.doc_id).all()
+    labels = REGISTRY["dedup_clusters"].fn(spark, SF_DIR).toPandas()
+    merged = labels.merge(out, on="doc_id", suffixes=("_cc", "_w"))
+    assert (merged.cluster_id_cc == merged.cluster_id_w).all()
+
+
 def test_oracle_round_sites_normalize_negative_zero():
     """DuckDB's ROUND keeps IEEE sign (ROUND(-1e-9, 6) = -0.0, CSV
     '-0.000000') while Spark's round goes through BigDecimal (no signed
