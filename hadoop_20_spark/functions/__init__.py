@@ -39,14 +39,24 @@ def let(expr: Column, body) -> Column:
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):
-    """Repartition ``df`` round-robin ONLY if it has fewer partitions than
-    the cluster has cores — decoupling CPU-heavy expression stages
-    (MinHash/SimHash signatures, shingle explodes) from the input file
-    layout.
+    """Repartition ``df`` round-robin if its EFFECTIVE parallelism is
+    below the cluster's core count — decoupling CPU-heavy expression
+    stages (MinHash/SimHash signatures, shingle explodes, Arrow GEMM
+    batches) from the input file layout.
 
-    At 100 TB inputs arrive with thousands of parquet splits and this is
-    a no-op (no shuffle added); on small/local inputs (one small file →
-    one split → one task) it costs a tiny shuffle and unlocks every core.
+    Partition COUNT is not enough: Spark plans a parquet scan into
+    byte-range splits (``spark.sql.files.maxPartitionBytes``), but a
+    row group is atomic — a single file with few fat row groups (the
+    pyarrow default writes ~1M-row groups) plans into N splits of which
+    only ``n_row_groups`` carry rows.  The third-decade probe measured
+    the failure live: a 2M-row embeddings file with 2 row groups showed
+    32 partitions (so the old ``getNumPartitions() < target`` check
+    passed through) while 30 tasks finished empty and 2 tasks ground
+    the 132× SRP probe explode on one core each for 40+ minutes.  So
+    when the scan reads FEW files (≤ target — bounded driver work), the
+    parquet footers are consulted and the df is repartitioned if total
+    row groups < target.  At 100 TB inputs arrive with thousands of
+    files and both checks are no-ops (no footer reads, no shuffle).
     Reference analog: mapred.min.split.size / NLineInputFormat — the
     knob hadoop-20 users turned when a CPU-bound job had too few maps
     (mapred/FileInputFormat.java#getSplits).
@@ -54,7 +64,30 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
-    return df
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans (streams, local relations)
+        return df
+    if not files or len(files) > target:
+        return df
+    if not all(f.endswith((".parquet", ".parq")) for f in files):
+        return df
+    try:
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        row_groups = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return df  # remote FS: skip the footer check
+            row_groups += pq.ParquetFile(p.path).num_row_groups
+            if row_groups >= target:
+                return df
+    except Exception:
+        return df
+    return df.repartition(target)
 
 # Modulus for the universal hash family (a*h + b) mod p used by MinHash:
 # Mersenne prime 2^31-1 keeps every product under 2^62, so the arithmetic

@@ -247,6 +247,60 @@ def test_ivf_near_dups_pretrained_centroids_skip_training(spark, tables):
     assert pre.exceptAll(inline).count() == 0
 
 
+def test_ensure_parallelism_sees_through_fat_row_groups(spark, tmp_path):
+    """Partition COUNT lies about row balance: a single parquet file
+    with ONE fat row group plans into many byte-range splits of which
+    only one carries rows — the sf100de probe measured 2 tasks grinding
+    the SRP explode for 40+ minutes while 30 finished empty.  When the
+    scan reads few files, ensure_parallelism must consult the footers
+    and repartition; row content must be unharmed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_20_spark.functions import ensure_parallelism
+
+    path = str(tmp_path / "fat.parquet")
+    n = 40_000
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(n), pa.int64()),
+            "v": pa.array([float(i) for i in range(n)]),
+        }),
+        path,
+        row_group_size=n,  # ONE fat row group
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 16384)
+    try:
+        df = spark.read.parquet(path)
+        parts = df.rdd.getNumPartitions()
+        target = spark.sparkContext.defaultParallelism
+        assert parts > target, "fixture did not reproduce the fat-split lie"
+        fixed = ensure_parallelism(df)
+        assert fixed.rdd.getNumPartitions() == target
+        per_part = fixed.rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]
+        ).collect()
+        assert sum(per_part) == n
+        assert max(per_part) < n, "rows still concentrated in one task"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ensure_parallelism_no_op_on_many_files(spark, tmp_path):
+    """The 100 TB contract: with more input files than cores the footer
+    check is skipped entirely and the plan is returned unchanged (no
+    shuffle added)."""
+    from hadoop_20_spark.functions import ensure_parallelism
+
+    out = str(tmp_path / "many")
+    spark.range(10_000).repartition(
+        2 * spark.sparkContext.defaultParallelism
+    ).write.parquet(out)
+    df = spark.read.parquet(out)
+    assert ensure_parallelism(df) is df
+
+
 def test_soft_dedup_weights_unit_mass_per_cluster(spark):
     """soft_dedup_weights keeps every doc exactly once and gives each
     content unit ~unit total mass: Σ weight over a cluster = 1 (up to
