@@ -147,12 +147,16 @@ def connected_components_star(
         mins = nbrs.groupBy("u").agg(
             F.least(F.min("v"), F.col("u")).alias("m")
         )
+        # No .distinct() here (r13): duplicates ((v, m) emitted from
+        # several u-groups) are bounded by degree, don't move the MIN
+        # aggregate below, and are collapsed by the round's final
+        # (u, v) groupBy anyway — dropping the dedup removes one full
+        # edge-set Exchange per round (guide §2.4).
         large = (
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # Small-star: orient (big, small); u and every smaller neighbor
         # hang off the smallest neighbor.  Output is a forest of stars.
@@ -160,30 +164,36 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         smins = se.groupBy("u").agg(F.min("v").alias("m"))
-        nxt = (
+        nxt_pre = (
             se.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
         )
         if rounds == 1:
             # round 1 reshapes the raw edge set unconditionally — skip
-            # the (always-true) change test and its shuffle
-            e = nxt
+            # the (always-true) change test; plain dedup shuffle
+            e = nxt_pre.distinct().localCheckpoint()
             continue
-        # symmetric difference in ONE aggregation: both sides are
-        # distinct sets, so a (u, v) group with count 1 is in exactly
-        # one of them (cheaper than two subtract()s = four side-shuffles)
-        changed = (
-            e.unionAll(nxt)
+        # The round's dedup shuffle and the fixpoint test FUSED into
+        # one (u, v) aggregation (r13; they were two separate wide
+        # shuffles): tag rows 0 = previous edge set, 1 = this round's
+        # pre-dedup output, aggregate presence bits per (u, v).  The
+        # checkpointed result yields BOTH the new edge set (in_nxt)
+        # and the exact symmetric-difference count (in_e != in_nxt)
+        # with no further shuffle — set equality stays the exact
+        # termination test.
+        merged = (
+            e.select("u", "v", F.lit(0).alias("_t"))
+            .unionAll(nxt_pre.select("u", "v", F.lit(1).alias("_t")))
             .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") == 1)
-            .count()
+            .agg(F.min("_t").alias("_tmin"), F.max("_t").alias("_tmax"))
+            .localCheckpoint()
         )
-        e = nxt
+        changed = merged.filter(
+            (F.col("_tmin") == 1) | (F.col("_tmax") == 0)
+        ).count()
+        e = merged.filter(F.col("_tmax") == 1).select("u", "v")
         if changed == 0:
             break
     else:
@@ -192,8 +202,12 @@ def connected_components_star(
             "rounds — for star contraction this indicates a bug, not a "
             "deep graph; refusing to return a partial contraction"
         )
-    # Fixpoint edge set is (node, root) for every non-root node.
-    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
-        e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
-    ).distinct()
+    # Fixpoint edge set is (node, root) for every non-root node; one
+    # dedup shuffle covers both the (node, root) rows and the root
+    # self-labels (was two nested distincts — r13).
+    labels = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .distinct()
+    )
     return labels, rounds

@@ -29,7 +29,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_20_spark.functions import ensure_parallelism, md5_long
+from hadoop_20_spark.functions import ensure_parallelism, let as _let, md5_long
 
 # One groupBy with ``dim`` decimal-sum expressions is ideal up to a few
 # hundred coordinates; past that, codegen/planning cost grows
@@ -453,17 +453,56 @@ def assign_cells(
             else "gemm"
         )
     if strategy == "flat":
-        return (
-            x.crossJoin(F.broadcast(cent))
-            .select(
+        # The whole centroid model as ONE 1-row array column (the
+        # two-level path's coarse_arr pattern): ranking is then a
+        # row-local array expression — the crossJoin×k fan-out, the
+        # per-id hash Exchange and the row_number sort it used to feed
+        # all disappear (r13 optimization; guide §2.4 "remove shuffles
+        # outright").  Ranking rule bit-identical to the old window:
+        # sim desc with cent_id tie-break, where sim compare uses the
+        # SQL double ordering (NaN greatest and equal to itself, ±0.0
+        # equal) in BOTH forms.
+        cent_arr = cent.agg(
+            F.collect_list(F.struct("cent_id", "c_vec")).alias("_cents")
+        )
+        scored = F.transform(
+            F.col("_cents"),
+            lambda g: F.struct(
+                F.round(cosine(F.col(vec_alias), g["c_vec"]), 4).alias("sim"),
+                (-g["cent_id"]).alias("_neg"),
+                g["cent_id"].alias("cid"),
+            ),
+        )
+        if nprobe == 1:
+            # argmax = array_max of (sim, -cent_id) — same lexicographic
+            # struct ordering as the window's (sim desc, cent_id asc)
+            return x.crossJoin(F.broadcast(cent_arr)).select(
                 id_alias,
                 vec_alias,
-                "cent_id",
-                F.round(cosine(F.col(vec_alias), F.col("c_vec")), 4).alias("sim"),
+                F.array_max(scored)["cid"].alias("cell"),
             )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= nprobe)
-            .select(id_alias, vec_alias, F.col("cent_id").alias("cell"))
+        # top-nprobe: ascending sort key (-sim, cent_id); NaN sims map
+        # to -2.0 (< every finite -sim of a cosine) so they rank FIRST,
+        # exactly where the desc window put them (Spark NaN = greatest)
+        ranked = F.transform(
+            F.col("_cents"),
+            lambda g: _let(
+                F.round(cosine(F.col(vec_alias), g["c_vec"]), 4),
+                lambda sim: F.struct(
+                    F.when(F.isnan(sim), F.lit(-2.0)).otherwise(-sim).alias("_k"),
+                    g["cent_id"].alias("cid"),
+                ),
+            ),
+        )
+        return x.crossJoin(F.broadcast(cent_arr)).select(
+            id_alias,
+            vec_alias,
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(ranked), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ).alias("cell"),
         )
     if strategy == "gemm":
         return _assign_cells_gemm(
@@ -612,24 +651,28 @@ def kmeans_centroids(
         )
     dim = len(_seed["c_vec"])
     for _ in range(iterations):
-        # argmax(sim DESC, cent_id ASC) as a partial-aggregable
-        # max(struct(sim, -cent_id)) — same selection as a row_number
-        # window (struct comparison is lexicographic) but with map-side
-        # combine instead of a full per-key sort
-        asg = (
-            c.crossJoin(F.broadcast(cent))
-            .select(
-                "_vid",
-                "cent_id",
-                F.round(cosine(F.col("_vec"), F.col("c_vec")), 4).alias("sim"),
-            )
-            .groupBy("_vid")
-            .agg(
-                F.max(
-                    F.struct(F.col("sim"), (-F.col("cent_id")).alias("_neg"))
-                ).alias("_best")
-            )
-            .select("_vid", (-F.col("_best._neg")).alias("cell"))
+        # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max over
+        # the 1-row collected centroid model (the assign_cells flat
+        # pattern, r13): same lexicographic (sim, -cent_id) struct
+        # ordering the old groupBy-max used, but the per-_vid shuffle
+        # AND the c⋈asg re-shuffle both disappear — the mean pass
+        # below is the iteration's ONLY corpus-wide exchange.
+        cent_arr = cent.agg(
+            F.collect_list(F.struct("cent_id", "c_vec")).alias("_cents")
+        )
+        asg = c.crossJoin(F.broadcast(cent_arr)).select(
+            "_vid",
+            "_vec",
+            F.array_max(
+                F.transform(
+                    F.col("_cents"),
+                    lambda g: F.struct(
+                        F.round(cosine(F.col("_vec"), g["c_vec"]), 4).alias("sim"),
+                        (-g["cent_id"]).alias("_neg"),
+                        g["cent_id"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cell"),
         )
         # try_element_at (NULL past the end, never an ANSI error) + a
         # per-coordinate non-null COUNT reproduces the old posexplode
@@ -646,7 +689,8 @@ def kmeans_centroids(
                 8,
             ).alias(f"_m{i}")
 
-        joined = c.join(asg, "_vid")
+        # asg already carries (_vec, cell) row-locally — no join back
+        joined = asg
         if dim <= KMEANS_MEAN_CHUNK:
             means = joined.groupBy("cell").agg(*[_mean_col(i) for i in range(dim)])
         else:

@@ -515,21 +515,26 @@ def sample_percent_deterministic(
 
 
 def exact_order_statistic(
-    df: DataFrame, col: str, k: int, width: int = 256, max_rounds: int = 16
+    df: DataFrame, col: str, k: int, width: int = 4096, max_rounds: int = 16
 ) -> tuple[int, int]:
     """Exact k-th smallest of an INTEGER column without a global sort:
     iterative range refinement (distributed selection).  Each round
     buckets the surviving range into ``width`` equi-width cells, counts
     per cell (bounded-domain aggregate, map-side partials), and recurses
     into the cell containing rank k — ceil(log_width(range)) rounds,
-    each one column-pruned scan + a <= width-row collect.  The default
-    width 256 holds any int64 range to <= 8 rounds (the bucket offset
-    stays BIGINT while the surviving range fits int64 and widens to
-    DECIMAL(38,0) only when it doesn't — see _offset_bucket_sql — so
-    `col - lo` spanning nearly all of int64 cannot wrap and the common
-    case never pays decimal arithmetic); each round's cost is
-    scan-dominated, so fewer-but-wider rounds win (measured 5.2 s -> 3.3 s
-    for the two-probe refinement at sf0.1 going 64 -> 256).
+    each one column-pruned scan + a collect of the <= width*targets
+    NON-EMPTY cells.  The default width 4096 holds any int64 range to
+    <= 6 rounds (the bucket offset stays BIGINT while the surviving
+    range fits int64 and widens to DECIMAL(38,0) only when it doesn't —
+    see _offset_bucket_sql — so `col - lo` spanning nearly all of int64
+    cannot wrap and the common case never pays decimal arithmetic);
+    each round's cost is scan-dominated, so fewer-but-wider rounds win
+    (measured 5.2 s -> 3.3 s for the two-probe refinement at sf0.1
+    going 64 -> 256 in round 8, and another round dropped going
+    256 -> 4096 in r13: a TPC-H price range of ~1e7 cents converges in
+    2 rounds, any int64 in 6; the collect stays bounded by the
+    non-empty cell count, <= min(width*targets, surviving distinct
+    values)).
 
     Returns (value, rounds).
 
@@ -567,9 +572,10 @@ def exact_order_statistics(
     df: DataFrame,
     col: str,
     ks: Sequence[int],
-    width: int = 256,
+    width: int = 4096,
     max_rounds: int = 16,
     bounds: tuple[int, int, int] | None = None,
+    scan_filter=None,
 ) -> tuple[dict[int, int], int]:
     """Multi-rank form of :func:`exact_order_statistic`: refines EVERY
     requested rank in the SAME scan each round — a row is tagged with
@@ -583,7 +589,15 @@ def exact_order_statistics(
     integer DIV via an expression over it).  ``bounds`` is an optional
     precomputed ``(min, max, count)`` — callers that already aggregated
     the column (to size their ranks from n) pass it and save the
-    operator's own min/max/count scan.  Returns ({k: value}, rounds)."""
+    operator's own min/max/count scan.  ``scan_filter`` (optional) maps
+    the round's surviving global range ``(lo, hi)`` to a REDUNDANT
+    predicate on the caller's RAW storage column (a conservative
+    superset of ``col BETWEEN lo AND hi``): the refinement column is
+    usually derived (cents = CAST(price*100)), whose BETWEEN cannot
+    reach the parquet scan, so without it later rounds re-read every
+    row group — with it the raw-column predicate lands in PushedFilters
+    and round r skips the row groups whose min/max miss the shrinking
+    range (guide §6; the 100 TB path).  Returns ({k: value}, rounds)."""
     for k in ks:
         if k < 1:
             raise ValueError(f"rank k must be >= 1, got {k}")
@@ -632,10 +646,13 @@ def exact_order_statistics(
         )
         g_lo = min(s[0] for s in active.values())
         g_hi = max(s[1] for s in active.values())
+        scanned = df.filter(c.between(F.lit(g_lo), F.lit(g_hi)))
+        if scan_filter is not None:
+            scanned = scanned.filter(scan_filter(g_lo, g_hi))
         counts: dict[tuple[int, int], int] = {
             (r["s"]["t"], r["s"]["b"]): r["cnt"]
             for r in (
-                df.filter(c.between(F.lit(g_lo), F.lit(g_hi)))
+                scanned
                 .select(F.explode(F.filter(tags, lambda x: x.isNotNull())).alias("s"))
                 .groupBy("s")
                 .agg(F.count(F.lit(1)).alias("cnt"))
@@ -660,7 +677,7 @@ def exact_group_order_statistics(
     group_col: str,
     col: str,
     ks_per_group: dict,
-    width: int = 256,
+    width: int = 4096,
     max_rounds: int = 16,
     bounds_per_group: dict | None = None,
 ) -> tuple[dict, int]:

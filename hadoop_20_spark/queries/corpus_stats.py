@@ -89,14 +89,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est >= exact, so no true heavy hitter is ever missed — only false
     positives are possible, and the flag makes them visible.
 
-    Scale plan: the sketch build is the 100 TB path — each token
-    occurrence emits D=4 (row, bucket) cells and Spark's map-side
-    partial aggregation collapses every partition to <= D*W = 256 cells
-    BEFORE the shuffle, so the sketch shuffle is O(partitions * 256)
-    regardless of corpus size.  The readout joins candidates against
-    the 256-row sketch by BROADCAST.  The exact-count audit pass is one
-    token-keyed shuffle — at 100 TB you drop that pass and keep only
-    the sketch (the audit is what certifies the sketch at test scale).
+    Scale plan: this query pays ONE token-keyed partial-agg'd shuffle
+    for the exact counts (its audit contract), and the sketch cells are
+    derived from those counts — D=4 md5s per DISTINCT token, collapsed
+    map-side to <= D*W = 256 cells (identical cells to a
+    per-occurrence build, which the streaming CMS operator still uses
+    where no exact-count pass exists).  The readout joins candidates
+    against the 256-row sketch by BROADCAST.  At 100 TB you drop the
+    exact-count audit and build the sketch per-occurrence in one pass
+    (the sketches.py streaming form); while the audit exists, deriving
+    the sketch from it is strictly less work.
     Hashing is md5_long (engine-portable) so the DuckDB oracle builds
     the byte-identical sketch.  W=64 is sized to force collisions at
     test scale; widening W changes no plan shape."""
@@ -106,16 +108,31 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         md5_long(F.concat(F.col("w"), F.lit("#"), F.col("r").cast("string"))) % _CMS_W
     ).alias("bucket")
-    # sketch build: the true streaming form — one cell per (occurrence,
-    # row), collapsed by map-side combine to <= D*W keys per partition
-    sketch = (
-        tok.select("w", F.explode(rows).alias("r"))
-        .select("r", bucket)
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("sc"))
-    )
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").alias("n"))
+    # sketch cells derived FROM the per-token counts (r13): sketch[r,b]
+    # = Σ_{w hashes to (r,b)} count(w) — identical cells to the
+    # per-occurrence build (the oracle's own spelling), but the D=4
+    # md5s run per DISTINCT token instead of per occurrence and the
+    # second tokenize+explode scan disappears; the token-keyed exchange
+    # under `cnt` is shared with the audit side below (ReusedExchange).
+    # The one-pass per-occurrence build remains the streaming operator
+    # (queries/sketches.py) — here the query already pays the exact
+    # token count for its audit column, so deriving the sketch from it
+    # is strictly less work at any scale (guide §2.3: aggregate before
+    # you re-derive).
+    sketch = (
+        cnt.select("w", "c", F.explode(rows).alias("r"))
+        .select("r", bucket, "c")
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("sc"))
+    )
+    # total occurrences read off sketch row 0: every token lands in
+    # exactly one row-0 cell, so Σ_bucket sc[0, b] == Σ_w c — the same
+    # BIGINT.  The old cnt.agg(sum) was a third structural consumer of
+    # the token-count exchange, which AQE's raced leaf-stage reuse
+    # re-computed from the scan (r13); this rides the 256-cell sketch
+    # relation instead, adding zero corpus work.
+    tot = sketch.where(F.col("r") == 0).agg(F.sum("sc").alias("n"))
     est = (
         cnt.select("w", "c", F.explode(rows).alias("r"))
         .select("w", "c", "r", bucket)

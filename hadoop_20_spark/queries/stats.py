@@ -1385,10 +1385,11 @@ def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics at fact scale without sorting the fact:
     sort_ops.exact_order_statistic narrows an integer-cents range by
-    64-way count histograms — ceil(log64(range)) rounds (4 here), each
-    a column-pruned scan whose BETWEEN filter pushes into parquet (later
-    rounds skip most row groups via footer min/max) plus a <= 64-row
-    collect.  The orderBy alternative shuffles the whole column through
+    4096-way count histograms — ceil(log4096(range)) rounds (2 for the
+    ~1e7-cent TPC-H price range, at any sf), each a column-pruned scan
+    whose redundant raw-price BETWEEN pushes into parquet (later rounds
+    skip most row groups via footer min/max) plus a bounded collect of
+    the non-empty cells.  The orderBy alternative shuffles the whole column through
     a RangePartitioner to read ONE offset; at 100 TB that's the
     difference between a few filtered scans and a full-data shuffle.
 
@@ -1406,10 +1407,19 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_20_spark.operators import sort as sort_ops
 
     li = _t(spark, sf_dir, "lineitem")
+    # carry the RAW price column alongside the derived cents: the
+    # refinement's BETWEEN on `c` (a cast expression) can never reach
+    # the parquet scan, so each round's scan_filter adds the redundant
+    # raw-column superset predicate that DOES land in PushedFilters —
+    # later rounds then skip row groups whose min/max miss the
+    # shrinking range (r13; guide §6).  The ±0.01 slack over-covers the
+    # DECIMAL(12,2) HALF-UP rounding of the cast, so no qualifying row
+    # is ever dropped (superset ⇒ identical results).
     cents = li.select(
+        "l_extendedprice",
         (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
         .cast("bigint")
-        .alias("c")
+        .alias("c"),
     )
     b = cents.agg(
         F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
@@ -1419,7 +1429,10 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-rank form: both probes share every refinement scan; the
     # rank-sizing aggregate doubles as the operator's bounds scan
     by_rank, _rounds = sort_ops.exact_order_statistics(
-        cents, "c", list(targets.values()), bounds=(b["lo"], b["hi"], n)
+        cents, "c", list(targets.values()), bounds=(b["lo"], b["hi"], n),
+        scan_filter=lambda lo, hi: F.col("l_extendedprice").between(
+            lo / 100.0 - 0.01, hi / 100.0 + 0.01
+        ),
     )
     values = {stat: by_rank[k] for stat, k in targets.items()}
     # one audit pass for both ranks: counts below/at each found value

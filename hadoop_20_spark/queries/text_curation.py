@@ -1730,30 +1730,41 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     tgt = F.col("lang") == "en"
-    # bucket counts straight off the token stream (bounded-domain agg,
-    # map-side partials, NOT via dcnt) — giving dcnt a second consumer
-    # would re-run its doc-keyed fact shuffle, and caching it violates
-    # the persist rule (it scales with the corpus).  The extra
-    # column-pruned scan + re-tokenize is the cheap side of that trade
-    # (SCALE.md, jaccard-family precedent).
-    bc = (
-        tok.select(
-            "lang", (_fn_md5_long(F.col("term")) % _DSIR_B).alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(tgt, F.lit(1)).otherwise(F.lit(0))).alias("ct"),
-            F.sum(F.when(F.col("lang") != "en", F.lit(1)).otherwise(F.lit(0))).alias("cr"),
-        )
+    # bucket counts derived FROM dcnt (r13): Σ per-doc counts per
+    # bucket = per-occurrence counts, identical integers.  dcnt's
+    # second consumer does NOT re-run the doc-keyed fact shuffle —
+    # the two consumers share one identical aggregate subtree, so
+    # Spark's ReusedExchange serves both from the same shuffle files
+    # (plan-verified: the r13 after-plan has ONE tokenize scan and a
+    # ReusedExchange where the re-tokenize pass used to be; no persist,
+    # so the persist rule is untouched).  This deletes the second
+    # tokenize+explode+md5 pass over the corpus — at 100 TB a full
+    # CPU pass over every token (guide §2.3/§2.4).
+    bc = dcnt.groupBy("bucket").agg(
+        F.sum(F.when(tgt, F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(
+            F.when(F.col("lang") != "en", F.col("c")).otherwise(F.lit(0))
+        ).alias("cr"),
     )
-    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    # corpus totals as window sums over the BOUNDED (<= 1024-row) bucket
+    # relation instead of a separate agg + broadcast crossJoin (r13):
+    # the old tot side was a second structural consumer of bc, and AQE's
+    # stage reuse races concurrent identical leaf stages, so that
+    # consumer re-ran the whole dcnt chain (tokenize included) in
+    # parallel with the lam side.  One chain, same integers.  The
+    # constant-key partitionBy (`bucket % 1`, non-foldable) is the
+    # zipf_coverage idiom: single group by construction over a bounded
+    # relation, warning-free log.
+    from pyspark.sql import Window as _W
+
+    w_tot = _W.partitionBy(F.col("bucket") % 1)
     lam = (
         F.log((F.col("ct") + F.lit(1)).cast("double")
-              / (F.col("tt") + F.lit(_DSIR_B)).cast("double"))
+              / (F.sum("ct").over(w_tot) + F.lit(_DSIR_B)).cast("double"))
         - F.log((F.col("cr") + F.lit(1)).cast("double")
-                / (F.col("tr") + F.lit(_DSIR_B)).cast("double"))
+                / (F.sum("cr").over(w_tot) + F.lit(_DSIR_B)).cast("double"))
     ).alias("lam")
-    lam_b = bc.crossJoin(F.broadcast(tot)).select("bucket", lam)
+    lam_b = bc.select("bucket", lam)
     pd = (
         dcnt.join(lam_b, "bucket")
         .groupBy("doc_id", "lang", "source")
