@@ -31,14 +31,12 @@ from pyspark.sql import functions as F
 
 from hadoop_20_spark.functions import ensure_parallelism, let as _let, md5_long
 
-# One groupBy with ``dim`` decimal-sum expressions is ideal up to a few
-# hundred coordinates; past that, codegen/planning cost grows
-# superlinearly in the expression count.  Above this chunk size
-# ``kmeans_centroids`` splits its mean pass into ceil(dim/chunk) passes
-# of <=chunk aggregates each over a checkpointed (vector, cell) frame,
-# then stitches the k-row chunk results with cheap joins on cell.
-# Total shuffle bytes are unchanged (each pass ships only its own
-# coordinate slice + the cell key); only the stage count grows.
+# RETIRED in r13 (kept for external callers' reference): the mean pass
+# used to be one groupBy with ``dim`` decimal-sum expressions, chunked
+# past this width because codegen/planning cost grows superlinearly in
+# the expression count.  The r13 loop instead posexplodes to a narrow
+# (cell, pos) aggregate whose plan is dim-independent — same single
+# exchange, same decimal-exact values, no wide-codegen cliff.
 KMEANS_MEAN_CHUNK = 256
 
 #: target mean cell occupancy for corpus-scaled k-means cluster counts.
@@ -605,28 +603,38 @@ def kmeans_centroids(
       bit-identical in any engine and under any partitioning;
     - a cell that loses all members keeps its previous centroid.
 
-    The mean pass aggregates POSITIONALLY: one groupBy(cell) with
-    ``dim`` per-coordinate sum expressions, instead of posexplode →
-    groupBy(cell, pos) → collect_list rebuild — identical values
-    (decimal sums are order-independent either way) but ONE shuffle
-    per iteration instead of three, which cut training wall-clock
-    ~2.5× at sf0.1 (the per-iteration stage overhead, not the data,
-    dominates at bench scale; at 100 TB it saves two corpus-wide
-    shuffles per iteration).
+    The mean pass is one posexplode → (cell, pos) decimal-mean
+    aggregate per iteration — a single corpus-wide exchange whose plan
+    is a fixed handful of expressions regardless of ``dim`` (the r12
+    form spelled ``dim`` wide aggregate columns instead: same exchange,
+    same values, but ~1.2 s of fresh Catalyst analysis/codegen per
+    iteration at dim 64, and a chunking path past 256 coordinates —
+    both retired in r13).  Arrays are rebuilt on the driver, which
+    already holds the model.
 
-    Driver loop is iterations-only (the ``dedup_clusters`` pattern):
-    data stays distributed; ``localCheckpoint`` truncates lineage per
-    round so the plan doesn't grow exponentially.  Returns
-    ``(cent_id, c_vec)`` — drop-in for ``ivf_topk(centroids=...)``.
+    The model lives on the DRIVER between iterations (r13): the old
+    loop already collected the whole model every iteration (the
+    broadcast side), but kept a distributed twin that cost a
+    localCheckpoint job, a left join, and a coalesce per round — under
+    AQE that was 7 scheduler jobs per iteration, ~2 s of fixed cost at
+    bench scale for a 16-row model.  Now each iteration is exactly ONE
+    Spark action (the mean-pass collect over ≤ k·dim cells): the model
+    ships out as a 1-row local-relation broadcast (no job — a
+    LocalTableScan collects driver-side), the row-local argmax assigns
+    cells, the decimal mean aggregate comes back, and the update merge
+    (a cell that loses all members keeps its previous centroid) is a
+    driver dict merge.  Driver footprint is k·dim doubles — the SAME
+    footprint the broadcast always had; the fail-loud ceiling for
+    driver-collected models is documented at ASSIGN_GEMM_MAX_K.
+    Returns ``(cent_id, c_vec)`` as a local relation — drop-in for
+    ``ivf_topk(centroids=...)``, and downstream broadcasts of it cost
+    no cluster job at all.
     """
-    cent = corpus.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("long").alias("cent_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    spark = corpus.sparkSession
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     )
-    # Lloyd passes run on the md5-gated training sample (seeds above
+    # Lloyd passes run on the md5-gated training sample (seeds below
     # stay the full-corpus lowest-k ids, so mod == 1 reproduces the
     # historical training bit-for-bit).  See KMEANS_TRAIN_SAMPLE for
     # why: with corpus-scaled k the full-corpus assignment inside the
@@ -639,27 +647,35 @@ def kmeans_centroids(
             % F.lit(train_sample_mod)
             == 0
         )
-    # model-shape inference, once (a 1-row driver action, not a data pull).
-    # All vectors are assumed to share the seed centroid's length; ragged
-    # inputs average only the coordinates they have (try_element_at below)
-    # and coordinates past ``dim`` are ignored entirely.
-    _seed = cent.select("c_vec").first()
-    if _seed is None:
+    # seed collect: the k corpus vectors with smallest ids (one job —
+    # replaces the old first() shape probe; same rows, same job count).
+    model: dict[int, list] = {
+        r["cent_id"]: list(r["c_vec"])
+        for r in corpus.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("long").alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .collect()
+    }
+    if not model:
         raise ValueError(
             "kmeans_centroids: empty centroid seed (empty corpus, or no "
             f"rows with {id_col} < k={k}) — cannot infer vector dim"
         )
-    dim = len(_seed["c_vec"])
+    dim = len(next(iter(model.values())))
+    cent_schema = "cent_id bigint, c_vec array<double>"
+    arr_schema = f"_cents array<struct<cent_id:bigint,c_vec:array<double>>>"
+
     for _ in range(iterations):
-        # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max over
-        # the 1-row collected centroid model (the assign_cells flat
-        # pattern, r13): same lexicographic (sim, -cent_id) struct
-        # ordering the old groupBy-max used, but the per-_vid shuffle
-        # AND the c⋈asg re-shuffle both disappear — the mean pass
-        # below is the iteration's ONLY corpus-wide exchange.
-        cent_arr = cent.agg(
-            F.collect_list(F.struct("cent_id", "c_vec")).alias("_cents")
+        # the model as ONE 1-row local relation: broadcast materializes
+        # driver-side (LocalTableScan.executeCollect — no Spark job)
+        cent_arr = spark.createDataFrame(
+            [([(cid, model[cid]) for cid in sorted(model)],)], arr_schema
         )
+        # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max — same
+        # lexicographic (sim, -cent_id) struct ordering the historical
+        # groupBy-max used; no per-_vid shuffle, no join back.
         asg = c.crossJoin(F.broadcast(cent_arr)).select(
             "_vid",
             "_vec",
@@ -674,48 +690,45 @@ def kmeans_centroids(
                 )
             )["cid"].alias("cell"),
         )
-        # try_element_at (NULL past the end, never an ANSI error) + a
-        # per-coordinate non-null COUNT reproduces the old posexplode
-        # semantics for ragged vectors: each coordinate averages over
-        # the vectors that HAVE it; fixed-dim input is unchanged.
-        def _mean_col(i: int):
-            return F.round(
-                F.sum(
-                    F.try_element_at("_vec", F.lit(i + 1))
-                    .cast("double")
-                    .cast("decimal(30,10)")
-                ).cast("double")
-                / F.count(F.try_element_at("_vec", F.lit(i + 1))),
-                8,
-            ).alias(f"_m{i}")
-
-        # asg already carries (_vec, cell) row-locally — no join back
-        joined = asg
-        if dim <= KMEANS_MEAN_CHUNK:
-            means = joined.groupBy("cell").agg(*[_mean_col(i) for i in range(dim)])
-        else:
-            # checkpoint so each chunk pass re-reads the materialized
-            # assignment instead of recomputing the crossJoin+argmax
-            joined = joined.localCheckpoint()
-            means = None
-            for start in range(0, dim, KMEANS_MEAN_CHUNK):
-                cols = [_mean_col(i) for i in range(start, min(start + KMEANS_MEAN_CHUNK, dim))]
-                part = joined.groupBy("cell").agg(*cols)
-                means = part if means is None else means.join(part, "cell")
-        new_cent = means.select(
-            F.col("cell").alias("cent_id"),
-            F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("c_vec"),
-        )
-        cent = (
-            cent.select("cent_id", F.col("c_vec").alias("_old"))
-            .join(new_cent, "cent_id", "left")
-            .select(
-                "cent_id", F.coalesce(F.col("c_vec"), F.col("_old")).alias("c_vec")
+        # mean pass: posexplode → ONE narrow (cell, pos) decimal-mean
+        # aggregate → collect ≤ k·dim cells, arrays rebuilt on the
+        # driver.  Same single corpus-wide exchange as the old 64-wide
+        # positional aggregate and the identical decimal-exact values
+        # (order-independent sums; positions a ragged vector lacks emit
+        # no row, exactly the try_element_at non-null-count semantics),
+        # but the plan is a FIXED handful of expressions: the old form
+        # re-paid ~1.2 s of Catalyst analysis/codegen for 64·4 fresh
+        # aggregate expressions on every iteration (driver-side, the
+        # dominant training cost at bench scale — measured: same-plan
+        # re-collect 0.63 s vs fresh-plan 1.8 s).  This also retires
+        # the KMEANS_MEAN_CHUNK wide-codegen chunking path: the narrow
+        # plan is dim-independent.
+        mean_rows = (
+            asg.select("cell", F.posexplode("_vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("val").cast("double").cast("decimal(30,10)")
+                    ).cast("double")
+                    / F.count("val"),
+                    8,
+                ).alias("m")
             )
-            .coalesce(1)
-            .localCheckpoint()
+            .collect()
         )
-    return cent
+        # update merge: cells with members move to their mean; a cell
+        # that lost all members keeps its previous centroid (identical
+        # to the old coalesce-left-join semantics).  Coordinates past
+        # the seed dim are ignored, as before.
+        fresh: dict[int, list] = {}
+        for r in mean_rows:
+            if r["pos"] < dim:
+                fresh.setdefault(r["cell"], [None] * dim)[r["pos"]] = r["m"]
+        model.update(fresh)
+    return spark.createDataFrame(
+        [(cid, model[cid]) for cid in sorted(model)], cent_schema
+    )
 
 
 def ivf_topk(
