@@ -18,7 +18,7 @@ construction (blocks bound edge locality).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,30 +144,36 @@ def connected_components_star(
         # edge (a<b) is re-emitted from a's group, so connectivity is
         # preserved; edges only ever point DOWNWARD afterwards.
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = nbrs.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
-        )
-        # No .distinct() here (r13): duplicates ((v, m) emitted from
-        # several u-groups) are bounded by degree, don't move the MIN
-        # aggregate below, and are collapsed by the round's final
-        # (u, v) groupBy anyway — dropping the dedup removes one full
-        # edge-set Exchange per round (guide §2.4).
+        # Per-u minimum as an unbounded window over ONE u-partitioned
+        # exchange (r13): the old groupBy-min + join-back shipped the
+        # SAME nbrs rows through TWO exchanges (the partial-agg'd mins
+        # and the join probe side); the join needed every row anyway,
+        # so the window halves the round's large-star shuffle volume —
+        # identical skew profile (a hot u lands on one task under
+        # either plan).  No .distinct() either: duplicates ((v, m)
+        # emitted from several u-groups) are bounded by degree, don't
+        # move the MIN below, and the round's final (u, v) groupBy
+        # collapses them (guide §2.4).
+        w_u = Window.partitionBy("u")
         large = (
-            nbrs.join(mins, "u")
+            nbrs.withColumn(
+                "m", F.least(F.min("v").over(w_u), F.col("u"))
+            )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         # Small-star: orient (big, small); u and every smaller neighbor
         # hang off the smallest neighbor.  Output is a forest of stars.
+        # Same window form; the (u, m) self-edge rides every row and
+        # the final groupBy dedups it.
         se = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        smins = se.groupBy("u").agg(F.min("v").alias("m"))
+        sew = se.withColumn("m", F.min("v").over(w_u))
         nxt_pre = (
-            se.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            sew.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sew.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
         )
         if rounds == 1:

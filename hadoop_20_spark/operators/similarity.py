@@ -273,21 +273,34 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
+            # per-vector norm before the bucket explode/join (r13):
+            # interpreted array folds run once per vector, not per
+            # candidate pair — bit-identical arithmetic
+            norm(F.col(vec_col)).alias(f"{role}_nrm"),
             F.explode(tables).alias("tb"),
-        ).select(f"{role}_id", f"{role}_vec", "tb.tbl", "tb.bkt")
+        ).select(
+            f"{role}_id", f"{role}_vec", f"{role}_nrm", "tb.tbl", "tb.bkt"
+        )
 
     c = with_buckets(ensure_parallelism(corpus), "neighbor")
     q = with_buckets(queries, "query")
     cand = (
         c.join(q, ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .select(
+            "query_id", "neighbor_id", "query_vec", "neighbor_vec",
+            "query_nrm", "neighbor_nrm",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 4).alias("cosine_sim"),
+        F.round(
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("query_nrm") * F.col("neighbor_nrm")),
+            4,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -770,13 +783,21 @@ def ivf_topk(
         queries, centroids, "query_id", "q_vec", id_col, vec_col,
         nprobe=nprobe, n_centroids=n_centroids,
     )
+    # per-vector norms before the probe join (r13): one interpreted
+    # fold per pair instead of three, bit-identical arithmetic
+    cells = cells.withColumn("_nn", norm(F.col("n_vec")))
+    qcells = qcells.withColumn("_qn", norm(F.col("q_vec")))
     scored = (
         cells.join(qcells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("_qn") * F.col("_nn")),
+                4,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -838,13 +859,20 @@ def query_ivf_index(
         nprobe=nprobe, n_centroids=n_centroids,
     )
     index = spark.read.parquet(path)
+    # per-vector norms before the probe join (r13, as ivf_topk)
+    qcells = qcells.withColumn("_qn", norm(F.col("q_vec")))
     scored = (
-        index.join(F.broadcast(qcells), "cell")
+        index.withColumn("_nn", norm(F.col("n_vec")))
+        .join(F.broadcast(qcells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("_qn") * F.col("_nn")),
+                4,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1022,9 +1050,25 @@ def embedding_verify(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Exact cosine for the given candidate ``pairs`` (columns ``id_a``,
-    ``id_b``): two hash joins on vector id — linear in |pairs|."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ``id_b``): two hash joins on vector id — linear in |pairs|.
+
+    Norms are precomputed per VECTOR on the side relations (r13, the
+    semantic_dedup ``_nrm`` discipline): higher-order array folds are
+    interpreted (no codegen), so computing ``cosine`` whole per pair
+    paid three folds per candidate where one suffices — the per-pair
+    work is now a single dot + one division, bit-identical
+    (``dot/(norm_a*norm_b)`` with the same sequential folds, just
+    evaluated per vector instead of per pair)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         pairs.select("id_a", "id_b")
         .join(a, "id_a")
@@ -1032,7 +1076,10 @@ def embedding_verify(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -1148,15 +1195,29 @@ def embedding_near_dups(
             f"{n*(n-1)//2} pairs; limit is {BRUTE_FORCE_MAX_ROWS} rows — use the "
             "default SRP bucket-then-verify path at scale"
         )
-    a = ensure_parallelism(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-vector norms precomputed on each side (r13, the
+    # embedding_verify discipline): one interpreted fold per pair
+    # instead of three, bit-identical arithmetic
+    a = ensure_parallelism(df).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -1579,8 +1640,16 @@ def pq_codebooks(
         sliced = corpus.select(
             id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
         )
+        # localCheckpoint the k-row codebook: PQ consumers broadcast
+        # every book several times (encode + reconstruct = 2m broadcast
+        # subtrees per query), and a raw local-relation book re-pays
+        # plan embedding/serialization per broadcast — measured 2-3x on
+        # the b19 timed path (~1.0 s checkpointed vs 2.1-3.4 s inline).
+        # One tiny eager job per book, off the recurring path.
         books.append(
-            kmeans_centroids(sliced, id_col, vec_col, k=k, iterations=iterations)
+            kmeans_centroids(
+                sliced, id_col, vec_col, k=k, iterations=iterations
+            ).localCheckpoint()
         )
     return books, sub
 
