@@ -722,7 +722,10 @@ def main() -> None:
                 emb, k=k12, iterations=3,
                 train_sample_mod=_sim.kmeans_train_mod(n12),
             )
-            ctx["b12_cents"].count()  # force the localCheckpoint chain
+            # r13: kmeans_centroids trains eagerly (driver-hosted model)
+            # and returns a local relation — count() is now a no-op
+            # guard that the table is materialized, kept for shape
+            ctx["b12_cents"].count()
             ctx["b12_k"] = k12
             d["train_secs"] = round(time.time() - t0, 3)
             d["n_centroids"] = k12
@@ -760,7 +763,7 @@ def main() -> None:
             )
             books, sub = _sim.pq_codebooks(emb, m=4, k=16, iterations=2)
             for b in books:
-                b.count()  # force the localCheckpoint chains
+                b.count()  # force the codebooks' localCheckpoints
             ctx["b19"] = (emb, books, sub)
             d["train_secs"] = round(time.time() - t0, 3)
         # exec metrics bracket the LAST timed run only (one clean run's

@@ -384,19 +384,23 @@ def test_kmeans_centroids_deterministic_under_repartition(spark, tables):
     assert all(len(v) == 64 for v in ra.values())
 
 
-def test_kmeans_centroids_chunked_bit_identical(spark, tables, monkeypatch):
-    """Forcing the chunked high-dim mean path (chunk < dim) must yield
-    exactly the single-pass result — same decimal sums, just split
-    across stages."""
+def test_kmeans_centroids_partitioning_invariant(spark, tables):
+    """The r13 driver-hosted loop (row-local argmax + one narrow
+    (cell, pos) decimal-mean collect per iteration) must be bit-exact
+    under ANY input partitioning — the decimal-sum order-independence
+    contract the old chunked-mean test pinned, now pinned directly:
+    training on a 7-way round-robin repartition of the corpus yields
+    the identical model, element for element."""
     from hadoop_20_spark.operators import similarity as sim
 
     emb = tables["embeddings"].select("vec_id", "embedding")
-    single = {r["cent_id"]: r["c_vec"]
-              for r in sim.kmeans_centroids(emb, k=4, iterations=2).collect()}
-    monkeypatch.setattr(sim, "KMEANS_MEAN_CHUNK", 16)  # dim 64 → 4 passes
-    chunked = {r["cent_id"]: r["c_vec"]
-               for r in sim.kmeans_centroids(emb, k=4, iterations=2).collect()}
-    assert chunked == single
+    base = {r["cent_id"]: r["c_vec"]
+            for r in sim.kmeans_centroids(emb, k=4, iterations=2).collect()}
+    reparted = {r["cent_id"]: r["c_vec"]
+                for r in sim.kmeans_centroids(
+                    emb.repartition(7), k=4, iterations=2
+                ).collect()}
+    assert reparted == base
 
 
 def test_kmeans_centroids_dim_1024(spark):

@@ -45,7 +45,7 @@ QUERIES = {
     "q20_dominant_supplier": "per-(part,supp) agg re-aggregated per part (shared partitioning); part-name + dominant sets as semi joins",
     "dup_ngram_fraction": "shingle-keyed df count + join back — never a doc×doc join; token array materialized before the shingle transform",
     "knn_label_agreement": "broadcast-nested-loop scoring (queries broadcast, norms precomputed per vector), window top-k, integer vote sums",
-    "semantic_dedup": "k-means (one-shuffle positional means, argmax agg; Lloyd passes on the ~25k md5-gated sample — full-corpus training is Theta(n^2/128) with corpus-scaled k, the sf10 catch) then within-cell pair join — quadratic work confined to cells, norms precomputed, k corpus-scaled (max(16, n//128)) so cell occupancy stays flat across decades",
+    "semantic_dedup": "k-means (driver-hosted model, row-local argmax assignment, one narrow (cell,pos) mean shuffle per iteration — r13; Lloyd passes on the ~25k md5-gated sample) then within-cell pair join — quadratic work confined to cells, norms precomputed, k corpus-scaled (max(16, n//128)) so cell occupancy stays flat across decades",
     "vocab_oov_rate": "top-500 vocab via TakeOrderedAndProject (per-partition heaps, no global window), broadcast probe, integer OOV sums",
     "dedup_retention_curve": "one lossless prefix-filtered candidate pass at the lowest threshold serves the whole curve; per-doc max + 3-row aggregation",
     "bpe_merge_pairs": "row-local pair extraction (token explode → per-index substr), one partial-agg'd shuffle on the char-bigram key, TakeOrderedAndProject top-50",
@@ -66,7 +66,7 @@ QUERIES = {
     "perplexity_bucket_mix": "unigram CE per doc (term shuffle + AQE-broadcast vocab join), tercile CDF windows per source over the score HISTOGRAM, md5-gated keep row-local, sources x 3 final key",
     "zorder_layout_audit": "ONE broadcast min/max row; Morton key = 32 shift/mask terms row-local; two 64-key partial-agg stats passes over a persisted keyed projection",
     "bloom_semi_join_audit": "filter built as explode->distinct->bit_or word agg densified on a range spine, ONE broadcast array row; probe is pure codegen BEFORE any shuffle",
-    "cms_heavy_hitters": "sketch build collapses to ≤256 (r,bucket) cells per partition before the shuffle; readout joins the sketch by broadcast; exact-audit pass is one token shuffle",
+    "cms_heavy_hitters": "sketch cells derived from the per-token counts the audit already pays (4 md5s per DISTINCT token, one tokenize scan); corpus total reads off sketch row 0; readout joins the sketch by broadcast (r13)",
     "zipf_coverage": "token counts partial-agg'd; top-100 via TakeOrderedAndProject; cumulative window only over the post-limit 100 rows",
     "vocab_growth_curve": "shingle→min-doc aggregate is the only fact shuffle; decile bucket row-local vs broadcast 1-row max; ≤10-row cumulative window",
     "ngram_novelty": "min-doc aggregate then join back on the SAME shingle key (co-partitioned); per-doc and per-source aggregates on shrinking keys",
@@ -101,9 +101,9 @@ QUERIES = {
     "temperature_source_mix": "one tiny-key count agg persisted; integer floor(sqrt) weights, integer ppm quotient; broadcast rate join + row-local md5 gate",
     "pq_recall_audit": "4 subspace codebooks trained on sliced vectors (broadcast argmax partial agg per iteration); encode = m broadcast argmax passes; ONE scored-reconstruction pass persisted serves top-10 AND the re-rank shortlist",
     "bad_record_quarantine": "render + PERMISSIVE parse + classify all row-local codegen off one scan; the only shuffle is the ~5-row classify agg (map-side partials)",
-    "dsir_importance_sample": "one (doc,bucket) feature-matrix shuffle; bucket LMs re-derived from a column-pruned token scan (persist rule: corpus-sized relations re-derive); 1024-row log-ratio join AQE-broadcast; Gumbel top-k = TakeOrderedAndProject",
+    "dsir_importance_sample": "one (doc,bucket) feature-matrix shuffle; bucket LMs derived FROM that aggregate (AQE stage reuse, no re-tokenize) with corpus totals as window sums over the ≤1024-row bucket relation (r13); Gumbel top-k = TakeOrderedAndProject",
     "bfs_khop_reach": "per round ONE edges-side shuffle keyed by node + a same-keyed visited anti-join; localCheckpoint flattens lineage; unreached surfaced by a left join against the node set",
-    "cc_star_order_chains": "large-star/small-star contraction: per round one groupBy-min partial-agg shuffle + one co-keyed join, O(log n) rounds on deep chains (vs diameter for propagation); edge set bounded by node count after round 1; chain edges from a custkey-partitioned window (no global window)",
+    "cc_star_order_chains": "large-star/small-star contraction, r13 form: per round TWO per-u window-min passes (one u-partitioned exchange each, half the old groupBy+join volume) + ONE fused dedup/fixpoint (u,v) aggregation; O(log n) rounds on deep chains; chain edges from a custkey-partitioned window (no global window)",
     "misra_gries_heavy_hitters": "raw key column never shuffled: mapInPandas collapses each scan partition to <= k rows (sublinear combiner), merge shuffle O(partitions*k); exact-count pass is the test-scale audit; 1-row total broadcast-attached",
     "supplier_pareto_frontier": "skyline runs on the entity-bounded per-supplier aggregate (ONE suppkey-keyed fact shuffle, distinct via two-level agg); local BNL pass prunes each partition to Pareto-maximal rows before the single-task exact merge; integer objectives via DECIMAL(18,2)",
     "fuzzy_join_deletion_blocking": "constant |s|+1 key fan-out from a pure-Column transform (no UDF); candidate equi-join buckets bounded by the alphabet (<=10 here) so never quadratic; one levenshtein per survivor; degree histogram = two bounded-domain shuffles",
