@@ -29,6 +29,100 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+#: Input bytes per state-store partition for the adaptive sizing rule
+#: below.  State of a watermark-bounded operator is bounded by (a slice
+#: of) its input, so input bytes are the driver-side-knowable proxy for
+#: state volume.
+STATE_PARTITION_TARGET_BYTES = 8 << 20
+STATE_PARTITIONS_MIN = 4
+#: ceiling for the derived count — ~16 GB of input per trigger at the
+#: target above; past that, raise the target, not the cap (more stores
+#: per operator means more per-batch commits, the exact overhead this
+#: rule exists to bound).
+STATE_PARTITIONS_MAX = 2048
+
+# run_*_to_memory briefly lowers spark.sql.shuffle.partitions around
+# .start() (the stream's cloned session captures it; see
+# adaptive_state_partitions).  Serialize those windows so concurrent
+# stream launches (the g1 GridMix shape) can't restore each other's
+# values out of order.
+_STATE_CONF_LOCK = threading.Lock()
+
+
+def adaptive_state_partitions(
+    spark: SparkSession,
+    *paths: str,
+    target_bytes: int = STATE_PARTITION_TARGET_BYTES,
+    lo: int = STATE_PARTITIONS_MIN,
+    hi: int = STATE_PARTITIONS_MAX,
+) -> int:
+    """State-store partition count derived from INPUT SIZE, not core
+    count (guide §2.6 — scale-adaptive partitioning, never a constant
+    tuned to the local box).
+
+    A stateful streaming operator hash-partitions its state into
+    ``spark.sql.shuffle.partitions`` stores, and EVERY store pays a
+    per-batch commit (delta file write + snapshot maintenance) whether
+    or not it holds data.  Defaulting that to the core count makes the
+    commit overhead scale with the MACHINE instead of the DATA:
+    measured on the sf0.1 stream-stream join (2 MB input, ~40k peak
+    state rows, 4 stores per partition), the data batch runs 3.8 s
+    under 32 partitions vs 1.5 s under 8 vs 1.0 s under 6 — identical
+    results, pure commit overhead.  Sizing from input bytes keeps the
+    count identical at any core count (so a low-core and a high-core
+    run of the same stream are comparable) and scales to production:
+    ~``target_bytes`` of per-trigger input per store lands a 100 TB/day
+    stream with GB-scale triggers at the 2048 cap while a tailing
+    20 MB/min ingest stays at a handful of stores.  Values are
+    partition-count-independent throughout this module (decimal-exact
+    sums, exact joins), so the knob moves only wall-clock.
+
+    ``paths`` are the stream's source files/directories; sizes are read
+    driver-side (bounded metadata work, same class as the file listing
+    the source already does)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    n = max(1, -(-total // target_bytes))
+    return max(lo, min(hi, n))
+
+
+def _start_with_state_partitions(start_fn, spark: SparkSession, state_partitions):
+    """Run ``start_fn()`` (a writeStream ``.start()``) with
+    ``spark.sql.shuffle.partitions`` set to ``state_partitions``, then
+    restore the previous value.  Safe because a streaming query
+    CAPTURES the conf at start (StreamExecution runs on a cloned
+    session; verified live: start at 6, restore to 32 immediately →
+    progress reports numShufflePartitions=6 for every batch).  The lock
+    bounds the window in which a concurrently-planned batch query could
+    observe the lowered value (harmless for results, AQE re-coalesces
+    anyway, but no reason to leave it racy)."""
+    if state_partitions is None:
+        return start_fn()
+    with _STATE_CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(state_partitions))
+        )
+        try:
+            return start_fn()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _events_schema(ts_as_long: bool) -> StructType:
     """Fixture generations differ: events.ts has been TIMESTAMP(NANOS)
     (unreadable by Spark except as long) and TIMESTAMP(MICROS).  The
@@ -222,7 +316,10 @@ def _unique_sink_name(name: str) -> str:
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming query to completion over the available input
     (processAllAvailable) into an in-memory sink; returns the result
@@ -231,29 +328,37 @@ def run_to_memory(
     ``output_mode`` defaults to ``complete`` (right for the aggregate
     queries this is used with); pass ``append`` for non-aggregate
     streams, or use :func:`run_append_to_memory` /
-    :func:`run_update_to_memory`.
+    :func:`run_update_to_memory`.  ``state_partitions`` (see
+    :func:`adaptive_state_partitions`) sizes the query's state stores
+    from the data instead of the core count.
     """
     name = _unique_sink_name(name)
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
+    q = _start_with_state_partitions(
+        lambda: stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
-        .start()
+        .start(),
+        stream_df.sparkSession,
+        state_partitions,
     )
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.table(name)
 
 
-def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_update_to_memory(
+    stream_df: DataFrame, name: str, state_partitions: int | None = None
+) -> DataFrame:
     """Update-mode memory sink (stateful operators emit per-batch state
     updates; the table accumulates one row per key per batch)."""
     name = _unique_sink_name(name)
-    q = (
-        stream_df.writeStream.outputMode("update")
+    q = _start_with_state_partitions(
+        lambda: stream_df.writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
-        .start()
+        .start(),
+        stream_df.sparkSession,
+        state_partitions,
     )
     q.processAllAvailable()
     q.stop()
@@ -287,14 +392,18 @@ def pop_query_progress() -> list[dict]:
     return out
 
 
-def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_append_to_memory(
+    stream_df: DataFrame, name: str, state_partitions: int | None = None
+) -> DataFrame:
     name = _unique_sink_name(name)
     t0 = time.time()
-    q = (
-        stream_df.writeStream.outputMode("append")
+    q = _start_with_state_partitions(
+        lambda: stream_df.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .start()
+        .start(),
+        stream_df.sparkSession,
+        state_partitions,
     )
     q.processAllAvailable()
     rows_by_batch = []

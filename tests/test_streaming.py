@@ -459,3 +459,75 @@ def test_streaming_cms_batch_split_and_replay_invariance(spark):
     cells = spark.read.parquet(s4)
     cells.filter("epoch = 2").write.mode("append").parquet(s4)
     assert sketch(s4) == sketch(s1), "replay must be idempotent"
+
+
+def test_adaptive_state_partitions_sizes_from_bytes(spark, tmp_path):
+    """The r13 state-store sizing rule: partition count derives from
+    input BYTES (clamped), never from the core count — so the same
+    stream gets the same state layout on local[8] and local[32]."""
+    import os
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    # tiny input clamps to the floor
+    assert streaming.adaptive_state_partitions(spark, str(small)) == (
+        streaming.STATE_PARTITIONS_MIN
+    )
+    # ~10 targets of bytes -> 10 partitions (above the floor)
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"")
+    os.truncate(big, 10 * streaming.STATE_PARTITION_TARGET_BYTES)
+    assert streaming.adaptive_state_partitions(spark, str(big)) == 10
+    # ceiling clamp
+    assert (
+        streaming.adaptive_state_partitions(
+            spark, str(big), target_bytes=1, hi=64
+        )
+        == 64
+    )
+    # missing paths contribute nothing (floor), never raise
+    assert streaming.adaptive_state_partitions(
+        spark, str(tmp_path / "nope")
+    ) == streaming.STATE_PARTITIONS_MIN
+
+
+def test_state_partitions_capture_and_conf_restore(spark):
+    """run_append_to_memory(state_partitions=N) must (a) run the
+    stream's stateful operators with exactly N state partitions — the
+    cloned stream session captures the lowered shuffle-partitions conf
+    at start — and (b) restore the session conf for subsequent batch
+    queries.  Pins the mechanism the r13 b13 optimization rests on."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = streaming.read_events_stream(spark, SF_DIR)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = streaming.run_append_to_memory(
+        deduped, "t_sp_capture", state_partitions=5
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # numShufflePartitions comes from the raw progress, which the run
+    # helper doesn't retain per-operator — assert through a raw query:
+    name = streaming._unique_sink_name("t_sp_raw")
+    q = streaming._start_with_state_partitions(
+        lambda: deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start(),
+        spark,
+        5,
+    )
+    q.processAllAvailable()
+    seen = {
+        op.get("numShufflePartitions")
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    }
+    q.stop()
+    assert seen == {5}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # and the helper-run results are unaffected by the partitioning
+    n_events = load_table(spark, "events", SF_DIR).count()
+    assert got.count() == n_events
