@@ -660,6 +660,19 @@ def kmeans_centroids(
             % F.lit(train_sample_mod)
             == 0
         )
+    if train_sample_mod is not None:
+        # Materialize the training sample ONCE (r13): every Lloyd
+        # iteration re-derived it — at 100 TB that is `iterations` full
+        # corpus scans + md5 gates where one suffices (guide §6).  Only
+        # on the sampled-contract path: kmeans_train_mod bounds the
+        # relation to ~KMEANS_TRAIN_SAMPLE rows (mod=1 only when the
+        # corpus itself is under the cap), so this is an entity-bounded
+        # materialization, not a corpus-sized persist; the checkpoint
+        # blocks are reclaimed by the ContextCleaner when the model is
+        # returned (nothing downstream references the sample).  Values
+        # bit-identical — same rows, and the decimal mean sums are
+        # order-independent under any partitioning (test-pinned).
+        c = c.localCheckpoint()
     # seed collect: the k corpus vectors with smallest ids (one job —
     # replaces the old first() shape probe; same rows, same job count).
     model: dict[int, list] = {
@@ -680,28 +693,30 @@ def kmeans_centroids(
     cent_schema = "cent_id bigint, c_vec array<double>"
     arr_schema = f"_cents array<struct<cent_id:bigint,c_vec:array<double>>>"
 
+    # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max — same
+    # lexicographic (sim, -cent_id) struct ordering the historical
+    # groupBy-max used; no per-_vid shuffle, no join back.  Built ONCE:
+    # the Column tree is iteration-independent (it only references the
+    # _cents/_vec columns), so re-building it per iteration paid pure
+    # py4j expression-construction overhead.
+    argmax_cell = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda g: F.struct(
+                F.round(cosine(F.col("_vec"), g["c_vec"]), 4).alias("sim"),
+                (-g["cent_id"]).alias("_neg"),
+                g["cent_id"].alias("cid"),
+            ),
+        )
+    )["cid"].alias("cell")
     for _ in range(iterations):
         # the model as ONE 1-row local relation: broadcast materializes
         # driver-side (LocalTableScan.executeCollect — no Spark job)
         cent_arr = spark.createDataFrame(
             [([(cid, model[cid]) for cid in sorted(model)],)], arr_schema
         )
-        # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max — same
-        # lexicographic (sim, -cent_id) struct ordering the historical
-        # groupBy-max used; no per-_vid shuffle, no join back.
         asg = c.crossJoin(F.broadcast(cent_arr)).select(
-            "_vid",
-            "_vec",
-            F.array_max(
-                F.transform(
-                    F.col("_cents"),
-                    lambda g: F.struct(
-                        F.round(cosine(F.col("_vec"), g["c_vec"]), 4).alias("sim"),
-                        (-g["cent_id"]).alias("_neg"),
-                        g["cent_id"].alias("cid"),
-                    ),
-                )
-            )["cid"].alias("cell"),
+            "_vid", "_vec", argmax_cell
         )
         # mean pass: posexplode → ONE narrow (cell, pos) decimal-mean
         # aggregate → collect ≤ k·dim cells, arrays rebuilt on the
@@ -1223,6 +1238,26 @@ def embedding_near_dups(
     )
 
 
+# Previous invocation's persisted result (embedding_near_dups_ivf /
+# semantic_dedup) — released at the START of the next invocation, the
+# containment_topk pattern: bounds the session cache to one result per
+# operator while guaranteeing no cross-invocation cache reuse.
+_LAST_IVF_PAIRS_RESULT: DataFrame | None = None
+_LAST_SEMANTIC_DEDUP_RESULT: DataFrame | None = None
+
+#: semantic_dedup one-pass-assignment swap point.  The within-cell
+#: self-join consumes the cell assignment on BOTH sides; persisting it
+#: trades ONE n·k argmax pass (the corpus-scaled-k dominant term —
+#: sf10: 569 s/pass) for one corpus-wide (id, vec, cell, nrm)
+#: materialization.  That trade only wins once the per-row assignment
+#: work is heavy — the same regime ASSIGN_GEMM_MIN_K marks — so the
+#: persist engages at the identical threshold.  Below it (every
+#: gate/bench fixture: auto-k = 16) the house persist rule stands: two
+#: re-derives of a cheap row-local pass beat caching fact-sized state
+#: (sf0.1, k=16, 7-rep medians: 1.86 s re-derive vs 1.93 s persisted).
+SEMANTIC_ONE_PASS_MIN_K = ASSIGN_GEMM_MIN_K
+
+
 def embedding_near_dups_ivf(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1286,10 +1321,21 @@ def embedding_near_dups_ivf(
             iterations=iterations,
             train_sample_mod=kmeans_train_mod(n),
         )
+    # ONE assignment pass (r13): the guard histogram, the candidate
+    # join's a-side AND its b-side all consumed the assignment
+    # structurally, so the n·k argmax — the family's dominant term with
+    # corpus-scaled k — ran three times per invocation.  The (_id,
+    # cell) projection is NARROW (two longs × nprobe per row), so it is
+    # persisted for the invocation and released before returning — the
+    # containment_topk lifecycle: materialize the bounded result
+    # eagerly, unpersist the corpus-scaled intermediate, and release
+    # the previous invocation's result cache FIRST so the CacheManager
+    # can never serve one invocation's plan from another's cache (every
+    # call computes from the parquet inputs).
     cells = assign_cells(
         ensure_parallelism(corpus), cents, "_id", "_vec", id_col, vec_col,
         nprobe=nprobe, n_centroids=n_centroids,
-    ).select("_id", "cell")
+    ).select("_id", "cell").persist()
     if max_candidate_pairs is not None:
         hist = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
         est = (
@@ -1305,6 +1351,7 @@ def embedding_near_dups_ivf(
         )
         est = int(est or 0)
         if est > max_candidate_pairs:
+            cells.unpersist(blocking=True)
             raise ValueError(
                 f"embedding_near_dups_ivf: cell candidate-pair volume "
                 f"bound Σ C(n_cell, 2) = {est:,} exceeds "
@@ -1323,7 +1370,16 @@ def embedding_near_dups_ivf(
         .select("id_a", "id_b")
         .distinct()
     )
-    return embedding_verify(corpus, cand, id_col, vec_col, threshold)
+    out = embedding_verify(corpus, cand, id_col, vec_col, threshold)
+    global _LAST_IVF_PAIRS_RESULT
+    if _LAST_IVF_PAIRS_RESULT is not None:
+        _LAST_IVF_PAIRS_RESULT.unpersist(blocking=True)
+        _LAST_IVF_PAIRS_RESULT = None
+    out = out.persist()
+    out.count()
+    cells.unpersist(blocking=True)
+    _LAST_IVF_PAIRS_RESULT = out
+    return out
 
 
 def quantize_embeddings(
@@ -1499,10 +1555,28 @@ def semantic_dedup(
     # k it is what flips the assignment to two-level past the swap
     # point (the r12-deferred n·k term).  A caller-supplied centroid
     # table without n_centroids stays on the flat exact path.
+    # ONE assignment pass at corpus-scaled k (r13): the within-cell
+    # self-join consumes the assignment subtree on BOTH sides, running
+    # the n·k argmax — the operator's measured dominant term at
+    # corpus-scaled k (sf10: 569 s) — twice per invocation.  Past
+    # SEMANTIC_ONE_PASS_MIN_K the assignment is persisted for the
+    # invocation with the containment_topk release lifecycle (eager
+    # bounded result, corpus-scaled relation unpersisted before
+    # returning, previous result released first so no invocation can
+    # serve another's cache).  Below the swap point the historical
+    # two-derive shape is kept unchanged — see the constant's note for
+    # the measured trade.  Row values are identical on both paths (the
+    # persist is a materialization boundary, not a plan change;
+    # test-pinned by monkeypatching the threshold).
+    one_pass = (
+        n_centroids is not None and n_centroids >= SEMANTIC_ONE_PASS_MIN_K
+    )
     cells = assign_cells(
         ensure_parallelism(corpus), cents, "_id", "_vec", id_col, vec_col,
         n_centroids=n_centroids,
     ).withColumn("_nrm", norm(F.col("_vec")))
+    if one_pass:
+        cells = cells.persist()
     hi = cells.select(
         F.col("cell"),
         F.col("_id").alias("vec_id"),
@@ -1532,12 +1606,23 @@ def semantic_dedup(
     w_keep = Window.partitionBy("vec_id").orderBy(
         F.col("cosine_sim").desc(), F.col("keeper_id")
     )
-    return (
+    out = (
         pairs.withColumn("_rk", F.row_number().over(w_keep))
         .filter(F.col("_rk") == 1)
         .select("vec_id", "cell", "keeper_id", "cosine_sim")
         .orderBy("vec_id")
     )
+    if not one_pass:
+        return out
+    global _LAST_SEMANTIC_DEDUP_RESULT
+    if _LAST_SEMANTIC_DEDUP_RESULT is not None:
+        _LAST_SEMANTIC_DEDUP_RESULT.unpersist(blocking=True)
+        _LAST_SEMANTIC_DEDUP_RESULT = None
+    out = out.persist()
+    out.count()
+    cells.unpersist(blocking=True)
+    _LAST_SEMANTIC_DEDUP_RESULT = out
+    return out
 
 
 def covariance_sufficient_stats(q: DataFrame, dim: int = 64) -> DataFrame:

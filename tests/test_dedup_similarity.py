@@ -529,6 +529,40 @@ def test_semantic_dedup_auto_k_matches_explicit(spark, tables):
     assert auto == explicit and len(auto) > 0
 
 
+def test_semantic_dedup_one_pass_matches_two_derive(spark, tables, monkeypatch):
+    """The one-pass (persisted-assignment) shape that engages past
+    SEMANTIC_ONE_PASS_MIN_K must return exactly the rows of the
+    below-threshold two-derive shape: the persist is a materialization
+    boundary, not a semantic fork.  Forced on at gate k by lowering the
+    swap point, so the scale path is exercised on the small fixture."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    k = similarity.auto_n_centroids(emb.count())
+    base = {
+        (r["vec_id"], r["cell"], r["keeper_id"], r["cosine_sim"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.45, n_centroids=k
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "SEMANTIC_ONE_PASS_MIN_K", 1)
+    forced = similarity.semantic_dedup(emb, threshold=0.45, n_centroids=k)
+    assert forced.storageLevel.useMemory  # the one-pass branch actually ran
+    one_pass = {
+        (r["vec_id"], r["cell"], r["keeper_id"], r["cosine_sim"])
+        for r in forced.collect()
+    }
+    assert one_pass == base and len(base) > 0
+    # release lifecycle: a second invocation must release the previous
+    # result's cache (no cross-invocation reuse) and still match
+    again = similarity.semantic_dedup(emb, threshold=0.45, n_centroids=k)
+    assert not forced.storageLevel.useMemory  # previous result released
+    assert {
+        (r["vec_id"], r["cell"], r["keeper_id"], r["cosine_sim"])
+        for r in again.collect()
+    } == base
+    again.unpersist(blocking=True)
+    similarity._LAST_SEMANTIC_DEDUP_RESULT = None  # leave module state clean
+
+
 def test_semantic_dedup_no_corpus_cross_join(spark, tables):
     """The quadratic step must be an equi-join on cell — never a
     corpus×corpus cartesian.  (Centroid assignment legitimately uses a
