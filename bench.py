@@ -260,10 +260,15 @@ def run_once(spark, name: str, ctx: dict | None = None) -> float:
 
         emb, books, sub = ctx["b19"]
         codes = _sim.pq_encode(emb, books, sub)
-        recon = _sim.pq_reconstruct(codes, books)
+        # norms hoisted per vector (r13) — mirrors pq_recall_audit's
+        # scored_pq shape; sim values and the result hash are identical
+        recon = _sim.pq_reconstruct(codes, books).withColumn(
+            "_rn", _sim.norm(F.col("recon"))
+        )
         q = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
+            _sim.norm(F.col("embedding")).alias("_qn"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), "neighbor_id"
@@ -276,7 +281,9 @@ def run_once(spark, name: str, ctx: dict | None = None) -> float:
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
                 F.round(
-                    _sim.cosine(F.col("q_vec"), F.col("recon")), 4
+                    _sim.dot(F.col("q_vec"), F.col("recon"))
+                    / (F.col("_qn") * F.col("_rn")),
+                    4,
                 ).alias("sim"),
             )
             .withColumn("rank", F.row_number().over(w))

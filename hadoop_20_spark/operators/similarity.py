@@ -473,15 +473,36 @@ def assign_cells(
         # sim desc with cent_id tie-break, where sim compare uses the
         # SQL double ordering (NaN greatest and equal to itself, ±0.0
         # equal) in BOTH forms.
+        # Per-vector norm hoisting (r13, same discipline as the
+        # pair-scoring paths): cosine(v, c) spelled per centroid paid k
+        # interpreted norm(v) folds and k norm(c) folds per row where 1
+        # and 0 suffice.  Centroid norms ride the broadcast struct
+        # (same norm() expression, evaluated once per centroid at the
+        # collect_list); the row norm is let-bound once per row (the
+        # lambda-CSE rule — Catalyst re-evaluates outer expressions
+        # referenced from per-element lambda bodies).  sim is
+        # bit-identical: dot/(nv*nc) is the exact operation tree
+        # cosine() produced, with the same sequential folds and the
+        # same multiplication order, only evaluated per vector.
         cent_arr = cent.agg(
-            F.collect_list(F.struct("cent_id", "c_vec")).alias("_cents")
+            F.collect_list(
+                F.struct(
+                    "cent_id", "c_vec", norm(F.col("c_vec")).alias("c_nrm")
+                )
+            ).alias("_cents")
         )
-        scored = F.transform(
-            F.col("_cents"),
-            lambda g: F.struct(
-                F.round(cosine(F.col(vec_alias), g["c_vec"]), 4).alias("sim"),
-                (-g["cent_id"]).alias("_neg"),
-                g["cent_id"].alias("cid"),
+        scored = _let(
+            norm(F.col(vec_alias)),
+            lambda nv: F.transform(
+                F.col("_cents"),
+                lambda g: F.struct(
+                    F.round(
+                        dot(F.col(vec_alias), g["c_vec"]) / (nv * g["c_nrm"]),
+                        4,
+                    ).alias("sim"),
+                    (-g["cent_id"]).alias("_neg"),
+                    g["cent_id"].alias("cid"),
+                ),
             ),
         )
         if nprobe == 1:
@@ -495,13 +516,21 @@ def assign_cells(
         # top-nprobe: ascending sort key (-sim, cent_id); NaN sims map
         # to -2.0 (< every finite -sim of a cosine) so they rank FIRST,
         # exactly where the desc window put them (Spark NaN = greatest)
-        ranked = F.transform(
-            F.col("_cents"),
-            lambda g: _let(
-                F.round(cosine(F.col(vec_alias), g["c_vec"]), 4),
-                lambda sim: F.struct(
-                    F.when(F.isnan(sim), F.lit(-2.0)).otherwise(-sim).alias("_k"),
-                    g["cent_id"].alias("cid"),
+        ranked = _let(
+            norm(F.col(vec_alias)),
+            lambda nv: F.transform(
+                F.col("_cents"),
+                lambda g: _let(
+                    F.round(
+                        dot(F.col(vec_alias), g["c_vec"]) / (nv * g["c_nrm"]),
+                        4,
+                    ),
+                    lambda sim: F.struct(
+                        F.when(F.isnan(sim), F.lit(-2.0))
+                        .otherwise(-sim)
+                        .alias("_k"),
+                        g["cent_id"].alias("cid"),
+                    ),
                 ),
             ),
         )
@@ -539,17 +568,31 @@ def assign_cells(
     # so coarse ranking is a row-local expression (no window, no extra
     # shuffle).  √k structs of dim doubles — a few hundred KB broadcast.
     coarse_arr = coarse.agg(
-        F.collect_list(F.struct("coarse_id", "g_vec")).alias("_coarse")
+        F.collect_list(
+            F.struct(
+                "coarse_id", "g_vec", norm(F.col("g_vec")).alias("g_nrm")
+            )
+        ).alias("_coarse")
     )
 
     def _neg_sims(vec: Column) -> Column:
         # struct(-sim, coarse_id): ascending struct order == sim DESC
-        # with coarse_id tie-break — the house ranking rule, row-local
-        return F.transform(
-            F.col("_coarse"),
-            lambda g: F.struct(
-                (-F.round(cosine(vec, g["g_vec"]), 4)).alias("_neg"),
-                g["coarse_id"].alias("coarse_id"),
+        # with coarse_id tie-break — the house ranking rule, row-local.
+        # Norm hoisting as the flat path: coarse norms ride the
+        # broadcast struct, the probe vector's norm is let-bound once
+        # per row instead of re-folded per coarse centroid.
+        return _let(
+            norm(vec),
+            lambda nv: F.transform(
+                F.col("_coarse"),
+                lambda g: F.struct(
+                    (
+                        -F.round(
+                            dot(vec, g["g_vec"]) / (nv * g["g_nrm"]), 4
+                        )
+                    ).alias("_neg"),
+                    g["coarse_id"].alias("coarse_id"),
+                ),
             ),
         )
 
@@ -561,6 +604,9 @@ def assign_cells(
         .select(
             "cent_id",
             "c_vec",
+            # fine-centroid norm computed once here, INSIDE the
+            # checkpoint, so the verify join below never re-folds it
+            norm(F.col("c_vec")).alias("c_nrm"),
             F.array_min(_neg_sims(F.col("c_vec")))["coarse_id"].alias(
                 "coarse_id"
             ),
@@ -580,14 +626,18 @@ def assign_cells(
                 lambda s: s["coarse_id"],
             )
         ).alias("coarse_id"),
-    )
+    ).withColumn("_nv", norm(F.col(vec_alias)))
     return (
         probes.join(F.broadcast(grouped), "coarse_id")
         .select(
             id_alias,
             vec_alias,
             "cent_id",
-            F.round(cosine(F.col(vec_alias), F.col("c_vec")), 4).alias("sim"),
+            F.round(
+                dot(F.col(vec_alias), F.col("c_vec"))
+                / (F.col("_nv") * F.col("c_nrm")),
+                4,
+            ).alias("sim"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= nprobe)
@@ -696,25 +746,44 @@ def kmeans_centroids(
     # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max — same
     # lexicographic (sim, -cent_id) struct ordering the historical
     # groupBy-max used; no per-_vid shuffle, no join back.  Built ONCE:
-    # the Column tree is iteration-independent (it only references the
-    # _cents/_vec columns), so re-building it per iteration paid pure
-    # py4j expression-construction overhead.
-    argmax_cell = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda g: F.struct(
-                F.round(cosine(F.col("_vec"), g["c_vec"]), 4).alias("sim"),
-                (-g["cent_id"]).alias("_neg"),
-                g["cent_id"].alias("cid"),
-            ),
-        )
-    )["cid"].alias("cell")
+    # the Column trees are iteration-independent (they only reference
+    # the _cents/_vec columns), so re-building them per iteration paid
+    # pure py4j expression-construction overhead.  Norm hoisting as in
+    # assign_cells: centroid norms are attached to the broadcast array
+    # by a Project on the 1-row local relation (k norm() folds per
+    # broadcast build, not per row), and the sample vector's norm is
+    # let-bound once per row — sim stays the exact cosine() operation
+    # tree (same folds, same multiplication order), so the assignment
+    # is bit-identical.
+    with_nrm = F.transform(
+        F.col("_cents"),
+        lambda g: F.struct(
+            g["cent_id"].alias("cent_id"),
+            g["c_vec"].alias("c_vec"),
+            norm(g["c_vec"]).alias("c_nrm"),
+        ),
+    ).alias("_cents")
+    argmax_cell = _let(
+        norm(F.col("_vec")),
+        lambda nv: F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda g: F.struct(
+                    F.round(
+                        dot(F.col("_vec"), g["c_vec"]) / (nv * g["c_nrm"]), 4
+                    ).alias("sim"),
+                    (-g["cent_id"]).alias("_neg"),
+                    g["cent_id"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    ).alias("cell")
     for _ in range(iterations):
         # the model as ONE 1-row local relation: broadcast materializes
         # driver-side (LocalTableScan.executeCollect — no Spark job)
         cent_arr = spark.createDataFrame(
             [([(cid, model[cid]) for cid in sorted(model)],)], arr_schema
-        )
+        ).select(with_nrm)
         asg = c.crossJoin(F.broadcast(cent_arr)).select(
             "_vid", "_vec", argmax_cell
         )
@@ -1754,13 +1823,34 @@ def pq_encode(
     out = corpus.select(id_col)
     for s, cb in enumerate(books):
         sv = F.slice(vec_col, s * sub + 1, sub)
+        # Norm hoisting (r13): the subvector's norm is a projection
+        # below the crossJoin (one fold per row, not per code) and the
+        # codebook entries carry theirs on the broadcast side (one fold
+        # per entry at broadcast build) — sim is the exact cosine()
+        # operation tree, evaluated with hoisted norms.
         a = (
-            corpus.select(F.col(id_col), sv.alias("_sv"))
-            .crossJoin(F.broadcast(cb.select("cent_id", "c_vec")))
+            corpus.select(
+                F.col(id_col),
+                sv.alias("_sv"),
+                norm(sv).alias("_nv"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    cb.select(
+                        "cent_id",
+                        "c_vec",
+                        norm(F.col("c_vec")).alias("c_nrm"),
+                    )
+                )
+            )
             .select(
                 id_col,
                 "cent_id",
-                F.round(cosine(F.col("_sv"), F.col("c_vec")), 4).alias("sim"),
+                F.round(
+                    dot(F.col("_sv"), F.col("c_vec"))
+                    / (F.col("_nv") * F.col("c_nrm")),
+                    4,
+                ).alias("sim"),
             )
             .groupBy(id_col)
             .agg(

@@ -857,7 +857,8 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from hadoop_20_spark.operators.similarity import (
-        cosine,
+        dot,
+        norm,
         pq_codebooks,
         pq_encode,
         pq_reconstruct,
@@ -869,9 +870,22 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     books, sub = pq_codebooks(emb, m=4, k=16, iterations=2)
     codes = pq_encode(emb, books, sub)
-    recon = pq_reconstruct(codes, books).persist()  # scored by all queries
+    # Norm hoisting (r13, the pair-scoring discipline): every vector's
+    # norm is computed ONCE on its side relation — inside recon's
+    # persist, on the 10-row query broadcast, and on the exact/re-rank
+    # corpus projections below their joins — and pairs score as
+    # dot/(nq*nc): the exact cosine() operation tree (same sequential
+    # folds, same multiplication order), 3x fewer interpreted folds per
+    # scored pair.
+    recon = (
+        pq_reconstruct(codes, books)
+        .withColumn("_rn", norm(F.col("recon")))
+        .persist()
+    )  # scored by all queries
     q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("_qn"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), "neighbor_id"
@@ -885,7 +899,11 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col("recon")), 4).alias("sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("recon"))
+                / (F.col("_qn") * F.col("_rn")),
+                4,
+            ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 50)
@@ -896,12 +914,16 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(emb.withColumn("_en", norm(F.col("embedding"))))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col("embedding")), 4).alias("sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("embedding"))
+                / (F.col("_qn") * F.col("_en")),
+                4,
+            ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
@@ -916,6 +938,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("n_vec"),
+                norm(F.col("embedding")).alias("_nn"),
             ),
             "neighbor_id",
         )
@@ -923,7 +946,11 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("_qn") * F.col("_nn")),
+                4,
+            ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
@@ -1141,19 +1168,28 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lex").alias("retr"), "doc_id", "score")
     )
     emb = _t(spark, sf_dir, "embeddings")
+    # Norm hoisting (r13): the 1-row query's norm rides the broadcast,
+    # each candidate's norm is a projection below the crossJoin — the
+    # score is the exact cosine() operation tree (dot/(nc*nq), same
+    # folds and multiplication order), one fold per candidate not three.
     qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_vec")
+        F.col("embedding").alias("q_vec"),
+        similarity.norm(F.col("embedding")).alias("_qn"),
     )
     cand = emb.filter(F.col("vec_id") != 0).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_vec"),
+        similarity.norm(F.col("embedding")).alias("_cn"),
     )
     sem = (
         cand.crossJoin(F.broadcast(qv))
         .select(
             "doc_id",
-            F.round(similarity.cosine(F.col("c_vec"), F.col("q_vec")), 4).alias(
-                "score"
-            ),
+            F.round(
+                similarity.dot(F.col("c_vec"), F.col("q_vec"))
+                / (F.col("_cn") * F.col("_qn")),
+                4,
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
