@@ -134,12 +134,32 @@ def write_clustered(
     group and row-group pruning equals file pruning."""
     file_col = {"zorder": "zorder_file", "linear": "linear_file"}[layout]
     assigned = zorder_file_assignment(df, dims, bits=bits, file_bits=file_bits)
-    (
-        assigned.repartitionByRange(1 << file_bits, F.col(file_col))
-        .drop(*[f"__s_{d}" for d in dims], "zorder_file", "linear_file")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
+    # repartitionByRange samples its boundaries (RangePartitioner,
+    # seeded by session RDD ids): at the default 100 samples/partition
+    # an unlucky draw over the 2^file_bits skewed file-id populations
+    # merges adjacent Morton ranges into one output file — a wider
+    # bounding box and measurably worse pruning, varying run to run.
+    # A layout write is a one-time maintenance pass, so buy stable
+    # near-exact quantile boundaries with a bigger sample (guide §6:
+    # the written layout IS the optimization; its quality should not
+    # depend on a sampling seed).  Set/restore around the action —
+    # the conf is read when the range exchange plans.
+    spark = df.sparkSession
+    _key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    _old = spark.conf.get(_key, None)
+    spark.conf.set(_key, "5000")
+    try:
+        (
+            assigned.repartitionByRange(1 << file_bits, F.col(file_col))
+            .drop(*[f"__s_{d}" for d in dims], "zorder_file", "linear_file")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        if _old is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, _old)
 
 
 def parquet_file_boxes(out_dir: str, dims: Sequence[str]) -> list[dict]:
