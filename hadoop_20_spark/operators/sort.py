@@ -553,6 +553,14 @@ def exact_order_statistic(
     return values[k], rounds
 
 
+#: optional observer called as ``hook(round_no, counts_df)`` with each
+#: refinement round's EXACT executed count DataFrame, BEFORE its
+#: collect.  Plan-evidence capture only (the refinement queries return
+#: driver-built relations whose explain() cannot show the per-round
+#: scans — r13 verdict "What's wrong #1"); must not trigger actions.
+ROUND_PLAN_HOOK = None
+
+
 def _offset_bucket_sql(col: str, lo: int, hi: int, w: int) -> str:
     """SQL for the refinement bucket ``(col - lo) DIV w`` over the
     surviving range [lo, hi].  The driver holds lo/hi, so the widening
@@ -649,15 +657,22 @@ def exact_order_statistics(
         scanned = df.filter(c.between(F.lit(g_lo), F.lit(g_hi)))
         if scan_filter is not None:
             scanned = scanned.filter(scan_filter(g_lo, g_hi))
+        counts_df = (
+            scanned
+            .select(F.explode(F.filter(tags, lambda x: x.isNotNull())).alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if ROUND_PLAN_HOOK is not None:
+            # observability only (plan-evidence capture for driver-paced
+            # refinement queries — the final returned relation is a
+            # driver-built LocalRelation whose explain() never shows the
+            # per-round scans, so tools/r14_plan_capture.py hooks the
+            # EXACT executed round DataFrame here); no-op when unset.
+            ROUND_PLAN_HOOK(rounds, counts_df)
         counts: dict[tuple[int, int], int] = {
             (r["s"]["t"], r["s"]["b"]): r["cnt"]
-            for r in (
-                scanned
-                .select(F.explode(F.filter(tags, lambda x: x.isNotNull())).alias("s"))
-                .groupBy("s")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
+            for r in counts_df.collect()
         }
         for i, k in enumerate(order):
             s = st[k]
