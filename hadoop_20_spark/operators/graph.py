@@ -130,11 +130,21 @@ def connected_components_star(
     floats, no hashing — so the result is bit-identical across engines
     and partitionings.
     """
+    # No up-front .distinct() (r14): the round-2+ presence-bit
+    # aggregation collapses duplicate (u, v) rows with identical SET
+    # semantics (min/max of the side tag are dup-invariant), and the
+    # round windows take MINs, which duplicates cannot move — so the
+    # initial dedup exchange bought nothing but a stage wave.  Raw-input
+    # duplicate volume rides through round 1 only, bounded by the input
+    # multiplicity (each round's output is <= 4x its input rows
+    # regardless of dups).  The checkpoint is LAZY: round 2's fixpoint
+    # count is the materializing action, so the loop pays ONE job per
+    # round instead of checkpoint-job + count-job (measured 0.61-0.70 s
+    # + 0.06-0.08 s per round at sf0.1, pure scheduling waves).
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     for _ in range(max_rounds):
@@ -178,8 +188,14 @@ def connected_components_star(
         )
         if rounds == 1:
             # round 1 reshapes the raw edge set unconditionally — skip
-            # the (always-true) change test; plain dedup shuffle
-            e = nxt_pre.distinct().localCheckpoint()
+            # the (always-true) change test AND the dedup (r14): round
+            # 2's presence-bit groupBy collapses duplicates with the
+            # same set semantics, so round 1's own distinct exchange
+            # was redundant work.  Lazy checkpoint: e is referenced
+            # twice by round 2 (nbrs and the tagged union), so the
+            # checkpoint still guarantees single computation — it
+            # materializes inside round 2's one action.
+            e = nxt_pre.localCheckpoint(eager=False)
             continue
         # The round's dedup shuffle and the fixpoint test FUSED into
         # one (u, v) aggregation (r13; they were two separate wide
@@ -194,8 +210,13 @@ def connected_components_star(
             .unionAll(nxt_pre.select("u", "v", F.lit(1).alias("_t")))
             .groupBy("u", "v")
             .agg(F.min("_t").alias("_tmin"), F.max("_t").alias("_tmax"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # ONE action per round (r14): this count both materializes the
+        # lazy checkpoint (plus any still-pending upstream checkpoints)
+        # and answers the exact fixpoint test — the separate
+        # checkpoint-then-count pair paid an extra scheduling round trip
+        # for the same work.  Set-equality termination is unchanged.
         changed = merged.filter(
             (F.col("_tmin") == 1) | (F.col("_tmax") == 0)
         ).count()
