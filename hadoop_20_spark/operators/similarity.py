@@ -78,6 +78,30 @@ def auto_n_centroids(n_rows: int, occupancy: int = AUTO_CELL_OCCUPANCY) -> int:
 KMEANS_TRAIN_SAMPLE = 25_000
 
 
+#: driver-hosted Lloyd-loop bounds (r14).  At bench scale the
+#: distributed Lloyd iteration is pure fixed cost — measured 1.0-1.1 s
+#: per iteration at sf0.1 of which ~0.9 s is job/stage scheduling and
+#: AQE waves over a 2k-row sample (the r13 "Catalyst analysis" theory
+#: re-measured: analysis is ~2 ms; execution floor is the cost) — so a
+#: BOUNDED training relation is better iterated on the driver with the
+#: provably bit-exact numpy kernels (operators/exact_np.py), zero Spark
+#: jobs per iteration.  The bound is enforced by a LIMIT probe
+#: (CollectLimit reads O(1) partitions at any corpus size): more than
+#: KMEANS_DRIVER_MAX_ROWS rows, non-finite/ragged/zero-norm vectors, or
+#: work past the ceilings falls back to the distributed expression
+#: loop, which computes the identical model (test-pinned md5 equality).
+KMEANS_DRIVER_MAX_ROWS = 4 * KMEANS_TRAIN_SAMPLE
+KMEANS_DRIVER_MAX_WORK = 50_000_000  # sample_rows × k ceiling
+KMEANS_DRIVER_MAX_MODEL = 1_000_000  # k × dim ceiling (exact-mean loop)
+#: kill switches for A/B probes and the path-equality tests
+KMEANS_DRIVER_LLOYD = True
+#: GEMM-class distributed Lloyd assignment (exact numpy kernel per
+#: Arrow batch past ASSIGN_GEMM_MIN_K — never at an oracle-gate scale)
+KMEANS_ASSIGN_KERNEL = True
+#: observability: which path the last kmeans_centroids call took
+LAST_TRAIN_PATH: str | None = None
+
+
 def kmeans_train_mod(n_rows: int, sample: int = KMEANS_TRAIN_SAMPLE) -> int:
     """Deterministic training-sample modulus: keep vectors whose
     ``md5_long('kmtrain_' || id) % mod == 0`` — mod = ceil(n/sample),
@@ -645,6 +669,135 @@ def assign_cells(
     )
 
 
+def _lloyd_assign_kernel(c: DataFrame, model: dict[int, list], dim: int):
+    """Distributed Lloyd assignment at GEMM-class k via the bit-exact
+    numpy kernel (exact_np.lloyd_assign) per Arrow batch: identical
+    sequential folds, identical shortest-repr HALF_UP rounding (decimal
+    fixup), identical (sim desc, cent_id) tie-break — so the assignment
+    is the expression argmax's, at vectorized speed.  Engaged only past
+    ASSIGN_GEMM_MIN_K (never at an oracle-gate scale; md5-equality of
+    the whole trained model is probe-verified at k=1024).  Degenerate
+    inputs fail loud (the expression plan raises there too: ANSI
+    DIVIDE_BY_ZERO on zero norms, round() on non-finite sims)."""
+    import numpy as np
+
+    spark = c.sparkSession
+    ids = sorted(model)
+    C = np.asarray([model[cid] for cid in ids], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((np.asarray(ids, np.int64), C))
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hadoop_20_spark.operators import exact_np
+
+        cid_arr, cmat = bc.value
+        k, d = cmat.shape
+        # cap the per-block sims matrix at ~160 MB of doubles
+        block = max(1, int(2e7 // max(k, 1)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = list(pdf["_vec"])
+            if any(v is None or len(v) != d for v in vecs):
+                raise ValueError(
+                    "kmeans_centroids: ragged or NULL training vector at "
+                    f"dim {d} — the GEMM-class Lloyd kernel requires "
+                    "uniform-width finite vectors (the expression plan "
+                    "degenerates to NULL sims here; fail loud instead)"
+                )
+            V = np.asarray(vecs, dtype=np.float64)
+            cells = np.empty(len(V), dtype=np.int64)
+            for s in range(0, len(V), block):
+                W = V[s : s + block]
+                if not np.isfinite(W).all():
+                    raise ValueError(
+                        "kmeans_centroids: non-finite training vector — "
+                        "round() on a non-finite similarity raises in "
+                        "the expression plan; fail loud instead"
+                    )
+                if (exact_np.seq_norm(W) == 0).any():
+                    raise ValueError(
+                        "kmeans_centroids: zero-norm training vector — "
+                        "cosine is an ANSI DIVIDE_BY_ZERO; fail loud"
+                    )
+                cells[s : s + block] = exact_np.lloyd_assign(
+                    W, cid_arr, cmat
+                )
+            yield pd.DataFrame({"_vec": pdf["_vec"], "cell": cells})
+
+    return c.select("_vec").mapInPandas(
+        part, "_vec array<double>, cell bigint"
+    )
+
+
+def _lloyd_driver(
+    sample_rows, model: dict[int, list], dim: int, iterations: int
+) -> dict[int, list] | None:
+    """Driver-hosted Lloyd iterations over a BOUNDED, pre-collected
+    training sample — bit-identical to the distributed expression loop
+    (operators/exact_np.py documents each arithmetic identity: the
+    sequential dot/norm folds, the shortest-repr HALF_UP roundings, the
+    decimal(30,10) mean sums as exact int64 arithmetic), with zero
+    Spark jobs per iteration.  Returns the trained model dict, or None
+    when the inputs fall outside the provable regime (ragged vectors,
+    non-finite values, |x| ≥ 1e6, or a zero norm — the expression path
+    raises ANSI DIVIDE_BY_ZERO there, so the caller falls back and the
+    designed error surfaces from the real plan)."""
+    import numpy as np
+
+    from hadoop_20_spark.operators import exact_np
+
+    vecs = [r["_vec"] for r in sample_rows]
+    if any(v is None or len(v) != dim for v in vecs):
+        return None
+    try:
+        V = np.asarray(vecs, dtype=np.float64)
+    except (TypeError, ValueError):  # e.g. NULL elements
+        return None
+    if V.ndim != 2 or not np.isfinite(V).all() or (
+        V.size and np.abs(V).max() >= 1e6
+    ):
+        return None
+    vn = exact_np.seq_norm(V) if len(V) else np.zeros(0)
+    if (vn == 0).any():
+        return None
+    work = dict(model)
+    ids_sorted = None
+    for _ in range(iterations):
+        ids = sorted(work)
+        C = np.asarray([work[cid] for cid in ids], dtype=np.float64)
+        if (
+            C.shape[1] != dim
+            or not np.isfinite(C).all()
+            or np.abs(C).max() >= 1e6
+            or (exact_np.seq_norm(C) == 0).any()
+        ):
+            return None
+        if len(V) == 0:
+            return work  # no members: every cell keeps its centroid
+        try:
+            cells = exact_np.lloyd_assign(V, np.asarray(ids, np.int64), C)
+        except ValueError:
+            return None  # pathological sims: let the expression plan rule
+        # decimal(30,10) mean sums as exact scaled-int64 arithmetic
+        Y = exact_np.to_scaled_int(V)
+        present, inv = np.unique(cells, return_inverse=True)
+        sums = np.zeros((len(present), dim), dtype=np.int64)
+        np.add.at(sums, inv, Y)
+        counts = np.bincount(inv, minlength=len(present))
+        fresh: dict[int, list] = {}
+        for ci, cid in enumerate(present):
+            cnt = int(counts[ci])
+            fresh[int(cid)] = [
+                exact_np.decimal_mean(int(sums[ci, p]), cnt)
+                for p in range(dim)
+            ]
+        work.update(fresh)
+    return work
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -693,7 +846,16 @@ def kmeans_centroids(
     ``ivf_topk(centroids=...)``, and downstream broadcasts of it cost
     no cluster job at all.
     """
+    global LAST_TRAIN_PATH
     spark = corpus.sparkSession
+    if k > ASSIGN_GEMM_MAX_K:
+        # the seed collect below pulls k rows to the driver — same
+        # model-size ceiling as the GEMM strategy, enforced here too
+        # (fail loud, never an unbounded driver pull)
+        raise ValueError(
+            f"kmeans_centroids: k={k:,} exceeds ASSIGN_GEMM_MAX_K="
+            f"{ASSIGN_GEMM_MAX_K:,} (driver model ceiling)"
+        )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     )
@@ -710,7 +872,43 @@ def kmeans_centroids(
             % F.lit(train_sample_mod)
             == 0
         )
-    if train_sample_mod is not None:
+    # Bounded-sample probe (r14): CollectLimit reads O(1) input
+    # partitions at any corpus size (scale-up-factor incremental
+    # execution), so asking for MAX_ROWS+1 vectors is one cheap job.
+    # When the whole training relation fits, the Lloyd loop runs on
+    # the DRIVER with the bit-exact numpy kernels — zero Spark jobs
+    # per iteration (the distributed iteration was measured as ~1 s of
+    # pure scheduling at bench scale).  When it does not fit — or the
+    # vectors are ragged/non-finite/zero-norm — fall back to the
+    # distributed expression loop below, which computes the identical
+    # model (md5-equality test-pinned).
+    sample_rows = None
+    if KMEANS_DRIVER_LLOYD:
+        if train_sample_mod is not None:
+            # sampled contract: the relation is ~KMEANS_TRAIN_SAMPLE
+            # rows by construction, so collect directly (one job); the
+            # LIMIT caps the pull if a caller's mod under-samples
+            probe = (
+                c.select("_vec").limit(KMEANS_DRIVER_MAX_ROWS + 1).collect()
+            )
+            if (
+                len(probe) <= KMEANS_DRIVER_MAX_ROWS
+                and len(probe) * k <= KMEANS_DRIVER_MAX_WORK
+            ):
+                sample_rows = probe
+        else:
+            # unbounded contract: probe the size FIRST with a
+            # rows-never-collected limit+count (CollectLimit reads O(1)
+            # partitions at any corpus size), and only then pull the
+            # vectors — a failed probe costs one tiny job, not a 50 MB
+            # collect
+            n_probe = c.limit(KMEANS_DRIVER_MAX_ROWS + 1).count()
+            if (
+                n_probe <= KMEANS_DRIVER_MAX_ROWS
+                and n_probe * k <= KMEANS_DRIVER_MAX_WORK
+            ):
+                sample_rows = c.select("_vec").collect()
+    if sample_rows is None and train_sample_mod is not None:
         # Materialize the training sample ONCE (r13): every Lloyd
         # iteration re-derived it — at 100 TB that is `iterations` full
         # corpus scans + md5 gates where one suffices (guide §6).  Only
@@ -741,7 +939,24 @@ def kmeans_centroids(
         )
     dim = len(next(iter(model.values())))
     cent_schema = "cent_id bigint, c_vec array<double>"
-    arr_schema = f"_cents array<struct<cent_id:bigint,c_vec:array<double>>>"
+    if sample_rows is not None:
+        driven = (
+            _lloyd_driver(sample_rows, model, dim, iterations)
+            if len(model) * dim <= KMEANS_DRIVER_MAX_MODEL
+            else None
+        )
+        if driven is not None:
+            LAST_TRAIN_PATH = "driver"
+            return spark.createDataFrame(
+                [(cid, driven[cid]) for cid in sorted(driven)], cent_schema
+            )
+        # validation failed (ragged/non-finite/zero-norm input, or an
+        # oversized model): the sampled-contract materialization was
+        # skipped above, so restore it before the distributed loop
+        if train_sample_mod is not None:
+            c = c.localCheckpoint()
+    LAST_TRAIN_PATH = "distributed"
+    arr_schema = "_cents array<struct<cent_id:bigint,c_vec:array<double>>>"
 
     # argmax(sim DESC, cent_id ASC) as a ROW-LOCAL array_max — same
     # lexicographic (sim, -cent_id) struct ordering the historical
@@ -778,15 +993,29 @@ def kmeans_centroids(
             )
         )["cid"],
     ).alias("cell")
+    # past the GEMM swap point the per-row k-fold interpreted argmax is
+    # the iteration's dominant term (the r13 corpus-scaled-k probe:
+    # ~9 s/iteration at k=1024 over a 100k sample) — evaluate the SAME
+    # argmax as the bit-exact numpy kernel per Arrow batch instead
+    # (exact_np.lloyd_assign: identical folds, identical HALF_UP
+    # rounding with the decimal fixup, identical tie-break), with
+    # fail-loud raises where the expression plan would raise too
+    # (ANSI divide-by-zero on zero norms, round() on non-finite).
+    use_kernel = KMEANS_ASSIGN_KERNEL and len(model) >= ASSIGN_GEMM_MIN_K
     for _ in range(iterations):
-        # the model as ONE 1-row local relation: broadcast materializes
-        # driver-side (LocalTableScan.executeCollect — no Spark job)
-        cent_arr = spark.createDataFrame(
-            [([(cid, model[cid]) for cid in sorted(model)],)], arr_schema
-        ).select(with_nrm)
-        asg = c.crossJoin(F.broadcast(cent_arr)).select(
-            "_vid", "_vec", argmax_cell
-        )
+        if use_kernel:
+            asg = _lloyd_assign_kernel(c, model, dim)
+        else:
+            # the model as ONE 1-row local relation: broadcast
+            # materializes driver-side (LocalTableScan.executeCollect —
+            # no Spark job)
+            cent_arr = spark.createDataFrame(
+                [([(cid, model[cid]) for cid in sorted(model)],)],
+                arr_schema,
+            ).select(with_nrm)
+            asg = c.crossJoin(F.broadcast(cent_arr)).select(
+                "_vid", "_vec", argmax_cell
+            )
         # mean pass: posexplode → ONE narrow (cell, pos) decimal-mean
         # aggregate → collect ≤ k·dim cells, arrays rebuilt on the
         # driver.  Same single corpus-wide exchange as the old 64-wide

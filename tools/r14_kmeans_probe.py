@@ -122,8 +122,10 @@ def main():
     n = emb.count()
     print(f"embeddings n={n}")
     if "--scale" in sys.argv:
-        # corpus-scaled-k regime: 200k deterministic vectors, k=1024
-        from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+        # corpus-scaled-k regime: 200k deterministic vectors, k=1024 —
+        # A/B the exact-numpy Lloyd assignment kernel vs the expression
+        # argmax, asserting md5-identical models (r14)
+        import hashlib
 
         df = spark.range(200_000).select(
             F.col("id").alias("vec_id"),
@@ -135,10 +137,30 @@ def main():
                 ),
             ).alias("embedding"),
         ).localCheckpoint()
-        print("scale corpus ready")
-        t0 = time.time()
-        train_probe(spark, df, k=1024, iterations=2, mod=2, reps=2)
-        print(f"scale total {time.time()-t0:.1f}s")
+        print("scale corpus ready", df.count())
+
+        def md5_model(m):
+            rows = m.orderBy("cent_id").collect()
+            return hashlib.md5(
+                repr([(r["cent_id"], list(r["c_vec"])) for r in rows]).encode()
+            ).hexdigest()
+
+        for rep in range(2):
+            t0 = time.time()
+            m1 = sim.kmeans_centroids(df, k=1024, iterations=2, train_sample_mod=2)
+            m1.count()
+            print(f"kernel rep {rep}: {time.time()-t0:.1f}s path={sim.LAST_TRAIN_PATH}")
+        h1 = md5_model(m1)
+        sim.KMEANS_ASSIGN_KERNEL = False
+        try:
+            t0 = time.time()
+            m2 = sim.kmeans_centroids(df, k=1024, iterations=2, train_sample_mod=2)
+            m2.count()
+            print(f"expr: {time.time()-t0:.1f}s path={sim.LAST_TRAIN_PATH}")
+            h2 = md5_model(m2)
+        finally:
+            sim.KMEANS_ASSIGN_KERNEL = True
+        print("md5 equal:", h1 == h2, h1)
     else:
         print("== phase probe (k=16, warm loop) ==")
         phase_probe(spark, emb)
