@@ -156,6 +156,23 @@ def test_kmeans_assign_kernel_matches_expression(spark, tables, monkeypatch):
     assert _model_md5(m2) == h1
 
 
+def test_pq_encode_kernel_matches_aggregate(spark, tables, monkeypatch):
+    """Force the GEMM-class PQ encode kernel at gate scale (swap point
+    monkeypatched below k) and pin exact code equality against the
+    aggregate form."""
+    emb = tables["embeddings"]
+    books, sub = sim.pq_codebooks(emb, m=4, k=8, iterations=1)
+
+    def codes(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = codes(sim._pq_encode_agg(emb, books, sub))
+    monkeypatch.setattr(sim, "ASSIGN_GEMM_MIN_K", 4)
+    monkeypatch.setattr(sim, "_PQ_BOOK_PROBE_MEMO", {})
+    kern = codes(sim.pq_encode(emb, books, sub))
+    assert kern == base
+
+
 def test_kmeans_driver_falls_back_on_ragged_vectors(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, [2.0, 1.0]), (2, [3.0, 4.0, 5.0]), (3, [1.0, 5.0])],
