@@ -45,12 +45,13 @@ def _events_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     ``local[N]``: measured on the sf0.1 stream-stream join, the data
     batch is 3.8 s with 32 core-count-derived stores vs 1.0-1.5 s
     sized from the 2 MB input — same rows, same hashes."""
-    import os
-
     from hadoop_20_spark import streaming as stream_ops
 
+    # derived from the SAME path helper read_events_stream consumes —
+    # fails loud on a missing/renamed fixture instead of silently
+    # sizing from 0 bytes; byte totals memoized per path (r14)
     return stream_ops.adaptive_state_partitions(
-        spark, os.path.join(sf_dir, "events.parquet")
+        spark, stream_ops.events_source_path(sf_dir)
     )
 
 

@@ -49,6 +49,28 @@ STATE_PARTITIONS_MAX = 2048
 _STATE_CONF_LOCK = threading.Lock()
 
 
+def events_source_path(sf_dir: str) -> str:
+    """THE events stream source path — shared by read_events_stream and
+    the state-partition sizing so the two can never diverge on a
+    fixture-layout change, and failing LOUD on a missing source instead
+    of silently sizing state from 0 bytes (r14, advisor item)."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"events stream source missing: {p} — a renamed fixture "
+            "would otherwise silently size the state store from 0 bytes"
+        )
+    return p
+
+
+#: byte-total memo for adaptive_state_partitions (immutable fixture
+#: files; sizing-only state — a stale entry can only move wall-clock,
+#: never a result)
+_SOURCE_BYTES_MEMO: dict[tuple[str, ...], int] = {}
+
+
 def adaptive_state_partitions(
     spark: SparkSession,
     *paths: str,
@@ -82,20 +104,26 @@ def adaptive_state_partitions(
     the source already does)."""
     import os
 
-    total = 0
-    for p in paths:
-        if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-        else:
-            try:
-                total += os.path.getsize(p)
-            except OSError:
-                pass
+    key = tuple(paths)
+    total = _SOURCE_BYTES_MEMO.get(key)
+    if total is None:
+        total = 0
+        for p in paths:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+            else:
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    pass
+        if len(_SOURCE_BYTES_MEMO) >= 64:
+            _SOURCE_BYTES_MEMO.clear()
+        _SOURCE_BYTES_MEMO[key] = total
     n = max(1, -(-total // target_bytes))
     return max(lo, min(hi, n))
 
@@ -162,7 +190,7 @@ def read_events_stream(
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = events_source_path(sf_dir)
     probe = src
     if os.path.isdir(probe):
         cands = [f for f in os.listdir(probe) if f.endswith(".parquet")]
