@@ -111,13 +111,14 @@ def connected_components_star(
     Large-star (one round): for every node u, hang each STRICTLY LARGER
     neighbor off m = min(N(u) ∪ {u}).  Small-star: orient every edge
     (big, small), then hang each smaller neighbor AND u itself off
-    m = min(N(u)).  Both are one partial-agg shuffle (groupBy min) plus
-    one key-co-partitioned join — identical shuffle economics per round
+    m = min(N(u)).  Both are one unbounded window min over a single
+    u-partitioned exchange — identical shuffle economics per round
     to one propagation step, but exponentially fewer rounds on deep
-    graphs.  Lineage is cut per round (localCheckpoint); the fixpoint
-    test is two set-difference counts on the current (node, parent)
-    edge set, whose size never exceeds the node count after the first
-    small-star.
+    graphs.  Lineage is cut per round (LAZY localCheckpoint, r14: the
+    exact fixpoint count is the single materializing action per
+    round); the fixpoint test is the symmetric-difference count read
+    off the presence-bit aggregate, on an edge set whose size never
+    exceeds the node count after the first small-star.
 
     Returns (labels, rounds): labels has (id, component) for every node
     incident to an edge, component = smallest node id in the component
