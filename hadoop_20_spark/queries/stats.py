@@ -1427,34 +1427,30 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = b["n"]
     targets = {"median": (n + 1) // 2, "p90": (9 * n + 9) // 10}
     # multi-rank form: both probes share every refinement scan; the
-    # rank-sizing aggregate doubles as the operator's bounds scan
+    # rank-sizing aggregate doubles as the operator's bounds scan.
+    # The rank audits (n_below, n_at) are READ OFF the refinement's own
+    # bookkeeping (r14; proof in exact_order_statistics' docstring:
+    # rank = k − |{c < lo}| is a loop invariant and the terminal bucket
+    # covers exactly [v, v]) — the separate whole-relation audit
+    # aggregate this query used to run is a scan it no longer pays,
+    # at any scale (guide §2: fewer passes).  Values are identical
+    # exact integers either way (oracle-verified).
     by_rank, _rounds = sort_ops.exact_order_statistics(
         cents, "c", list(targets.values()), bounds=(b["lo"], b["hi"], n),
         scan_filter=lambda lo, hi: F.col("l_extendedprice").between(
             lo / 100.0 - 0.01, hi / 100.0 + 0.01
         ),
+        return_audits=True,
     )
-    values = {stat: by_rank[k] for stat, k in targets.items()}
-    # one audit pass for both ranks: counts below/at each found value
-    audit = cents.agg(
-        *[
-            F.sum((F.col("c") < F.lit(v)).cast("long")).alias(f"below_{stat}")
-            for stat, v in values.items()
-        ],
-        *[
-            F.sum((F.col("c") == F.lit(v)).cast("long")).alias(f"at_{stat}")
-            for stat, v in values.items()
-        ],
-    ).first()
     rows = [
         (
             stat,
             targets[stat],
             n,
-            values[stat],
-            float(values[stat]) / 100.0,
-            audit[f"below_{stat}"],
-            audit[f"at_{stat}"],
+            by_rank[targets[stat]][0],
+            float(by_rank[targets[stat]][0]) / 100.0,
+            by_rank[targets[stat]][1],
+            by_rank[targets[stat]][2],
         )
         for stat in sorted(targets)
     ]

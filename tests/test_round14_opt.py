@@ -190,6 +190,32 @@ def test_kmeans_rejects_k_past_driver_model_ceiling(spark, tables):
         )
 
 
+def test_refinement_audits_match_direct_counts(spark):
+    """return_audits reads (n_below, n_at) off the refinement's rank
+    bookkeeping; pin it against direct counts on a tie-heavy domain
+    (ties are where the terminal-bucket proof earns its keep)."""
+    from hadoop_20_spark.operators import sort as sort_ops
+
+    vals = [((i * i) % 97) * 3 for i in range(2000)] + [0, 0, 291, 291]
+    df = spark.createDataFrame([(v,) for v in vals], "c bigint")
+    n = len(vals)
+    ks = [1, 2, n // 2, n - 1, n]
+    got, _rounds = sort_ops.exact_order_statistics(
+        df, "c", ks, return_audits=True
+    )
+    s = sorted(vals)
+    for k in ks:
+        v = s[k - 1]
+        assert got[k] == (v, sum(1 for x in vals if x < v),
+                          sum(1 for x in vals if x == v)), (k, got[k])
+    # degenerate domain: every value equal
+    one = spark.createDataFrame([(7,)] * 5, "c bigint")
+    got1, _ = sort_ops.exact_order_statistics(
+        one, "c", [1, 3, 5], return_audits=True
+    )
+    assert got1 == {1: (7, 0, 5), 3: (7, 0, 5), 5: (7, 0, 5)}
+
+
 def test_star_cc_duplicate_input_invariance(spark):
     from hadoop_20_spark.operators import graph as graph_ops
 
