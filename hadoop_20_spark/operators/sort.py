@@ -762,20 +762,20 @@ def exact_group_order_statistics(
             raise RuntimeError(f"no convergence after {max_rounds} rounds")
         order = sorted(active, key=lambda t: (str(t[0]), t[1]))
         widths = {t: (s[1] - s[0] + width) // width for t, s in active.items()}
+        # flat target*width + bucket tag keys, as in
+        # exact_order_statistics (r14: the struct-keyed hash aggregate
+        # measured ~30% slower per round; bijective since b < width)
         tags = F.array(
             *[
                 F.when(
                     (g == F.lit(t[0]))
                     & c.between(F.lit(active[t][0]), F.lit(active[t][1])),
-                    F.struct(
-                        F.lit(i).alias("t"),
-                        # conditional widening (see _offset_bucket_sql)
-                        F.expr(
-                            _offset_bucket_sql(
-                                col, active[t][0], active[t][1], widths[t]
-                            )
-                        ).alias("b"),
-                    ),
+                    F.lit(i * width).cast("bigint")
+                    + F.expr(
+                        _offset_bucket_sql(
+                            col, active[t][0], active[t][1], widths[t]
+                        )
+                    ).cast("bigint"),
                 )
                 for i, t in enumerate(order)
             ]
@@ -783,7 +783,7 @@ def exact_group_order_statistics(
         g_lo = min(s[0] for s in active.values())
         g_hi = max(s[1] for s in active.values())
         counts = {
-            (r["s"]["t"], r["s"]["b"]): r["cnt"]
+            (r["s"] // width, r["s"] % width): r["cnt"]
             for r in (
                 df.filter(
                     g.isin([t[0] for t in order])
